@@ -1,0 +1,121 @@
+"""Scalar/aggregate helper functions used across engine operators.
+
+The reference has no scalar-function library at all (SURVEY §2.7 — its only
+"functions" are user closures); everything here is the Spark-native function
+surface the engine exposes, plus oracle-compatibility helpers.
+
+Numeric policy for cross-engine (Spark vs DuckDB) comparability: monetary
+doubles are aggregated through exact DECIMAL arithmetic and only then cast
+back to double + rounded. A naive double SUM over 60k+ rows accumulates
+~1e-3 absolute error that breaks value-hash comparison; decimal sums are
+exact on both engines, so the final round is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact-decimal aggregation helpers (oracle-stable numerics)
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+
+
+def dsum(col: str | Column, scale: int = 2) -> Column:
+    """Exact SUM of a 2-dp monetary double: cast→decimal, sum (exact),
+    round, back to double. Matches ``CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2))),
+    s) AS DOUBLE)`` in ANSI SQL / DuckDB bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), scale).cast("double")
+
+
+def dsum_expr(expr: Column, scale: int = 4) -> Column:
+    """Exact SUM of a computed decimal expression. Callers must build the
+    expression from decimal-cast inputs so intermediate products stay exact
+    (e.g. price*(1-disc) at decimal(18,2)*decimal(18,2))."""
+    return F.round(F.sum(expr), scale).cast("double")
+
+
+def davg(col: str | Column, scale: int = 6) -> Column:
+    """Stable AVG: exact decimal sum divided by count, then FLOOR-scaled
+    (floor(10^s * sum/cnt)/10^s). floor has no half-way boundary, so both
+    engines agree bit-for-bit as long as the oracle uses the identical
+    expression shape (ROUND on a divided double does not guarantee that)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10 ** scale
+    return (
+        F.floor(F.lit(float(p)) * F.sum(c.cast(DEC)).cast("double") / F.count(c))
+        / float(p)
+    ).cast("double")
+
+
+def dec(col: str | Column) -> Column:
+    """Cast a monetary double column to the engine's exact decimal type."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# text helpers (shared by text-analysis + dedup operators)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization with no empty tokens. Semantics match
+    DuckDB ``list_filter(string_split_regex(trim(x), '\\s+'), t -> t <> '')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_set(col: str | Column) -> Column:
+    """Distinct-character set of a string (for char-Jaccard similarity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(F.filter(F.split(c, ""), lambda ch: ch != ""))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Deterministic and portable (same value in any engine with md5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def ngrams(col: str | Column, n: int = 3) -> Column:
+    """Token n-gram (shingle) array: space-joined sliding windows of n
+    tokens. Built from ``transform`` over index range — stays JVM-side."""
+    t = tokens(col)
+    # windows i..i+n-1 for i in 0..size-n; guard: sequence(0, negative)
+    # would generate a DESCENDING range in Spark, so short docs get []
+    return F.when(F.size(t) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def minhash(col: str | Column, num_hashes: int, shingle_n: int = 3) -> Column:
+    """MinHash signature (array of length ``num_hashes``) over token
+    shingles, using md5(seed || ':' || shingle) as the hash family.
+
+    Portable construction: every engine with md5 produces identical
+    signatures, which makes the signature itself oracle-checkable. The
+    per-hash value is the minimum hex digest (string min ≡ numeric min on
+    fixed-width hex).
+    """
+    sh = ngrams(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(
+                    F.concat(seed.cast("string"), F.lit(":"), s)
+                ),
+            )
+        ),
+    )

@@ -1,0 +1,216 @@
+"""Deduplication operators — exact and near-duplicate, built for 100 TB.
+
+No reference equivalent (extension surface per BASELINE.json). Five
+strategies, all shuffle-conscious:
+
+- exact: fingerprint (md5 of normalized text) groupBy — one shuffle on a
+  16-byte key; keep min(doc_id) per group.
+- minhash_lsh: shingle → portable md5 minhash signature → band buckets →
+  self-join within buckets only (candidate pairs ≪ n²) → verify with true
+  shingle Jaccard. The classic scalable near-dup pipeline.
+- simhash: 64-bit simhash from token hashes; near-dups = equal simhash
+  (or banded hamming via rotations).
+- ngram_jaccard: exact pairwise Jaccard on token n-grams, blocked by a
+  cheap key to avoid n² — the small-data/verification path.
+- embedding cosine near-dup lives in operators/similarity.py.
+
+All hashing is md5-based and engine-portable, so signatures are
+oracle-checkable bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.functions import fingerprint, minhash, ngrams, tokens
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text, keeping the
+    smallest id (deterministic winner). Single hash-shuffle on the md5
+    fingerprint; map-side partial agg keeps shuffle volume ≈ #distinct."""
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: fingerprint → (keeper_id, member_id) pairs
+    for groups of size > 1."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    keep = fp.groupBy("_fp").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        fp.join(keep, "_fp")
+        .filter(F.col("group_size") > 1)
+        .select("keeper_id", F.col(id_col).alias("member_id"), "group_size")
+    )
+
+
+def shingle_jaccard(a: Column, b: Column) -> Column:
+    """True Jaccard over two shingle arrays (verification predicate)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Plan shape (scale-reviewed):
+      1. one narrow projection computes shingles + signature per doc (no
+         shuffle);
+      2. explode to ``bands`` rows/doc, band key = md5 of the band's
+         signature slice → shuffle on band key (balanced: md5 keys);
+      3. self-join within band buckets only → candidate pairs;
+      4. exact Jaccard verify on shingle arrays; distinct pairs.
+
+    At 100 TB: candidate generation is linear in docs; the bucket join's
+    skew (a hot bucket of boilerplate docs) is handled by AQE skew-join;
+    signatures (16 md5 strings) keep shuffle rows small. Increase
+    num_hashes/bands for tighter recall/precision.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        ngrams(text_col, shingle_n).alias("_sh"),
+        minhash(text_col, num_hashes, shingle_n).alias("_sig"),
+    ).filter(F.size("_sh") > 0)
+
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice("_sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            shingle_jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
+    """63-bit SimHash over token shingles using xxhash64 (JVM built-in).
+
+    counts[i] = number of shingles with hash-bit i set (fold over the
+    shingle array); result bit i is set when counts[i]*2 > n_shingles.
+    63 bits (not 64) so the Horner reconstruction stays inside a signed
+    long under ANSI overflow checking. Fully JVM-side.
+    """
+    sh = ngrams(text_col, shingle_n)
+    counts = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("long"), 63),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(62)),
+                lambda i: F.getbit(F.xxhash64(s), i).cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(sh)
+    bits = F.transform(
+        counts,
+        lambda c: F.when(c * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    # Horner fold MSB→LSB: value = Σ bit_i << i without shift-by-column
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def dedup_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """SimHash near-dup groups: docs sharing an identical 64-bit simhash.
+    One shuffle on the simhash; for hamming-distance ≤ k matching, band the
+    64 bits into k+1 chunks and bucket-join per chunk (same LSH shape as
+    minhash)."""
+    h = df.select(F.col(id_col), simhash64(text_col, shingle_n).alias("simhash"))
+    return (
+        h.groupBy("simhash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity above a threshold.
+
+    O(n²) within a block — the verification / small-partition path. Callers
+    at scale MUST provide ``block_col`` (e.g. a language or length bucket)
+    so the self-join stays within blocks; default blocks on first token,
+    which bounds pair counts for natural corpora."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(ngrams(text_col, n)).alias("_ng"),
+        (block_col if block_col is not None else F.element_at(tokens(text_col), 1)).alias(
+            "_blk"
+        ),
+    ).filter(F.size("_ng") > 0)
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(shingle_jaccard(F.col("a._ng"), F.col("b._ng")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

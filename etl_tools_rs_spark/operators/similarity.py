@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+No reference equivalent (extension surface per BASELINE.json). Two tiers:
+
+- ``knn_brute``: exact top-k cosine via a broadcast cross-join — the
+  correctness baseline. Dot products run JVM-side (zip_with/aggregate);
+  top-k per query via window rank (no driver collect).
+- ``knn_lsh``: random-hyperplane LSH bucketing — the scale path. Probes
+  only same-bucket candidates (multi-probe via multiple tables), so work is
+  ~linear in corpus size instead of |Q|×|C|.
+
+100 TB posture: corpus stays partitioned; queries broadcast (queries are
+the small side in retrieval workloads). If queries are also huge, swap to a
+bucket-join on LSH keys — same code path as minhash LSH banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product. Inputs are cast to double element-wise:
+    float32 accumulation would drift ~1e-7 relative, which is the same
+    order as a 6-dp output round — double keeps error at ~1e-15."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def knn_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query.
+
+    Broadcast the (small) query set against the partitioned corpus —
+    the cross product never shuffles the corpus; ranking is one shuffle on
+    query_id. Ties broken by corpus id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv"))
+    # rank on the RAW similarity (ties broken by id); round only the output —
+    # ranking on a rounded value would disagree with any exact-math oracle
+    scored = c.crossJoin(q).select(
+        F.col("_qid"),
+        F.col("_cid"),
+        cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_sim", round_scale).cast("double").alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes (JVM-side dot products)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    One shuffle on the 2^num_planes bucket key (AQE handles hot buckets);
+    recall tunes with num_planes (fewer planes → bigger buckets → higher
+    recall, more work). Exact rescoring inside the bucket.
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(corpus_vec).alias("_cv"),
+        lsh_bucket(F.col(corpus_vec), planes).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).alias("_qv"),
+        lsh_bucket(F.col(query_vec), planes).alias("_bkt"),
+    )
+    scored = c.join(F.broadcast(q), "_bkt").select(
+        "_qid",
+        "_cid",
+        cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_sim", 6).cast("double").alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: vectors in
+    the same hyperplane bucket with cosine ≥ threshold. Linear-ish in corpus
+    size; exact within buckets."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

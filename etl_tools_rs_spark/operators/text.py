@@ -1,0 +1,107 @@
+"""Text analysis operators for training-data pipelines.
+
+No reference equivalent (the reference has zero scalar functions, SURVEY
+§2.7); these are the engine's first-class extension ops. All are pure
+column expressions — JVM-side, whole-stage-codegen, no Python in the hot
+path — so they scale linearly over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.functions import fingerprint, token_count, tokens
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deliberately minimal + deterministic (and mirrored in the
+# DuckDB oracle SQL for correctness checking).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "de", "es", "y"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "de": ["der", "die", "und", "ist", "ein"],
+    "zh": ["的", "是", "在", "了", "和"],
+}
+
+
+def marker_hits(col: str | Column, lang: str) -> Column:
+    """Count of tokens that are marker words for ``lang``."""
+    return F.size(
+        F.filter(tokens(col), lambda t: F.lower(t).isin(LANG_MARKERS[lang]))
+    )
+
+
+def lang_id(col: str | Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts, 'und' when
+    no marker matches. Deterministic tie-break: language-code order."""
+    hits = {lang: marker_hits(col, lang) for lang in sorted(LANG_MARKERS)}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # forward alphabetical order with strict '>' — on ties the
+    # alphabetically-first language wins (matches the SQL CASE oracle,
+    # which checks languages in alphabetical order against the max)
+    for lang in sorted(LANG_MARKERS):
+        cond = hits[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best_lang
+
+
+def _ratio4(num: Column, den: Column) -> Column:
+    """floor-based 4-dp ratio: floor(1e4*n/d)/1e4. Unlike round(), floor of
+    an int/int double quotient has no half-way boundary, so Spark and the
+    DuckDB oracle always agree bit-for-bit."""
+    return (F.floor(F.lit(10000.0) * num / F.greatest(den, F.lit(1))) / 10000.0).cast(
+        "double"
+    )
+
+
+def quality_score(col: str | Column) -> dict[str, Column]:
+    """Document quality signals: length, token count, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio. Returns a dict of
+    named Columns so callers select the subset they need (column pruning
+    stays effective)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(LANG_MARKERS["en"])))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": _ratio4(n_nonspace, n_tokens),
+        "punct_ratio": _ratio4(n_punct, n_chars),
+        "alpha_ratio": _ratio4(n_alpha, n_chars),
+        "stopword_ratio": _ratio4(n_stop, n_tokens),
+    }
+
+
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Approximate subword token count: alphanumeric runs + standalone
+    punctuation/CJK chars via regexp_extract_all. Pattern is RE2-safe (no
+    lookarounds) so the DuckDB oracle can evaluate it identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop text-analysis projection: token stats + quality + langid +
+    fingerprint. Single narrow scan; everything fuses into one codegen stage."""
+    q = quality_score(text_col)
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

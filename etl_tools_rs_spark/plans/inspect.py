@@ -1,0 +1,52 @@
+"""Physical-plan inspection: programmatic checks that the plan we got is
+the plan we want (pushdown reached the scan, joins broadcast, codegen
+covers the hot path). Used by tests to pin plan shapes so regressions that
+would only show up at 100 TB fail at unit-test scale.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanReport:
+    text: str
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    joins: list[str] = field(default_factory=list)
+    has_broadcast_join: bool = False
+    has_sortmerge_join: bool = False
+    has_bnl_join: bool = False
+    num_exchanges: int = 0
+    wholestage_codegen_stages: int = 0
+    has_python_udf: bool = False
+
+    def scan_reads_only(self, cols: set[str]) -> bool:
+        """True if every parquet scan's ReadSchema is a subset of ``cols`` —
+        the column-pruning check."""
+        for rs in self.read_schemas:
+            read = set(re.findall(r"(\w+):", rs))
+            if not read.issubset(cols):
+                return False
+        return True
+
+
+def plan_report(df: DataFrame) -> PlanReport:
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+    rep = PlanReport(text=text)
+    rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    rep.read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    rep.joins = re.findall(r"(\w*Join\w*)", text)
+    rep.has_broadcast_join = "BroadcastHashJoin" in text
+    rep.has_sortmerge_join = "SortMergeJoin" in text
+    rep.has_bnl_join = "BroadcastNestedLoopJoin" in text
+    rep.num_exchanges = len(re.findall(r"\bExchange\b", text))
+    rep.wholestage_codegen_stages = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+    rep.has_python_udf = "BatchEvalPython" in text or "ArrowEvalPython" in text
+    return rep

@@ -1,0 +1,861 @@
+"""Query registry: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair over the standard test tables.
+
+Cross-engine numeric policy (see functions/__init__.py):
+- monetary aggregates go through exact DECIMAL arithmetic, ROUND on the
+  exact decimal, then CAST DOUBLE — bit-identical on both engines;
+- anything produced by a double *division* uses FLOOR(10^s*x)/10^s with the
+  identical expression shape on both sides (floor has no half-way boundary);
+- rankings/limits order by exact (decimal or raw-double) values with an id
+  tie-break so selection is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_tools_rs_spark.functions import (
+    DEC,
+    davg,
+    dec,
+    fingerprint,
+    minhash,
+    ngrams,
+    token_count,
+    tokens,
+)
+from etl_tools_rs_spark.operators import dedup as dedup_ops
+from etl_tools_rs_spark.operators import multimodal as mm_ops
+from etl_tools_rs_spark.operators import similarity as sim_ops
+from etl_tools_rs_spark.operators import text as text_ops
+from etl_tools_rs_spark.operators.batch import batch_by_count
+from etl_tools_rs_spark.operators.dedup import shingle_jaccard
+from etl_tools_rs_spark.operators.join import join as engine_join
+from etl_tools_rs_spark.operators.join import left_join
+from etl_tools_rs_spark.operators.transform import flat_transform, transform
+from etl_tools_rs_spark.session import load_tables
+from etl_tools_rs_spark.sources.generate import EnumerateSource
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check (non-SQL op)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def qdef(name: str, oracle: str | None):
+    def wrap(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle)
+        return fn
+
+    return wrap
+
+
+# --------------------------------------------------------------------------
+# shared exact-decimal expressions (Spark + SQL string twins)
+# --------------------------------------------------------------------------
+
+def _dp() -> F.Column:
+    """price*(1-discount) as exact decimal(18,4)."""
+    return (
+        dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+def _charge() -> F.Column:
+    """price*(1-discount)*(1+tax) as exact decimal(18,6)."""
+    return (_dp() * (F.lit(1).cast(DEC) + dec("l_tax"))).cast("decimal(18,6)")
+
+
+DP_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+CHARGE_SQL = (
+    f"CAST({DP_SQL} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
+    " AS DECIMAL(18,6))"
+)
+
+
+def _davg_sql(col: str, cnt: str = "COUNT(*)", scale: int = 6) -> str:
+    p = 10**scale
+    return (
+        f"FLOOR({p}.0 * CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / {cnt}) / {p}.0"
+    )
+
+
+TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# relational core (the facade surface: aggregations, windows, sorts, set
+# ops, scalar functions — all native Spark, SURVEY §2.7/§7.2 phase 7)
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM({DP_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
+           CAST({_davg_sql('l_quantity', 'COUNT(l_quantity)')} AS DOUBLE) AS avg_qty,
+           CAST({_davg_sql('l_extendedprice', 'COUNT(l_extendedprice)')} AS DOUBLE) AS avg_price,
+           CAST({_davg_sql('l_discount', 'COUNT(l_discount)')} AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(_dp()), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@qdef(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(ROUND(SUM({DP_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM({DP_SQL}) DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    joined = engine_join(
+        engine_join(cust, orders, F.col("c_custkey") == F.col("o_custkey")),
+        li,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_dp()).alias("_rev")
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@qdef(
+    "q5_local_supplier",
+    f"""
+    SELECT n_name, CAST(ROUND(SUM({DP_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    # dimension joins broadcast (region/nation tiny; supplier small) — at
+    # scale only customer⋈orders⋈lineitem shuffle, on their join keys
+    joined = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(_dp()), 2).cast("double").alias("revenue")
+    )
+
+
+@qdef(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("sum_total"),
+    )
+
+
+@qdef(
+    "rollup_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("sum_total"),
+    )
+
+
+@qdef(
+    "window_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@qdef(
+    "window_rank_topn",
+    """
+    SELECT c_custkey, c_nationkey, rnk FROM (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+      FROM customer) WHERE rnk <= 5
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@qdef(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@qdef(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@qdef(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .select("c_custkey")
+        .subtract(t["orders"].select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@qdef(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey, UPPER(p_name) AS name_upper,
+           SUBSTRING(p_type, 1, 6) AS type_prefix,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("part",))
+    return transform(
+        t["part"],
+        cols={
+            "name_upper": F.upper("p_name"),
+            "type_prefix": F.substring("p_type", 1, 6),
+            "name_len": F.length("p_name").cast("bigint"),
+            "brand_type": F.concat_ws("#", "p_brand", "p_type"),
+        },
+    ).select("p_partkey", "name_upper", "type_prefix", "name_len", "brand_type")
+
+
+@qdef(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# reference-operator parity queries (SURVEY §2)
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "j1_left_theta_join",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_big, MAX(o_totalprice) AS max_big
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 50
+    GROUP BY c_custkey
+    """,
+)
+def j1_left_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 parity (reference etl-core/src/joins.rs:15-185): left outer join
+    with an arbitrary theta predicate; unmatched lefts survive as NULLs."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    joined = left_join(
+        t["customer"],
+        t["orders"],
+        on=(F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_totalprice") > F.col("c_acctbal") * 50),
+        right_struct=None,
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_big"),
+        F.max("o_totalprice").alias("max_big"),
+    )
+
+
+@qdef(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return engine_join(
+        t["customer"], big, F.col("c_custkey") == F.col("o_custkey"), how="left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@qdef(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return engine_join(
+        t["customer"], t["orders"], F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@qdef(
+    "t1_transform",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS saving
+    FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 25
+    """,
+)
+def t1_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 parity (reference etl-core/src/transformer.rs:7-65): map with
+    None→filter — here the declarative cols+where form."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return transform(
+        t["lineitem"],
+        cols={
+            "saving": F.round(dec("l_extendedprice") * dec("l_discount"), 2).cast(
+                "double"
+            )
+        },
+        where=(F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 25),
+    ).select("l_orderkey", "l_linenumber", "saving")
+
+
+@qdef(
+    "t2_flat_transform",
+    f"SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents",
+)
+def t2_flat_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 parity — the 1:N TransformOutput::List arm the reference panics
+    on (etl-job/src/transform_store.rs:70-72), real here via explode."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return flat_transform(
+        t["documents"], expr=tokens("text"), alias="token", keep=["doc_id"]
+    )
+
+
+@qdef(
+    "t4_batch_by_count",
+    """
+    SELECT user_id, batch_id, COUNT(*) AS n_events FROM (
+      SELECT user_id,
+             CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) - 1) / 100.0) AS BIGINT) AS batch_id
+      FROM events)
+    GROUP BY user_id, batch_id
+    """,
+)
+def t4_batch_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 parity (reference etl-core/src/batch.rs:10-70): deterministic
+    count-based batch cuts per key (the distributable Batcher form)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    batched = batch_by_count(
+        t["events"], key=["user_id"], order=["ts", "event_id"], n=100
+    )
+    return batched.groupBy("user_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@qdef(
+    "s5_enumerate",
+    """
+    SELECT i AS id, i * i AS sq, i % 7 AS bucket FROM range(1000) t(i)
+    """,
+)
+def s5_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 parity (reference etl-core/src/datastore/enumerate.rs:6-59):
+    generated source via distributed range."""
+    return EnumerateSource(
+        max=1000, create=lambda idx: {"sq": idx * idx, "bucket": idx % 7}
+    ).to_df(spark)
+
+
+# --------------------------------------------------------------------------
+# events: time windows, sessionization, JSON extraction
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "events_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return t["events"].groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+    )
+
+
+@qdef(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity cut) — one shuffle on
+    user_id; lag + cumulative flags, no driver iteration."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = t["events"].withColumn(
+        "new_sess", F.when(gap > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0))
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_sess") + 1).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@qdef(
+    "events_json_extract",
+    """
+    SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k, COUNT(*) AS n
+    FROM events GROUP BY CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return t["events"].groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# extension ops: text analysis
+# --------------------------------------------------------------------------
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{w}'" for w in words)
+    for lang, words in text_ops.LANG_MARKERS.items()
+}
+
+_TEXT_ANALYZE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents
+), h AS (
+  SELECT doc_id, text, toks,
+         len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL['de']}))) AS h_de,
+         len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL['en']}))) AS h_en,
+         len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL['es']}))) AS h_es,
+         len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL['fr']}))) AS h_fr,
+         len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL['zh']}))) AS h_zh
+  FROM t)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+       CAST(FLOOR(10000.0 * LENGTH(regexp_replace(text, '\\s', '', 'g'))
+            / GREATEST(len(toks), 1)) / 10000.0 AS DOUBLE) AS mean_token_len,
+       CAST(FLOOR(10000.0 * (LENGTH(text) - LENGTH(regexp_replace(text,
+            '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / GREATEST(LENGTH(text), 1))
+            / 10000.0 AS DOUBLE) AS punct_ratio,
+       CAST(FLOOR(10000.0 * LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            / GREATEST(LENGTH(text), 1)) / 10000.0 AS DOUBLE) AS alpha_ratio,
+       CAST(FLOOR(10000.0 * len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL['en']})))
+            / GREATEST(len(toks), 1)) / 10000.0 AS DOUBLE) AS stopword_ratio,
+       CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+            WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+            WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM h
+"""
+
+
+@qdef("text_analyze", _TEXT_ANALYZE_SQL)
+def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    q = text_ops.quality_score("text")
+    return t["documents"].select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        text_ops.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        text_ops.lang_id("text").alias("lang_pred"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# extension ops: dedup
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup_ops.dedup_exact(t["documents"])
+
+
+@qdef(
+    "dedup_token_jaccard",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents
+      WHERE len({TOKS_SQL}) > 0
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS g FROM tk
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), s AS (SELECT doc_id, len(toks) AS n FROM tk)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN s sa ON sa.doc_id = id_a
+    JOIN s sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.6 (single-block correctness
+    config; the scale path blocks by key — see dedup.ngram_jaccard_pairs)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = (
+        t["documents"]
+        .select(F.col("doc_id"), F.array_distinct(tokens("text")).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
+    union = F.size(F.col("a._toks")) + F.size(F.col("b._toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@qdef(
+    "minhash_signature",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    )
+    SELECT doc_id,
+           MIN(md5('0:' || g)) AS mh0, MIN(md5('1:' || g)) AS mh1,
+           MIN(md5('2:' || g)) AS mh2, MIN(md5('3:' || g)) AS mh3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5-family MinHash signatures (bit-exact across engines) —
+    the building block of dedup_minhash_lsh, verified directly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = minhash("text", num_hashes=4, shingle_n=3)
+    return (
+        t["documents"]
+        .filter(F.size(ngrams("text", 3)) > 0)
+        .select(
+            "doc_id",
+            sig[0].alias("mh0"),
+            sig[1].alias("mh1"),
+            sig[2].alias("mh2"),
+            sig[3].alias("mh3"),
+        )
+    )
+
+
+@qdef("dedup_minhash_lsh", None)  # approximate op — rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup_ops.dedup_minhash_lsh(
+        t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@qdef("dedup_simhash", None)  # xxhash64-based — no portable oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup_ops.dedup_simhash(t["documents"], shingle_n=2).drop("member_ids")
+
+
+# --------------------------------------------------------------------------
+# extension ops: similarity search
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "knn_cosine_brute",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+               FROM q CROSS JOIN c),
+         r AS (SELECT qid, cid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+               FROM s)
+    SELECT qid AS query_id, cid AS neighbor_id,
+           CAST(ROUND(sim, 6) AS DOUBLE) AS cosine_sim, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 10
+    """,
+)
+def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return sim_ops.knn_brute(
+        corpus=t["embeddings"], queries=queries, k=10, query_id="query_id"
+    )
+
+
+@qdef("knn_cosine_lsh", None)  # approximate op — rows-only check
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return sim_ops.knn_lsh(
+        corpus=t["embeddings"], queries=queries, k=10, dim=64, query_id="query_id"
+    )
+
+
+@qdef("embedding_near_dup", None)  # approximate op — rows-only check
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return sim_ops.embedding_near_dup(t["embeddings"], threshold=0.95, dim=64)
+
+
+# --------------------------------------------------------------------------
+# extension ops: multimodal plumbing (decode is a documented deterministic
+# fake — see operators/multimodal.py; Spark-side plumbing is real)
+# --------------------------------------------------------------------------
+
+
+@qdef("multimodal_features", None)  # pandas-UDF pipeline — rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = mm_ops.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry accessors (driver contract)
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

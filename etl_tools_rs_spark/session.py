@@ -1,0 +1,103 @@
+"""SparkSession bootstrap with scale-oriented defaults.
+
+Single place where the engine configures Spark. Defaults are chosen for the
+100 TB posture (AQE on, skew-join handling, partition coalescing, Arrow for
+the pandas-UDF escape hatches) while remaining correct on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as sql_func
+
+# Engine-standard session defaults. Anything here must be safe on a real
+# multi-executor cluster, not just local mode.
+ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime re-plan, skew-join splitting, partition
+    # coalescing — essential at 100 TB where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batch transfer for every pandas-UDF path (10-100x over pickled
+    # row-at-a-time Python UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics; matches the DuckDB oracle, which
+    # reads parquet timestamps as timezone-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: 64 MB — dimension tables (region/nation/customer
+    # at bench scale) should broadcast rather than shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Scans: 128 MB split targets keep partitions executor-memory-sized.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "etl-tools-rs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass ``None`` with a pre-set master in spark-submit and this
+    simply applies engine conf. ``shuffle_partitions`` defaults to the local
+    core count (on a cluster you'd size this to ~2-3x total cores or rely on
+    AQE coalescing from a higher initial value).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # local-mode niceties; harmless on cluster
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    conf.setdefault("spark.ui.enabled", "false")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the standard test tables from ``sf_dir`` as temp views and
+    return them as a dict of DataFrames.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst gets full pushdown /
+    pruning; no caching here — callers decide what is hot.
+    """
+    if names is None:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long;
+    # set the legacy flag at runtime (works on any session, incl. the
+    # driver's) and convert ns→µs by integer division — the same truncation
+    # DuckDB applies when narrowing ns to its µs timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for f_ in df.schema.fields:
+            if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", sql_func.timestamp_micros(sql_func.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

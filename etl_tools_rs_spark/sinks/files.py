@@ -1,0 +1,52 @@
+"""File sinks: local filesystem and object stores (one code path).
+
+Reference parity:
+- ``LocalFs`` output — writes records to a single local file, truncating
+  (reference: etl-core/src/datastore/fs.rs:184-242).
+- ``S3Storage`` output — 30 MB multipart upload, abort on failure
+  (reference: etl-aws-utils/src/s3_datastore.rs:89-129,273-394).
+- CSV/JSON encoders (reference: etl-core/src/encoder.rs:35-218) fuse into
+  the writer format; no separate EncodedOutput glue is needed.
+
+Spark-first: ``df.write`` with format options; S3 multipart/retry is the
+committer's job. The reference writes ONE file per sink — that is a
+single-writer bottleneck at scale, so the engine default is parallel
+many-file output and ``single_file=True`` is an explicit opt-in (coalesce(1),
+documented as a small-output-only knob).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from etl_tools_rs_spark.sources.files import CsvOptions
+
+
+@dataclass
+class FileSink:
+    path: str
+    format: str = "parquet"  # text | csv | json | parquet
+    mode: str = "overwrite"  # reference LocalFs truncates → overwrite default
+    csv_options: CsvOptions = field(default_factory=CsvOptions)
+    single_file: bool = False
+    partition_by: list[str] = field(default_factory=list)
+    compression: str | None = None
+
+    def write(self, df: DataFrame) -> None:
+        if self.single_file:
+            # parity knob with the reference's one-file outputs; loudly the
+            # slow path — all rows funnel through one writer task.
+            df = df.coalesce(1)
+        w = df.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if self.format == "csv":
+            opts = self.csv_options.to_spark()
+            opts.pop("mode", None)
+            opts.pop("columnNameOfCorruptRecord", None)
+            w = w.options(**opts)
+        w.format(self.format).save(self.path)
