@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall-clock seconds.
+
+Execution is forced with the noop sink (full plan runs, nothing collected
+to the driver) so timings measure the distributed plan, not result
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: relational core + joins + windows + the extension ops that
+# matter at scale (dedup / similarity / text / sessionize)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "agg_distinct",
+    "window_running_total",
+    "topk_orders",
+    "j1_left_theta_join",
+    "t4_batch_by_count",
+    "events_hourly_agg",
+    "events_sessionize",
+    "text_analyze",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_brute",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from etl_tools_rs_spark.queries import REGISTRY
+    from etl_tools_rs_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -94,9 +94,12 @@ def dedup_minhash_lsh(
         minhash(text_col, num_hashes, shingle_n).alias("_sig"),
     ).filter(F.size("_sh") > 0)
 
+    # bucket rows are NARROW (id, band, bucket) — the shingle arrays do NOT
+    # travel through the bucket self-join; they are joined back only for the
+    # deduplicated candidate pairs, so verify work is once-per-pair instead
+    # of once-per-(pair × shared band).
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -108,23 +111,30 @@ def dedup_minhash_lsh(
                 ),
             )
         ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            shingle_jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+    )
+
+    sh = sig.select("_id", "_sh")
+    cand = (
+        pairs.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shingle_jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+        )
     )
     return cand.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
