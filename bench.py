@@ -48,6 +48,10 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JVM/codegen/parquet-footer costs land here, not on q1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn

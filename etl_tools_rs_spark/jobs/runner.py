@@ -151,8 +151,13 @@ class JobRunner:
         step = self._skip_or_start(name, "stream")
         if step is None:
             return None
+        # cache the PARSED frame: (a) the ok/err/per-file counts and the sink
+        # write reuse one scan+parse; (b) Spark disallows counting only the
+        # corrupt column straight off a raw file scan
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the cache boundary is the
+        # documented remedy
+        df = df.cache()
         ok, err = split_ok_err(df)
-        ok = ok.cache()
         try:
             n_err = err.count()
             self.num_errors += n_err
@@ -180,7 +185,7 @@ class JobRunner:
             self._save()
             raise
         finally:
-            ok.unpersist()
+            df.unpersist()
 
     # -- run_stream_handler (job.rs:457-602) --------------------------------
     def run_stream_handler(
@@ -216,6 +221,7 @@ class JobRunner:
                 .drop("_rn")
             )
         try:
+            work = work.cache()  # same corrupt-column caveat as run_stream
             ok, err = split_ok_err(work)
             n_err = err.count()
             self.num_errors += n_err
@@ -244,6 +250,8 @@ class JobRunner:
             self.state.run_status = RUN_FATAL
             self._save()
             raise
+        finally:
+            work.unpersist()
 
     def run_stream_handler_fn(
         self, name: str, df: DataFrame, fn: Callable[[int, Row, "JobRunner"], None]

@@ -60,7 +60,11 @@ def batch_by_predicate(
     """
     import pandas as pd  # noqa: F401 — executor-side import
 
-    out_schema = df.schema.add(batch_col, "long")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # copy, don't .add(): StructType.add mutates in place and df.schema is
+    # the DataFrame's cached schema object
+    out_schema = StructType(list(df.schema.fields) + [StructField(batch_col, LongType())])
 
     def _group(pdf):
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)

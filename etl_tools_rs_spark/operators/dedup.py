@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_tools_rs_spark.functions import fingerprint, minhash, ngrams, tokens
+from etl_tools_rs_spark.functions import fingerprint, ngrams, tokens
 
 
 def dedup_exact(
@@ -88,30 +88,49 @@ def dedup_minhash_lsh(
     num_hashes/bands for tighter recall/precision.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        ngrams(text_col, shingle_n).alias("_sh"),
-        minhash(text_col, num_hashes, shingle_n).alias("_sig"),
-    ).filter(F.size("_sh") > 0)
+    # Materialization barrier: higher-order-function expressions (ngrams,
+    # minhash) run interpreted, outside codegen CSE — without an exchange
+    # below them, projection collapse would inline and re-evaluate the full
+    # signature once per band. The repartition (a) materializes shingles
+    # exactly once, (b) rebalances small/skewed inputs (a single parquet
+    # file otherwise runs one task), and (c) is reused by the verify-stage
+    # join-back via ReusedExchange.
+    shuffle_p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sig = (
+        df.select(F.col(id_col).alias("_id"), ngrams(text_col, shingle_n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .repartition(shuffle_p)
+    )
 
+    # One projection computes every band bucket with each hash seed
+    # evaluated exactly once: bucket(b) = md5 of the band's minhash slice,
+    # identical to md5(concat_ws('|', slice(minhash_sig, b*rpb+1, rpb))).
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sequence(
+                        b * rows_per_band, b * rows_per_band + (rows_per_band - 1)
+                    ),
+                    lambda seed: F.array_min(
+                        F.transform(
+                            F.col("_sh"),
+                            lambda s: F.md5(
+                                F.concat(seed.cast("string"), F.lit(":"), s)
+                            ),
+                        )
+                    ),
+                ),
+            )
+        ),
+    )
     # bucket rows are NARROW (id, band, bucket) — the shingle arrays do NOT
     # travel through the bucket self-join; they are joined back only for the
     # deduplicated candidate pairs, so verify work is once-per-pair instead
     # of once-per-(pair × shared band).
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws("|", F.slice("_sig", b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = sig.select("_id", F.posexplode(buckets).alias("band", "bucket"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -150,14 +169,17 @@ def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
     long under ANSI overflow checking. Fully JVM-side.
     """
     sh = ngrams(text_col, shingle_n)
+    # hash each shingle ONCE, then fold bit-counts over the hash array —
+    # xxhash64 inside the bit lambda would re-hash per bit (63x the work)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
     counts = F.aggregate(
-        sh,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 63),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(62)),
-                lambda i: F.getbit(F.xxhash64(s), i).cast("long"),
+                lambda i: F.getbit(h, i).cast("long"),
             ),
             lambda a, b: a + b,
         ),
@@ -173,6 +195,41 @@ def simhash64(text_col: str | Column, shingle_n: int = 2) -> Column:
     )
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """(id, simhash) via the *relational* formulation: explode shingles →
+    xxhash64 per shingle (once) → groupBy(id) with 63 bit-count sums →
+    reassemble the long.
+
+    Same values as ``simhash64`` but whole-stage-codegen throughout (the
+    HOF fold is interpreted and ~2 orders of magnitude slower per row).
+    Map-side partial aggregation collapses each partition to one row per
+    doc before the single shuffle on ``id_col``.
+    """
+    # explode_outer keeps zero-shingle docs (their simhash is 0, matching
+    # the HOF fold over an empty array); the null guard stops xxhash64 from
+    # hashing NULL to its seed constant
+    shingled = df.select(
+        F.col(id_col), F.explode_outer(ngrams(text_col, shingle_n)).alias("_s")
+    )
+    hashed = shingled.select(
+        id_col, F.when(F.col("_s").isNotNull(), F.xxhash64("_s")).alias("_h")
+    )
+    bit_sums = [
+        F.sum(F.getbit("_h", F.lit(i)).cast("long")).alias(f"_b{i}") for i in range(63)
+    ]
+    counted = hashed.groupBy(id_col).agg(F.count("_h").alias("_n"), *bit_sums)
+    value = None
+    for i in range(63):
+        bit = F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << i).cast("long")
+        value = term if value is None else value + term
+    return counted.select(F.col(id_col), value.alias("simhash"))
+
+
 def dedup_simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
 ) -> DataFrame:
@@ -180,7 +237,7 @@ def dedup_simhash(
     One shuffle on the simhash; for hamming-distance ≤ k matching, band the
     64 bits into k+1 chunks and bucket-join per chunk (same LSH shape as
     minhash)."""
-    h = df.select(F.col(id_col), simhash64(text_col, shingle_n).alias("simhash"))
+    h = simhash_table(df, text_col, id_col, shingle_n)
     return (
         h.groupBy("simhash")
         .agg(

@@ -43,6 +43,8 @@ class JsonLinesSource:
     schema: str | None = None
 
     def to_df(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.types import StringType, StructType
+
         raw = _lines_df(spark, self.lines)
         if self.schema is None:
             # infer from the good lines
@@ -50,25 +52,22 @@ class JsonLinesSource:
             inferred = [
                 f for f in sample.schema.fields if f.name != CORRUPT_COL
             ]
-            from pyspark.sql.types import StructType
-
             schema = StructType(inferred)
         else:
-            schema = self.schema
+            schema = StructType.fromDDL(self.schema)
+        # the corrupt column must live INSIDE the from_json schema:
+        # PERMISSIVE mode fills it for malformed lines (a null-struct check
+        # does not work — Spark returns an all-null row, not a null struct)
+        if CORRUPT_COL not in schema.fieldNames():
+            schema = schema.add(CORRUPT_COL, StringType())
         parsed = raw.select(
             F.from_json(
                 "value",
                 schema,
                 {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("j"),
-            F.col("value"),
+            ).alias("j")
         )
-        # malformed lines parse to a null struct; surface the raw line in
-        # _corrupt_record so error-as-record semantics match file sources
-        return parsed.select(
-            "j.*",
-            F.when(F.col("j").isNull(), F.col("value")).alias(CORRUPT_COL),
-        )
+        return parsed.select("j.*")
 
 
 @dataclass

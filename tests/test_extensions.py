@@ -1,0 +1,152 @@
+"""Extension operators: dedup, similarity, text analysis, multimodal
+plumbing (BASELINE.json scale-out surface)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_tools_rs_spark.functions import fingerprint, minhash, ngrams, token_count, tokens
+from etl_tools_rs_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup of d1
+    ("d3", "the  quick   brown fox jumps over the lazy dog"),  # ws-normalized dup
+    ("d4", "the quick brown fox leaps over the lazy dog"),  # near-dup (1 token)
+    ("d5", "completely different text about spark engines and scale"),
+    ("d6", "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_ngrams_and_tokens(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("",)], "text string")
+    rows = df.select(
+        tokens("text").alias("t"), ngrams("text", 3).alias("g")
+    ).collect()
+    assert rows[0].t == ["a", "b", "c", "d"]
+    assert rows[0].g == ["a b c", "b c d"]
+    assert rows[1].g == []  # shorter than n → empty, not descending-range junk
+    assert rows[2].t == []
+
+
+def test_dedup_exact_normalizes_whitespace(docs):
+    out = dedup.dedup_exact(docs)
+    got = {r.doc_id: r.dup_count for r in out.collect()}
+    # d1=d2=d3 collapse to keeper d1 with count 3
+    assert got["d1"] == 3
+    assert got["d4"] == 1 and got["d5"] == 1
+    assert out.count() == 4
+
+
+def test_duplicate_groups(docs):
+    out = dedup.duplicate_groups(docs)
+    rows = {(r.keeper_id, r.member_id) for r in out.collect()}
+    assert rows == {("d1", "d1"), ("d1", "d2"), ("d1", "d3")}
+
+
+def test_minhash_deterministic(docs):
+    sig = docs.select("doc_id", minhash("text", 8, 3).alias("s"))
+    a = {r.doc_id: r.s for r in sig.collect()}
+    b = {r.doc_id: r.s for r in sig.collect()}
+    assert a == b
+    assert a["d1"] == a["d2"]  # identical text → identical signature
+    assert len(a["d1"]) == 8
+
+
+def test_dedup_minhash_lsh_finds_near_dups(docs):
+    out = dedup.dedup_minhash_lsh(
+        docs, num_hashes=16, bands=8, shingle_n=2, threshold=0.5
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # exact dups always collide; the near-dup pair (d1,d4) shares most
+    # shingles and must survive the 0.5 threshold
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d4") in pairs
+    # unrelated docs never pair
+    assert not any("d5" in p for p in pairs)
+
+
+def test_dedup_simhash_groups(docs):
+    out = dedup.dedup_simhash(docs, shingle_n=2)
+    groups = out.collect()
+    assert len(groups) == 1
+    assert set(groups[0].member_ids) == {"d1", "d2", "d3"}
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d4") in pairs
+
+
+def test_knn_brute_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_brute(corpus=emb, queries=queries, k=5, query_id="query_id")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_sim) for r in out.collect()}
+
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(2):
+        order = sorted(range(30), key=lambda c: (-sims[q, c], c))[:5]
+        for rank, c in enumerate(order, start=1):
+            nid, sim = got[(q, rank)]
+            assert nid == c
+            assert math.isclose(sim, round(float(sims[q, c]), 6), abs_tol=1e-6)
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = similarity.embedding_near_dup(emb, threshold=0.99, dim=3, num_planes=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_text_analysis(docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        text.lang_id("text").alias("lang"),
+        text.quality_score("text")["alpha_ratio"].alias("alpha"),
+        fingerprint("text").alias("fp"),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["d1"].n == 9
+    assert rows["d1"].lang == "en"
+    assert 0.0 < rows["d1"].alpha <= 1.0
+    assert rows["d1"].fp == rows["d3"].fp  # fingerprint normalizes whitespace
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, b"fake-image-bytes"), (2, b"")], "media_id long, content binary"
+    )
+    feats = multimodal.extract_features(media, dim=4)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[1].decode_ok == "ok"
+    assert len(rows[1].feature) == 4
+    # deterministic fake: same bytes → same features
+    again = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
+    assert rows[1].feature == again[1].feature

@@ -1,0 +1,126 @@
+"""Operator unit tests: transforms, batcher, joins, fan-out (SURVEY §2.3-2.5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_tools_rs_spark.operators.batch import batch_by_count, batch_by_predicate
+from etl_tools_rs_spark.operators.join import join, left_join
+from etl_tools_rs_spark.operators.split import fan_out
+from etl_tools_rs_spark.operators.transform import (
+    flat_transform,
+    transform,
+    with_error_column,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", 30), (2, "bob", 15), (3, "cat", 45), (4, "dan", 10)],
+        "id int, name string, age int",
+    )
+
+
+def test_transform_filter_and_project(spark, people):
+    # T1: Some→emit, None→filter out (transformer.rs:7-65)
+    out = transform(
+        people,
+        cols={"name_up": F.upper("name")},
+        where=F.col("age") >= 18,
+    )
+    rows = out.orderBy("id").collect()
+    assert [r.name_up for r in rows] == ["ANN", "CAT"]
+
+
+def test_transform_pandas_fn(spark, people):
+    def double_age(batches):
+        for pdf in batches:
+            pdf["age"] = pdf["age"] * 2
+            yield pdf[["id", "age"]]
+
+    out = transform(people, fn=double_age, fn_schema="id int, age int")
+    assert {(r.id, r.age) for r in out.collect()} == {(1, 60), (2, 30), (3, 90), (4, 20)}
+
+
+def test_flat_transform_explode(spark):
+    # T2: the 1:N List arm the reference panics on (transform_store.rs:70-72)
+    df = spark.createDataFrame(
+        [("d1", ["a", "b"]), ("d2", []), ("d3", ["c"])], "id string, toks array<string>"
+    )
+    out = flat_transform(df, expr=F.col("toks"), alias="tok", keep=["id"])
+    assert {(r.id, r.tok) for r in out.collect()} == {("d1", "a"), ("d1", "b"), ("d3", "c")}
+    outer = flat_transform(df, expr=F.col("toks"), alias="tok", keep=["id"], outer=True)
+    assert outer.count() == 4  # d2 survives with null token
+
+
+def test_with_error_column(spark, people):
+    out = with_error_column(
+        people, F.col("age"), error_when=F.col("age") < 18, error_msg="minor"
+    )
+    errs = out.filter(F.col("_error").isNotNull()).select("id").collect()
+    assert {r.id for r in errs} == {2, 4}
+
+
+def test_batch_by_count(spark):
+    df = spark.createDataFrame(
+        [("u1", i) for i in range(7)] + [("u2", i) for i in range(3)],
+        "user string, seq int",
+    )
+    out = batch_by_count(df, key=["user"], order=["seq"], n=3)
+    got = {(r.user, r.seq): r.batch_id for r in out.collect()}
+    assert got[("u1", 0)] == 0 and got[("u1", 2)] == 0
+    assert got[("u1", 3)] == 1 and got[("u1", 6)] == 2
+    assert got[("u2", 2)] == 0
+
+
+def test_batch_by_predicate(spark):
+    # T4: arbitrary cut predicate sees the pending batch (batch.rs:10-70);
+    # cut when accumulated value would exceed 10
+    df = spark.createDataFrame(
+        [("k", 1, 4), ("k", 2, 5), ("k", 3, 3), ("k", 4, 9), ("k", 5, 1)],
+        "k string, seq int, weight int",
+    )
+
+    def cut(next_row, current):
+        return current["weight"].sum() + next_row["weight"] > 10
+
+    out = batch_by_predicate(df, key=["k"], order=["seq"], new_batch=cut)
+    got = {r.seq: r.batch_id for r in out.collect()}
+    # batches: [1,2] (4+5=9), [3] (3+9>10 cuts), [4,5]
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
+
+
+def test_left_join_theta_null_arm(spark):
+    # J1: unmatched lefts emit (L, None) (joins.rs:118-133)
+    left = spark.createDataFrame([(1, 100), (2, 5), (3, 50)], "id int, val int")
+    right = spark.createDataFrame([(10, 60)], "rid int, threshold int")
+    out = left_join(
+        left, right, on=F.col("val") > F.col("r.threshold"), right_struct="r"
+    )
+    rows = {r.id: r.r for r in out.collect()}
+    assert rows[1] is not None and rows[1].rid == 10
+    assert rows[2] is None  # the Option<R> null arm
+    assert rows[3] is None
+
+
+def test_join_surface(spark, people):
+    orders = spark.createDataFrame([(1, 9.5), (1, 3.0), (3, 7.0)], "pid int, amt double")
+    semi = join(people, orders, F.col("id") == F.col("pid"), how="left_semi")
+    assert {r.id for r in semi.collect()} == {1, 3}
+    anti = join(people, orders, F.col("id") == F.col("pid"), how="left_anti")
+    assert {r.id for r in anti.collect()} == {2, 4}
+    bcast = join(people, orders, F.col("id") == F.col("pid"), how="inner", broadcast_right=True)
+    assert bcast.count() == 3
+    assert "Broadcast" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fan_out(spark, people):
+    # P2: one cached input, N independent consumers — no lock-step
+    results = fan_out(
+        people,
+        [lambda d: d.count(), lambda d: d.filter(F.col("age") > 18).count()],
+        parallel=True,
+    )
+    assert results == [4, 2]
