@@ -35,11 +35,21 @@ class PlanReport:
         return True
 
 
-def plan_report(df: DataFrame) -> PlanReport:
+def plan_report(df: DataFrame, execute: bool = False) -> PlanReport:
+    """``execute=True`` collects the frame first so AQE finalizes — codegen
+    stage markers and runtime join choices only exist on the final adaptive
+    plan, and only on THIS df's QueryExecution (a write action would build
+    its own). Test/small-frame use only: results land on the driver."""
+    if execute:
+        df.collect()
     text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
+    # the simple plan carries the codegen-stage markers `*(n)`; formatted
+    # mode does not print WholeStageCodegen nodes in Spark 4
+    simple = df._jdf.queryExecution().executedPlan().toString()
     rep = PlanReport(text=text)
+    rep.wholestage_codegen_stages = len(set(re.findall(r"\*\((\d+)\)", simple)))
     rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
     rep.read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
     rep.joins = re.findall(r"(\w*Join\w*)", text)
@@ -47,6 +57,5 @@ def plan_report(df: DataFrame) -> PlanReport:
     rep.has_sortmerge_join = "SortMergeJoin" in text
     rep.has_bnl_join = "BroadcastNestedLoopJoin" in text
     rep.num_exchanges = len(re.findall(r"\bExchange\b", text))
-    rep.wholestage_codegen_stages = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
     rep.has_python_udf = "BatchEvalPython" in text or "ArrowEvalPython" in text
     return rep

@@ -67,6 +67,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_min_partitions(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    the cluster has cores — a small-file guard.
+
+    At scale this is a no-op: a 100 TB table scans as thousands of splits,
+    so the condition is false and no shuffle is added. Locally (and for
+    dimension-sized inputs) it stops a single tiny parquet file from
+    serializing CPU-heavy narrow stages onto one core.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the standard test tables from ``sf_dir`` as temp views and
     return them as a dict of DataFrames.
@@ -98,6 +114,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         for f_ in df.schema.fields:
             if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", sql_func.timestamp_micros(sql_func.expr("ts div 1000")))
+        if name in ("documents", "embeddings"):
+            # every engine op over these is CPU-heavy and narrow (hashing,
+            # shingling, dot products) — spread small scans across cores;
+            # no-op once the table is big enough to split naturally
+            df = ensure_min_partitions(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,159 @@
+"""Streaming operators: watermarked windows, sessionization, stateful
+per-key processing, and multi-sink fan-out.
+
+The reference's streaming model is arrival-ordered channels with
+backpressure only — no watermarks, event-time windows, or late-data
+handling exist there (SURVEY §2.7). These are the engine's native
+Structured Streaming extensions:
+
+- ``windowed_agg``: tumbling/sliding event-time windows + watermark (late
+  rows beyond the watermark are dropped, state is bounded);
+- ``sessionize``: gap-based session windows (``session_window``) — the
+  streaming twin of the batch ``events_sessionize`` query;
+- ``stateful_counts``: arbitrary per-key running state via
+  ``applyInPandasWithState`` (the custom-stateful-operator escape hatch);
+- ``run_available_now``: drain-everything-then-stop execution, the batch
+  parity mode used by tests and backfills;
+- ``foreach_batch_sinks``: one stream, N sinks per micro-batch (the
+  streaming analogue of the splitter P2).
+
+Scale posture: watermarks bound state size; key-partitioned state scales
+with executors; ``availableNow`` backfills reuse the same query code as
+the live stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    stream: DataFrame,
+    time_col: str,
+    watermark: str,
+    window: str,
+    keys: list[str],
+    aggs: list[Column],
+    slide: str | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with a watermark.
+
+    One shuffle on (window, keys); state per open window is dropped once
+    the watermark passes, so memory is bounded by (watermark / window) ×
+    |keys| regardless of stream length."""
+    w = F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(w.alias("window"), *keys)
+        .agg(*aggs)
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    time_col: str,
+    watermark: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Gap-based session windows (30-min-inactivity style). State closes
+    when the watermark passes a session's gap — bounded like windowed_agg."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("session"), *keys)
+        .agg(*aggs)
+    )
+
+
+def stateful_counts(
+    stream: DataFrame,
+    keys: list[str],
+    timeout_duration: str = "NO_TIMEOUT",
+) -> DataFrame:
+    """Custom stateful operator: per-key running count maintained across
+    micro-batches via applyInPandasWithState (Arrow-batched, executor-side
+    state store). The template for arbitrary user state machines."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", total long"
+    state_schema = "total long"
+
+    def fn(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterable["pd.DataFrame"]:
+        n = sum(len(p) for p in pdfs)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame(
+            {**{k: [key[i]] for i, k in enumerate(keys)}, "total": [total]}
+        )
+
+    timeout = getattr(GroupStateTimeout, timeout_duration, GroupStateTimeout.NoTimeout)
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", timeout
+    )
+
+
+def run_available_now(
+    stream: DataFrame, checkpoint: str, query_name: str = "engine_stream"
+) -> None:
+    """Drain all available input, then stop — batch-parity execution for
+    tests/backfills. Results land in the in-memory table ``query_name``."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if stream.isStreaming else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_append_available_now(
+    stream: DataFrame, checkpoint: str, query_name: str = "engine_stream"
+) -> None:
+    """Append-mode variant (windowed aggs emit only watermark-closed
+    windows)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_sinks(
+    stream: DataFrame,
+    sinks: list[Callable[[DataFrame, int], Any]],
+    checkpoint: str,
+) -> "Any":
+    """One stream, N sinks: every micro-batch is persisted once and handed
+    to each sink callable — the streaming splitter (reference P2) without
+    the lock-step coupling. Exactly-once per sink requires idempotent
+    writes keyed on (batch_id)."""
+
+    def _dispatch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_dispatch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

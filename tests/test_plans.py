@@ -1,0 +1,106 @@
+"""Plan-shape tests: pin the physical-plan properties that matter at
+100 TB so regressions fail at unit-test scale (SURVEY §7.4 posture).
+
+Each assertion is a scale invariant: pushdown reached the scan, the small
+side broadcast, no Python eval snuck into a JVM-only pipeline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_tools_rs_spark.plans.inspect import plan_report
+from etl_tools_rs_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reports(spark):
+    cache: dict[str, object] = {}
+
+    def get(name: str):
+        if name not in cache:
+            cache[name] = plan_report(REGISTRY[name].fn(spark, SF_DIR), execute=True)
+        return cache[name]
+
+    return get
+
+
+def test_q1_pushdown_and_pruning(reports):
+    rep = reports("q1_pricing_summary")
+    # the shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in p for p in rep.pushed_filters)
+    # column pruning: the scan reads only the 7 needed columns
+    assert rep.scan_reads_only(
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        }
+    )
+    assert not rep.has_python_udf
+    assert rep.wholestage_codegen_stages >= 1
+
+
+def test_q5_dimension_joins_broadcast(reports):
+    rep = reports("q5_local_supplier")
+    # dimension joins must broadcast — a shuffled nation/region join is the
+    # classic 1000-executor bottleneck
+    assert rep.has_broadcast_join
+    assert not rep.has_python_udf
+
+
+def test_q3_filters_pushed(reports):
+    rep = reports("q3_shipping_priority")
+    assert any("o_orderdate" in p for p in rep.pushed_filters)
+    assert any("l_shipdate" in p for p in rep.pushed_filters)
+
+
+def test_topk_no_global_sort(spark):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a full global sort
+    df = REGISTRY["topk_orders"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_t1_transform_stays_jvm(reports):
+    rep = reports("t1_transform")
+    assert not rep.has_python_udf
+    assert any("l_discount" in p or "l_quantity" in p for p in rep.pushed_filters)
+
+
+def test_text_analyze_stays_jvm(reports):
+    # the whole text-analysis surface is column expressions — no Python
+    rep = reports("text_analyze")
+    assert not rep.has_python_udf
+
+
+def test_knn_brute_broadcasts_queries(reports):
+    rep = reports("knn_cosine_brute")
+    # queries are the small side and must broadcast (corpus never shuffles
+    # for scoring; only the top-k rank shuffles by query id)
+    assert "BroadcastNestedLoopJoin" in rep.text or rep.has_broadcast_join
+
+
+def test_j1_theta_join_is_broadcast_nlj(spark):
+    # at sf-test scale the right side fits: Catalyst should pick a
+    # broadcast strategy for the theta join, not a cartesian shuffle
+    df = REGISTRY["j1_left_theta_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_events_sessionize_single_shuffle(spark):
+    # lag + groupBy share the user_id partitioning: exactly one exchange
+    # (AQE may add read-stage nodes; count real shuffle exchanges)
+    df = REGISTRY["events_sessionize"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

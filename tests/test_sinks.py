@@ -1,0 +1,115 @@
+"""Sink surface: file round-trips, noop counting, JDBC option mapping and
+the row-level dead-letter path (reference K1-K5, SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_tools_rs_spark.sinks.files import FileSink
+from etl_tools_rs_spark.sinks.jdbc import JdbcSink, write_with_dlq
+from etl_tools_rs_spark.sinks.noop import NoopSink
+from etl_tools_rs_spark.sources.jdbc import JdbcSource
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(20)],
+        "id int, name string, score double",
+    )
+
+
+def test_file_sink_parquet_roundtrip(spark, df, tmp_path):
+    path = str(tmp_path / "out_parquet")
+    FileSink(path, format="parquet").write(df)
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "name", "score"}
+
+
+def test_file_sink_csv_single_file(spark, df, tmp_path):
+    # reference LocalFs writes ONE file (fs.rs:184-242) — opt-in parity knob
+    path = str(tmp_path / "out_csv")
+    FileSink(path, format="csv", single_file=True).write(df)
+    import glob
+
+    parts = glob.glob(f"{path}/part-*")
+    assert len(parts) == 1
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 20
+
+
+def test_file_sink_partition_by(spark, df, tmp_path):
+    path = str(tmp_path / "out_part")
+    FileSink(
+        path, format="parquet", partition_by=["name"]
+    ).write(df.withColumn("name", F.lit("a")))
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    import os
+
+    assert any(e.startswith("name=") for e in os.listdir(path))
+
+
+def test_noop_sink_counts(df):
+    assert NoopSink().write(df) == 20
+
+
+def test_jdbc_source_options():
+    src = JdbcSource(
+        url="jdbc:mysql://h:3306/db",
+        query="SELECT * FROM t WHERE x > 1",
+        user="u",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=8,
+    )
+    opts = src.options()
+    assert opts["query"].startswith("SELECT")
+    assert opts["numPartitions"] == "8"
+    with pytest.raises(ValueError):
+        JdbcSource(url="x").options()  # neither query nor table
+    with pytest.raises(ValueError):
+        JdbcSource(url="x", query="q", table="t").options()  # both
+
+
+def test_jdbc_sink_defaults():
+    sink = JdbcSink(url="jdbc:mysql://h/db", table="t")
+    assert sink.batch_size == 60  # reference on_put_num_rows default
+
+
+def test_write_with_dlq(spark):
+    """Batch fails → row-by-row retry → poison rows dead-lettered
+    (reference datastore.rs:264-288)."""
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "id int"
+    ).coalesce(1)
+
+    import tempfile
+    import os
+    import json
+
+    tmp = tempfile.mkdtemp()
+    ok_path = os.path.join(tmp, "ok.jsonl")
+    dlq_path = os.path.join(tmp, "dlq.jsonl")
+
+    def insert_batch(rows):
+        # poison value 7 fails any batch containing it
+        if any(r.id == 7 for r in rows):
+            raise RuntimeError("constraint violation")
+        with open(ok_path, "a") as f:
+            for r in rows:
+                f.write(json.dumps({"id": r.id}) + "\n")
+
+    def on_failed_row(row, exc):
+        with open(dlq_path, "a") as f:
+            f.write(json.dumps({"id": row.id, "err": str(exc)}) + "\n")
+
+    write_with_dlq(df, insert_batch, on_failed_row, batch_size=4)
+
+    ok_ids = [json.loads(l)["id"] for l in open(ok_path)]
+    dlq_ids = [json.loads(l)["id"] for l in open(dlq_path)]
+    assert sorted(ok_ids) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    assert dlq_ids == [7]

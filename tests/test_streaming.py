@@ -1,0 +1,116 @@
+"""Structured Streaming surface: file stream → watermarked windows /
+sessions / stateful counts → memory or foreachBatch sinks, drained with
+availableNow (deterministic, no wall-clock waits)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_tools_rs_spark.streaming import ops, sources
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    """Two ndjson files of timestamped events, one late row."""
+    rows = [
+        {"user": "u1", "ts": "2024-01-01 10:00:10", "v": 1},
+        {"user": "u1", "ts": "2024-01-01 10:00:50", "v": 2},
+        {"user": "u2", "ts": "2024-01-01 10:01:10", "v": 3},
+        {"user": "u1", "ts": "2024-01-01 10:03:30", "v": 4},
+        {"user": "u2", "ts": "2024-01-01 10:03:40", "v": 5},
+        {"user": "u1", "ts": "2024-01-01 10:59:00", "v": 6},  # closes all windows
+    ]
+    d = tmp_path / "events"
+    d.mkdir()
+    (d / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows[:3]) + "\n")
+    (d / "b.ndjson").write_text("\n".join(json.dumps(r) for r in rows[3:]) + "\n")
+    return str(d)
+
+
+def _stream(spark, event_dir):
+    raw = sources.file_stream(
+        spark, event_dir, format="json", schema="user string, ts string, v int"
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_windowed_agg_with_watermark(spark, event_dir, tmp_path):
+    stream = _stream(spark, event_dir)
+    agg = ops.windowed_agg(
+        stream,
+        time_col="ts",
+        watermark="10 minutes",
+        window="1 minute",
+        keys=["user"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")],
+    )
+    ops.run_append_available_now(agg, str(tmp_path / "ck1"), "win_agg")
+    got = {
+        (r.user, r.window.start.strftime("%H:%M")): (r.n, r.sum_v)
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    # closed windows: u1@10:00 has v=1,2; u2@10:01 has v=3; 10:03 pair
+    assert got[("u1", "10:00")] == (2, 3)
+    assert got[("u2", "10:01")] == (1, 3)
+    assert got[("u1", "10:03")] == (1, 4)
+    assert got[("u2", "10:03")] == (1, 5)
+
+
+def test_sessionize_stream(spark, event_dir, tmp_path):
+    stream = _stream(spark, event_dir)
+    sess = ops.sessionize(
+        stream,
+        time_col="ts",
+        watermark="10 minutes",
+        gap="2 minutes",
+        keys=["user"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    ops.run_append_available_now(sess, str(tmp_path / "ck2"), "sessions")
+    rows = spark.sql("SELECT user, n_events FROM sessions").collect()
+    counts = sorted((r.user, r.n_events) for r in rows)
+    # u1: [10:00:10, 10:00:50] then [10:03:30] (10:59 not closed? it is —
+    # final watermark passes);  u2: [10:01:10] [10:03:40] merge? gap>2min →
+    # separate sessions
+    assert ("u1", 2) in counts
+    assert counts.count(("u2", 1)) == 2
+
+
+def test_stateful_counts(spark, event_dir, tmp_path):
+    stream = _stream(spark, event_dir)
+    counted = ops.stateful_counts(stream, keys=["user"])
+    ops.run_available_now(counted, str(tmp_path / "ck3"), "running")
+    # state accumulates across micro-batches; the last update per key holds
+    # the final total (u1: 4 events, u2: 2)
+    rows = spark.sql(
+        "SELECT user, max(total) AS total FROM running GROUP BY user"
+    ).collect()
+    got = {r.user: r.total for r in rows}
+    assert got == {"u1": 4, "u2": 2}
+
+
+def test_foreach_batch_sinks(spark, event_dir, tmp_path):
+    stream = _stream(spark, event_dir)
+    seen_a: list[int] = []
+    seen_b: list[int] = []
+    q = ops.foreach_batch_sinks(
+        stream,
+        sinks=[
+            lambda df, bid: seen_a.append(df.count()),
+            lambda df, bid: seen_b.append(df.filter(F.col("v") > 3).count()),
+        ],
+        checkpoint=str(tmp_path / "ck4"),
+    )
+    q.awaitTermination()
+    assert sum(seen_a) == 6
+    assert sum(seen_b) == 3
+    assert len(seen_a) == len(seen_b)  # same micro-batches hit both sinks
+
+
+def test_rate_stream_is_streaming(spark):
+    df = sources.rate_stream(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
