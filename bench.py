@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "window_running_total",
     "topk_orders",
     "j1_left_theta_join",
+    "q18_large_orders",
+    "asof_join_events_orders",
     "t4_batch_by_count",
     "events_hourly_agg",
     "events_sessionize",

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def left_join(
@@ -59,3 +60,77 @@ def join(
     phase 4)."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    right_by: str | None = None,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the most recent right row
+    with ``right_time <= left_time`` for the same key. The timeseries /
+    feature-lookup operator Spark lacks natively.
+
+    Implementation is the scalable union-window decomposition, NOT a range
+    self-join: tag both sides, union, then ``last(value, ignorenulls)``
+    over a (key, time) window carries the latest right values forward onto
+    left rows. Exactly ONE shuffle on the key — a naive inequality join
+    would be a per-key cross product, quadratic on hot keys.
+
+    ``right`` must be unique per (key, time) — pre-aggregate upstream if
+    not (otherwise "the" most recent row is ambiguous on any engine).
+    ``tolerance`` (a Column interval or duration expr) drops matches older
+    than ``left_time - tolerance``.
+    """
+    rb = right_by or by
+    vals = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in (rb, right_time)
+    ]
+    lt = F.col(left_time)
+
+    r = right.select(
+        F.col(rb).alias(by),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c) for c in vals],
+    )
+    left_keep = [c for c in left.columns]
+    l = left.select(  # noqa: E741
+        F.col(by),
+        lt.alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in vals],
+        F.struct(*left_keep).alias("_lrow"),
+    )
+    u = l.unionByName(r.withColumn("_lrow", F.lit(None).cast(l.schema["_lrow"].dataType)))
+
+    # right rows sort before left rows at equal times → "<=" semantics
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in vals]
+    match_t = F.last(F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True).over(w)
+
+    out = u.select(
+        F.col("_lrow"),
+        F.col("_is_left"),
+        match_t.alias("_match_t"),
+        F.col("_t"),
+        *carried,
+    ).filter(F.col("_is_left") == 1)
+    if tolerance is not None:
+        keep = F.col("_match_t") >= (F.col("_t") - tolerance)
+        out = out.select(
+            "_lrow",
+            *[F.when(keep, F.col(c)).alias(c) for c in vals],
+        )
+    else:
+        out = out.select("_lrow", *vals)
+    return out.select("_lrow.*", *vals)

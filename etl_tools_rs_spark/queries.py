@@ -35,6 +35,7 @@ from etl_tools_rs_spark.operators import similarity as sim_ops
 from etl_tools_rs_spark.operators import text as text_ops
 from etl_tools_rs_spark.operators.batch import batch_by_count
 from etl_tools_rs_spark.operators.dedup import shingle_jaccard
+from etl_tools_rs_spark.operators.join import asof_join
 from etl_tools_rs_spark.operators.join import join as engine_join
 from etl_tools_rs_spark.operators.join import left_join
 from etl_tools_rs_spark.operators.transform import flat_transform, transform
@@ -533,6 +534,217 @@ def s5_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EnumerateSource(
         max=1000, create=lambda idx: {"sq": idx * idx, "bucket": idx % 7}
     ).to_df(spark)
+
+
+@qdef(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS decorrelates to a left-semi join."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    flagged = t["lineitem"].filter(F.col("l_discount") > 0.06)
+    return (
+        engine_join(
+            orders, flagged, F.col("o_orderkey") == F.col("l_orderkey"), how="left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@qdef(
+    "q17_small_quantity",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+               AS qty_threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar subquery decorrelated into a
+    pre-aggregate + join (identical double expression shape on both
+    engines so the threshold comparison is bit-stable)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@qdef(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 210
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: HAVING over a join aggregate."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    joined = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+
+
+@qdef(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@qdef(
+    "union_all_tagged",
+    """
+    SELECT 'high' AS bucket, o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT 'low' AS bucket, o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice < 10000
+    """,
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    hi = t["orders"].filter(F.col("o_totalprice") > 300000).select(
+        F.lit("high").alias("bucket"), "o_orderkey", "o_totalprice"
+    )
+    lo = t["orders"].filter(F.col("o_totalprice") < 10000).select(
+        F.lit("low").alias("bucket"), "o_orderkey", "o_totalprice"
+    )
+    return hi.unionAll(lo)
+
+
+@qdef(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@qdef(
+    "asof_join_events_orders",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, o.last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/join.py): each event picks the customer's most
+    recent order at-or-before the event time. Union-window decomposition —
+    one shuffle on the key, no inequality cross-join."""
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    last_orders = t["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_orderkey")
+    )
+    joined = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        last_orders,
+        by="user_id",
+        right_by="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["last_orderkey"],
+    )
+    return joined.select("event_id", "user_id", "last_orderkey")
+
+
+@qdef(
+    "median_price_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(FLOOR(10000.0 * quantile_cont(o_totalprice, 0.5)) / 10000.0
+                AS DOUBLE) AS median_price,
+           CAST(FLOOR(10000.0 * quantile_cont(o_totalprice, 0.9)) / 10000.0
+                AS DOUBLE) AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont), floor-scaled for cross-engine bit-stability."""
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def fq(q: float, alias: str) -> F.Column:
+        return (
+            F.floor(F.lit(10000.0) * F.percentile("o_totalprice", F.lit(q)))
+            / 10000.0
+        ).cast("double").alias(alias)
+
+    return t["orders"].groupBy("o_orderpriority").agg(
+        fq(0.5, "median_price"), fq(0.9, "p90_price")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -124,3 +124,38 @@ def test_fan_out(spark, people):
         parallel=True,
     )
     assert results == [4, 2]
+
+
+def test_asof_join_backward(spark):
+    from etl_tools_rs_spark.operators.join import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 20, "t2"), ("B", 15, "t3")],
+        "sym string, t int, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 10, 2.0), ("A", 18, 3.0), ("B", 99, 9.0)],
+        "sym string, t int, px double",
+    )
+    out = asof_join(
+        trades, quotes, by="sym", left_time="t", right_time="t", value_cols=["px"]
+    )
+    got = {r.trade: r.px for r in out.collect()}
+    # t1@10 matches the quote AT 10 (<= semantics), t2@20 matches 18,
+    # t3@15 has no quote at-or-before → null arm
+    assert got == {"t1": 2.0, "t2": 3.0, "t3": None}
+
+
+def test_asof_join_tolerance(spark):
+    import pyspark.sql.functions as F
+    from etl_tools_rs_spark.operators.join import asof_join
+
+    left = spark.createDataFrame([("k", 100, "e1"), ("k", 200, "e2")], "k string, t int, ev string")
+    right = spark.createDataFrame([("k", 95, 1.0), ("k", 120, 2.0)], "k string, t int, v double")
+    out = asof_join(
+        left, right, by="k", left_time="t", right_time="t",
+        value_cols=["v"], tolerance=F.lit(10),
+    )
+    got = {r.ev: r.v for r in out.collect()}
+    # e1@100 matches 95 (within 10); e2@200's best match 120 is too old
+    assert got == {"e1": 1.0, "e2": None}
