@@ -281,3 +281,67 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: (member_id, group_id)
+    where group_id = min member id of the connected component.
+
+    Large-star/small-star-style label propagation on DataFrames: each node
+    repeatedly adopts the smallest label among itself and its neighbors
+    until a fixpoint. Near-dup graphs are low-diameter (dup clusters are
+    quasi-cliques), so convergence is typically 2-4 rounds; every round is
+    one shuffle on the node id. localCheckpoint truncates the growing plan
+    lineage each round — without it the N-th iteration re-executes all
+    prior joins.
+
+    At 100 TB: rounds = O(log(max component diameter)); skewed hub nodes
+    are AQE-handled; the pair list (not the corpus) bounds the work.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("group_id")
+    )

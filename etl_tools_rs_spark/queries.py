@@ -980,6 +980,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef("dedup_groups_lsh", None)  # iterative label propagation — rows-only
+def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup grouping: MinHash-LSH candidate pairs →
+    connected components → (member_id, group_id). The full training-data
+    dedup pipeline in one plan (non-SQL: iterative fixpoint)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup_ops.dedup_minhash_lsh(
+        t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    return dedup_ops.connected_components(pairs)
+
+
 @qdef("dedup_simhash", None)  # xxhash64-based — no portable oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))

@@ -150,3 +150,68 @@ def test_multimodal_plumbing(spark):
     # deterministic fake: same bytes → same features
     again = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
     assert rows[1].feature == again[1].feature
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,4} chained, {7,8}; singleton 9 not in pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a int, id_b int"
+    )
+    out = dedup.connected_components(pairs)
+    got = {r.member_id: r.group_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_file_queue_roundtrip(tmp_path):
+    from etl_tools_rs_spark.sources.queue import FileQueue
+
+    q = FileQueue(str(tmp_path / "q"))
+    q.push({"job": "a", "n": 1})
+    name_dup = q.push({"job": "a", "n": 1})  # same payload → same file (dedup)
+    q.push({"job": "b", "n": 2})
+    assert q.size() == 2
+    popped = q.pop()
+    assert popped is not None
+    name, rec = popped
+    assert q.size() == 2  # not acked yet — at-least-once
+    q.ack(name)
+    assert q.size() == 1
+    assert q.pop_result()["job"] in ("a", "b")
+    assert q.size() == 0
+    assert name_dup.endswith(".push.json")
+
+
+def test_load_toml_autocreate(tmp_path):
+    from etl_tools_rs_spark.sources.config import ConfigAutocreated, load_toml
+
+    p = str(tmp_path / "conf.toml")
+    with pytest.raises(ConfigAutocreated):
+        load_toml(p, default='[job]\nname = "x"\n')
+    conf = load_toml(p)
+    assert conf["job"]["name"] == "x"
+
+
+def test_sftp_and_sqs_gated(tmp_path):
+    from etl_tools_rs_spark.sources.config import sftp_connect
+    from etl_tools_rs_spark.sources.queue import sqs_client
+
+    with pytest.raises(NotImplementedError):
+        sftp_connect("sftp://h", "user")
+    with pytest.raises(NotImplementedError):
+        sqs_client("https://sqs/q")
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = spark.createDataFrame(
+        [(1, b"x" * 4096, 3500), (2, b"y" * 100, 900)],
+        "media_id long, content binary, duration_ms long",
+    )
+    resized = multimodal.resize_stub(media, width=64, height=64)
+    rows = {r.media_id: r for r in resized.collect()}
+    assert rows[1].width == 64 and len(rows[1].content) == 64 * 64 // 64
+    # frame sampling: 1:N explode, one frame per second of duration
+    frames = multimodal.frame_sample_stub(media, every_ms=1000)
+    per_media = frames.groupBy("media_id").count().collect()
+    got = {r.media_id: r["count"] for r in per_media}
+    assert got[1] == 3  # 3.5s → frames at 0/1000/2000
+    assert got[2] == 1  # <1s still yields frame 0
