@@ -174,3 +174,135 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means over a vector column, pure DataFrame ops.
+
+    Deterministic: initial centroids are the k smallest ids (stable across
+    runs/engines); each iteration is one broadcast of k·dim floats + one
+    groupBy shuffle of per-partition partial sums. k·dim stays driver-side
+    (a few MB for k=4096·dim=1024) — the DATA never collects.
+
+    At 100 TB train on a sample (df.sample) — Lloyd on the full corpus is
+    wasted work once centroids stabilize.
+    """
+    centroids = [
+        r[0]
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = df.select(
+            F.col(vec_col).alias("_v"),
+            nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+        )
+        sums = assigned.groupBy("_c").agg(
+            F.array(
+                *[F.sum(F.element_at("_v", i + 1)).alias(f"s{i}") for i in range(dim)]
+            ).alias("_sum"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        got = {r["_c"]: (r["_sum"], r["_n"]) for r in sums.collect()}
+        # empty cells keep their previous centroid
+        centroids = [
+            [s / got[i][1] for s in got[i][0]] if i in got else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 — JVM-side fold over a
+    broadcast centroid array literal (no Python in the loop)."""
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells
+    (inverted file); each query probes its ``n_probe`` nearest cells and
+    exact-rescores only those candidates.
+
+    The scale path for billion-vector corpora: one assignment pass over the
+    corpus (reusable across queries), candidate work ≈ n_probe/n_centroids
+    of brute force. Recall tunes with n_probe. Pass precomputed
+    ``centroids`` to skip training (production: train once on a sample,
+    reuse per batch).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_centroids, vec_col=corpus_vec, id_col=corpus_id
+        )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(corpus_vec).alias("_cv"),
+        nearest_centroid(F.col(corpus_vec), centroids).alias("_cell"),
+    )
+    # each query → n_probe candidate cells (ranked by centroid distance)
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in centroids])
+    dists = F.transform(
+        carr,
+        lambda cc: F.aggregate(
+            F.zip_with(F.col("_qv"), cc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    order = F.array_sort(
+        F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                   lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    # two selects: the explode expression references _qv, which must be a
+    # real attribute (a same-select lateral alias breaks under Generate)
+    q0 = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    )
+    q = q0.select(
+        "_qid",
+        "_qv",
+        F.explode(
+            F.slice(F.transform(order, lambda s: s["i"]), 1, n_probe)
+        ).alias("_cell"),
+    )
+    scored = c.join(F.broadcast(q), "_cell").select(
+        "_qid", "_cid", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_sim", 6).cast("double").alias("cosine_sim"),
+            "rank",
+        )
+    )

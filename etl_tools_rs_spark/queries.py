@@ -1044,6 +1044,22 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef("knn_cosine_ivf", None)  # approximate op — rows-only check
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + n_probe nearest-cell search (the
+    billion-vector scale path; see operators/similarity.py::knn_ivf)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return sim_ops.knn_ivf(
+        corpus=t["embeddings"], queries=queries, k=10,
+        n_centroids=16, n_probe=4, query_id="query_id",
+    )
+
+
 @qdef("embedding_near_dup", None)  # approximate op — rows-only check
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))

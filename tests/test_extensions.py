@@ -215,3 +215,65 @@ def test_multimodal_resize_and_frames(spark):
     got = {r.media_id: r["count"] for r in per_media}
     assert got[1] == 3  # 3.5s → frames at 0/1000/2000
     assert got[2] == 1  # <1s still yields frame 0
+
+
+def test_knn_ivf_high_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 6).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.knn_brute(emb, queries, k=5, query_id="query_id")
+    ivf = similarity.knn_ivf(
+        emb, queries, k=5, n_centroids=4, n_probe=3, query_id="query_id"
+    )
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    # probing 3/4 cells must recover most exact neighbors
+    assert len(a & b) / len(b) >= 0.6
+    # and every query still returns k ranked rows
+    assert ivf.groupBy("query_id").count().filter("count <> 5").count() == 0
+
+
+def test_kmeans_deterministic(spark):
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    c1 = similarity.kmeans_centroids(emb, k=3, iterations=3)
+    c2 = similarity.kmeans_centroids(emb, k=3, iterations=3)
+    assert c1 == c2
+    assert len(c1) == 3 and len(c1[0]) == 2
+
+
+def test_salted_join_matches_plain(spark):
+    from etl_tools_rs_spark.operators.skew import salted_agg, salted_join
+
+    # skewed left: one hot key
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("absent", 9.9)], "k string, w double"
+    )
+    plain = left.join(right, ["k"], "inner")
+    salted = salted_join(left, right, on=["k"], num_salts=4, how="inner")
+    assert salted.count() == plain.count() == 505
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+    lo = salted_join(left, right.filter(F.col("k") != "cold"), on=["k"], num_salts=4, how="left")
+    # left join keeps cold rows with null w
+    assert lo.filter(F.col("w").isNull()).count() == 5
+
+    agg = salted_agg(
+        left,
+        keys=["k"],
+        aggs={"sum_v": F.sum("v"), "cnt_v": F.count(F.lit(1)), "max_v": F.max("v")},
+        num_salts=4,
+    )
+    got = {r.k: (r.sum_v, r.cnt_v, r.max_v) for r in agg.collect()}
+    assert got["hot"] == (sum(range(500)), 500, 499)
+    assert got["cold"] == (sum(range(5)), 5, 4)
