@@ -50,3 +50,35 @@ class FileSink:
             opts.pop("columnNameOfCorruptRecord", None)
             w = w.options(**opts)
         w.format(self.format).save(self.path)
+
+
+@dataclass
+class BucketedTableSink:
+    """Bucketed managed table — the co-located-join primitive.
+
+    Writing two fact tables bucketed by the same key into the same number
+    of buckets lets every subsequent equi-join/groupBy on that key run
+    WITHOUT a shuffle: each task reads matching bucket files from both
+    sides. At 100 TB this converts the nightly fact-fact join from a
+    full-network shuffle into a local merge — the single biggest plan win
+    available to a pipeline author (Spark bucketing requires saveAsTable;
+    plain path writes cannot carry bucket metadata).
+
+    `tests/test_plans.py::test_bucketed_join_no_shuffle` pins the
+    zero-Exchange plan.
+    """
+
+    table: str
+    bucket_by: list[str]
+    num_buckets: int = 8
+    sort_by: list[str] | None = None
+    format: str = "parquet"
+    mode: str = "overwrite"
+
+    def write(self, df: DataFrame) -> None:
+        w = df.write.format(self.format).mode(self.mode).bucketBy(
+            self.num_buckets, *self.bucket_by
+        )
+        if self.sort_by:
+            w = w.sortBy(*self.sort_by)
+        w.saveAsTable(self.table)

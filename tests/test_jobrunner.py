@@ -93,3 +93,25 @@ def test_manager_global_budget(spark):
         jr_a.run_stream("load", df, NoopSink())
     assert mgr.tripped
     assert len(mgr.runners) == 2
+
+
+def test_run_stream_file_to_file(spark, fixture_dir, tmp_path):
+    # P1 end-to-end: json file source → parquet sink, errors filtered,
+    # written count recorded from the materialized sink
+    from etl_tools_rs_spark.sinks.files import FileSink
+
+    store = MemoryStore()
+    jr = JobRunner("j6", "file2file", store)
+    df = FileSource(
+        [str(fixture_dir / "10_lines.ndjson")],
+        format="json",
+        schema="index string, words string",
+    ).to_df(spark)
+    out_path = str(tmp_path / "out")
+    step = jr.run_stream("load", df, FileSink(out_path, format="parquet"))
+    jr.complete()
+    back = spark.read.parquet(out_path)
+    assert back.count() == 9  # corrupt row did not reach the sink
+    assert "_corrupt_record" not in back.columns
+    assert "_source" not in back.columns  # engine columns stripped at the sink
+    assert step.total_lines_scanned == 10 and step.num_errors == 1

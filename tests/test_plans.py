@@ -104,3 +104,24 @@ def test_events_sessionize_single_shuffle(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key ⇒ the equi-join plans with ZERO
+    exchanges — the co-located-join contract BucketedTableSink exists for."""
+    import re
+
+    from etl_tools_rs_spark.sinks.files import BucketedTableSink
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)], "k int, av string")
+    b = spark.createDataFrame([(i, i * 2) for i in range(100)], "k int, bv int")
+    BucketedTableSink("bt_a", bucket_by=["k"], num_buckets=4).write(a)
+    BucketedTableSink("bt_b", bucket_by=["k"], num_buckets=4).write(b)
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        assert joined.count() == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
