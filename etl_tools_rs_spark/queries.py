@@ -812,6 +812,90 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["events"].groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
 
 
+@qdef(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets via the SQL surface over registered views
+    (load_tables registers each table as a temp view — spark.sql is a
+    first-class engine entry point, not a separate code path)."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@qdef(
+    "events_range_window",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_5min,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS sum_5min
+    FROM events
+    """,
+)
+def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, activity in the trailing 5 minutes —
+    the sliding-lookback primitive (sessionless rate features) computed in
+    one shuffle on user_id, no self-join."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_5min"),
+        F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("sum_5min"),
+    )
+
+
+@qdef(
+    "sql_passthrough_q6",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_passthrough_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 through the raw SQL entry point — identical text runs on
+    the engine and the oracle."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # extension ops: text analysis
 # --------------------------------------------------------------------------

@@ -120,14 +120,24 @@ class FileSource:
         return df
 
 
+ERROR_COL = "_error"
+
+
 def split_ok_err(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE-parsed frame into (ok_rows, corrupt_rows) —
-    the engine's clean definition of the reference's per-record
-    lines_scanned / num_errors accounting (SURVEY §7.4)."""
-    if CORRUPT_COL not in df.columns:
+    """Split a frame into (ok_rows, error_rows) — the engine's clean
+    definition of the reference's per-record lines_scanned / num_errors
+    accounting (SURVEY §7.4). Error rows are decode failures
+    (``_corrupt_record`` from PERMISSIVE parsing) and/or transform
+    failures (``_error`` from operators.transform.with_error_column) —
+    both in-band, both counted against the budget."""
+    markers = [c for c in (CORRUPT_COL, ERROR_COL) if c in df.columns]
+    if not markers:
         return df, df.limit(0)
-    ok = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    err = df.filter(F.col(CORRUPT_COL).isNotNull())
+    is_err = F.lit(False)
+    for m in markers:
+        is_err = is_err | F.col(m).isNotNull()
+    ok = df.filter(~is_err).drop(*markers)
+    err = df.filter(is_err)
     return ok, err
 
 

@@ -159,3 +159,14 @@ def test_asof_join_tolerance(spark):
     got = {r.ev: r.v for r in out.collect()}
     # e1@100 matches 95 (within 10); e2@200's best match 120 is too old
     assert got == {"e1": 1.0, "e2": None}
+
+
+def test_split_ok_err_counts_transform_errors(spark, people):
+    from etl_tools_rs_spark.sources.files import split_ok_err
+
+    flagged = with_error_column(
+        people, F.col("age"), error_when=F.col("age") < 18, error_msg="minor"
+    )
+    ok, err = split_ok_err(flagged)
+    assert ok.count() == 2 and err.count() == 2
+    assert "_error" not in ok.columns  # marker stripped from the ok side
