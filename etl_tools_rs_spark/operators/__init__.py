@@ -6,6 +6,7 @@ from etl_tools_rs_spark.operators.transform import (  # noqa: F401
     flat_transform,
     transform,
 )
-from etl_tools_rs_spark.operators.join import left_join  # noqa: F401
+from etl_tools_rs_spark.operators.join import asof_join, join, left_join  # noqa: F401
 from etl_tools_rs_spark.operators.batch import batch_by_count, batch_by_predicate  # noqa: F401
 from etl_tools_rs_spark.operators.split import fan_out  # noqa: F401
+from etl_tools_rs_spark.operators.skew import salted_agg, salted_join  # noqa: F401

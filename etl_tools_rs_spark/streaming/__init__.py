@@ -12,3 +12,9 @@ from etl_tools_rs_spark.streaming.sources import (  # noqa: F401
     file_stream,
     rate_stream,
 )
+from etl_tools_rs_spark.streaming.ops import (  # noqa: F401
+    foreach_batch_sinks,
+    sessionize,
+    stateful_counts,
+    windowed_agg,
+)

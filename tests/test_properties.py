@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): engine operators cross-checked
+against brute-force Python implementations on randomized inputs. Few
+examples per property — each example is a Spark job — but randomized
+structure catches edge shapes example tests miss."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from etl_tools_rs_spark.functions import fingerprint, tokens
+from etl_tools_rs_spark.operators.batch import batch_by_count
+from etl_tools_rs_spark.operators.join import asof_join
+
+SETTINGS = {"max_examples": 8, "deadline": None}
+
+texts = st.text(
+    alphabet=st.sampled_from("ab c\t\n.!xyz"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_tokens_match_python_split(spark, docs):
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [r[0] for r in df.select(tokens("text")).collect()]
+    expected = [t.split() for t in docs]
+    assert got == expected  # whitespace tokenization ≡ str.split
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_fingerprint_whitespace_invariant(spark, text):
+    variants = [text, f"  {text}  ", text.replace(" ", "   ")]
+    df = spark.createDataFrame([(v,) for v in variants], "text string")
+    fps = {r[0] for r in df.select(fingerprint("text")).collect()}
+    assert len(fps) == 1  # all whitespace variants share one fingerprint
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_batch_by_count_properties(spark, rows, n):
+    df = spark.createDataFrame(rows, "k string, seq int")
+    out = batch_by_count(df, key=["k"], order=["seq"], n=n).collect()
+    per_key: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.k, r.seq)):
+        per_key.setdefault(r.k, []).append(r.batch_id)
+    for ids in per_key.values():
+        # batch ids are exactly floor(position / n) in seq order
+        assert ids == [i // n for i in range(len(ids))]
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.text(st.sampled_from("lmn"), min_size=1, max_size=2)), min_size=1, max_size=12, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(0, 20), st.floats(0, 9, allow_nan=False)), min_size=0, max_size=12, unique_by=lambda t: t[0]),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    left = spark.createDataFrame([("k", t, s) for t, s in lefts], "k string, t int, name string")
+    right = spark.createDataFrame([("k", t, v) for t, v in rights] or [("zz", 0, 0.0)], "k string, t int, v double")
+    out = asof_join(left, right, by="k", left_time="t", right_time="t", value_cols=["v"])
+    got = {r.t: r.v for r in out.collect()}  # left times are unique
+    rd = dict(rights)
+    for t, _name in lefts:
+        candidates = [rt for rt in rd if rt <= t]
+        expected = rd[max(candidates)] if candidates else None
+        assert got[t] == expected
