@@ -34,18 +34,31 @@ def marker_hits(col: str | Column, lang: str) -> Column:
 
 def lang_id(col: str | Column) -> Column:
     """Heuristic language ID: argmax of marker-word hit counts, 'und' when
-    no marker matches. Deterministic tie-break: language-code order."""
-    hits = {lang: marker_hits(col, lang) for lang in sorted(LANG_MARKERS)}
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    # forward alphabetical order with strict '>' — on ties the
-    # alphabetically-first language wins (matches the SQL CASE oracle,
-    # which checks languages in alphabetical order against the max)
-    for lang in sorted(LANG_MARKERS):
-        cond = hits[lang] > best_hits
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
-    return best_lang
+    no marker matches. Deterministic tie-break: language-code order.
+
+    Implemented as one array_max over struct(hits, -lang_index): struct
+    ordering picks max hits first, then max(-index) = alphabetically-first
+    language on ties (matches the SQL CASE oracle, which checks languages
+    in alphabetical order against the max). Each hit count appears exactly
+    once in the expression tree — a chained when()/otherwise() fold would
+    nest the previous best into two branches per step and blow up to
+    O(2^n_langs) copies of the interpreted filter() HOFs.
+    """
+    langs = sorted(LANG_MARKERS)
+    entries = [
+        F.struct(
+            marker_hits(col, lang).alias("h"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    # sentinel: hits=0 with the highest tie-break — wins iff every real
+    # language scored zero, yielding 'und' without re-referencing the hits
+    entries.append(
+        F.struct(F.lit(0).alias("h"), F.lit(1).alias("ni"), F.lit("und").alias("lang"))
+    )
+    return F.array_max(F.array(*entries))["lang"]
 
 
 def _ratio4(num: Column, den: Column) -> Column:
