@@ -63,6 +63,34 @@ def shingle_jaccard(a: Column, b: Column) -> Column:
     return (inter / F.greatest(union, F.lit(1))).cast("double")
 
 
+def minhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Relational MinHash: one row per doc with columns ``_h0.._h{n-1}``.
+
+    Same md5(seed || ':' || shingle) family as ``functions.minhash`` (bit-
+    identical values), but computed as explode(shingles) → groupBy(id) with
+    ``num_hashes`` MIN aggregates. Every md5 runs inside whole-stage
+    codegen, and map-side partial aggregation collapses each partition to
+    one row per doc before the single shuffle on ``id_col`` — the
+    higher-order-function form (`functions.minhash_over`) is interpreted
+    per element and ~10x slower per row. Docs with zero shingles are
+    dropped (explode of an empty array), matching the LSH contract.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(ngrams(text_col, shingle_n)).alias("_s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -75,62 +103,49 @@ def dedup_minhash_lsh(
     """MinHash + LSH near-duplicate pairs.
 
     Plan shape (scale-reviewed):
-      1. one narrow projection computes shingles + signature per doc (no
-         shuffle);
-      2. explode to ``bands`` rows/doc, band key = md5 of the band's
-         signature slice → shuffle on band key (balanced: md5 keys);
+      1. ``minhash_table``: explode shingles → groupBy(id) min-agg — all
+         md5s in whole-stage codegen, map-side combine, one shuffle on id;
+      2. ``bands`` rows/doc, band key = md5 of the band's signature slice
+         → shuffle on band key (balanced: md5 keys);
       3. self-join within band buckets only → candidate pairs;
-      4. exact Jaccard verify on shingle arrays; distinct pairs.
+      4. exact Jaccard verify on shingle arrays, joined back only for the
+         deduplicated candidate pairs; distinct pairs.
 
     At 100 TB: candidate generation is linear in docs; the bucket join's
     skew (a hot bucket of boilerplate docs) is handled by AQE skew-join;
-    signatures (16 md5 strings) keep shuffle rows small. Increase
-    num_hashes/bands for tighter recall/precision.
+    bucket rows are NARROW (id, band, bucket) — shingle arrays never travel
+    through the self-join. Increase num_hashes/bands for tighter
+    recall/precision.
     """
     rows_per_band = num_hashes // bands
-    # Materialization barrier: higher-order-function expressions (ngrams,
-    # minhash) run interpreted, outside codegen CSE — without an exchange
-    # below them, projection collapse would inline and re-evaluate the full
-    # signature once per band. The repartition (a) materializes shingles
-    # exactly once, (b) rebalances small/skewed inputs (a single parquet
-    # file otherwise runs one task), and (c) is reused by the verify-stage
-    # join-back via ReusedExchange.
-    shuffle_p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sig = (
-        df.select(F.col(id_col).alias("_id"), ngrams(text_col, shingle_n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .repartition(shuffle_p)
+    sig = minhash_table(df, text_col, id_col, num_hashes, shingle_n).withColumnRenamed(
+        id_col, "_id"
     )
 
-    # One projection computes every band bucket with each hash seed
-    # evaluated exactly once: bucket(b) = md5 of the band's minhash slice,
-    # identical to md5(concat_ws('|', slice(minhash_sig, b*rpb+1, rpb))).
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.sequence(
-                        b * rows_per_band, b * rows_per_band + (rows_per_band - 1)
-                    ),
-                    lambda seed: F.array_min(
-                        F.transform(
-                            F.col("_sh"),
-                            lambda s: F.md5(
-                                F.concat(seed.cast("string"), F.lit(":"), s)
-                            ),
-                        )
-                    ),
-                ),
+    # bucket(b) = md5 of the band's signature slice, identical to
+    # md5(concat_ws('|', slice(minhash_sig, b*rpb+1, rpb)))
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"_h{i}")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("bucket"),
             )
-        ),
+            for b in range(bands)
+        ]
     )
-    # bucket rows are NARROW (id, band, bucket) — the shingle arrays do NOT
-    # travel through the bucket self-join; they are joined back only for the
-    # deduplicated candidate pairs, so verify work is once-per-pair instead
-    # of once-per-(pair × shared band).
-    banded = sig.select("_id", F.posexplode(buckets).alias("band", "bucket"))
+    banded = sig.select(
+        "_id", F.explode(bucket_structs).alias("_bb")
+    ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -145,7 +160,9 @@ def dedup_minhash_lsh(
         .distinct()
     )
 
-    sh = sig.select("_id", "_sh")
+    # shingle arrays only materialize here, joined to the (small) verified
+    # candidate-pair set — one interpreted ngrams pass over the corpus
+    sh = df.select(F.col(id_col).alias("_id"), ngrams(text_col, shingle_n).alias("_sh"))
     cand = (
         pairs.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_sh_b"}), "id_b")

@@ -1042,18 +1042,9 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-family MinHash signatures (bit-exact across engines) —
     the building block of dedup_minhash_lsh, verified directly."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = minhash("text", num_hashes=4, shingle_n=3)
-    return (
-        t["documents"]
-        .filter(F.size(ngrams("text", 3)) > 0)
-        .select(
-            "doc_id",
-            sig[0].alias("mh0"),
-            sig[1].alias("mh1"),
-            sig[2].alias("mh2"),
-            sig[3].alias("mh3"),
-        )
-    )
+    return dedup_ops.minhash_table(
+        t["documents"], num_hashes=4, shingle_n=3
+    ).withColumnsRenamed({f"_h{i}": f"mh{i}" for i in range(4)})
 
 
 @qdef("dedup_minhash_lsh", None)  # approximate op — rows-only check
