@@ -16,6 +16,8 @@ bucket-join on LSH keys — same code path as minhash LSH banding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -199,28 +201,43 @@ def kmeans_centroids(
     ]
     dim = len(centroids[0])
     for _ in range(iterations):
+        assign = nearest_cells_udf(centroids, 1)
+        # relational reduction: posexplode the vector and sum per
+        # (cell, position) — ONE codegen sum with map-side combine, and a
+        # plan of constant size. A dim-wide agg (64 sum(element_at)
+        # columns) costs seconds of planning + janino compile per
+        # iteration, paid again every iteration because the centroid
+        # literals change the plan.
         assigned = df.select(
-            F.col(vec_col).alias("_v"),
-            nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+            F.element_at(assign(F.col(vec_col)), 1).alias("_c"),
+            F.posexplode(F.col(vec_col)).alias("_i", "_x"),
         )
-        sums = assigned.groupBy("_c").agg(
-            F.array(
-                *[F.sum(F.element_at("_v", i + 1)).alias(f"s{i}") for i in range(dim)]
-            ).alias("_sum"),
-            F.count(F.lit(1)).alias("_n"),
+        rows = (
+            assigned.groupBy("_c", "_i")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
         )
-        got = {r["_c"]: (r["_sum"], r["_n"]) for r in sums.collect()}
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["_c"], [0.0] * dim)[r["_i"]] = r["_s"]
+            counts[r["_c"]] = r["_n"]
         # empty cells keep their previous centroid
         centroids = [
-            [s / got[i][1] for s in got[i][0]] if i in got else centroids[i]
-            for i in range(k)
+            [s / counts[c] for s in sums[c]] if c in sums else centroids[c]
+            for c in range(k)
         ]
     return centroids
 
 
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 — JVM-side fold over a
-    broadcast centroid array literal (no Python in the loop)."""
+    broadcast centroid array literal (no Python in the loop).
+
+    Pure-JVM alternative to ``nearest_cells_udf``; note that higher-order
+    functions are interpreted (never codegen) and the literal tree is
+    k×dim nodes, so for dense linear algebra the Arrow-vectorized UDF is
+    the faster path at any scale."""
     carr = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
@@ -233,6 +250,31 @@ def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
         ),
     )
     return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+def nearest_cells_udf(centroids: list[list[float]], n_probe: int = 1):
+    """Arrow-vectorized centroid probe: pandas UDF mapping a vector column
+    to its ``n_probe`` nearest centroid indices (array<int>, distance-
+    ranked, index tie-break — same ordering as the JVM column form).
+
+    Dense k×dim×batch distance math belongs in one numpy matmul per Arrow
+    batch, not an interpreted per-element HOF fold: centroids ride the
+    UDF closure (serialized once per executor), and each batch costs two
+    BLAS calls. This is the hot path for both k-means assignment and IVF
+    probing."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per row and
+        # drops out of the argsort
+        d = c2[None, :] - 2.0 * (X @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _probe
 
 
 def knn_ivf(
@@ -261,37 +303,20 @@ def knn_ivf(
         centroids = kmeans_centroids(
             corpus, n_centroids, vec_col=corpus_vec, id_col=corpus_id
         )
+    assign = nearest_cells_udf(centroids, 1)
     c = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(corpus_vec).alias("_cv"),
-        nearest_centroid(F.col(corpus_vec), centroids).alias("_cell"),
+        F.element_at(assign(F.col(corpus_vec)), 1).alias("_cell"),
     )
     # each query → n_probe candidate cells (ranked by centroid distance)
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in centroids])
-    dists = F.transform(
-        carr,
-        lambda cc: F.aggregate(
-            F.zip_with(F.col("_qv"), cc, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    order = F.array_sort(
-        F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                   lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-    )
+    probe = nearest_cells_udf(centroids, n_probe)
     # two selects: the explode expression references _qv, which must be a
     # real attribute (a same-select lateral alias breaks under Generate)
     q0 = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     )
-    q = q0.select(
-        "_qid",
-        "_qv",
-        F.explode(
-            F.slice(F.transform(order, lambda s: s["i"]), 1, n_probe)
-        ).alias("_cell"),
-    )
+    q = q0.select("_qid", "_qv", F.explode(probe(F.col("_qv"))).alias("_cell"))
     scored = c.join(F.broadcast(q), "_cell").select(
         "_qid", "_cid", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
     )
