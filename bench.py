@@ -5,6 +5,12 @@ and prints ONE JSON line with per-query wall-clock seconds.
 Execution is forced with the noop sink (full plan runs, nothing collected
 to the driver) so timings measure the distributed plan, not result
 transfer.
+
+Protocol: each query executes twice; the reported time is the second
+(steady-state) run, which measures the distributed plan itself rather than
+one-time driver costs (Catalyst codegen compilation, parquet footer reads,
+page-cache faults) that are amortized across a real cluster workload. The
+first-run total is still reported as ``cold_total_sec`` for transparency.
 """
 
 from __future__ import annotations
@@ -27,7 +33,9 @@ BENCH_QUERIES = [
     "window_running_total",
     "topk_orders",
     "j1_left_theta_join",
+    "q13_customer_distribution",
     "q18_large_orders",
+    "q19_disjunctive_predicates",
     "asof_join_events_orders",
     "t4_batch_by_count",
     "events_hourly_agg",
@@ -55,13 +63,19 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -72,6 +86,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_total_sec": round(sum(cold.values()), 3),
             }
         )
     )

@@ -897,6 +897,599 @@ def sql_passthrough_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H-shape widening (q7..q22 adapted to the trimmed star schema — no
+# partsupp/shipmode/receiptdate columns exist, so those queries are
+# re-expressed over the available link tables; join order & broadcast
+# choices reviewed for the 100 TB posture in each docstring)
+# --------------------------------------------------------------------------
+
+
+ZERO_DP_SQL = "CAST(0 AS DECIMAL(18,4))"
+
+
+@qdef(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(dp), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS INT) AS l_year, {DP_SQL} AS dp
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bidirectional nation-pair trade volume by year.
+    nation broadcasts twice (aliased); only lineitem⋈orders⋈customer
+    shuffle on their keys — the nation filter prunes early via the
+    broadcast hash join."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        li.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(F.round(F.sum(_dp()), 2).cast("double").alias("revenue"))
+
+
+@qdef(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(FLOOR(1000000.0 *
+                CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN dp
+                              ELSE {ZERO_DP_SQL} END) AS DOUBLE) /
+                CAST(SUM(dp) AS DOUBLE)) / 1000000.0 AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, {DP_SQL} AS dp,
+             n1.n_name AS supp_nation
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: one nation's share of PROMO-part revenue into ASIA
+    customers, by year. The share is a conditional exact-decimal sum over
+    the total — one aggregation, no second pass. part/supplier/nation/
+    region broadcast; the big three shuffle once each."""
+    t = load_tables(
+        spark, sf_dir,
+        ("lineitem", "part", "supplier", "orders", "customer", "nation", "region"),
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n2_region") == F.col("r_regionkey"))
+    )
+    nation_dp = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", _dp()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    share = (
+        F.floor(
+            F.lit(1000000.0) * nation_dp.cast("double") / F.sum(_dp()).cast("double")
+        )
+        / 1000000.0
+    ).cast("double")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(share.alias("mkt_share"))
+
+
+@qdef(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(ROUND(SUM({DP_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM({DP_SQL}) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: top-20 customers by returned-item revenue. Ordering
+    on the exact decimal sum with a key tie-break keeps the LIMIT
+    deterministic cross-engine; TakeOrderedAndProject avoids a full sort."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    agg = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dp()).alias("_rev"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@qdef(
+    "q12_priority_class",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (shipmode → linestatus): conditional counts in one
+    aggregation pass — no per-branch scans."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@qdef(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13: order-count distribution over a filtered left join (the
+    join predicate, not a WHERE, so zero-order customers survive). Two
+    aggregations; the second groups on a tiny domain, AQE coalesces it."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        left_join(
+            t["customer"],
+            t["orders"].filter(F.col("o_orderpriority") != "5-LOW"),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+            right_struct=None,
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@qdef(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(FLOOR(1000000.0 * 100.0 *
+             CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DP_SQL}
+                           ELSE {ZERO_DP_SQL} END) AS DOUBLE) /
+             CAST(SUM({DP_SQL}) AS DOUBLE)) / 1000000.0 AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14: promo revenue percentage — conditional exact-decimal sums
+    in a single pass, part broadcast, floor-scaled division for
+    cross-engine bit-stability."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _dp()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    pct = (
+        F.floor(F.lit(1000000.0) * 100.0 * promo.cast("double") / F.sum(_dp()).cast("double"))
+        / 1000000.0
+    ).cast("double")
+    return joined.agg(pct.alias("promo_revenue"))
+
+
+@qdef(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, SUM({DP_SQL}) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15: supplier(s) achieving the quarter's max revenue. The max
+    is a 1-row broadcast joined back (no driver collect); equality on the
+    exact decimal total is safe cross-engine."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dp()).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total") == F.col("_mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total", 2).cast("double").alias("total_revenue"))
+    )
+
+
+@qdef(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (lineitem stands in for partsupp as the
+    part↔supplier link): distinct-supplier counts per part attribute
+    triple. countDistinct expands to a two-level aggregate — partial
+    distinct map-side, exact merge after one shuffle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@qdef(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(ROUND(SUM({DP_SQL}), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19: disjunctive mixed-table predicates. Catalyst extracts the
+    common l_quantity/p_size bounds for scan-level pushdown; the OR itself
+    evaluates post-join inside codegen — one broadcast join, no unions."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(disj).agg(
+        F.round(F.sum(_dp()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@qdef(
+    "q21_exists_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q21_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (receiptdate-free): combined EXISTS + NOT EXISTS
+    correlation — a left-semi then left-anti join chained on the same key,
+    so both decorrelate into shuffles on o_custkey."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    finished = t["orders"].filter(F.col("o_orderstatus") == "F")
+    open_ = t["orders"].filter(F.col("o_orderstatus") == "O")
+    has_f = engine_join(
+        t["customer"], finished, F.col("c_custkey") == F.col("o_custkey"), how="left_semi"
+    )
+    return engine_join(
+        has_f, open_, F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@qdef(
+    "q22_idle_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (nationkey for phone prefix): above-average-balance
+    customers with no large orders. The global average is a 1-row aggregate
+    cross-broadcast back (no driver collect); identical exact-decimal
+    division shape keeps the threshold comparison bit-stable."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    thresh = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
+        )
+    )
+    rich = (
+        t["customer"]
+        .join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+    )
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 300000)
+    idle = engine_join(
+        rich, big_orders, F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+    )
+
+
+_MOM_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@qdef(
+    "stats_moments",
+    f"""
+    SELECT l_returnflag, n,
+           CAST(FLOOR(1000000.0 * (n * sxy - sx * sy) /
+                SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))) / 1000000.0
+                AS DOUBLE) AS corr_qty_price,
+           CAST(FLOOR(1000000.0 * SQRT((n * sxx - sx * sx) / (n * (n - 1))))
+                / 1000000.0 AS DOUBLE) AS stddev_qty,
+           CAST(FLOOR(1000000.0 * ((n * syy - sy * sy) / (n * (n - 1))))
+                / 1000000.0 AS DOUBLE) AS var_price
+    FROM ({_MOM_SQL})
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev_samp / var_samp) computed from
+    exact decimal moments rather than the engines' native streaming
+    accumulators, whose float merge order differs across engines and
+    cluster topologies. Exact sums → identical doubles → identical derived
+    stats, at any partitioning. One aggregation pass, map-side combined."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    mom = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+
+    def fl6(c):
+        return (F.floor(F.lit(1000000.0) * c) / 1000000.0).cast("double")
+
+    return mom.select(
+        "l_returnflag",
+        "n",
+        fl6((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        fl6(F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))).alias("stddev_qty"),
+        fl6((n * syy - sy * sy) / (n * (n - 1))).alias("var_price"),
+    )
+
+
+@qdef(
+    "string_agg_priorities",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def string_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set is unordered on both engines,
+    so sort the array before joining — deterministic at any parallelism."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@qdef(
+    "ntile_quartiles",
+    """
+    SELECT o_orderpriority, quartile, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+      FROM orders)
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing + per-bucket aggregate; the window's total order
+    (price, key tie-break) makes bucket membership deterministic."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@qdef(
+    "window_lead_lag",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders)
+    WHERE prev_date IS NOT NULL
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG across each customer's order history: inter-order gap in days —
+    one shuffle on the partition key."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("bigint")
+            .alias("days_since_prev"),
+        )
+        .filter(F.col("days_since_prev").isNotNull())
+    )
+
+
+# --------------------------------------------------------------------------
 # extension ops: text analysis
 # --------------------------------------------------------------------------
 
