@@ -118,3 +118,64 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    rolling-hash scheme): hash every character ``k``-gram of the normalized
+    text, slide a window of ``w`` consecutive gram hashes, keep each
+    window's minimum; the distinct minima are the document's fingerprint
+    set (expected density 2/(w+1) of grams).
+
+    Returns ``(id_col, n_fingerprints, fp_digest)`` where ``fp_digest`` is
+    the md5 of the sorted minima — two documents sharing long substrings
+    share fingerprint hashes, and identical-after-normalization documents
+    share the digest.
+
+    Plan shape: explode gram positions → hash IN THE NARROW STAGE (the
+    full text never enters the shuffle; only (id, pos, 32-char hash) rows
+    do) → one shuffle on id for the ordered window min → distinct minima →
+    groupBy(id). Hashes are md5, so the whole pipeline is oracle-portable.
+    Documents with fewer than ``k + w - 1`` normalized characters have no
+    full window and drop out (define their fingerprint as empty upstream
+    if completeness matters)."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm.alias("_t")).filter(
+        F.length("_t") >= k + w - 1
+    )
+    n_grams = F.length("_t") - F.lit(k) + 1
+    grams = base.select(
+        id_col, "_t", F.explode(F.sequence(F.lit(1), n_grams)).alias("_i")
+    )
+    hashed = grams.select(
+        id_col,
+        "_i",
+        F.md5(F.substring(F.col("_t"), F.col("_i"), F.lit(k))).alias("_h"),
+    )
+    wspec = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy(id_col)
+    minima = (
+        hashed.select(
+            id_col,
+            "_i",
+            F.min("_h").over(wspec).alias("_mh"),
+            F.count(F.lit(1)).over(per_doc).alias("_ng"),
+        )
+        .filter(F.col("_i") <= F.col("_ng") - (w - 1))
+        .select(id_col, "_mh")
+        .distinct()
+    )
+    return minima.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("_mh")))).alias(
+            "fp_digest"
+        ),
+    )

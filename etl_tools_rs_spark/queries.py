@@ -339,18 +339,16 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @qdef(
     "set_except",
     """
-    SELECT c_custkey FROM customer
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
-    return (
-        t["customer"]
-        .select("c_custkey")
-        .subtract(t["orders"].select(F.col("o_custkey").alias("c_custkey")))
-    )
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
 
 
 @qdef(
@@ -1547,6 +1545,38 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.lang_id("text").alias("lang_pred"),
         fingerprint("text").alias("fingerprint"),
     )
+
+
+@qdef(
+    "winnow_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS i,
+             md5(substring(t, CAST(u.i AS INT), 8)) AS h,
+             length(t) - 8 + 1 AS ng
+      FROM n, LATERAL unnest(range(1, CAST(length(t) - 8 + 2 AS BIGINT))) AS u(i)
+      WHERE length(t) >= 11
+    ), wm AS (
+      SELECT doc_id, i, ng,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM g
+    ), sel AS (
+      SELECT DISTINCT doc_id, mh FROM wm WHERE i <= ng - 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(list(mh)), '|')) AS fp_digest
+    FROM sel GROUP BY doc_id
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8, w=4) — see
+    operators/text.py::winnow_fingerprints for the plan shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_ops.winnow_fingerprints(t["documents"], k=8, w=4)
 
 
 # --------------------------------------------------------------------------
