@@ -1770,6 +1770,59 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@qdef("streaming_windowed_counts", None)  # Structured Streaming — rows-only
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the gate: hourly watermarked event-time
+    windows over the events table read as a FILE STREAM (glob path so the
+    file source accepts the single-file layout), drained with an
+    availableNow trigger into a memory sink — the same windowed_agg code a
+    live stream would run (streaming/ops.py). Rows-only check: streaming
+    queries have no lazy batch-plan equivalent for the oracle."""
+    import tempfile
+    import uuid
+
+    from etl_tools_rs_spark.streaming.ops import run_available_now, windowed_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # '[p]arquet' glob makes the file source treat the parent dir as
+    # basePath while matching exactly the one file
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.[p]arquet")
+    ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t")
+    wa = windowed_agg(
+        stream.select(ts, "event_type", "value"),
+        time_col="ts_t",
+        watermark="1 hour",
+        window="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        ],
+    )
+    name = f"gate_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(wa, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@qdef("udaf_weighted_mean", None)  # pandas UDAF — float merge order differs
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDAF surface (operators/udaf.py): per-flag
+    quantity-weighted mean price + 10% trimmed mean. Rows-only: pandas
+    float accumulation order is partition-dependent, so values aren't
+    bit-stable against an oracle (the algebraic aggregates that ARE stable
+    use exact-decimal built-ins instead — see functions.dsum/davg)."""
+    from etl_tools_rs_spark.operators.udaf import trimmed_mean, weighted_mean
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        weighted_mean("l_extendedprice", "l_quantity").alias("wavg_price"),
+        trimmed_mean("l_extendedprice", 0.1).alias("tmean_price"),
+    )
+
+
 @qdef("multimodal_features", None)  # pandas-UDF pipeline — rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
