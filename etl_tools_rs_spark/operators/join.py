@@ -134,3 +134,66 @@ def asof_join(
     else:
         out = out.select("_lrow", *vals)
     return out.select("_lrow.*", *vals)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    by: str | None = None,
+    right_by: str | None = None,
+) -> DataFrame:
+    """Range (interval-containment) join: left rows whose ``left_point``
+    falls in ``[right_start, right_end)``, optionally with an equality key
+    — the event-in-window primitive Spark has no native operator for.
+
+    Scale path — bucketized equi-join, NOT an inequality join (which
+    Catalyst executes as a nested-loop / per-key cross product): each
+    interval explodes into the time buckets it covers, each point maps to
+    exactly one bucket, the join is a plain hash equi-join on
+    (key, bucket) and the exact containment predicate filters within
+    buckets. A (point, interval) pair can meet in only one bucket — the
+    point's — so no post-join dedup is needed. Shuffle volume = points +
+    intervals × buckets-per-interval; pick ``bucket_width`` near the
+    typical interval length so that factor stays 1-2.
+
+    ``bucket_width`` is seconds for timestamp columns, plain units for
+    numerics. Column names must be disjoint across the two inputs (usual
+    Spark join hygiene). Inner join only — for outer semantics, anti-join
+    the matched keys back.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    is_ts = isinstance(
+        left.schema[left_point].dataType, (TimestampType, TimestampNTZType)
+    )
+
+    def units(c: Column) -> Column:
+        # NTZ casts to TIMESTAMP first (identity under the engine's fixed
+        # UTC session zone) — unix_micros only accepts the LTZ type
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c
+
+    width = int(bucket_width * 1_000_000) if is_ts else bucket_width
+    lp = units(F.col(left_point))
+    rs = units(F.col(right_start))
+    re_ = units(F.col(right_end))
+
+    l2 = left.withColumn("__rj_bucket", F.floor(lp / F.lit(width)))
+    r2 = right.withColumn(
+        "__rj_bucket",
+        F.explode(F.sequence(F.floor(rs / F.lit(width)), F.floor(re_ / F.lit(width)))),
+    )
+    cond = l2["__rj_bucket"] == r2["__rj_bucket"]
+    if by is not None:
+        cond = cond & (l2[by] == r2[right_by or by])
+    return (
+        l2.join(r2, cond)
+        .filter(
+            (F.col(left_point) >= F.col(right_start))
+            & (F.col(left_point) < F.col(right_end))
+        )
+        .drop("__rj_bucket")
+    )

@@ -719,6 +719,85 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "range_join_order_pairs",
+    """
+    SELECT p.o_orderkey AS p_orderkey, w.o_orderkey AS w_orderkey
+    FROM orders p JOIN orders w
+      ON p.o_custkey = w.o_custkey
+     AND p.o_orderdate >= w.o_orderdate
+     AND p.o_orderdate < w.o_orderdate + INTERVAL 30 DAY
+     AND p.o_orderkey <> w.o_orderkey
+    """,
+)
+def range_join_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/join.py::range_join): repeat-purchase pairs —
+    orders placed inside the 30-day window opened by another order of the
+    same customer. Bucketized equi-join on (customer, month-bucket) +
+    exact containment filter — one hash shuffle, instead of the
+    nested-loop plan a raw inequality join produces."""
+    from etl_tools_rs_spark.operators.join import range_join
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    points = t["orders"].select(
+        F.col("o_orderkey").alias("p_orderkey"),
+        F.col("o_custkey").alias("p_custkey"),
+        F.col("o_orderdate").alias("p_date"),
+    )
+    windows = t["orders"].select(
+        F.col("o_orderkey").alias("w_orderkey"),
+        F.col("o_custkey").alias("w_custkey"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+    )
+    joined = range_join(
+        points,
+        windows,
+        left_point="p_date",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_width=30 * 86400,
+        by="p_custkey",
+        right_by="w_custkey",
+    )
+    return joined.filter(F.col("p_orderkey") != F.col("w_orderkey")).select(
+        "p_orderkey", "w_orderkey"
+    )
+
+
+@qdef(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), t AS (
+      SELECT event_type, COUNT(*) AS cnt, MAX(hv) AS kth
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                ELSE FLOOR(10000.0 * (63.0 * 1152921504606846976.0 / kth))
+                     / 10000.0 END AS DOUBLE) AS est_distinct
+    FROM t
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): deterministic
+    md5-based alternative to HLL, verified bit-for-bit against the oracle
+    — an approximate-distinct surface that is still exactly testable."""
+    from etl_tools_rs_spark.operators.sketch import kmv_distinct
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return kmv_distinct(t["events"], "user_id", k=64, by=["event_type"])
+
+
+@qdef(
     "median_price_by_priority",
     """
     SELECT o_orderpriority,

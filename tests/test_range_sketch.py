@@ -1,0 +1,78 @@
+"""range_join (bucketized interval join) and kmv_distinct (KMV sketch)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators.join import range_join
+from etl_tools_rs_spark.operators.sketch import kmv_distinct
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_range_join_containment_numeric(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 999.0)], "pid int, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 20.0), (30, 24.0, 26.0)],
+        "iid int, s double, e double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "x", "s", "e", bucket_width=7.0).collect()
+    )
+    # 5∈[0,10), 15∈[10,20), 25∈[24,26); 999 unmatched; bounds: start
+    # inclusive / end exclusive
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_range_join_end_exclusive_start_inclusive(spark):
+    pts = spark.createDataFrame([(1, 10.0), (2, 20.0)], "pid int, x double")
+    ivs = spark.createDataFrame([(9, 10.0, 20.0)], "iid int, s double, e double")
+    got = [(r.pid, r.iid) for r in range_join(pts, ivs, "x", "s", "e", 5.0).collect()]
+    assert got == [(1, 9)]
+
+
+def test_range_join_no_duplicates_across_buckets(spark):
+    # interval spans many buckets; each point still matches exactly once
+    pts = spark.createDataFrame([(i, float(i)) for i in range(10)], "pid int, x double")
+    ivs = spark.createDataFrame([(1, 0.0, 100.0)], "iid int, s double, e double")
+    rows = range_join(pts, ivs, "x", "s", "e", bucket_width=2.0).collect()
+    assert len(rows) == 10 and len({r.pid for r in rows}) == 10
+
+
+def test_range_join_timestamp_with_key(spark):
+    pts = spark.createDataFrame(
+        [(1, "u1", _ts(5)), (2, "u2", _ts(5))], "pid int, u string, t timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [("u1", _ts(1), _ts(10), 100)], "ku string, s timestamp, e timestamp, iid int"
+    )
+    rows = range_join(
+        pts, ivs, "t", "s", "e", bucket_width=86400.0, by="u", right_by="ku"
+    ).collect()
+    assert [(r.pid, r.iid) for r in rows] == [(1, 100)]  # u2 has no interval
+
+
+def test_kmv_exact_below_capacity(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "v int")
+    [r] = kmv_distinct(df, "v", k=64).collect()
+    assert r.est_distinct == 10.0  # < k distinct -> exact
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v int")
+    [r] = kmv_distinct(df, "v", k=256).collect()
+    assert abs(r.est_distinct - n) / n < 0.2  # ~1/sqrt(254) std err
+
+def test_kmv_grouped(spark):
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {r.g: r.est_distinct for r in kmv_distinct(df, "v", k=64, by=["g"]).collect()}
+    assert got == {"a": 5.0, "b": 40.0}
