@@ -797,6 +797,58 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(t["events"], "user_id", k=64, by=["event_type"])
 
 
+_H_DOC = "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+_H_OK = "CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+_B80 = int(0.8 * float(1 << 60))
+_B90 = int(0.9 * float(1 << 60))
+
+
+@qdef(
+    "hash_split_documents",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_H_DOC} < {_B80} THEN 'train'
+                WHEN {_H_DOC} < {_B90} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sample.py::
+    hash_split): content-hash buckets, so membership is stable across
+    runs, partitionings, and engines — verified row-by-row against the
+    oracle, not just counted."""
+    from etl_tools_rs_spark.operators.sample import hash_split
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return hash_split(
+        t["documents"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@qdef(
+    "stratified_sample_orders",
+    f"""
+    SELECT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY {_H_OK}, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 10
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample (operators/sample.py::
+    stratified_sample_exact): 10 orders per priority drawn by hash order —
+    the deterministic replacement for ORDER BY rand() LIMIT n."""
+    from etl_tools_rs_spark.operators.sample import stratified_sample_exact
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return stratified_sample_exact(
+        t["orders"], ["o_orderpriority"], 10, "o_orderkey"
+    ).select("o_orderkey", "o_orderpriority")
+
+
 @qdef(
     "median_price_by_priority",
     """
