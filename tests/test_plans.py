@@ -125,3 +125,45 @@ def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the bucketized decomposition must plan as a hash/sort-merge EQUI join
+    # — a raw inequality join would appear as BNLJ/CartesianProduct and die
+    # at scale
+    df = REGISTRY["range_join_order_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_hash_split_is_narrow(spark):
+    # split assignment is a pure projection: zero exchanges, zero Python
+    import re
+
+    from etl_tools_rs_spark.operators.sample import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    out = hash_split(df, "id", {"train": 0.8, "test": 0.2})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_sketch_stays_jvm(spark):
+    df = REGISTRY["kmv_distinct_users"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_stays_jvm(spark):
+    df = REGISTRY["winnow_fingerprint"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q19_broadcasts_part(spark):
+    df = REGISTRY["q19_disjunctive_predicates"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
