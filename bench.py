@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine_brute",
+    "winnow_fingerprint",
+    "range_join_order_pairs",
+    "kmv_distinct_users",
+    "hash_split_documents",
 ]
 
 

@@ -1037,6 +1037,90 @@ ZERO_DP_SQL = "CAST(0 AS DECIMAL(18,4))"
 
 
 @qdef(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                  ORDER BY unit_cost, l_suppkey) AS rn
+      FROM cost)
+    SELECT p_partkey, p_brand, s_name,
+           CAST(ROUND(unit_cost, 2) AS DOUBLE) AS min_cost
+    FROM best JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size <= 5
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (lineitem as the part↔supplier cost link): cheapest
+    supplier per part — the argmin-per-group pattern via window rank over
+    the pre-aggregate (never a self-join on the MIN). Exact-decimal min
+    with a suppkey tie-break keeps the argmin deterministic."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    cost = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(
+            F.broadcast(t["part"].filter(F.col("p_size") <= 5)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.round("unit_cost", 2).cast("double").alias("min_cost"),
+        )
+    )
+
+
+@qdef(
+    "q9_product_profit",
+    f"""
+    SELECT n_name, o_year, CAST(ROUND(SUM(profit), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST({DP_SQL} - CAST(0.5 AS DECIMAL(18,2)) *
+                  CAST(p_retailprice AS DECIMAL(18,2)) *
+                  CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS profit
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%')
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (no partsupp: supply cost modeled as half the part's
+    retail price): profit per supplier-nation per year. part/supplier/
+    nation broadcast; lineitem⋈orders is the only big shuffle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "orders", "nation"))
+    profit = (
+        _dp()
+        - F.lit(0.5).cast(DEC) * dec("p_retailprice") * dec("l_quantity")
+    ).cast("decimal(28,4)")
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%a%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+
+
+@qdef(
     "q7_volume_shipping",
     f"""
     SELECT supp_nation, cust_nation, l_year,
@@ -1936,6 +2020,27 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
     )
+
+
+@qdef("streaming_stateful_counts", None)  # custom stateful op — rows-only
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator in the gate: per-event-type
+    running totals held in executor-side state via applyInPandasWithState
+    (streaming/ops.py::stateful_counts), drained availableNow. The
+    user-state-machine escape hatch the reference's StreamHandler hook
+    (etl-job/src/job/handler.rs:14-31) maps to under Spark."""
+    import tempfile
+    import uuid
+
+    from etl_tools_rs_spark.streaming.ops import run_available_now, stateful_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.[p]arquet")
+    counted = stateful_counts(stream.select("event_type", "value"), ["event_type"])
+    name = f"gate_state_{uuid.uuid4().hex[:8]}"
+    run_available_now(counted, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name).select("event_type", "total")
 
 
 @qdef("udaf_weighted_mean", None)  # pandas UDAF — float merge order differs
