@@ -184,13 +184,17 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iterations: int = 5,
+    tol: float = 1e-7,
 ) -> list[list[float]]:
     """Lloyd's k-means over a vector column, pure DataFrame ops.
 
     Deterministic: initial centroids are the k smallest ids (stable across
     runs/engines); each iteration is one broadcast of k·dim floats + one
     groupBy shuffle of per-partition partial sums. k·dim stays driver-side
-    (a few MB for k=4096·dim=1024) — the DATA never collects.
+    (a few MB for k=4096·dim=1024) — the DATA never collects. Stops early
+    when the max centroid coordinate shift drops below ``tol`` —
+    ``iterations`` is a cap, and each saved iteration is a full corpus
+    pass.
 
     At 100 TB train on a sample (df.sample) — Lloyd on the full corpus is
     wasted work once centroids stabilize.
@@ -223,10 +227,18 @@ def kmeans_centroids(
             sums.setdefault(r["_c"], [0.0] * dim)[r["_i"]] = r["_s"]
             counts[r["_c"]] = r["_n"]
         # empty cells keep their previous centroid
-        centroids = [
+        new_centroids = [
             [s / counts[c] for s in sums[c]] if c in sums else centroids[c]
             for c in range(k)
         ]
+        shift = max(
+            abs(a - b)
+            for nc, oc in zip(new_centroids, centroids)
+            for a, b in zip(nc, oc)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
     return centroids
 
 
