@@ -1553,6 +1553,126 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(l_quantity AS DECIMAL(18,2))) AS val
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.0002 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: parts whose inventory value exceeds a fraction of
+    the GLOBAL total — group aggregate compared against a broadcast 1-row
+    global aggregate (no driver collect, no second scan of lineitem: the
+    total re-aggregates the small per-part frame)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    val = F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val")
+    pv = t["lineitem"].groupBy("l_partkey").agg(val)
+    total = pv.agg((F.sum("val").cast("double") * 0.0002).alias("_thr"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("_thr"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+    )
+
+
+@qdef(
+    "q20_excess_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    pt AS (SELECT l_partkey, SUM(sq) AS tq FROM ps GROUP BY l_partkey)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+                  WHERE ps.l_suppkey = s_suppkey AND ps.sq * 6 > pt.tq)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (lineitem as the part-supplier volume link):
+    suppliers carrying over 1/6 of some part's volume — nested
+    aggregate + threshold + semi join, all decorrelated."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    ps = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    flagged = ps.join(pt, "l_partkey").filter(F.col("sq") * 6 > F.col("tq"))
+    return engine_join(
+        t["supplier"], flagged, F.col("s_suppkey") == F.col("l_suppkey"), how="left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@qdef(
+    "salted_agg_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS cnt_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def salted_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path correctness proof: the two-phase SALTED aggregation
+    (operators/skew.py::salted_agg) must produce bit-identical results to
+    the plain GROUP BY the oracle runs — the salt spreads hot keys over
+    reducers and never leaks into results."""
+    from etl_tools_rs_spark.operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    out = salted_agg(
+        t["orders"],
+        keys=["o_orderpriority"],
+        aggs={
+            "cnt_orders": F.count(F.lit(1)),
+            "sum_total": F.sum(dec("o_totalprice")),
+        },
+        num_salts=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("cnt_orders").cast("bigint").alias("cnt_orders"),
+        F.round("sum_total", 2).cast("double").alias("sum_total"),
+    )
+
+
+@qdef(
+    "salted_join_revenue",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path correctness proof for salted_join: left (orders) salted,
+    right (customer) replicated num_salts× — results must match the plain
+    equi-join exactly."""
+    from etl_tools_rs_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    left = t["orders"].select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    right = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    joined = salted_join(left, right, on=["custkey"], num_salts=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"),
+    )
+
+
 _MOM_SQL = """
     SELECT l_returnflag,
            COUNT(*) AS n,
