@@ -116,6 +116,15 @@ def dedup_minhash_lsh(
     bucket rows are NARROW (id, band, bucket) — shingle arrays never travel
     through the self-join. Increase num_hashes/bands for tighter
     recall/precision.
+
+    Design note (measured, not guessed): the verify stage recomputes
+    shingles over the whole corpus rather than semi-joining down to
+    candidate docs first — inside ONE lazy plan, a semi-filter would embed
+    the candidate-pair subtree a second time and Spark re-executes it
+    (no exchange reuse across the union/distinct), which costs more than
+    the two shingle passes it saves. Pipelines that materialize ``pairs``
+    anyway (cache/localCheckpoint, e.g. before connected_components)
+    should semi-filter the corpus on candidate ids instead.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_table(df, text_col, id_col, num_hashes, shingle_n).withColumnRenamed(
