@@ -371,3 +371,39 @@ def connected_components(
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("group_id")
     )
+
+
+def simhash_table_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    bits: int = 60,
+) -> DataFrame:
+    """Oracle-portable SimHash: same relational bit-count plan as
+    ``simhash_table`` but the per-shingle hash is the 60-bit md5 prefix
+    (15 hex chars → bigint) instead of xxhash64 — every op (md5,
+    substring, shift, and) exists identically in any SQL engine, so the
+    SIGNATURES themselves value-check against the DuckDB oracle
+    (``simhash_table`` keeps xxhash64 for production: one fewer string
+    op per shingle). Docs with zero shingles are dropped — define their
+    simhash as 0 upstream if completeness matters."""
+    shingled = df.select(
+        F.col(id_col), F.explode(ngrams(text_col, shingle_n)).alias("_s")
+    )
+    hashed = shingled.select(
+        id_col,
+        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("bigint").alias("_h"),
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    counted = hashed.groupBy(id_col).agg(F.count("_h").alias("_n"), *bit_sums)
+    value = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        value = bit if value is None else value + bit
+    return counted.select(F.col(id_col), value.alias("simhash"))

@@ -2025,6 +2025,44 @@ def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.connected_components(pairs)
 
 
+_SIMHASH_GRAM = "array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')"
+_SIMHASH_H = f"CAST(concat('0x', substring(md5({_SIMHASH_GRAM}), 1, 15)) AS BIGINT)"
+_SIMHASH_BITS = ",\n".join(
+    f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN b{i} * 2 > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(60)
+)
+_SIMHASH_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+  FROM tk WHERE len(toks) >= 2
+), g AS (
+  SELECT doc_id, {_SIMHASH_H} AS h
+  FROM sh0
+), c AS (
+  SELECT doc_id, COUNT(h) AS n, {_SIMHASH_BITS}
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM c
+"""
+
+
+@qdef("simhash_signature_md5", _SIMHASH_SQL)
+def simhash_signature_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash signatures (operators/dedup.py::
+    simhash_table_md5): 60-bit md5-derived bit-majority hash, value-
+    hash-verified against DuckDB — upgrading SimHash from a rows-only
+    check to full signature verification (the xxhash64 production form
+    computes the identical plan with a cheaper hash)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup_ops.simhash_table_md5(t["documents"], shingle_n=2)
+
+
 @qdef("dedup_simhash", None)  # xxhash64-based — no portable oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
