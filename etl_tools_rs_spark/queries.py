@@ -1933,6 +1933,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "dedup_duplicate_groups",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+    ), fp AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM d
+    ), k AS (
+      SELECT f, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+      FROM fp GROUP BY f)
+    SELECT keeper_id, doc_id AS member_id, group_size
+    FROM fp JOIN k ON fp.f = k.f
+    WHERE group_size > 1
+    """,
+)
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group expansion (operators/dedup.py::
+    duplicate_groups): every member mapped to its group's keeper — the
+    form a dedup pipeline actually writes out (keep keeper, drop member).
+    The synthetic corpus has no exact duplicates, so the input is the
+    corpus self-unioned under shifted ids — every text forms a ≥2-member
+    group with a deterministic keeper."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup_ops.duplicate_groups(doubled)
+
+
+@qdef(
     "dedup_token_jaccard",
     f"""
     WITH tk AS (

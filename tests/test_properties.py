@@ -75,3 +75,53 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         candidates = [rt for rt in rd if rt <= t]
         expected = rd[max(candidates)] if candidates else None
         assert got[t] == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.floats(0, 100, allow_nan=False)),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.floats(0, 100, allow_nan=False),
+                  st.floats(0, 40, allow_nan=False)),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    ),
+    st.floats(0.5, 50.0),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_naive_inequality_join(spark, pts, ivs, width):
+    """Bucketized range join ≡ the naive inequality join, for any bucket
+    width — the decomposition must never change results, only the plan."""
+    from etl_tools_rs_spark.operators.join import range_join
+
+    points = spark.createDataFrame(pts, "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, s, ln in ivs], "iid int, s double, e double"
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "x", "s", "e", width).collect()
+    )
+    expected = sorted(
+        (p, i) for p, x in pts for i, s, ln in ivs if s <= x < s + ln
+    )
+    assert got == expected
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    st.floats(0.1, 0.9),
+)
+@settings(**SETTINGS)
+def test_hash_split_partition_properties(spark, ids, frac):
+    """hash_split is a partition of the input for any weights, and
+    hash_sample(f) is exactly the 'train' side of a (f, 1-f) split."""
+    from etl_tools_rs_spark.operators.sample import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id int")
+    out = hash_split(df, "id", {"train": frac, "rest": 1.0 - frac}).collect()
+    assert sorted(r.id for r in out) == sorted(ids)  # exhaustive, no dups
+    train = {r.id for r in out if r.split == "train"}
+    sampled = {r.id for r in hash_sample(df, "id", frac).collect()}
+    assert train == sampled
