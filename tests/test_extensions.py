@@ -277,3 +277,27 @@ def test_salted_join_matches_plain(spark):
     got = {r.k: (r.sum_v, r.cnt_v, r.max_v) for r in agg.collect()}
     assert got["hot"] == (sum(range(500)), 500, 499)
     assert got["cold"] == (sum(range(5)), 5, 4)
+
+
+def test_binary_file_ingestion_to_features(spark, tmp_path):
+    """End-to-end multimodal ingestion: real files → binaryFile source →
+    Arrow-batched feature extraction. Payload bytes round-trip exactly;
+    metadata (length) comes from the source, not the payload."""
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i]) * (100 + i) for i in range(3)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    (d / "skip.txt").write_text("not media")
+
+    df = multimodal.read_binary_files(spark, str(d), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # glob filtered
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert bytes(by_name[name].content) == data
+        assert by_name[name].length == len(data)
+
+    feats = multimodal.extract_features(df, dim=4).collect()
+    assert len(feats) == 3
+    assert all(r.decode_ok == "ok" and len(r.feature) == 4 for r in feats)
