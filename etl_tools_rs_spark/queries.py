@@ -1865,6 +1865,39 @@ FROM h
 """
 
 
+@qdef(
+    "topk_tokens_by_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang, lower(unnest({TOKS_SQL})) AS token FROM documents
+    ), cnt AS (
+      SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+    ), r AS (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+      FROM cnt)
+    SELECT lang, token, n, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 10
+    """,
+)
+def topk_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters: top-10 tokens per language — explode → count
+    (map-side combined, one shuffle on (lang, token)) → per-group top-k
+    window on the already-tiny count frame. The vocabulary-diagnostic
+    query every corpus pipeline runs; ties broken lexically so the top-k
+    is deterministic cross-engine."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "lang", F.explode(tokens("text")).alias("_tok")
+    ).select("lang", F.lower("_tok").alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
 @qdef("text_analyze", _TEXT_ANALYZE_SQL)
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
