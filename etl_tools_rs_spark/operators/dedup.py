@@ -303,7 +303,10 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(shingle_jaccard(F.col("a._ng"), F.col("b._ng")), 4).alias("jaccard"),
+            # raw ratio, not rounded: rounding before the threshold filter
+            # shifts boundary pairs, and callers that need display rounding
+            # can apply it downstream
+            shingle_jaccard(F.col("a._ng"), F.col("b._ng")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

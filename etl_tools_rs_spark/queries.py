@@ -2091,6 +2091,50 @@ def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.connected_components(pairs)
 
 
+@qdef(
+    "ngram_jaccard_blocked",
+    f"""
+    WITH tk0 AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks[1] AS blk, unnest(range(1, len(toks) - 1)) AS i, toks
+      FROM tk0 WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id, blk,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    ), gs AS (
+      SELECT doc_id, blk, list_distinct(list(g)) AS ng FROM sh GROUP BY doc_id, blk
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(FLOOR(10000.0 * len(list_intersect(a.ng, b.ng)) /
+                GREATEST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)), 1))
+                / 10000.0 AS DOUBLE) AS jaccard
+    FROM gs a JOIN gs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(FLOOR(10000.0 * len(list_intersect(a.ng, b.ng)) /
+          GREATEST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)), 1))
+          / 10000.0 AS DOUBLE) >= 0.2
+    """,
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard pairs (operators/dedup.py::
+    ngram_jaccard_pairs): exact pairwise similarity computed only WITHIN
+    first-token blocks — the blocking key bounds the quadratic self-join,
+    the scale contract for exact verification passes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        t["documents"], n=3, threshold=0.2
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(F.lit(10000.0) * F.col("jaccard")) / 10000.0)
+        .cast("double")
+        .alias("jaccard"),
+    )
+
+
 _SIMHASH_GRAM = "array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')"
 _SIMHASH_H = f"CAST(concat('0x', substring(md5({_SIMHASH_GRAM}), 1, 15)) AS BIGINT)"
 _SIMHASH_BITS = ",\n".join(

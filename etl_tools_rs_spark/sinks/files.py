@@ -27,7 +27,7 @@ from etl_tools_rs_spark.sources.files import CsvOptions
 @dataclass
 class FileSink:
     path: str
-    format: str = "parquet"  # text | csv | json | parquet
+    format: str = "parquet"  # text | csv | json | parquet | orc
     mode: str = "overwrite"  # reference LocalFs truncates → overwrite default
     csv_options: CsvOptions = field(default_factory=CsvOptions)
     single_file: bool = False

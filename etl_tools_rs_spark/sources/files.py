@@ -78,7 +78,7 @@ class FileSource:
 
     paths: list[str]
     home: str = ""
-    format: str = "text"  # text | csv | json | parquet
+    format: str = "text"  # text | csv | json | parquet | orc
     csv_options: CsvOptions = field(default_factory=CsvOptions)
     schema: str | None = None  # DDL string; None → infer (csv/json) or native
     with_source: bool = True
@@ -113,6 +113,8 @@ class FileSource:
                 df = reader.options(**opts).json(paths)
         elif self.format == "parquet":
             df = reader.parquet(*paths)
+        elif self.format == "orc":
+            df = reader.orc(*paths)
         else:
             raise ValueError(f"unknown format: {self.format}")
         if self.with_source:

@@ -113,3 +113,20 @@ def test_write_with_dlq(spark):
     dlq_ids = [json.loads(l)["id"] for l in open(dlq_path)]
     assert sorted(ok_ids) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
     assert dlq_ids == [7]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink → source round-trip (columnar alternative to parquet —
+    same native vectorized reader path)."""
+    from etl_tools_rs_spark.sinks.files import FileSink
+    from etl_tools_rs_spark.sources.files import FileSource
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, s string, v double"
+    )
+    path = str(tmp_path / "orc_out")
+    FileSink(path, format="orc").write(df)
+    back = FileSource([path], format="orc", with_source=False).to_df(spark)
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5),
+    ]
