@@ -410,3 +410,38 @@ def simhash_table_md5(
         ).otherwise(F.lit(0).cast("bigint"))
         value = bit if value is None else value + bit
     return counted.select(F.col(id_col), value.alias("simhash"))
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-dataset decontamination: drop corpus documents sharing at
+    least ``min_shared`` distinct token ``n``-grams with ANY blocklist
+    document (the benchmark-contamination filter every training pipeline
+    runs before eval). Returns the surviving corpus rows.
+
+    Plan shape: blocklist reduces to its DISTINCT gram set (typically ≪
+    corpus — eval sets are small); corpus grams join it on the gram string
+    (map-side combined counts, AQE turns the gram join broadcast when the
+    blocklist fits); contaminated ids anti-join back. Shuffle volume is
+    grams, never documents; the corpus text travels nowhere.
+    """
+    cg = corpus.select(
+        F.col(id_col), F.explode(ngrams(text_col, n)).alias("_g")
+    ).distinct()
+    bg = blocklist.select(
+        F.explode(ngrams(text_col, n)).alias("_g")
+    ).distinct()
+    contaminated = (
+        cg.join(bg, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select(id_col)
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -2071,6 +2071,44 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({f"_h{i}": f"mh{i}" for i in range(4)})
 
 
+@qdef(
+    "decontaminate_corpus",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, source,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM tk, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ), cg AS (
+      SELECT DISTINCT doc_id, g FROM gr WHERE source <> 'src0'
+    ), bg AS (
+      SELECT DISTINCT g FROM gr WHERE source = 'src0'
+    ), hits AS (
+      SELECT doc_id FROM cg JOIN bg USING (g)
+      GROUP BY doc_id HAVING COUNT(*) >= 2
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::decontaminate_ngram):
+    corpus (source != src0) minus documents sharing ≥2 distinct 3-grams
+    with the blocklist (source == src0 stands in for an eval set). The
+    contamination filter every training pipeline runs before eval."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    corpus = t["documents"].filter(F.col("source") != "src0")
+    blocklist = t["documents"].filter(F.col("source") == "src0")
+    return dedup_ops.decontaminate_ngram(
+        corpus, blocklist, n=3, min_shared=2
+    ).select("doc_id", "source")
+
+
 @qdef("dedup_minhash_lsh", None)  # approximate op — rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
