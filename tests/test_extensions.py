@@ -301,3 +301,26 @@ def test_binary_file_ingestion_to_features(spark, tmp_path):
     feats = multimodal.extract_features(df, dim=4).collect()
     assert len(feats) == 3
     assert all(r.decode_ok == "ok" and len(r.feature) == 4 for r in feats)
+
+
+def test_decontaminate_ngram(spark):
+    """Docs sharing >= min_shared distinct n-grams with the blocklist are
+    dropped; others survive untouched."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines"),
+            (3, "the quick brown cat naps all day long"),
+        ],
+        "doc_id long, text string",
+    )
+    blocklist = spark.createDataFrame(
+        [(100, "the quick brown fox ran away")], "doc_id long, text string"
+    )
+    # doc 1 shares 2 distinct 3-grams with the blocklist ("the quick brown",
+    # "quick brown fox") -> dropped; doc 3 shares only 1 -> survives
+    out = dedup.decontaminate_ngram(corpus, blocklist, n=3, min_shared=2)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    # min_shared=1 also drops doc 3
+    out1 = dedup.decontaminate_ngram(corpus, blocklist, n=3, min_shared=1)
+    assert sorted(r.doc_id for r in out1.collect()) == [2]
