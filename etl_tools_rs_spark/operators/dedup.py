@@ -445,3 +445,66 @@ def decontaminate_ngram(
         .select(id_col)
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS under a Hamming budget — the banded
+    form the plain equal-simhash grouping can't express: by pigeonhole,
+    two signatures within Hamming distance ``max_hamming`` agree exactly
+    on at least one of ``max_hamming + 1`` bit-bands, so candidate
+    generation is an equi-join on (band, band-bits) and only candidates
+    pay the exact bit_count(xor) verification.
+
+    Same LSH plan shape as MinHash banding: narrow (id, band, chunk) rows
+    through the self-join, signatures joined back only for candidates.
+    Built on the md5 signature (``simhash_table_md5``) so the whole
+    pipeline — signatures, banding, Hamming filter — is oracle-portable.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_table_md5(df, text_col, id_col, shingle_n, bits).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    bands = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bc"),
+    ).select("_id", "simhash", F.col("_bc.band").alias("band"), F.col("_bc.chunk").alias("chunk"))
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

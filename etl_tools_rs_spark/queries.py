@@ -2211,6 +2211,36 @@ def simhash_signature_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_table_md5(t["documents"], shingle_n=2)
 
 
+_SIMHASH_NEAR_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash,
+         CAST(u.band AS INT) AS band,
+         (simhash >> CAST(u.band * 15 AS INT)) & 32767 AS chunk
+  FROM sh, LATERAL unnest(range(4)) AS u(band)
+), p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+"""
+
+
+@qdef("simhash_near_dup_pairs", _SIMHASH_NEAR_SQL)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup pairs (operators/dedup.py::
+    simhash_near_dup): pigeonhole banding generates candidates by
+    equi-join, bit_count(xor) verifies — the whole LSH pipeline
+    value-checked against the oracle, not just counted."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = dedup_ops.simhash_near_dup(
+        t["documents"], shingle_n=2, max_hamming=3
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @qdef("dedup_simhash", None)  # xxhash64-based — no portable oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
