@@ -167,3 +167,19 @@ def test_q19_broadcasts_part(spark):
     df = REGISTRY["q19_disjunctive_predicates"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_near_dup_is_equi_join(spark):
+    df = REGISTRY["simhash_near_dup_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_gram_level_joins(spark):
+    # contamination check joins at the GRAM level and anti-joins ids —
+    # never a document-level cross product
+    df = REGISTRY["decontaminate_corpus"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
