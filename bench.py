@@ -91,6 +91,10 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                # metric protocol marker: "value" is the warm (second) run
+                # since round 1; compare rounds on the same protocol, or
+                # use cold_total_sec for the cold-start view
+                "protocol": "warm-second-run",
             }
         )
     )

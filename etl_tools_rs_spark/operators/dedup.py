@@ -462,9 +462,11 @@ def simhash_near_dup(
     generation is an equi-join on (band, band-bits) and only candidates
     pay the exact bit_count(xor) verification.
 
-    Same LSH plan shape as MinHash banding: narrow (id, band, chunk) rows
-    through the self-join, signatures joined back only for candidates.
-    Built on the md5 signature (``simhash_table_md5``) so the whole
+    Same LSH plan shape as MinHash banding, except the rows through the
+    self-join are (id, band, chunk, simhash) — the 8-byte signature rides
+    along on both sides so candidates verify bit_count(xor) in place with
+    no join back to the signature table (one shuffle saved for one bigint
+    of width). Built on the md5 signature (``simhash_table_md5``) so the whole
     pipeline — signatures, banding, Hamming filter — is oracle-portable.
     """
     n_bands = max_hamming + 1

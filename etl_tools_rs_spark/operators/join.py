@@ -177,6 +177,13 @@ def range_join(
         return F.unix_micros(c.cast("timestamp")) if is_ts else c
 
     width = int(bucket_width * 1_000_000) if is_ts else bucket_width
+    # floor(x / width) is NULL for width <= 0 (and a timestamp width under
+    # 1 microsecond truncates to 0), which would silently join nothing
+    if not width or width <= 0:
+        raise ValueError(
+            f"bucket_width must be positive ({'>= 1 microsecond' if is_ts else '> 0'}); "
+            f"got {bucket_width!r}"
+        )
     lp = units(F.col(left_point))
     rs = units(F.col(right_start))
     re_ = units(F.col(right_end))

@@ -51,7 +51,14 @@ def kmv_distinct(
     the value is bit-stable cross-engine.
     """
     by = by or []
-    hashed = df.select(*by, kmv_hash(value_col).alias("_hv")).distinct()
+    # md5(NULL) is NULL: drop NULL hashes before the window — Spark sorts
+    # NULLs first while DuckDB sorts them last, and a NULL slot would both
+    # occupy sketch capacity and skew _cnt (NULL never counts as a value)
+    hashed = (
+        df.select(*by, kmv_hash(value_col).alias("_hv"))
+        .filter(F.col("_hv").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_hv")
     topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     agg = topk.groupBy(*by).agg(

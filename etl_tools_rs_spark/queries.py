@@ -106,7 +106,7 @@ TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
            CAST(ROUND(SUM({DP_SQL}), 2) AS DOUBLE) AS sum_disc_price,
            CAST(ROUND(SUM({CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
@@ -775,7 +775,7 @@ def range_join_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT event_type, hv,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-      FROM h
+      FROM h WHERE hv IS NOT NULL
     ), t AS (
       SELECT event_type, COUNT(*) AS cnt, MAX(hv) AS kth
       FROM r WHERE rn <= 64 GROUP BY event_type

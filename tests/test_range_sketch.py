@@ -76,3 +76,24 @@ def test_kmv_grouped(spark):
     df = spark.createDataFrame(rows, "g string, v int")
     got = {r.g: r.est_distinct for r in kmv_distinct(df, "v", k=64, by=["g"]).collect()}
     assert got == {"a": 5.0, "b": 40.0}
+
+
+def test_range_join_rejects_nonpositive_width(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    ivs = spark.createDataFrame([(10, 0.0, 10.0)], "iid int, s double, e double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(pts, ivs, "x", "s", "e", bucket_width=0.0)
+    # timestamp width under 1 microsecond truncates to 0 -> also rejected
+    tpts = spark.createDataFrame([(1, _ts(5))], "pid int, t timestamp")
+    tivs = spark.createDataFrame([(9, _ts(1), _ts(10))], "iid int, s timestamp, e timestamp")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(tpts, tivs, "t", "s", "e", bucket_width=1e-7)
+
+
+def test_kmv_ignores_nulls(spark):
+    rows = [(i,) for i in range(30)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v int")
+    [r] = kmv_distinct(df, "v", k=64).collect()
+    assert r.est_distinct == 30.0  # NULLs neither count nor occupy slots
