@@ -69,25 +69,44 @@ def minhash_table(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Relational MinHash: one row per doc with columns ``_h0.._h{n-1}``.
 
-    Same md5(seed || ':' || shingle) family as ``functions.minhash`` (bit-
-    identical values), but computed as explode(shingles) → groupBy(id) with
-    ``num_hashes`` MIN aggregates. Every md5 runs inside whole-stage
-    codegen, and map-side partial aggregation collapses each partition to
-    one row per doc before the single shuffle on ``id_col`` — the
-    higher-order-function form (`functions.minhash_over`) is interpreted
-    per element and ~10x slower per row. Docs with zero shingles are
-    dropped (explode of an empty array), matching the LSH contract.
+    ``hash_family``:
+    - ``"md5"`` — md5(seed || ':' || shingle), bit-identical to
+      ``functions.minhash`` and reproducible in any engine with md5: the
+      oracle-checkable form.
+    - ``"xxhash64"`` — xxhash64(seed, shingle): native JVM hash, ~an order
+      of magnitude cheaper per call than md5 and the min-agg compares
+      longs instead of 32-char strings. Same minhash guarantees (any
+      uniform hash family works); NOT portable to engines without
+      xxhash64, so use it where no cross-engine signature check is needed
+      (the default for ``dedup_minhash_lsh``).
+
+    Computed as explode(shingles) → groupBy(id) with ``num_hashes`` MIN
+    aggregates. Every hash runs inside whole-stage codegen, and map-side
+    partial aggregation collapses each partition to one row per doc before
+    the single shuffle on ``id_col`` — the higher-order-function form
+    (`functions.minhash_over`) is interpreted per element and ~10x slower
+    per row. Docs with zero shingles are dropped (explode of an empty
+    array), matching the LSH contract.
     """
     ex = df.select(
         F.col(id_col), F.explode(ngrams(text_col, shingle_n)).alias("_s")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -99,14 +118,21 @@ def dedup_minhash_lsh(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
     Plan shape (scale-reviewed):
       1. ``minhash_table``: explode shingles → groupBy(id) min-agg — all
-         md5s in whole-stage codegen, map-side combine, one shuffle on id;
-      2. ``bands`` rows/doc, band key = md5 of the band's signature slice
-         → shuffle on band key (balanced: md5 keys);
+         hashes in whole-stage codegen, map-side combine, one shuffle on
+         id. Default family is xxhash64 (native longs, ~10x cheaper per
+         hash than md5); the verified pair set is identical in
+         expectation — only which near-miss candidates LSH happens to
+         surface varies with the family, and the exact-Jaccard verify
+         filters both the same way. Pass ``hash_family="md5"`` when the
+         signature itself must reproduce outside the JVM;
+      2. ``bands`` rows/doc, band key = hash of the band's signature slice
+         → shuffle on band key (balanced: uniform hash keys);
       3. self-join within band buckets only → candidate pairs;
       4. exact Jaccard verify on shingle arrays, joined back only for the
          deduplicated candidate pairs; distinct pairs.
@@ -127,28 +153,22 @@ def dedup_minhash_lsh(
     should semi-filter the corpus on candidate ids instead.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_table(df, text_col, id_col, num_hashes, shingle_n).withColumnRenamed(
-        id_col, "_id"
-    )
+    sig = minhash_table(
+        df, text_col, id_col, num_hashes, shingle_n, hash_family
+    ).withColumnRenamed(id_col, "_id")
 
-    # bucket(b) = md5 of the band's signature slice, identical to
-    # md5(concat_ws('|', slice(minhash_sig, b*rpb+1, rpb)))
+    def band_bucket(b: int) -> Column:
+        cols = [F.col(f"_h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_family == "xxhash64":
+            # signature slices are longs — hash them directly, no string glue
+            return F.xxhash64(*cols)
+        # md5 family: bucket = md5 of the joined slice, identical to
+        # md5(concat_ws('|', slice(minhash_sig, b*rpb+1, rpb)))
+        return F.md5(F.concat_ws("|", *cols))
+
     bucket_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"_h{i}")
-                            for i in range(
-                                b * rows_per_band, (b + 1) * rows_per_band
-                            )
-                        ],
-                    )
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )

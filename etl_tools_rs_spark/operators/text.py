@@ -138,18 +138,25 @@ def winnow_fingerprints(
     share fingerprint hashes, and identical-after-normalization documents
     share the digest.
 
-    Plan shape: explode gram positions → hash IN THE NARROW STAGE (the
-    full text never enters the shuffle; only (id, pos, 32-char hash) rows
-    do) → one shuffle on id for the ordered window min → distinct minima →
-    groupBy(id). Hashes are md5, so the whole pipeline is oracle-portable.
+    Plan shape: ONE shuffle total, of the raw texts — ``repartition(id)``
+    up front hash-clusters docs, and every downstream requirement
+    (window over id, distinct on (id, minhash), groupBy(id)) is satisfied
+    by that clustering, so Spark elides all three would-be exchanges and
+    the 100-1000x-wider gram-hash rows never travel. The explicit
+    partition count keeps AQE from coalescing the small text shuffle
+    below the core count (the md5 stage downstream is the CPU-heavy
+    part). Hashes are md5, so the whole pipeline is oracle-portable.
     Documents with fewer than ``k + w - 1`` normalized characters have no
     full window and drop out (define their fingerprint as empty upstream
     if completeness matters)."""
     from pyspark.sql.window import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = df.select(F.col(id_col), norm.alias("_t")).filter(
-        F.length("_t") >= k + w - 1
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col), norm.alias("_t"))
+        .filter(F.length("_t") >= k + w - 1)
+        .repartition(n_part, F.col(id_col))
     )
     n_grams = F.length("_t") - F.lit(k) + 1
     grams = base.select(
