@@ -300,6 +300,7 @@ def knn_ivf(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     centroids: list[list[float]] | None = None,
+    kmeans_iterations: int = 5,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into centroid cells
     (inverted file); each query probes its ``n_probe`` nearest cells and
@@ -313,7 +314,11 @@ def knn_ivf(
     """
     if centroids is None:
         centroids = kmeans_centroids(
-            corpus, n_centroids, vec_col=corpus_vec, id_col=corpus_id
+            corpus,
+            n_centroids,
+            vec_col=corpus_vec,
+            id_col=corpus_id,
+            iterations=kmeans_iterations,
         )
     assign = nearest_cells_udf(centroids, 1)
     c = corpus.select(

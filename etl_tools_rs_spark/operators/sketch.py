@@ -72,3 +72,98 @@ def kmv_distinct(
         / p
     )
     return agg.select(*by, est.cast("double").alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — approximate per-key frequencies in bounded space
+# ---------------------------------------------------------------------------
+
+
+def cm_hash(value: Column, d: Column | int, width: int) -> Column:
+    """Count-Min row hash: 60-bit md5 prefix of ``d || ':' || value``,
+    mod ``width``. Matches DuckDB ``CAST(concat('0x', substring(
+    md5(d || ':' || x), 1, 15)) AS BIGINT) % width`` bit-for-bit (both
+    operands non-negative, so Spark's % and DuckDB's % agree)."""
+    dc = F.lit(d) if isinstance(d, int) else d
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(dc.cast("string"), F.lit(":"), value.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % width
+
+
+def count_min(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch of ``value_col`` frequencies: a ``depth`` ×
+    ``width`` counter table ``(d, w, cnt)``.
+
+    Why this sketch at 100 TB: cell counts are plain SUMs, so the sketch
+    is (a) partitioning-independent — any shard order yields the same
+    table, (b) mergeable — union per-shard sketches and re-sum cell-wise
+    (``merge_count_min``), and (c) exactly oracle-checkable, unlike
+    probabilistic-state sketches (HLL registers) whose bytes differ per
+    implementation. Estimates overcount only (never undercount):
+    est(v) = min over d of cell(d, h_d(v)), error ≤ 2N/width with
+    probability ≥ 1 - (1/2)^depth.
+
+    Plan shape: ``depth`` rows per input row generated in the narrow
+    stage, then ONE groupBy(d, w) shuffle whose map-side combine caps the
+    shuffle at depth × width rows per input partition — shuffle volume is
+    bounded by the sketch size, not the data size. NULL values are
+    excluded, matching COUNT(value_col) semantics.
+    """
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"depth and width must be positive; got {depth}x{width}")
+    rows = df.select(F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "_v"
+    )
+    hashed = rows.select("d", cm_hash(F.col("_v"), F.col("d"), width).alias("w"))
+    return hashed.groupBy("d", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def merge_count_min(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the same (depth, width, hash
+    family): union + cell-wise re-sum. The per-shard path at scale —
+    sketch each partition/day/source independently, merge for the global
+    view."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each key,
+    ``est_count`` = min over the key's ``depth`` cells (0 when a cell is
+    absent — the key was never seen).
+
+    The sketch is depth × width rows — broadcast it; the probe is then a
+    narrow map-side join however large the key set is.
+    """
+    kd = keys.select(F.col(key_col)).filter(F.col(key_col).isNotNull()).select(
+        key_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    )
+    probed = kd.select(
+        key_col, "d", cm_hash(F.col(key_col), F.col("d"), width).alias("w")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["d", "w"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )

@@ -797,6 +797,45 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(t["events"], "user_id", k=64, by=["event_type"])
 
 
+_CM_H = (
+    "CAST(concat('0x', substring(md5(CAST({d} AS VARCHAR) || ':' || "
+    "CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@qdef(
+    "count_min_user_events",
+    f"""
+    WITH cells AS (
+      SELECT t.d AS d, {_CM_H.format(d='t.d', v='user_id')} AS w, COUNT(*) AS cnt
+      FROM events CROSS JOIN range(4) t(d)
+      WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 20
+    ), probe AS (
+      SELECT k.user_id, t.d AS d, {_CM_H.format(d='t.d', v='k.user_id')} AS w
+      FROM keys k CROSS JOIN range(4) t(d)
+    )
+    SELECT p.user_id, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe p LEFT JOIN cells c ON c.d = p.d AND c.w = p.w
+    GROUP BY p.user_id
+    """,
+)
+def count_min_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketch.py): per-user event-frequency
+    estimates from a 4x256 counter table. Deterministic md5 hash family,
+    so the sketch AND its estimates reproduce bit-for-bit in the oracle —
+    the bounded-space frequency surface (heavy-hitter screening, spam/bot
+    rate checks) that at 100 TB replaces a full groupBy per key."""
+    from etl_tools_rs_spark.operators.sketch import count_min, count_min_estimate
+
+    t = load_tables(spark, sf_dir, ("events",))
+    sketch = count_min(t["events"], "user_id", depth=4, width=256)
+    keys = t["events"].filter(F.col("user_id") < 20).select("user_id").distinct()
+    return count_min_estimate(sketch, keys, "user_id", depth=4, width=256)
+
+
 _H_DOC = "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 _H_OK = "CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
 _B80 = int(0.8 * float(1 << 60))
@@ -2303,9 +2342,12 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
+    # 3 Lloyd rounds: cell assignment is stable well before centroids
+    # fully settle, and each extra round is a full corpus pass — recall is
+    # governed by n_probe, not training polish
     return sim_ops.knn_ivf(
         corpus=t["embeddings"], queries=queries, k=10,
-        n_centroids=16, n_probe=4, query_id="query_id",
+        n_centroids=16, n_probe=4, query_id="query_id", kmeans_iterations=3,
     )
 
 

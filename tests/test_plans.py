@@ -183,3 +183,15 @@ def test_decontaminate_gram_level_joins(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_single_data_shuffle(spark):
+    # the repartition(id) up front must satisfy the window/distinct/groupBy
+    # clustering requirements: gram-hash rows (100-1000x wider than the
+    # texts) never shuffle. Allowed exchanges: the id repartition itself
+    # plus the small-file round-robin guard from load_tables.
+    df = REGISTRY["winnow_fingerprint"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2

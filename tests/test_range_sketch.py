@@ -97,3 +97,50 @@ def test_kmv_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "v int")
     [r] = kmv_distinct(df, "v", k=64).collect()
     assert r.est_distinct == 30.0  # NULLs neither count nor occupy slots
+
+
+def test_count_min_never_undercounts(spark):
+    from etl_tools_rs_spark.operators.sketch import count_min, count_min_estimate
+
+    rows = [(f"k{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    sketch = count_min(df, "v", depth=4, width=32)
+    keys = df.select("v").distinct()
+    est = {r.v: r.est_count for r in
+           count_min_estimate(sketch, keys, "v", depth=4, width=32).collect()}
+    true = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    for k, n in true.items():
+        assert est[k] >= n  # CM never undercounts
+
+
+def test_count_min_absent_key_is_zero(spark):
+    from etl_tools_rs_spark.operators.sketch import count_min, count_min_estimate
+
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    sketch = count_min(df, "v", depth=4, width=1024)
+    keys = spark.createDataFrame([("zzz-not-there",)], "v string")
+    [r] = count_min_estimate(sketch, keys, "v", depth=4, width=1024).collect()
+    assert r.est_count == 0
+
+
+def test_count_min_merge_equals_whole(spark):
+    from etl_tools_rs_spark.operators.sketch import count_min, merge_count_min
+
+    rows = [(f"k{i % 5}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string")
+    half_a = spark.createDataFrame(rows[:50], "v string")
+    half_b = spark.createDataFrame(rows[50:], "v string")
+    whole = {(r.d, r.w): r.cnt for r in count_min(df, "v", 4, 64).collect()}
+    merged = {(r.d, r.w): r.cnt for r in merge_count_min(
+        count_min(half_a, "v", 4, 64), count_min(half_b, "v", 4, 64)).collect()}
+    assert whole == merged
+
+
+def test_count_min_rejects_bad_dims(spark):
+    import pytest
+
+    from etl_tools_rs_spark.operators.sketch import count_min
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="depth and width"):
+        count_min(df, "v", depth=0, width=16)
