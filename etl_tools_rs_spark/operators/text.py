@@ -120,6 +120,64 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """TF-IDF term weights: one row per (doc, term) with ``tf`` (term count
+    in the doc), ``idf`` and ``tfidf`` — the classic relevance/feature
+    weighting over a document corpus.
+
+    ``idf = ln((1 + N) / (1 + df_t)) + 1`` (the smoothed form: terms in
+    every doc get weight 1, never 0), floor-scaled to ``scale`` decimals
+    BEFORE the tf multiply — the ln is the one operation whose last ulp
+    could differ across engines, and scaling it first confines any such
+    divergence to one rounding per distinct df value instead of one per
+    output row. ``tfidf = tf * idf`` is then bit-deterministic.
+
+    Plan shape: explode tokens → groupBy(doc, term) count (one shuffle,
+    map-side combined) → per-term doc frequency from that aggregate
+    (second shuffle on term, input already one row per (doc, term)) → N
+    as a 1-row aggregate broadcast back (no driver collect) → broadcast
+    the term→idf table onto the tf rows. At 100 TB the vocabulary (not
+    the corpus) bounds the broadcast; if the vocab outgrows it, the last
+    join degrades gracefully to a shuffle on term.
+    """
+    p = float(10**scale)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("_dft"))
+    n = tf.select(F.countDistinct(id_col).alias("_n"))
+    idf = dft.crossJoin(F.broadcast(n)).select(
+        "term",
+        (
+            F.floor(
+                F.lit(p)
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("_n").cast("double"))
+                        / (F.lit(1.0) + F.col("_dft").cast("double"))
+                    )
+                    + F.lit(1.0)
+                )
+            )
+            / F.lit(p)
+        ).alias("idf"),
+    )
+    return tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.col("idf").cast("double").alias("idf"),
+        (F.col("tf").cast("double") * F.col("idf")).cast("double").alias("tfidf"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

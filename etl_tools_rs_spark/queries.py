@@ -1937,6 +1937,38 @@ def topk_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IDF_SQL = (
+    "FLOOR(1000000.0 * (LN((1.0 + n.n) / (1.0 + dft.dft)) + 1.0)) / 1000000.0"
+)
+
+
+@qdef(
+    "tfidf_documents",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, COUNT(*) AS dft FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+    )
+    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+           CAST({_IDF_SQL} AS DOUBLE) AS idf,
+           CAST(CAST(tf.tf AS DOUBLE) * ({_IDF_SQL}) AS DOUBLE) AS tfidf
+    FROM tf JOIN dft USING (term) CROSS JOIN n
+    """,
+)
+def tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (doc, term) (operators/text.py::tfidf): smoothed
+    idf floor-scaled before the tf multiply so the one engine-variable
+    operation (ln's last ulp) is confined to one rounding per distinct df
+    value. N broadcasts back as a 1-row aggregate — no driver collect."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text_ops.tfidf(t["documents"])
+
+
 @qdef("text_analyze", _TEXT_ANALYZE_SQL)
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))

@@ -101,6 +101,26 @@ def stateful_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows repeating ``keys`` within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the streaming
+    twin of the batch ``dedup_exact`` operator.
+
+    State holds one entry per distinct key seen inside the horizon and is
+    evicted once the watermark passes, so memory is bounded by key
+    cardinality per horizon — the property plain ``dropDuplicates`` on a
+    stream lacks (its state grows forever). Duplicates separated by more
+    than the watermark interval are NOT caught; that is the documented
+    trade for bounded state. Use the fingerprint column (functions.
+    fingerprint) as the key for content-dedup of documents."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     stream: DataFrame, checkpoint: str, query_name: str = "engine_stream"
 ) -> None:

@@ -170,3 +170,22 @@ def test_split_ok_err_counts_transform_errors(spark, people):
     ok, err = split_ok_err(flagged)
     assert ok.count() == 2 and err.count() == 2
     assert "_error" not in ok.columns  # marker stripped from the ok side
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from etl_tools_rs_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c"), ("d3", "c c c")],
+        "doc_id string, text string",
+    )
+    got = {(r.doc_id, r.term): (r.tf, r.idf, r.tfidf) for r in tfidf(docs).collect()}
+    # N=3; df: a->2, b->1, c->2
+    idf_a = math.floor(1e6 * (math.log(4.0 / 3.0) + 1.0)) / 1e6
+    idf_b = math.floor(1e6 * (math.log(4.0 / 2.0) + 1.0)) / 1e6
+    assert got[("d1", "a")] == (2, idf_a, 2.0 * idf_a)
+    assert got[("d1", "b")] == (1, idf_b, idf_b)
+    assert got[("d3", "c")][0] == 3
+    assert len(got) == 5  # (d1,a),(d1,b),(d2,a),(d2,c),(d3,c)

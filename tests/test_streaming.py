@@ -114,3 +114,25 @@ def test_rate_stream_is_streaming(spark):
     df = sources.rate_stream(spark, rows_per_second=5)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
+    rows = [
+        {"k": "a", "ts": "2024-01-01 10:00:00", "v": 1},
+        {"k": "a", "ts": "2024-01-01 10:00:30", "v": 2},  # dup within horizon
+        {"k": "b", "ts": "2024-01-01 10:01:00", "v": 3},
+        {"k": "b", "ts": "2024-01-01 10:01:10", "v": 4},  # dup within horizon
+        {"k": "c", "ts": "2024-01-01 10:59:00", "v": 5},
+    ]
+    d = tmp_path / "dups"
+    d.mkdir()
+    (d / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    raw = sources.file_stream(
+        spark, str(d), format="json", schema="k string, ts string, v int"
+    )
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ops.dedup_stream(stream, keys=["k"], time_col="ts", watermark="10 minutes")
+    ops.run_append_available_now(out, str(tmp_path / "ck_dd"), "dedup_out")
+    got = sorted((r.k, r.v) for r in spark.sql("SELECT k, v FROM dedup_out").collect())
+    # first arrival per key survives; within-watermark repeats dropped
+    assert got == [("a", 1), ("b", 3), ("c", 5)]
