@@ -1,0 +1,81 @@
+"""Snapshot merge (upsert) operators — MERGE INTO semantics on plain
+parquet snapshots.
+
+The reference's only write semantics are append-style INSERTs
+(etl-mysql/src/datastore.rs:142-317); real pipelines also need
+last-writer-wins upserts and delete application when refreshing a
+dimension/state table from a change feed. With no table format
+(Delta/Iceberg) assumed, the engine expresses MERGE as a pure
+DataFrame computation producing the NEW snapshot — written atomically by
+the caller (write to a fresh path, swap pointers), which is exactly how
+snapshot tables are maintained on object storage at scale.
+
+Scale posture: one shuffle on the merge key (union + per-key window);
+change feeds are usually ≪ the base snapshot, so AQE picks the cheap
+side automatically; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str | None = None,
+) -> DataFrame:
+    """Last-writer-wins upsert: rows from ``updates`` replace same-key
+    rows in ``base``; unmatched update rows are inserts.
+
+    With ``version_col``, the survivor per key is the row with the
+    greatest version (updates win version ties — the UPDATE arm of MERGE);
+    without it, any update row beats any base row. Schemas must match
+    (``unionByName``). Deterministic for a deterministic version order;
+    one shuffle on ``keys``.
+    """
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    order = (
+        [F.col(version_col).desc(), F.col("_src").desc()]
+        if version_col
+        else [F.col("_src").desc()]
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def apply_deletes(
+    base: DataFrame, deletes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """DELETE arm of MERGE: drop base rows whose key appears in
+    ``deletes``. A left-anti join on the key — broadcast when the delete
+    set is small (the common tombstone-feed case)."""
+    return base.join(deletes.select(*keys).distinct(), keys, "left_anti")
+
+
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Full CDC application: ``changes`` carries ``op_col`` in
+    {'upsert', 'delete'}; deletes are applied after upserts of the same
+    batch (a delete tombstone wins over an earlier upsert for its key).
+
+    The composed form of ``upsert_snapshot`` + ``apply_deletes`` — one
+    window shuffle plus one anti join.
+    """
+    ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    dels = changes.filter(F.col(op_col) == "delete").drop(op_col)
+    return apply_deletes(upsert_snapshot(base, ups, keys, version_col), dels, keys)

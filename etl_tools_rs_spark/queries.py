@@ -1937,6 +1937,51 @@ def topk_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "upsert_order_snapshot",
+    """
+    WITH flagged AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             (o_orderdate >= TIMESTAMP '1997-01-01') AS is_new
+      FROM orders
+    ), r AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY is_new DESC, o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM flagged)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM r WHERE rn = 1
+    """,
+)
+def upsert_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot refresh (operators/merge.py::upsert_snapshot):
+    a per-customer latest-order snapshot built before 1997 is upserted
+    with the post-1997 change feed — update rows replace same-key rows,
+    new customers insert, untouched customers keep their base row. The
+    oracle states the end-to-end semantics (prefer-new argmax) rather
+    than mirroring the union+window mechanics."""
+    from etl_tools_rs_spark.operators.merge import upsert_snapshot
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            df.select(*cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base = latest(t["orders"].filter(F.col("o_orderdate") < cut))
+    updates = latest(t["orders"].filter(F.col("o_orderdate") >= cut))
+    return upsert_snapshot(base, updates, keys=["o_custkey"])
+
+
 _IDF_SQL = (
     "FLOOR(1000000.0 * (LN((1.0 + n.n) / (1.0 + dft.dft)) + 1.0)) / 1000000.0"
 )
