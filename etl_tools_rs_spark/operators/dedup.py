@@ -467,6 +467,78 @@ def decontaminate_ngram(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def remove_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Boilerplate-line removal (the C4-style line-level dedup every web
+    corpus runs): drop every line whose trimmed form appears in at least
+    ``min_docs`` DISTINCT documents (nav bars, cookie banners, footers),
+    keep the rest in original order.
+
+    Returns ``(id_col, text_clean, n_kept, n_removed)``, one row per
+    document with at least one non-blank line — documents whose lines are
+    ALL boilerplate survive with an empty ``text_clean``. Blank lines are
+    always dropped (they count in neither n_kept nor n_removed).
+
+    Plan shape — two shuffles total, both small:
+    1. line frequencies: explode → groupBy(trimmed line) countDistinct(id)
+       (map-side combined; only lines crossing ``min_docs`` survive into
+       the boilerplate set, which is broadcast — boilerplate vocabularies
+       are small even at corpus scale);
+    2. texts repartition(id) BEFORE the explode; the broadcast anti-join
+       preserves that clustering, so the reassembly groupBy(id) is
+       partition-local — the per-line rows never shuffle.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    lines = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_ln"),
+        )
+        .select(id_col, "_pos", F.trim(F.col("_ln")).alias("_ln"))
+        .filter(F.col("_ln") != "")
+    )
+    common = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), delim)).alias("_ln")
+        )
+        .select(id_col, F.trim(F.col("_ln")).alias("_ln"))
+        .filter(F.col("_ln") != "")
+        .groupBy("_ln")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_ln")
+    )
+    kept = lines.join(F.broadcast(common), "_ln", "left_anti")
+    stats = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                lambda s: s["_ln"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return (
+        stats.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",

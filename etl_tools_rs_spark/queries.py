@@ -2225,6 +2225,55 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@qdef(
+    "remove_boilerplate_lines",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             regexp_replace(trim(text), '(\S+\s+\S+)\s+', '\1' || chr(10), 'g')
+               AS text
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lns FROM d2
+    ), l0 AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, trim(lns[CAST(i + 1 AS INT)]) AS ln
+      FROM ls, LATERAL unnest(range(len(lns))) AS u(i)
+      WHERE trim(lns[CAST(i + 1 AS INT)]) <> ''
+    ), cm AS (
+      SELECT ln FROM l0 GROUP BY ln HAVING COUNT(DISTINCT doc_id) >= 20
+    ), kept AS (
+      SELECT * FROM l0 WHERE ln NOT IN (SELECT ln FROM cm)
+    ), stats AS (
+      SELECT doc_id, COUNT(*) AS n_total FROM l0 GROUP BY doc_id
+    ), re AS (
+      SELECT doc_id, array_to_string(list(ln ORDER BY pos), chr(10)) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, COALESCE(re.text_clean, '') AS text_clean,
+           CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(s.n_total - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed
+    FROM stats s LEFT JOIN re USING (doc_id)
+    """,
+)
+def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (operators/dedup.py::remove_common_lines):
+    drop lines shared by >= 20 distinct docs, keep the rest in order. The
+    synthetic docs have no newlines, so the query first reshapes each doc
+    into deterministic 2-token lines (same expression on both engines) —
+    the operator itself is delimiter-generic."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    # pair-wise newline insertion via ONE codegen regex — an interpreted
+    # transform/slice HOF here costs seconds of cold plan compile alone
+    docs2 = t["documents"].select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.col("text")), r"(\S+\s+\S+)\s+", "$1\n"
+        ).alias("text"),
+    )
+    return dedup_ops.remove_common_lines(docs2, min_docs=20)
+
+
 @qdef("dedup_minhash_lsh", None)  # approximate op — rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))

@@ -27,12 +27,13 @@ from etl_tools_rs_spark.sources.files import CsvOptions
 @dataclass
 class FileSink:
     path: str
-    format: str = "parquet"  # text | csv | json | parquet | orc
+    format: str = "parquet"  # text | csv | json | parquet | orc | xml
     mode: str = "overwrite"  # reference LocalFs truncates → overwrite default
     csv_options: CsvOptions = field(default_factory=CsvOptions)
     single_file: bool = False
     partition_by: list[str] = field(default_factory=list)
     compression: str | None = None
+    xml_row_tag: str = "row"  # xml only
 
     def write(self, df: DataFrame) -> None:
         if self.single_file:
@@ -49,6 +50,8 @@ class FileSink:
             opts.pop("mode", None)
             opts.pop("columnNameOfCorruptRecord", None)
             w = w.options(**opts)
+        elif self.format == "xml":
+            w = w.option("rowTag", self.xml_row_tag)
         w.format(self.format).save(self.path)
 
 

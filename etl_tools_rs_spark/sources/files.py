@@ -78,10 +78,11 @@ class FileSource:
 
     paths: list[str]
     home: str = ""
-    format: str = "text"  # text | csv | json | parquet | orc
+    format: str = "text"  # text | csv | json | parquet | orc | xml
     csv_options: CsvOptions = field(default_factory=CsvOptions)
-    schema: str | None = None  # DDL string; None → infer (csv/json) or native
+    schema: str | None = None  # DDL string; None → infer (csv/json/xml) or native
     with_source: bool = True
+    xml_row_tag: str = "row"  # xml only: element treated as one record
 
     def _resolved(self) -> list[str]:
         return [os.path.join(self.home, p) if self.home else p for p in self.paths]
@@ -115,6 +116,22 @@ class FileSource:
             df = reader.parquet(*paths)
         elif self.format == "orc":
             df = reader.orc(*paths)
+        elif self.format == "xml":
+            # Spark 4 native XML (spark-xml integrated): one record per
+            # rowTag element; malformed elements follow the same
+            # PERMISSIVE corrupt-record contract as csv/json
+            opts = {
+                "rowTag": self.xml_row_tag,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+            }
+            r = reader.options(**opts).format("xml")
+            if self.schema:
+                schema = self.schema
+                if CORRUPT_COL not in schema:
+                    schema = f"{schema}, {CORRUPT_COL} string"
+                r = r.schema(schema)
+            df = r.load(paths)
         else:
             raise ValueError(f"unknown format: {self.format}")
         if self.with_source:

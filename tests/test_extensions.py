@@ -324,3 +324,23 @@ def test_decontaminate_ngram(spark):
     # min_shared=1 also drops doc 3
     out1 = dedup.decontaminate_ngram(corpus, blocklist, n=3, min_shared=1)
     assert sorted(r.doc_id for r in out1.collect()) == [2]
+
+
+def test_remove_common_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "COOKIE BANNER\nreal content one\nFOOTER"),
+            ("d2", "COOKIE BANNER\nreal content two\nFOOTER"),
+            ("d3", "COOKIE BANNER\nunique stuff\n\n  \nmore unique"),
+            ("d4", "COOKIE BANNER\nFOOTER"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_common_lines(docs, min_docs=2).collect()}
+    assert out["d1"].text_clean == "real content one"
+    assert out["d2"].text_clean == "real content two"
+    # blanks dropped silently; order of survivors preserved
+    assert out["d3"].text_clean == "unique stuff\nmore unique"
+    assert (out["d3"].n_kept, out["d3"].n_removed) == (2, 1)
+    # all-boilerplate doc survives as a row with empty text
+    assert out["d4"].text_clean == "" and out["d4"].n_kept == 0

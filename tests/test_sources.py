@@ -124,3 +124,19 @@ def test_list_files_regex(tmp_path):
     assert len(list_files(str(tmp_path))) == 3
     assert len(list_files(str(tmp_path), regex=r"a_\d+\.csv$")) == 2
     assert len(list_files(str(tmp_path), glob="*.json")) == 1
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from etl_tools_rs_spark.sinks.files import FileSink
+    from etl_tools_rs_spark.sources.files import FileSource
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta <&> gamma")], "id int, name string"
+    )
+    out = str(tmp_path / "xml_out")
+    FileSink(path=out, format="xml", xml_row_tag="rec").write(df)
+    back = FileSource(paths=[out], format="xml", xml_row_tag="rec").to_df(spark)
+    got = sorted((r.id, r.name) for r in back.select("id", "name").collect())
+    # special chars survive the XML escape round-trip
+    assert got == [(1, "alpha"), (2, "beta <&> gamma")]
+    assert "_source" in back.columns
