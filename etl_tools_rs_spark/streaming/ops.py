@@ -101,6 +101,37 @@ def stateful_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    horizon: str,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream inner join: pair each left row with right rows of the
+    same key whose event time falls in ``[left_time, left_time +
+    horizon]`` — the impression→click / order→event attribution join.
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match window, which is exactly what lets Structured Streaming EVICT
+    buffered state: each side holds at most watermark + horizon of data
+    per key. Without the time bound a stream-stream join buffers forever.
+    One shuffle per side on the key (standard streaming symmetric hash
+    join).
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[on] == rw[right_on])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

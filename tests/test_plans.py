@@ -195,3 +195,36 @@ def test_winnow_single_data_shuffle(spark):
     import re
 
     assert len(re.findall(r"\bExchange\b", plan)) <= 2
+
+
+def test_count_min_single_shuffle_jvm_only(spark):
+    df = REGISTRY["count_min_user_events"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # probe joins the broadcast sketch — never a shuffled join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_idf(spark):
+    df = REGISTRY["tfidf_documents"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # term->idf and 1-row N both broadcast
+
+
+def test_boilerplate_lines_broadcast_anti_join(spark):
+    df = REGISTRY["remove_boilerplate_lines"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the common-line set joins back as a broadcast anti join, preserving
+    # the repartition(id) clustering for the partition-local reassembly
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_upsert_single_window_shuffle(spark):
+    import re
+
+    df = REGISTRY["upsert_order_snapshot"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # base/update pre-windows + merge window all hash-partition on
+    # o_custkey: one exchange per scan branch, reused through the union
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2

@@ -125,3 +125,44 @@ def test_hash_split_partition_properties(spark, ids, frac):
     train = {r.id for r in out if r.split == "train"}
     sampled = {r.id for r in hash_sample(df, "id", frac).collect()}
     assert train == sampled
+
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 5), st.text("xy", min_size=1, max_size=3)),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _dedup_kv(rows):
+    """One row per (k, ver): keep the last listed (mimics update order)."""
+    out = {}
+    for k, ver, v in rows:
+        out[(k, ver)] = (k, ver, v)
+    return list(out.values())
+
+
+@given(_kv_rows, _kv_rows)
+@settings(**SETTINGS)
+def test_upsert_laws(spark, base_rows, upd_rows):
+    from etl_tools_rs_spark.operators.merge import upsert_snapshot
+
+    base_rows, upd_rows = _dedup_kv(base_rows), _dedup_kv(upd_rows)
+    schema = "k int, ver int, v string"
+    base = spark.createDataFrame(base_rows, schema) if base_rows else spark.createDataFrame([], schema)
+    upd = spark.createDataFrame(upd_rows, schema) if upd_rows else spark.createDataFrame([], schema)
+    merged = upsert_snapshot(base, upd, ["k"], version_col="ver")
+    got = {(r.k, r.ver, r.v) for r in merged.collect()}
+    # brute force: per key, max version wins; update side wins version ties
+    expect = {}
+    for src, rows in ((0, base_rows), (1, upd_rows)):
+        for k, ver, v in rows:
+            cur = expect.get(k)
+            if cur is None or (ver, src) > (cur[0], cur[1]):
+                expect[k] = (ver, src, v)
+    assert got == {(k, ver, v) for k, (ver, _, v) in expect.items()}
+    # one row per key, always
+    assert len(got) == len({k for k, *_ in got})
+    # idempotence: re-applying the same updates changes nothing
+    again = upsert_snapshot(merged, upd, ["k"], version_col="ver")
+    assert {(r.k, r.ver, r.v) for r in again.collect()} == got

@@ -136,3 +136,38 @@ def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
     got = sorted((r.k, r.v) for r in spark.sql("SELECT k, v FROM dedup_out").collect())
     # first arrival per key survives; within-watermark repeats dropped
     assert got == [("a", 1), ("b", 3), ("c", 5)]
+
+
+def test_interval_join_streams_attribution(spark, tmp_path):
+    imps = [
+        {"ad": "a1", "its": "2024-01-01 10:00:00"},
+        {"ad": "a2", "its": "2024-01-01 10:05:00"},
+    ]
+    clicks = [
+        {"cad": "a1", "cts": "2024-01-01 10:03:00"},   # within 5 min of a1
+        {"cad": "a1", "cts": "2024-01-01 10:30:00"},   # beyond horizon
+        {"cad": "a2", "cts": "2024-01-01 10:04:00"},   # BEFORE the impression
+        {"cad": "a2", "cts": "2024-01-01 10:06:00"},   # within
+        {"cad": "a2", "cts": "2024-01-01 11:30:00"},   # advances watermark
+    ]
+    di, dc = tmp_path / "imps", tmp_path / "clicks"
+    di.mkdir(), dc.mkdir()
+    (di / "i.ndjson").write_text("\n".join(json.dumps(r) for r in imps) + "\n")
+    (dc / "c.ndjson").write_text("\n".join(json.dumps(r) for r in clicks) + "\n")
+    left = sources.file_stream(
+        spark, str(di), format="json", schema="ad string, its string"
+    ).withColumn("its", F.col("its").cast("timestamp"))
+    right = sources.file_stream(
+        spark, str(dc), format="json", schema="cad string, cts string"
+    ).withColumn("cts", F.col("cts").cast("timestamp"))
+    joined = ops.interval_join_streams(
+        left, right, on="ad", right_on="cad",
+        left_time="its", right_time="cts",
+        horizon="5 minutes", watermark="10 minutes",
+    )
+    ops.run_append_available_now(joined, str(tmp_path / "ck_ij"), "attributed")
+    got = sorted(
+        (r.ad, r.cts.strftime("%H:%M"))
+        for r in spark.sql("SELECT ad, cts FROM attributed").collect()
+    )
+    assert got == [("a1", "10:03"), ("a2", "10:06")]
