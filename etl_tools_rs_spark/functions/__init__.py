@@ -130,3 +130,46 @@ def minhash(col: str | Column, num_hashes: int, shingle_n: int = 3) -> Column:
     fixed-width hex).
     """
     return minhash_over(ngrams(col, shingle_n), num_hashes)
+
+
+# ---------------------------------------------------------------------------
+# URL helpers (for web-corpus dedup / grouping by host)
+# ---------------------------------------------------------------------------
+
+# scheme://authority path — RE2-safe so a DuckDB oracle can evaluate the
+# identical pattern (no parse_url dependency, which DuckDB lacks)
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+
+
+def url_scheme(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, URL_RE, 1))
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased host with any ``:port`` suffix removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.regexp_extract(c, URL_RE, 2)), r":\d+$", "")
+
+
+def url_path(col: str | Column) -> Column:
+    """Path component; empty path normalizes to ``/``."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.regexp_extract(c, URL_RE, 3)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_normalize(col: str | Column) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme and host, default
+    ports (http:80 / https:443) stripped, non-default ports kept, query
+    string and fragment dropped, empty path → ``/``. Pure regexp
+    expressions — narrow, codegen, shuffle-free."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = url_scheme(c)
+    hostport = F.lower(F.regexp_extract(c, URL_RE, 2))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    return F.concat(scheme, F.lit("://"), host, url_path(c))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_tools_rs_spark.functions import fingerprint, token_count, tokens
+from etl_tools_rs_spark.functions import fingerprint, ngrams, token_count, tokens
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
 # heuristic. Deliberately minimal + deterministic (and mirrored in the
@@ -244,3 +244,138 @@ def winnow_fingerprints(
             "fp_digest"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing pass every web-scale training corpus runs
+# ---------------------------------------------------------------------------
+
+# Order matters and is part of the contract: SSN before phone (3-2-4 vs
+# 3-3-4 digit groups), phone before IPv4 (a dotted 3-3-4 number reads as a
+# phone). All patterns are RE2-safe (no lookarounds/backrefs) so a DuckDB
+# oracle evaluates them identically to Java regex; \b and \d agree between
+# the engines on ASCII text.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+]
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-pattern match counts on the RAW text (before redaction), as
+    ``n_email`` / ``n_ssn`` / ``n_phone`` / ``n_ipv4`` long columns.
+    Counts are independent per pattern — a dotted 3-3-4 number counts as
+    both phone and ipv4-shaped; redaction order (not the counts)
+    disambiguates what the output text shows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(col: str | Column) -> Column:
+    """Redact emails, SSNs, phone numbers and IPv4 addresses with typed
+    placeholder tokens. Pure chained ``regexp_replace`` — JVM-side,
+    codegen, no shuffle; scales as a narrow map over 100 TB of text."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style) — narrow, shuffle-free per-document
+# ---------------------------------------------------------------------------
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements; on a SORTED array this is
+    the max multiplicity (mode count). Computed with F.aggregate so the
+    whole thing is one JVM-side expression — per-row O(n log n) for the
+    sort, no explode, no shuffle. (Higher-order functions run interpreted
+    rather than in codegen, but they stay on the JVM and the operator
+    remains a narrow map — the property that matters at corpus scale.)"""
+    stepped = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return stepped["best"]
+
+
+def repetition_stats(col: str | Column) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher repetition filters):
+
+    - ``n_tokens``: whitespace token count
+    - ``dup_word_frac``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total)
+    - ``top_word_frac``: share of the single most frequent token
+    - ``top_bigram_frac``: share of the most frequent token bigram
+
+    All fractions floor-scaled to 4 dp (cross-engine bit-stable). Every
+    stat is a per-row expression over the token array — the whole operator
+    is a narrow projection, nothing shuffles."""
+    toks = tokens(col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    bi = ngrams(col, 2)
+    nb = F.size(bi)
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_word_frac": _ratio4(n - nd, n),
+        "top_word_frac": _ratio4(_max_run(F.sort_array(toks)), n),
+        "top_bigram_frac": _ratio4(_max_run(F.sort_array(bi)), nb),
+    }
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 10.0,
+    max_dup_word_frac: float = 0.75,
+    max_top_word_frac: float = 0.30,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Gopher-style document quality filter: keep documents whose token
+    count, mean token length, duplicate-word fraction, top-word share and
+    stopword ratio all fall inside the configured band. Adds the signal
+    columns plus a boolean ``keep`` — callers ``.filter('keep')`` to
+    drop, or inspect the signals for threshold tuning. One narrow
+    projection; composes with ``analyze`` in the same codegen stage."""
+    q = quality_score(text_col)
+    r = repetition_stats(text_col)
+    out = df.select(
+        "*",
+        r["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        r["dup_word_frac"].alias("dup_word_frac"),
+        r["top_word_frac"].alias("top_word_frac"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_token_len") >= min_mean_token_len)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    return out.withColumn("keep", keep)

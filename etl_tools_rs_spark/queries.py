@@ -2580,6 +2580,246 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII redaction / repetition & quality filtering / URL normalization —
+# the remaining first-class training-pipeline text ops (operators/text.py,
+# functions/__init__.py). All narrow, shuffle-free projections.
+# --------------------------------------------------------------------------
+
+# deterministic PII-bearing text built identically on both engines (the
+# synthetic corpus contains no real PII to exercise the patterns on).
+# Functions, not module constants: Column construction needs a live session.
+def _pii_text_spark() -> F.Column:
+    return F.concat(
+    F.substring("text", 1, 40),
+    F.lit(" contact user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@mail"),
+    (F.col("doc_id") % 7).cast("string"),
+    F.lit(".example.com or 415-555-"),
+    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    F.lit(" ip 10.1."),
+    (F.col("doc_id") % 256).cast("string"),
+    F.lit("."),
+    (F.col("doc_id") % 100).cast("string"),
+    )
+
+_PII_TEXT_SQL = (
+    "substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com or 415-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    " || ' ip 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+@qdef(
+    "pii_redact_documents",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\(?\\b\\d{{3}}\\)?[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g')
+             AS text_redacted,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t,
+             '\\(?\\b\\d{{3}}\\)?[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4
+    FROM p
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::pii_redact / pii_counts): typed
+    placeholder redaction of emails, SSNs, phones and IPv4s, plus
+    per-pattern match counts. The input is deterministic PII-bearing text
+    synthesized from doc_id on both engines (the corpus itself has none).
+    Chained regexp_replace — one narrow codegen projection."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = text_ops.pii_counts(_pii_text_spark())
+    return t["documents"].select(
+        "doc_id",
+        text_ops.pii_redact(_pii_text_spark()).alias("text_redacted"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    )
+
+
+_REPETITION_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(toks) AS w FROM tk
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w
+    ), ws AS (
+      SELECT doc_id, MAX(c) AS topw, SUM(c) AS n, COUNT(*) AS nd
+      FROM wc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS g
+      FROM tk, LATERAL unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    ), bs AS (
+      SELECT doc_id, MAX(c) AS topb, SUM(c) AS nb FROM bc GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(ws.n, 0) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(10000.0 * (COALESCE(ws.n, 0) - COALESCE(ws.nd, 0))
+                / GREATEST(COALESCE(ws.n, 0), 1)) / 10000.0 AS DOUBLE)
+             AS dup_word_frac,
+           CAST(FLOOR(10000.0 * COALESCE(ws.topw, 0)
+                / GREATEST(COALESCE(ws.n, 0), 1)) / 10000.0 AS DOUBLE)
+             AS top_word_frac,
+           CAST(FLOOR(10000.0 * COALESCE(bs.topb, 0)
+                / GREATEST(COALESCE(bs.nb, 0), 1)) / 10000.0 AS DOUBLE)
+             AS top_bigram_frac
+    FROM tk
+    LEFT JOIN ws ON tk.doc_id = ws.doc_id
+    LEFT JOIN bs ON tk.doc_id = bs.doc_id
+"""
+
+
+@qdef("repetition_stats_documents", _REPETITION_SQL)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py::
+    repetition_stats): duplicate-word fraction, top-word share, top-bigram
+    share — computed as per-row array expressions (sort + max-run ==
+    mode count), so the whole operator is one narrow projection with no
+    explode and no shuffle. The oracle states the same stats relationally
+    (unnest → GROUP BY → MAX(count))."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    r = text_ops.repetition_stats("text")
+    return t["documents"].select(
+        "doc_id",
+        r["n_tokens"].alias("n_tokens"),
+        r["dup_word_frac"].alias("dup_word_frac"),
+        r["top_word_frac"].alias("top_word_frac"),
+        r["top_bigram_frac"].alias("top_bigram_frac"),
+    )
+
+
+@qdef(
+    "gopher_quality_filter",
+    f"""
+    WITH r AS ({_REPETITION_SQL}),
+    q AS (
+      SELECT doc_id,
+             CAST(FLOOR(10000.0 * LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                  / GREATEST(len({TOKS_SQL}), 1)) / 10000.0 AS DOUBLE)
+               AS mean_token_len
+      FROM documents
+    )
+    SELECT r.doc_id, r.n_tokens, q.mean_token_len, r.dup_word_frac,
+           r.top_word_frac,
+           (r.n_tokens >= 30 AND r.n_tokens <= 100000
+            AND q.mean_token_len >= 2.0 AND q.mean_token_len <= 10.0
+            AND r.dup_word_frac <= 0.6 AND r.top_word_frac <= 0.12) AS keep
+    FROM r JOIN q ON r.doc_id = q.doc_id
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality filter (operators/text.py::gopher_filter): keep
+    flag from token count, mean token length, duplicate-word fraction and
+    top-word share bands (thresholds chosen to split this corpus
+    non-trivially). One narrow projection — quality + repetition signals
+    fuse into the same stage."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = text_ops.gopher_filter(
+        t["documents"],
+        min_tokens=30,
+        max_dup_word_frac=0.6,
+        max_top_word_frac=0.12,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "dup_word_frac",
+        "top_word_frac", "keep",
+    )
+
+
+def _url_spark() -> F.Column:
+    return F.concat(
+    F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.Example"))
+    .when(F.col("doc_id") % 3 == 1, F.lit("http://Site"))
+    .otherwise(F.lit("https://cdn")),
+    (F.col("doc_id") % 5).cast("string"),
+    F.when(F.col("doc_id") % 3 == 0, F.lit(".COM:443"))
+    .when(F.col("doc_id") % 3 == 1, F.lit(".org:8080"))
+    .otherwise(F.lit(".net")),
+    F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("/Page/"), F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+    F.lit("?utm_source=feed&id="),
+    F.col("doc_id").cast("string"),
+    F.lit("#section"),
+    )
+
+_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Example'"
+    " WHEN doc_id % 3 = 1 THEN 'http://Site' ELSE 'https://cdn' END"
+    " || CAST(doc_id % 5 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '.COM:443'"
+    " WHEN doc_id % 3 = 1 THEN '.org:8080' ELSE '.net' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/Page/' || CAST(doc_id AS VARCHAR) ELSE '' END"
+    " || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#section'"
+)
+
+_URL_RE_SQL = "'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)'"
+
+
+@qdef(
+    "url_normalize_documents",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, {_URL_RE_SQL}, 1)) AS scheme,
+             lower(regexp_extract(url, {_URL_RE_SQL}, 2)) AS hostport,
+             regexp_extract(url, {_URL_RE_SQL}, 3) AS rawpath
+      FROM u
+    ), np AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host_kept,
+             regexp_replace(hostport, ':[0-9]+$', '') AS host,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+      FROM parts
+    )
+    SELECT doc_id, scheme || '://' || host_kept || path AS url_norm,
+           host, path
+    FROM np
+    """,
+)
+def url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/__init__.py::url_normalize /
+    url_host / url_path): lowercase scheme+host, default ports stripped
+    (non-default kept), query+fragment dropped, empty path → '/'. Input
+    URLs synthesized deterministically from doc_id on both engines (the
+    corpus has no URL column). Pure regexp projection — narrow, codegen."""
+    from etl_tools_rs_spark.functions import url_host, url_normalize, url_path
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        url_normalize(_url_spark()).alias("url_norm"),
+        url_host(_url_spark()).alias("host"),
+        url_path(_url_spark()).alias("path"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,129 @@
+"""PII redaction, repetition stats, quality filter, URL normalization —
+hand-computed expectations on crafted strings (the oracle gate covers the
+corpus-scale behavior; these pin the edge cases)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.functions import url_host, url_normalize, url_path
+from etl_tools_rs_spark.operators import text as text_ops
+
+
+def _one(spark, text, expr_fn):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(expr_fn("text").alias("v")).first()["v"]
+
+
+class TestPiiRedact:
+    def test_all_four_types(self, spark):
+        red = _one(
+            spark,
+            "mail a.b+c@x.co, ssn 123-45-6789, tel (415) 555-0142, ip 8.8.8.8.",
+            text_ops.pii_redact,
+        )
+        assert red == "mail <EMAIL>, ssn <SSN>, tel <PHONE>, ip <IPV4>."
+
+    def test_ssn_wins_over_phone_and_dotted_phone_over_ip(self, spark):
+        # 3-2-4 digits → SSN (applied first); dotted 3-3-4 → phone, not IP
+        red = _one(spark, "123-45-6789 and 415.555.0142", text_ops.pii_redact)
+        assert red == "<SSN> and <PHONE>"
+
+    def test_clean_text_unchanged(self, spark):
+        s = "no pii here, just words and numbers like 42 or 3.14"
+        assert _one(spark, s, text_ops.pii_redact) == s
+
+    def test_counts(self, spark):
+        df = spark.createDataFrame(
+            [("a@b.io c@d.io 10.0.0.1",)], ["text"]
+        )
+        row = df.select(
+            *[v.alias(k) for k, v in text_ops.pii_counts("text").items()]
+        ).first()
+        assert row["n_email"] == 2
+        assert row["n_ipv4"] == 1
+        assert row["n_ssn"] == 0
+        assert row["n_phone"] == 0
+
+
+class TestRepetitionStats:
+    def _stats(self, spark, text):
+        df = spark.createDataFrame([(text,)], ["text"])
+        r = text_ops.repetition_stats("text")
+        return df.select(*[v.alias(k) for k, v in r.items()]).first().asDict()
+
+    def test_hand_computed(self, spark):
+        s = self._stats(spark, "a a a a b b c")
+        assert s["n_tokens"] == 7
+        # 3 distinct of 7 → dup = floor(1e4*4/7)/1e4
+        assert s["dup_word_frac"] == 0.5714
+        assert s["top_word_frac"] == 0.5714  # 'a' 4/7
+        assert s["top_bigram_frac"] == 0.5  # 'a a' 3 of 6
+
+    def test_matches_python_counter(self, spark):
+        text = "x y z x y z x q r x"
+        toks = text.split()
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = self._stats(spark, text)
+        n = len(toks)
+        assert s["n_tokens"] == n
+        assert s["top_word_frac"] == int(1e4 * Counter(toks).most_common(1)[0][1] / n) / 1e4
+        assert (
+            s["top_bigram_frac"]
+            == int(1e4 * Counter(bigrams).most_common(1)[0][1] / len(bigrams)) / 1e4
+        )
+
+    def test_single_token_doc(self, spark):
+        s = self._stats(spark, "solo")
+        assert s["n_tokens"] == 1
+        assert s["dup_word_frac"] == 0.0
+        assert s["top_word_frac"] == 1.0
+        assert s["top_bigram_frac"] == 0.0  # no bigrams; guarded denominator
+
+
+class TestGopherFilter:
+    def test_keep_and_drop(self, spark):
+        good = "the quick brown fox jumps over the lazy dog " * 5  # 45 tokens
+        repetitive = "spam " * 60  # top_word_frac = 1
+        short = "too short"
+        df = spark.createDataFrame(
+            [(1, good), (2, repetitive), (3, short)], ["doc_id", "text"]
+        )
+        out = text_ops.gopher_filter(
+            df, min_tokens=20, max_top_word_frac=0.3, max_dup_word_frac=0.95
+        )
+        keep = {r["doc_id"]: r["keep"] for r in out.collect()}
+        assert keep == {1: True, 2: False, 3: False}
+
+
+class TestUrlNormalize:
+    def test_default_port_stripped_query_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("HTTPS://WWW.Ex.COM:443/P/x?q=1#f",)], ["url"]
+        )
+        row = df.select(
+            url_normalize("url").alias("n"),
+            url_host("url").alias("h"),
+            url_path("url").alias("p"),
+        ).first()
+        assert row["n"] == "https://www.ex.com/P/x"  # path case preserved
+        assert row["h"] == "www.ex.com"
+        assert row["p"] == "/P/x"
+
+    def test_non_default_port_kept_empty_path(self, spark):
+        df = spark.createDataFrame([("http://h.org:8080?x=1",)], ["url"])
+        assert df.select(url_normalize("url").alias("n")).first()["n"] == (
+            "http://h.org:8080/"
+        )
+
+    def test_plan_is_narrow(self, spark):
+        # whole pipeline must be a single projection — no exchange
+        df = spark.range(10).select(
+            F.concat(F.lit("https://h"), F.col("id").cast("string"), F.lit(".com/p")).alias("url")
+        )
+        from etl_tools_rs_spark.plans.inspect import plan_report
+
+        rep = plan_report(df.select(url_normalize("url")))
+        assert rep.num_exchanges == 0
