@@ -167,3 +167,49 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Apache DataSketches) — the native mergeable-sketch surface
+# ---------------------------------------------------------------------------
+#
+# Complements KMV: HLL sketches are NOT oracle-checkable (the binary is
+# engine-specific), but they are the production path for distinct counts
+# at 100 TB — fixed 2^lg_k bytes per group regardless of cardinality, and
+# the sketch column itself persists/merges across days and shards via
+# hll_union_agg without rescanning history. Use KMV when cross-engine
+# verifiability matters, HLL when state size and re-aggregation matter.
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch (binary column ``hll``) of distinct
+    ``value_col`` values. One shuffle with map-side partial aggregation —
+    each map task emits one lg_k-sized sketch per group, not its rows."""
+    by = by or []
+    return df.groupBy(*by).agg(
+        F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias("hll")
+    )
+
+
+def merge_hll(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Union per-group sketches from multiple shards/days: the shuffle
+    moves only sketch bytes. Output schema matches ``hll_sketch``."""
+    by = by or []
+    union = sketches[0]
+    for s in sketches[1:]:
+        union = union.unionByName(s)
+    return union.groupBy(*by).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def hll_estimate(sketch_df: DataFrame) -> DataFrame:
+    """Distinct-count estimates from a sketch frame: replaces the binary
+    ``hll`` column with ``est_distinct`` (bigint)."""
+    others = [c for c in sketch_df.columns if c != "hll"]
+    return sketch_df.select(
+        *others, F.hll_sketch_estimate("hll").cast("bigint").alias("est_distinct")
+    )

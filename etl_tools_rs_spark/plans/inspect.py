@@ -56,6 +56,8 @@ def plan_report(df: DataFrame, execute: bool = False) -> PlanReport:
     rep.has_broadcast_join = "BroadcastHashJoin" in text
     rep.has_sortmerge_join = "SortMergeJoin" in text
     rep.has_bnl_join = "BroadcastNestedLoopJoin" in text
-    rep.num_exchanges = len(re.findall(r"\bExchange\b", text))
+    # formatted mode prints each node twice (tree line + numbered detail);
+    # count the numbered detail entries so each shuffle counts once
+    rep.num_exchanges = len(re.findall(r"\(\d+\) Exchange\b", text))
     rep.has_python_udf = "BatchEvalPython" in text or "ArrowEvalPython" in text
     return rep

@@ -1,0 +1,115 @@
+"""Small-file compaction, sort-clustering, and the HLL sketch surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators.maintenance import cluster_by, compact_files
+from etl_tools_rs_spark.operators.sketch import hll_estimate, hll_sketch, merge_hll
+
+
+class TestCompaction:
+    def test_compacts_many_small_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+            40
+        ).write.parquet(path)
+
+        stats = compact_files(spark, path, target_file_bytes=1 << 30)
+        assert stats.files_before == 40
+        assert stats.files_after == 1
+
+        out = spark.read.parquet(path)
+        assert out.count() == 10_000
+        assert out.agg(F.sum("v")).first()[0] == 10_000 * 9_999  # 2*sum(id)
+
+    def test_respects_target_size(self, spark, tmp_path):
+        path = str(tmp_path / "t2")
+        spark.range(20_000).withColumn(
+            "pad", F.sha2(F.col("id").cast("string"), 256)
+        ).repartition(30).write.parquet(path)
+        before = compact_files(spark, path, target_file_bytes=1 << 40)
+        # re-split the single file by a small target: ceil(total/target) files
+        small_target = max(1, before.bytes_total // 3)
+        stats = compact_files(spark, path, target_file_bytes=small_target)
+        assert stats.files_before == 1
+        assert 2 <= stats.files_after <= 5
+        assert spark.read.parquet(path).count() == 20_000
+
+    def test_failed_write_leaves_original_readable(self, spark, tmp_path):
+        path = str(tmp_path / "t3")
+        spark.range(100).write.parquet(path)
+        with pytest.raises(Exception):
+            compact_files(spark, path, target_file_bytes=0)  # ceil div by 0
+        assert spark.read.parquet(path).count() == 100
+
+
+class TestClusterBy:
+    def test_files_are_range_disjoint(self, spark, tmp_path):
+        path = str(tmp_path / "c")
+        df = spark.range(10_000).select(
+            (F.col("id") * 7919 % 1000).alias("k"), F.col("id").alias("v")
+        )
+        cluster_by(df, ["k"], num_partitions=4).write.parquet(path)
+        # per-file min/max of k must not overlap → a filter on k prunes files
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+            .collect()
+        )
+        assert len(per_file) == 4
+        ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next
+
+    def test_row_preservation(self, spark):
+        df = spark.range(1000).select((F.col("id") % 13).alias("k"), "id")
+        out = cluster_by(df, ["k"], num_partitions=3)
+        assert out.count() == 1000
+        assert out.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+class TestHll:
+    def test_estimate_close_to_exact(self, spark):
+        df = spark.range(50_000).select(
+            (F.col("id") % 5).alias("g"), (F.col("id") % 7000).alias("u")
+        )
+        est = {
+            r["g"]: r["est_distinct"]
+            for r in hll_estimate(hll_sketch(df, "u", by=["g"])).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g").agg(F.countDistinct("u").alias("n")).collect()
+        }
+        for g, n in exact.items():
+            assert abs(est[g] - n) / n < 0.05  # lg_k=12 → ~1.6% rse
+
+    def test_shard_merge_matches_whole(self, spark):
+        df = spark.range(30_000).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 4000).alias("u")
+        )
+        a = hll_sketch(df.filter(F.col("id") < 15_000), "u", by=["g"])
+        b = hll_sketch(df.filter(F.col("id") >= 15_000), "u", by=["g"])
+        merged = {
+            r["g"]: r["est_distinct"]
+            for r in hll_estimate(merge_hll(a, b, by=["g"])).collect()
+        }
+        whole = {
+            r["g"]: r["est_distinct"]
+            for r in hll_estimate(hll_sketch(df, "u", by=["g"])).collect()
+        }
+        for g in whole:
+            # same sketch family and lg_k: union of shards ≈ whole-set sketch
+            assert abs(merged[g] - whole[g]) <= max(1, 0.02 * whole[g])
+
+    def test_map_side_partial_agg(self, spark):
+        from etl_tools_rs_spark.plans.inspect import plan_report
+
+        df = spark.range(10_000).select((F.col("id") % 10).alias("g"), "id")
+        rep = plan_report(hll_sketch(df, "id", by=["g"]))
+        # partial sketch agg below the exchange: only sketches shuffle
+        assert rep.num_exchanges == 1
+        assert rep.text.count("hll_sketch_agg") >= 2  # partial + final
