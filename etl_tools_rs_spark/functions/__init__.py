@@ -39,16 +39,24 @@ def dsum_expr(expr: Column, scale: int = 4) -> Column:
 
 
 def davg(col: str | Column, scale: int = 6) -> Column:
-    """Stable AVG: exact decimal sum divided by count, then FLOOR-scaled
-    (floor(10^s * sum/cnt)/10^s). floor has no half-way boundary, so both
-    engines agree bit-for-bit as long as the oracle uses the identical
-    expression shape (ROUND on a divided double does not guarantee that)."""
+    """Bit-stable cross-engine AVG at fixed ``scale``: floor(10^s*sum/cnt)/10^s
+    computed with NO double arithmetic before the final division. The input
+    is snapped to DECIMAL(18,2) (same half-up snap on both engines), scaled
+    to integer hundredths, and the floor-division is exact integer math
+    ((a - a%n)/n — the quotient is integral, so the decimal divide cannot
+    round). Only then does one double division by 10^s happen, which is
+    IEEE-deterministic given equal integer inputs — immune to engine/version
+    differences in decimal→double casts that a FLOOR-over-double is not.
+    Requires scale >= 2 and non-negative values (floor == integer div)."""
+    if scale < 2:
+        raise ValueError("davg requires scale >= 2")
     c = F.col(col) if isinstance(col, str) else col
     p = 10 ** scale
-    return (
-        F.floor(F.lit(float(p)) * F.sum(c.cast(DEC)).cast("double") / F.count(c))
-        / float(p)
-    ).cast("double")
+    cents = (c.cast(DEC) * F.lit(100)).cast("decimal(38,0)")
+    a = F.sum(cents) * F.lit(p // 100)  # integer-valued decimal(38,0)
+    n = F.count(c)
+    q = (a - a % n) / n  # exact: integral quotient, no decimal rounding
+    return (q.cast("decimal(38,0)").cast("double") / F.lit(float(p))).cast("double")
 
 
 def dec(col: str | Column) -> Column:

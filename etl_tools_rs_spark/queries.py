@@ -87,10 +87,12 @@ CHARGE_SQL = (
 
 
 def _davg_sql(col: str, cnt: str = "COUNT(*)", scale: int = 6) -> str:
+    """DuckDB twin of functions.davg: integer-exact floor-scaled AVG.
+    HUGEINT keeps the scaled sum exact at any data scale; `//` is integer
+    floor division; the only double op is the final division by 10^s."""
     p = 10**scale
-    return (
-        f"FLOOR({p}.0 * CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / {cnt}) / {p}.0"
-    )
+    cents = f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS HUGEINT)"
+    return f"CAST((SUM({cents}) * {p // 100}) // ({cnt}) AS DOUBLE) / {p}.0"
 
 
 TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
