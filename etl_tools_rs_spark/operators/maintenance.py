@@ -105,3 +105,99 @@ def cluster_by(
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     key_cols = [F.col(c) for c in cols]
     return df.repartitionByRange(parts, *key_cols).sortWithinPartitions(*key_cols)
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    num_partitions: int | None = None,
+    bits_per_col: int = 16,
+) -> DataFrame:
+    """Z-order (Morton-curve) clustering for MULTI-column scan pruning:
+    quantize each column to ``bits_per_col`` bits over its [min, max]
+    range, bit-interleave the quantized values into one z-value, then
+    range-partition + sort by it. Files end up covering small hyper-
+    rectangles of the key space, so parquet min/max stats prune scans for
+    a predicate on ANY of the clustered columns — where ``cluster_by``
+    (lexicographic) only prunes prefix predicates.
+
+    Two passes: a cheap global min/max agg per column (one scalar row to
+    the driver), then one range shuffle. Quantization is linear over the
+    value range — heavily skewed columns should be pre-transformed (log,
+    rank-bucket) before z-ordering, the same caveat Delta/Iceberg OPTIMIZE
+    ZORDER carries. Timestamp/date columns are quantized via their
+    microsecond epoch. All bit math is JVM expressions (no UDF).
+    """
+    if not (1 <= bits_per_col and bits_per_col * len(cols) <= 63):
+        raise ValueError("need 1 <= bits_per_col * len(cols) <= 63")
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    def numeric(c: str) -> F.Column:
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        if dt == "date":
+            return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("double")
+        return col.cast("double")
+
+    stats = df.agg(
+        *[F.min(numeric(c)).alias(f"_lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(numeric(c)).alias(f"_hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    qmax = (1 << bits_per_col) - 1
+
+    def quantized(c: str, i: int) -> F.Column:
+        lo, hi = stats[f"_lo_{i}"], stats[f"_hi_{i}"]
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("bigint")
+        scaled = (numeric(c) - F.lit(float(lo))) / F.lit(float(hi - lo))
+        q = F.floor(scaled * qmax).cast("bigint")
+        return F.greatest(F.lit(0), F.least(F.lit(qmax).cast("bigint"), q))
+
+    qs = [quantized(c, i) for i, c in enumerate(cols)]
+    # interleave: output bit (b*n_cols + j) = bit b of column j's quantum
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    for b in range(bits_per_col):
+        for j, q in enumerate(qs):
+            bit = F.call_function("shiftright", q, F.lit(b)).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.call_function("shiftleft", bit, F.lit(b * n + j))
+            )
+    zed = df.withColumn("__z", z)
+    return (
+        zed.repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed by ``keys`` so future joins and
+    aggregations on those keys run with NO shuffle: two tables bucketed
+    the same way join bucket-to-bucket (Catalyst drops both Exchanges),
+    and a groupBy on the bucket keys aggregates partition-locally. This
+    is THE pre-pay-the-shuffle-once move for a 100 TB fact table that is
+    joined on the same key every day.
+
+    ``sort_cols`` additionally sorts within buckets (saves the SMJ sort;
+    enables per-file min/max pruning on the sort key). Bucketing requires
+    ``saveAsTable`` (metastore tracks the layout); plain ``save(path)``
+    silently drops bucket metadata, so this always writes a managed table.
+    Keep ``spark.sql.sources.bucketing.enabled`` true (default) to read
+    the layout back.
+    """
+    w = df.write.format(format).mode(mode).bucketBy(num_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -113,3 +113,78 @@ class TestHll:
         # partial sketch agg below the exchange: only sketches shuffle
         assert rep.num_exchanges == 1
         assert rep.text.count("hll_sketch_agg") >= 2  # partial + final
+
+
+class TestZorder:
+    def test_both_dims_prune(self, spark, tmp_path):
+        from etl_tools_rs_spark.operators.maintenance import zorder_by
+
+        path = str(tmp_path / "z")
+        n = 40_000
+        df = spark.range(n).select(
+            (F.col("id") % 200).alias("x"),
+            ((F.col("id") * 7919) % 200).alias("y"),
+        )
+        zorder_by(df, ["x", "y"], num_partitions=16, bits_per_col=8).write.parquet(
+            path
+        )
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+                F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+            )
+            .collect()
+        )
+        assert len(per_file) == 16
+        # a point filter on EITHER column must prune most files: count files
+        # whose [min,max] straddles the midpoint of each dimension
+        x_hit = sum(1 for r in per_file if r["xlo"] <= 100 <= r["xhi"])
+        y_hit = sum(1 for r in per_file if r["ylo"] <= 100 <= r["yhi"])
+        assert x_hit <= 8, f"x=100 touches {x_hit}/16 files"
+        assert y_hit <= 8, f"y=100 touches {y_hit}/16 files"
+        # and nothing was lost
+        assert spark.read.parquet(path).count() == n
+
+    def test_rejects_too_many_bits(self, spark):
+        from etl_tools_rs_spark.operators.maintenance import zorder_by
+
+        df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
+        with pytest.raises(ValueError):
+            zorder_by(df, ["a", "b"], bits_per_col=32)
+
+    def test_constant_and_timestamp_cols(self, spark):
+        from etl_tools_rs_spark.operators.maintenance import zorder_by
+
+        df = spark.range(1000).select(
+            F.lit(5).alias("c"),
+            (F.lit("2024-01-01").cast("timestamp") + F.make_interval(secs=F.col("id"))).alias("ts"),
+            F.col("id"),
+        )
+        out = zorder_by(df, ["c", "ts"], num_partitions=4)
+        assert out.count() == 1000
+        assert out.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark):
+        from etl_tools_rs_spark.operators.maintenance import write_bucketed
+        from etl_tools_rs_spark.plans.inspect import plan_report
+
+        a = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        try:
+            write_bucketed(a, "t_bkt_a", ["k"], 8, sort_cols=["k"])
+            write_bucketed(b, "t_bkt_b", ["k"], 8, sort_cols=["k"])
+            ta, tb = spark.table("t_bkt_a"), spark.table("t_bkt_b")
+            joined = ta.join(tb, "k")
+            rep = plan_report(joined)
+            assert rep.num_exchanges == 0, rep.text  # bucket-to-bucket join
+            assert joined.count() == 5_000
+            # groupBy on the bucket key is shuffle-free too
+            rep2 = plan_report(ta.groupBy("k").agg(F.sum("va").alias("s")))
+            assert rep2.num_exchanges == 0, rep2.text
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_b")
