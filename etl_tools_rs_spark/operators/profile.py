@@ -1,0 +1,91 @@
+"""Dataset profiling: per-column statistics in ONE pass over the data.
+
+The data-quality step every large pipeline runs before training: row
+counts, null fractions, distinct cardinalities, numeric ranges. All
+statistics for all columns are computed in a single wide aggregate —
+one scan, no per-column jobs (profiling a 100 TB table with a loop of
+``df.select(col).distinct().count()`` is N full scans; this is one).
+
+Exact variant (``profile``) is oracle-checkable; the approximate variant
+(``profile_approx``) swaps exact COUNT(DISTINCT) — which shuffles every
+distinct value — for HLL estimates that partial-aggregate map-side, the
+right trade at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def _numeric_cols(df: DataFrame, cols: list[str]) -> set[str]:
+    return {
+        f.name for f in df.schema.fields
+        if f.name in cols and isinstance(f.dataType, NumericType)
+    }
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact profile: one row per column with
+    ``(column, n_rows, n_nonnull, n_distinct, min_num, max_num)`` —
+    numeric min/max for numeric columns (NULL otherwise; strings keep
+    their cardinality/null stats, their ordering is engine-collation-
+    dependent so it stays out of the exact contract).
+
+    Single aggregate over all columns, then an unpivot (stack) of the
+    per-column stat structs into rows — the scan happens once.
+    """
+    cols = cols or df.columns
+    num = _numeric_cols(df, cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
+        if c in num:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{i}"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__nn_{i}").cast("bigint").alias("n_nonnull"),
+            F.col(f"__nd_{i}").cast("bigint").alias("n_distinct"),
+            (F.col(f"__mn_{i}") if c in num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"__mx_{i}") if c in num else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("_s")).select("_s.*")
+
+
+def profile_approx(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Scale-path profile: same shape as ``profile`` but ``n_distinct``
+    is an HLL estimate (``approx_count_distinct``). Multiple exact
+    COUNT(DISTINCT)s in one aggregate expand into a union of per-distinct
+    shuffles of every value; the sketch version partial-aggregates to a
+    few KB per column per map task — the difference between profiling a
+    100 TB table in one pass and not profiling it at all."""
+    cols = cols or df.columns
+    num = _numeric_cols(df, cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__nd_{i}"))
+        if c in num:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{i}"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__nn_{i}").cast("bigint").alias("n_nonnull"),
+            F.col(f"__nd_{i}").cast("bigint").alias("n_distinct"),
+            (F.col(f"__mn_{i}") if c in num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"__mx_{i}") if c in num else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("_s")).select("_s.*")

@@ -2821,6 +2821,150 @@ def url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# round-2 scale operators: bloom pruning, sequence packing, profiling,
+# distributed prefix sum
+# --------------------------------------------------------------------------
+
+
+@qdef(
+    "bloom_semi_join_lineitem",
+    """
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_returnflag
+    """,
+)
+def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloom.py::bloom_semi_join): the
+    fact is pre-filtered by a broadcast bitmap over the dim keys before
+    the exact semi-join shuffles anything. No false negatives, so the
+    result is value-identical to the plain EXISTS — which is exactly what
+    the oracle checks."""
+    from etl_tools_rs_spark.operators.bloom import bloom_semi_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    semi = bloom_semi_join(
+        t["lineitem"], urgent, "l_orderkey", dim_key="o_orderkey", fpr=0.01
+    )
+    return semi.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@qdef(
+    "pack_concat_documents",
+    f"""
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_off,
+           CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS pack_first,
+           CAST(CASE WHEN n_tok > 0 THEN FLOOR((cum - 1) / 2048)
+                     ELSE FLOOR((cum - n_tok) / 2048) END AS BIGINT) AS pack_last,
+           CAST(CASE WHEN n_tok > 0 THEN FLOOR((cum - 1) / 2048)
+                     ELSE FLOOR((cum - n_tok) / 2048) END
+                - FLOOR((cum - n_tok) / 2048) + 1 AS BIGINT) AS n_packs
+    FROM (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tok
+            FROM documents))
+    """,
+)
+def pack_concat_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenated-stream sequence packing (operators/
+    packing.py::pack_concat) at a 2048-token budget: per-document stream
+    offset and first/last training-sequence ids, computed with the
+    distributed two-phase prefix sum — the oracle's global window IS the
+    semantics, but Spark executes it without a single-partition stage."""
+    from etl_tools_rs_spark.operators.packing import pack_concat
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tok")
+    )
+    return pack_concat(docs, "doc_id", "n_tok", budget=2048).select(
+        "doc_id", "n_tok", "start_off", "pack_first", "pack_last", "n_packs"
+    )
+
+
+@qdef(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass exact column profiler (operators/profile.py::profile):
+    all per-column stats in ONE aggregate over one scan (the oracle needs
+    four scans to say the same thing)."""
+    from etl_tools_rs_spark.operators.profile import profile
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return profile(
+        t["orders"], ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    ).withColumnRenamed("column", "col_name")
+
+
+@qdef(
+    "cumsum_scalable_events",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def cumsum_scalable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global prefix sum (operators/packing.py::
+    scalable_cumsum): same semantics as the oracle's global-order window,
+    executed as range buckets + parallel windows + driver offsets — no
+    single-partition exchange anywhere in the plan (pinned in
+    tests/test_packing.py). Exact-decimal values so bucket association
+    cannot change the result."""
+    from etl_tools_rs_spark.operators.packing import scalable_cumsum
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", F.col("value").cast(DEC).alias("_v"))
+    return scalable_cumsum(ev, "event_id", "_v", out_col="running_value").select(
+        "event_id", F.col("running_value").cast("double").alias("running_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

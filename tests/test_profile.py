@@ -1,0 +1,60 @@
+"""Single-pass column profiler: exact stats, approx path, one-scan plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators.profile import profile, profile_approx
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    rows = [
+        (1, 10.0, "a"),
+        (2, None, "b"),
+        (3, 30.0, None),
+        (4, 30.0, "a"),
+        (None, 5.0, "c"),
+    ]
+    return spark.createDataFrame(rows, "k: int, x: double, s: string")
+
+
+class TestProfile:
+    def test_exact_stats(self, spark, mixed):
+        out = {r["column"]: r.asDict() for r in profile(mixed).collect()}
+        assert set(out) == {"k", "x", "s"}
+        k = out["k"]
+        assert (k["n_rows"], k["n_nonnull"], k["n_distinct"]) == (5, 4, 4)
+        assert (k["min_num"], k["max_num"]) == (1.0, 4.0)
+        x = out["x"]
+        assert (x["n_nonnull"], x["n_distinct"]) == (4, 3)
+        assert (x["min_num"], x["max_num"]) == (5.0, 30.0)
+        s = out["s"]
+        assert (s["n_nonnull"], s["n_distinct"]) == (4, 3)
+        assert s["min_num"] is None and s["max_num"] is None
+
+    def test_column_subset(self, spark, mixed):
+        out = profile(mixed, ["x"]).collect()
+        assert len(out) == 1 and out[0]["column"] == "x"
+
+    def test_approx_matches_exact_on_small(self, spark, mixed):
+        ex = {r["column"]: r["n_distinct"] for r in profile(mixed).collect()}
+        ap = {r["column"]: r["n_distinct"] for r in profile_approx(mixed).collect()}
+        for c in ex:
+            assert abs(ap[c] - ex[c]) <= max(1, 0.1 * ex[c])
+
+    def test_single_scan(self, spark, mixed, tmp_path):
+        # one parquet source must appear exactly once in the plan
+        p = str(tmp_path / "m")
+        mixed.write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Relation") == 1
+
+    def test_approx_has_partial_agg_no_distinct_expand(self, spark, mixed):
+        from etl_tools_rs_spark.plans.inspect import plan_report
+
+        rep = plan_report(profile_approx(mixed))
+        assert "Expand" not in rep.text  # the multi-COUNT(DISTINCT) rewrite
+        assert rep.num_exchanges == 1
