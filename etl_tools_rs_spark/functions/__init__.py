@@ -52,8 +52,12 @@ def davg(col: str | Column, scale: int = 6) -> Column:
         raise ValueError("davg requires scale >= 2")
     c = F.col(col) if isinstance(col, str) else col
     p = 10 ** scale
-    cents = (c.cast(DEC) * F.lit(100)).cast("decimal(38,0)")
-    a = F.sum(cents) * F.lit(p // 100)  # integer-valued decimal(38,0)
+    # row side stays bigint (compact codegen; a decimal(38) accumulator
+    # would box every row): exact while sum(|v|)·100 < 2^63 ≈ 9.2e18 —
+    # ANSI mode errors loudly, never corrupts, if a workload exceeds it
+    cents = (c.cast(DEC) * F.lit(100)).cast("bigint")
+    # post-agg: widen to decimal(38,0) for the scaled product
+    a = F.sum(cents).cast("decimal(38,0)") * F.lit(p // 100)
     n = F.count(c)
     q = (a - a % n) / n  # exact: integral quotient, no decimal rounding
     return (q.cast("decimal(38,0)").cast("double") / F.lit(float(p))).cast("double")
