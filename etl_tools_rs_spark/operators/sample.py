@@ -78,3 +78,92 @@ def stratified_sample_exact(
         .filter(F.col("_sr") <= n_per_stratum)
         .drop("_sr")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group sampling rates — the corpus-mixture primitive: training
+    recipes keep e.g. 100% of books, 30% of web, 5% of logs. ``rates``
+    maps group value → keep fraction; unlisted groups keep
+    ``default_rate``. Membership is the same content hash as
+    ``hash_sample`` (deterministic, reshuffle-stable, engine-portable, and
+    independent of the group column — re-weighting a group later keeps
+    the retained set nested: raising a rate only ADDS rows, a property
+    epoch-over-epoch data curricula rely on).
+
+    Narrow projection, no shuffle: the rate lookup is a broadcast-free
+    literal CASE over the (small) recipe map.
+    """
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    h = kmv_hash(key_col)
+    thr: Column = F.lit(int(default_rate * TWO_POW_60))
+    expr = F.when(F.lit(False), F.lit(0))  # seed the CASE chain
+    for g, r in rates.items():
+        expr = expr.when(F.col(group_col) == F.lit(g), F.lit(int(r * TWO_POW_60)))
+    return df.filter(h < expr.otherwise(thr))
+
+
+def epoch_shuffle_rank(
+    df: DataFrame, key_col: str, epoch: int, rank_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order: rank rows by a
+    salted content hash (salt = epoch), so every epoch visits the corpus
+    in a different but exactly reproducible order — replacing
+    ``ORDER BY rand()``, which resamples on task retry and cannot be
+    replayed. Ties are impossible up to hash collisions (md5-60bit);
+    collision ties break by the key itself.
+
+    The rank is a global row_number in hash order, computed with the
+    two-phase distributed pattern (range-bucket the hash, rank within
+    buckets in parallel, add per-bucket offsets) — NO single-partition
+    window anywhere; for a pure output ORDER without the rank column,
+    just ``orderBy`` the hash (a plain range shuffle).
+    """
+    from etl_tools_rs_spark.operators.packing import _bucket_of
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(epoch)), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    hashed = df.withColumn("__eh", h)
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(hashed.stat.approxQuantile("__eh", probs, 0.001))) if probs else []
+    bucketed = hashed.withColumn("__b", _bucket_of(F.col("__eh"), bounds))
+    w = Window.partitionBy("__b").orderBy(F.col("__eh").asc(), F.col(key_col).asc())
+    local = bucketed.withColumn("__local", F.row_number().over(w))
+    counts = {
+        r["__b"]: r["__n"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    offs = F.array(*[F.lit(o).cast("bigint") for o in offsets])
+    return (
+        local.withColumn(
+            rank_col,
+            (
+                F.col("__local") + F.element_at(offs, F.col("__b").cast("int") + F.lit(1))
+            ).cast("bigint"),
+        )
+        .drop("__b", "__local", "__eh")
+    )

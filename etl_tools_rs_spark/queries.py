@@ -2965,6 +2965,62 @@ def cumsum_scalable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_H_DOC_STR = "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@qdef(
+    "mixture_sample_documents",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_H_DOC_STR} <
+          CASE WHEN lang = 'en' THEN 1152921504606846976
+               WHEN lang = 'zh' THEN 576460752303423488
+               WHEN lang = 'de' THEN 288230376151711744
+               ELSE 115292150460684704 END
+    """,
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling (operators/sample.py::mixture_sample):
+    per-language keep rates from a training recipe, membership by content
+    hash — deterministic, reshuffle-stable, nested under rate increases.
+    Verified row-by-row against the oracle's CASE-threshold form."""
+    from etl_tools_rs_spark.operators.sample import mixture_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return mixture_sample(
+        t["documents"],
+        "lang",
+        "doc_id",
+        {"en": 1.0, "zh": 0.5, "de": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+@qdef(
+    "epoch_shuffle_documents",
+    f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(concat('0x', substring(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                        doc_id) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic corpus shuffle (operators/sample.py::
+    epoch_shuffle_rank, epoch=7): global rank in salted-hash order via the
+    two-phase distributed row_number (no single-partition window — the
+    oracle's global window IS the semantics, not the plan)."""
+    from etl_tools_rs_spark.operators.sample import epoch_shuffle_rank
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return epoch_shuffle_rank(t["documents"], "doc_id", epoch=7).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

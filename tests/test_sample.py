@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_tools_rs_spark.operators.sample import (
     hash_sample,
@@ -57,3 +58,64 @@ def test_stratified_exact_counts(spark):
     for r in out:
         per[r.g] = per.get(r.g, 0) + 1
     assert per == {"a": 5, "b": 3}  # capped at stratum size
+
+
+class TestMixtureSample:
+    def test_rates_respected(self, spark):
+        from etl_tools_rs_spark.operators.sample import mixture_sample
+
+        df = spark.range(30_000).select(
+            F.col("id").alias("k"),
+            F.element_at(
+                F.array(F.lit("web"), F.lit("books"), F.lit("logs")),
+                (F.col("id") % 3).cast("int") + F.lit(1),
+            ).alias("src"),
+        )
+        out = mixture_sample(df, "src", "k", {"books": 1.0, "web": 0.3})
+        got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got.get("books") == 10_000          # keep all
+        assert abs(got.get("web", 0) - 3000) < 300  # ~30%
+        assert "logs" not in got                    # default 0
+
+    def test_nested_under_rate_increase(self, spark):
+        from etl_tools_rs_spark.operators.sample import mixture_sample
+
+        df = spark.range(10_000).select(F.col("id").alias("k"), F.lit("web").alias("src"))
+        lo = {r["k"] for r in mixture_sample(df, "src", "k", {"web": 0.2}).collect()}
+        hi = {r["k"] for r in mixture_sample(df, "src", "k", {"web": 0.5}).collect()}
+        assert lo <= hi  # raising a rate only adds rows
+
+    def test_validation(self, spark):
+        from etl_tools_rs_spark.operators.sample import mixture_sample
+
+        df = spark.range(10).select(F.col("id").alias("k"), F.lit("a").alias("src"))
+        with pytest.raises(ValueError):
+            mixture_sample(df, "src", "k", {"a": 1.5})
+
+
+class TestEpochShuffle:
+    def test_valid_permutation_and_determinism(self, spark):
+        from etl_tools_rs_spark.operators.sample import epoch_shuffle_rank
+
+        df = spark.range(1, 5001).select(F.col("id").alias("k"))
+        r1 = {r["k"]: r["shuffle_rank"] for r in epoch_shuffle_rank(df, "k", epoch=1).collect()}
+        assert sorted(r1.values()) == list(range(1, 5001))  # exact permutation
+        r1b = {r["k"]: r["shuffle_rank"] for r in epoch_shuffle_rank(df, "k", epoch=1).collect()}
+        assert r1 == r1b  # reproducible
+
+    def test_epochs_differ(self, spark):
+        from etl_tools_rs_spark.operators.sample import epoch_shuffle_rank
+
+        df = spark.range(1, 2001).select(F.col("id").alias("k"))
+        r1 = {r["k"]: r["shuffle_rank"] for r in epoch_shuffle_rank(df, "k", 1).collect()}
+        r2 = {r["k"]: r["shuffle_rank"] for r in epoch_shuffle_rank(df, "k", 2).collect()}
+        moved = sum(1 for k in r1 if r1[k] != r2[k])
+        assert moved > 1800  # epochs are (near-)disjoint orders
+
+    def test_no_single_partition_window(self, spark):
+        from etl_tools_rs_spark.operators.sample import epoch_shuffle_rank
+        from etl_tools_rs_spark.plans.inspect import plan_report
+
+        df = spark.range(1, 5001).select(F.col("id").alias("k"))
+        rep = plan_report(epoch_shuffle_rank(df, "k", epoch=3))
+        assert "SinglePartition" not in rep.text
