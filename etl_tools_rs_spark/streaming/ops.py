@@ -208,3 +208,25 @@ def foreach_batch_sinks(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    static: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes (user
+    profile, experiment arm, geo of a key) to a stream. The static side
+    is re-read per micro-batch (so a dim refresh is picked up without a
+    restart) and broadcast when it fits — no stream-side shuffle, no
+    state: unlike a stream-stream join this never buffers.
+
+    Stream-static supports inner and left-outer with the stream on the
+    left (Structured Streaming's rule, enforced here). At scale, keep the
+    static side a compact pre-aggregated table — it is scanned every
+    micro-batch.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("stream-static joins support how='inner'|'left' only")
+    return stream.join(F.broadcast(static), on, how)

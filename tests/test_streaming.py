@@ -171,3 +171,46 @@ def test_interval_join_streams_attribution(spark, tmp_path):
         for r in spark.sql("SELECT ad, cts FROM attributed").collect()
     )
     assert got == [("a1", "10:03"), ("a2", "10:06")]
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    from etl_tools_rs_spark.streaming.ops import enrich_stream, run_available_now
+
+    src = str(tmp_path / "stream_src")
+    spark.range(100).select(
+        (F.col("id") % 10).alias("user_id"), F.col("id").alias("v")
+    ).write.json(src)
+    dim = spark.range(10).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier_"), (F.col("id") % 3).cast("string")).alias("tier"),
+    )
+    stream = spark.readStream.schema("user_id long, v long").json(src)
+    enriched = enrich_stream(stream, dim, "user_id")
+    assert enriched.isStreaming
+    run_available_now(enriched, str(tmp_path / "ck"), query_name="t_enrich")
+    rows = spark.table("t_enrich").collect()
+    assert len(rows) == 100
+    assert all(r["tier"] is not None for r in rows)
+    with pytest.raises(ValueError):
+        enrich_stream(stream, dim, "user_id", how="full")
+
+
+def test_batch_text_ops_compose_on_streams(spark, tmp_path):
+    """The batch text-quality operators are plain column transforms, so
+    the SAME functions run unchanged on a streaming frame — the code-reuse
+    contract that makes the batch/streaming split a deployment choice."""
+    from etl_tools_rs_spark.operators.text import gopher_filter
+    from etl_tools_rs_spark.streaming.ops import run_available_now
+
+    src = str(tmp_path / "docs_src")
+    good = " ".join(f"token{i:03d}" for i in range(80))
+    spark.createDataFrame(
+        [(1, good), (2, "x x x x x x x x x x")],
+        "doc_id: long, text: string",
+    ).write.json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    flagged = gopher_filter(stream, "text")
+    assert flagged.isStreaming
+    run_available_now(flagged, str(tmp_path / "ck2"), query_name="t_flags")
+    rows = {r["doc_id"]: r["keep"] for r in spark.table("t_flags").collect()}
+    assert rows[1] is True and rows[2] is False
