@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "range_join_order_pairs",
     "kmv_distinct_users",
     "hash_split_documents",
+    # round-2 scale ops
+    "bloom_semi_join_lineitem",
+    "pack_concat_documents",
+    "mixture_sample_documents",
+    "profile_orders",
 ]
 
 

@@ -201,3 +201,33 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout partitioned write (``path/col=value/...``): the
+    coarse-pruning layer every time/tenant-organized 100 TB table needs —
+    a reader filtering on a partition column touches only matching
+    directories (PartitionFilters in the scan, pinned in tests), before
+    parquet row-group stats even load.
+
+    Rows are pre-shuffled on the partition columns so each output
+    directory is written by few tasks (without this, every task writes a
+    file into every partition — the small-file explosion
+    ``compact_files`` exists to fix). Keep partition cardinality coarse
+    (day, tenant-bucket): >100k directories makes listing the bottleneck;
+    use ``cluster_by``/``zorder_by`` WITHIN partitions for fine pruning.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.format(format)
+        .partitionBy(*partition_cols)
+        .mode(mode)
+        .save(path)
+    )

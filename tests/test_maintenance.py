@@ -188,3 +188,36 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bkt_a")
             spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+class TestPartitionedWrite:
+    def test_partition_pruning_pinned(self, spark, tmp_path):
+        from etl_tools_rs_spark.operators.maintenance import write_partitioned
+        from etl_tools_rs_spark.plans.inspect import plan_report
+
+        path = str(tmp_path / "p")
+        df = spark.range(10_000).select(
+            (F.col("id") % 7).alias("day"), F.col("id").alias("v")
+        )
+        write_partitioned(df, path, ["day"])
+        back = spark.read.parquet(path)
+        pruned = back.filter(F.col("day") == 3).select(F.sum("v").alias("s"))
+        rep = plan_report(pruned)
+        assert "PartitionFilters" in rep.text
+        # dynamic check, not just plan text: only 1 of 7 directories is read
+        n_files_total = len({r[0] for r in back.select(F.input_file_name()).distinct().collect()})
+        n_files_read = len({r[0] for r in back.filter(F.col("day") == 3).select(F.input_file_name()).distinct().collect()})
+        assert n_files_read < n_files_total
+        assert pruned.first()["s"] == sum(v for v in range(10_000) if v % 7 == 3)
+
+    def test_one_file_per_partition(self, spark, tmp_path):
+        from etl_tools_rs_spark.operators.maintenance import write_partitioned
+
+        path = str(tmp_path / "p2")
+        df = spark.range(5_000).select((F.col("id") % 5).alias("day"), F.col("id").alias("v"))
+        write_partitioned(df, path, ["day"])
+        files = {}
+        out = spark.read.parquet(path)
+        for r in out.select("day", F.input_file_name().alias("f")).distinct().collect():
+            files.setdefault(r["day"], set()).add(r["f"])
+        assert all(len(fs) == 1 for fs in files.values()), {k: len(v) for k, v in files.items()}

@@ -166,3 +166,71 @@ def test_upsert_laws(spark, base_rows, upd_rows):
     # idempotence: re-applying the same updates changes nothing
     again = upsert_snapshot(merged, upd, ["k"], version_col="ver")
     assert {(r.k, r.ver, r.v) for r in again.collect()} == got
+
+
+@given(
+    st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=40, unique=True),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, probes):
+    """Bloom property: every member key survives pruning, whatever the
+    key distribution (negatives may survive too — that's the FPR)."""
+    from etl_tools_rs_spark.operators.bloom import BloomSpec, bloom_prune, build_bloom
+
+    dim = spark.createDataFrame([(k,) for k in members], "k: long")
+    fact = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes)], "k: long"
+    )
+    spec = BloomSpec.for_items(len(members), fpr=0.01)
+    bloom = build_bloom(dim, "k", spec=spec)
+    kept = {r["k"] for r in bloom_prune(fact, "k", bloom, spec).collect()}
+    assert set(members) <= kept
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10**6), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_scalable_cumsum_matches_python(spark, rows):
+    from etl_tools_rs_spark.operators.packing import scalable_cumsum
+
+    df = spark.createDataFrame(rows, "k: long, v: long")
+    got = {
+        r["k"]: r["cumsum"] for r in scalable_cumsum(df, "k", "v").collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10**6), st.integers(1, 300)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(64, 512),
+)
+@settings(**SETTINGS)
+def test_pack_first_fit_invariants(spark, rows, budget):
+    from etl_tools_rs_spark.operators.packing import pack_first_fit
+
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long")
+    out = pack_first_fit(df, "doc_id", "n_tok", budget, num_shards=3).collect()
+    assert len(out) == len(rows)  # every doc assigned exactly once
+    fill: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for r in out:
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["n_tok"]
+        counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+    for b, t in fill.items():
+        assert t <= budget or counts[b] == 1  # overfull only as a singleton
