@@ -167,3 +167,62 @@ def epoch_shuffle_rank(
         )
         .drop("__b", "__local", "__eh")
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling: pair every row with ``k``
+    pseudo-random OTHER rows of the same frame (contrastive/retrieval
+    training data). Output: ``(key_col, neg_rank 1..k, neg_<key_col>)``.
+
+    No rand(), no cross join: each row's j-th negative is chosen by
+    content hash (md5, engine-portable) modulo the corpus size, resolved
+    through a dense hash-ordered index — so the sample is reproducible
+    across runs, partitionings, and engines, and a retried task regenerates
+    identical pairs. A probe that lands on the row itself shifts to the
+    next index cyclically (+1 mod n) — always a different row, always in
+    range, still deterministic.
+
+    Plan: dense index via the two-phase distributed rank (no single-
+    partition window), explode k probes (k·N narrow rows), one equi-join
+    on the index. All hashing is JVM codegen.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    indexed = epoch_shuffle_rank(df.select(key_col), key_col, epoch=0, rank_col="__idx")
+    n = indexed.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to draw negatives")
+    key = F.col(key_col)
+
+    def probe(j: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"), j.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(n)) + F.lit(1)  # 1-based index
+
+    probes = (
+        indexed.select(key, F.col("__idx"), F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"))
+        .withColumn("__cand", probe(F.col("neg_rank")))
+        .withColumn(
+            "__neg_idx",
+            F.when(F.col("__cand") != F.col("__idx"), F.col("__cand")).otherwise(
+                F.pmod(F.col("__cand"), F.lit(n)) + F.lit(1)
+            ),
+        )
+        .select(key, "neg_rank", "__neg_idx")
+    )
+    lookup = indexed.select(
+        F.col("__idx").alias("__neg_idx"), key.alias(f"neg_{key_col}")
+    )
+    return probes.join(lookup, "__neg_idx").drop("__neg_idx")

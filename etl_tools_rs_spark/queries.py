@@ -3021,6 +3021,50 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_NEG_H = ("CAST(concat('0x', substring(md5(concat('neg:', CAST(d.doc_id AS VARCHAR), "
+          "':', CAST(j.neg_rank AS VARCHAR))), 1, 15)) AS BIGINT)")
+
+
+@qdef(
+    "negative_sample_documents",
+    f"""
+    WITH idx AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(concat('0x', substring(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                        doc_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), probes AS (
+      SELECT d.doc_id, j.neg_rank, d.i, d.n,
+             {_NEG_H} % d.n + 1 AS cand
+      FROM idx d
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 3)) AS neg_rank) j
+    )
+    SELECT p.doc_id,
+           CAST(p.neg_rank AS BIGINT) AS neg_rank,
+           t.doc_id AS neg_doc_id
+    FROM probes p
+    JOIN idx t
+      ON t.i = CASE WHEN p.cand <> p.i THEN p.cand ELSE p.cand % p.n + 1 END
+    """,
+)
+def negative_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/sample.py::
+    negative_sample, k=3): every document paired with 3 hash-chosen other
+    documents through a dense hash-ordered index — verified pair-by-pair
+    against the oracle's window + probe-join form."""
+    from etl_tools_rs_spark.operators.sample import negative_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return negative_sample(t["documents"], "doc_id", k=3).select(
+        "doc_id",
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        F.col("neg_doc_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

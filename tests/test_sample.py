@@ -119,3 +119,43 @@ class TestEpochShuffle:
         df = spark.range(1, 5001).select(F.col("id").alias("k"))
         rep = plan_report(epoch_shuffle_rank(df, "k", epoch=3))
         assert "SinglePartition" not in rep.text
+
+
+class TestNegativeSample:
+    def test_k_negatives_no_self_pairs(self, spark):
+        from etl_tools_rs_spark.operators.sample import negative_sample
+
+        df = spark.range(1, 501).select(F.col("id").alias("k"))
+        out = negative_sample(df, "k", k=3).collect()
+        assert len(out) == 500 * 3
+        assert all(r["k"] != r["neg_k"] for r in out)
+        per_row = {}
+        for r in out:
+            per_row.setdefault(r["k"], set()).add(r["neg_rank"])
+        assert all(v == {1, 2, 3} for v in per_row.values())
+
+    def test_deterministic_across_runs(self, spark):
+        from etl_tools_rs_spark.operators.sample import negative_sample
+
+        df = spark.range(1, 201).select(F.col("id").alias("k"))
+        a = {(r["k"], r["neg_rank"], r["neg_k"]) for r in negative_sample(df, "k", k=2).collect()}
+        b = {(r["k"], r["neg_rank"], r["neg_k"]) for r in negative_sample(df, "k", k=2).collect()}
+        assert a == b
+
+    def test_negatives_roughly_uniform(self, spark):
+        from etl_tools_rs_spark.operators.sample import negative_sample
+
+        df = spark.range(1, 401).select(F.col("id").alias("k"))
+        out = negative_sample(df, "k", k=5)
+        counts = [r["n"] for r in out.groupBy("neg_k").agg(F.count(F.lit(1)).alias("n")).collect()]
+        # 2000 draws over 400 targets: mean 5; no target should dominate
+        assert max(counts) <= 20
+
+    def test_validation(self, spark):
+        from etl_tools_rs_spark.operators.sample import negative_sample
+
+        df = spark.range(1, 2).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError):
+            negative_sample(df, "k", k=0)
+        with pytest.raises(ValueError):
+            negative_sample(df, "k", k=2)  # single row: no possible negative
