@@ -959,7 +959,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; lag + cumulative flags, no driver iteration."""
     t = load_tables(spark, sf_dir, ("events",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # .cast("timestamp") is identity under the engine's fixed UTC session
+    # zone; unix_micros rejects the TIMESTAMP_NTZ the parquet scan yields
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     flagged = t["events"].withColumn(
         "new_sess", F.when(gap > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0))
     )
@@ -1024,7 +1027,7 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-300_000_000, Window.currentRow)
     )
     return t["events"].select(
@@ -2509,7 +2512,13 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # '[p]arquet' glob makes the file source treat the parent dir as
     # basePath while matching exactly the one file
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.[p]arquet")
-    ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t")
+    # schema-adaptive: older testdata generations shipped ts as ns-as-long,
+    # current ones as native µs TIMESTAMP_NTZ — normalize either to the
+    # session-zone TIMESTAMP the watermark machinery expects
+    if schema["ts"].dataType.simpleString() == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t")
+    else:
+        ts = F.col("ts").cast("timestamp").alias("ts_t")
     wa = windowed_agg(
         stream.select(ts, "event_type", "value"),
         time_col="ts_t",
