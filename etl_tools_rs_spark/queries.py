@@ -3074,6 +3074,66 @@ def negative_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "validate_orders",
+    """
+    SELECT 'not_null_o_custkey' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations FROM orders
+    UNION ALL
+    SELECT 'range_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND o_totalprice NOT BETWEEN 0 AND 400000
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'priority_shape',
+           CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'date_upper_bound',
+           CAST(SUM(CASE WHEN NOT COALESCE(
+                    o_orderdate < TIMESTAMP '1998-06-01', FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'fk_o_custkey',
+           CAST(COUNT(*) AS BIGINT) FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/validate.py): all
+    row-local rules fold into ONE conditional-sum scan; uniqueness is a
+    groupBy; referential integrity is a broadcast anti-join against the
+    distinct reference keys. One row per rule with its violation count —
+    checked rule-by-rule against the oracle's UNION ALL of counts."""
+    from etl_tools_rs_spark.operators import validate as v
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    rules = [
+        v.not_null("o_custkey"),
+        v.in_range("o_totalprice", 0, 400000, name="range_totalprice"),
+        v.in_set("o_orderstatus", ["O", "F"], name="status_domain"),
+        v.matches("o_orderpriority", "^[1-5]-[A-Z ]+$", name="priority_shape"),
+        v.check(
+            F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"),
+            name="date_upper_bound",
+        ),
+        v.unique("o_orderkey"),
+        v.foreign_key("o_custkey", t["customer"], "c_custkey"),
+    ]
+    return v.validate(t["orders"], rules)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
