@@ -1,0 +1,177 @@
+"""Edit-distance fuzzy join — scalable string similarity under a
+Levenshtein budget.
+
+The record-linkage primitive (name/title/address matching) the reference
+has no analogue for; its only join is an arbitrary-predicate block-nested
+loop (etl-core/src/joins.rs:15-185), which for string similarity means a
+full cross product. This operator uses segment blocking (the PassJoin
+pigeonhole scheme, Li et al., ICDE 2012 — public literature): if
+``ed(a, b) <= d`` then, splitting ``b`` into ``d+1`` contiguous segments,
+``a`` must contain at least one segment verbatim (d edits cannot touch all
+d+1 segments). So:
+
+- index side: each string emits its ``d+1`` segments keyed by
+  (segment index, string length, segment text);
+- probe side: each string emits the substrings that could equal segment
+  ``i`` of a partner of length ``L`` for every feasible ``L`` within ±d of
+  its own length and start shift within ±d — O((d+1)·(2d+1)²) short keys
+  per row, independent of data size;
+- candidates meet in a plain hash equi-join on the key (content-based, so
+  even same-length corpora spread across the cluster — no length hot key);
+- only candidates pay the exact ``levenshtein(a, b, threshold)``
+  verification (early-exit JVM implementation).
+
+Shuffle volume is O(n·d²) short strings, never O(n²); the pair explosion
+of a naive theta-join never materializes. Strings shorter than ``d+1``
+cannot be segmented (a segment would be empty) and are routed through a
+dedicated short-string bucket both sides — all-pairs there, but strings
+that short are a bounded sliver of any real corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_bounds(L: Column, i: int, d: int) -> tuple[Column, Column]:
+    """Start (0-based) and length of segment ``i`` of a string of length
+    ``L`` split into ``d+1`` parts: the first ``d+1-rem`` parts get
+    ``base = L div (d+1)`` chars, the last ``rem = L mod (d+1)`` get one
+    more — a fixed convention both sides must share."""
+    n = d + 1
+    base = (L / n).cast("int")
+    rem = L % n
+    extra = F.greatest(F.lit(i) - (F.lit(n) - rem), F.lit(0))
+    start = F.lit(i) * base + extra
+    length = base + F.when(F.lit(i) >= (F.lit(n) - rem), F.lit(1)).otherwise(F.lit(0))
+    return start, length
+
+
+def _index_keys(col: Column, d: int) -> Column:
+    """Array of (i, L, piece) join keys for the index side: the string's
+    own d+1 segments, or the short-bucket key when it can't be split."""
+    L = F.length(col)
+    segs = []
+    for i in range(d + 1):
+        start, ln = _seg_bounds(L, i, d)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                L.alias("plen"),
+                col.substr(start + 1, ln).alias("piece"),
+            )
+        )
+    short = F.array(
+        F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("plen"), F.lit("").alias("piece"))
+    )
+    return F.when(L < d + 1, short).otherwise(F.array(*segs))
+
+
+def _probe_keys(col: Column, d: int) -> Column:
+    """Array of (i, L, piece) join keys for the probe side: for every
+    feasible partner length L (own ±d) and segment i, the substrings at
+    start shifts within ±d. Distinct-ed before the explode so repeated
+    keys (common with small d) don't multiply join rows."""
+    L = F.length(col)
+    out = []
+    for dl in range(-d, d + 1):
+        partner = L + dl  # candidate index-side string length
+        for i in range(d + 1):
+            start, ln = _seg_bounds(partner, i, d)
+            for shift in range(-d, d + 1):
+                st = start + shift
+                valid = (
+                    (partner >= d + 1)
+                    & (st >= 0)
+                    & (ln > 0)
+                    & (st + ln <= L)
+                )
+                out.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            partner.alias("plen"),
+                            col.substr(st + 1, ln).alias("piece"),
+                        ),
+                    )
+                )
+    # short-bucket probe: any string within d edits of an unsplittable
+    # (< d+1 chars) partner is itself at most 2d long
+    out.append(
+        F.when(
+            L <= 2 * d,
+            F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("plen"), F.lit("").alias("piece")),
+        )
+    )
+    arr = F.array(*out)
+    return F.array_distinct(F.filter(arr, lambda s: s.isNotNull()))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Inner join of ``left`` × ``right`` on
+    ``levenshtein(left_col, right_col) <= max_distance``, plus a
+    ``distance`` column. Output columns: all of ``left``'s, all of
+    ``right``'s (names must be disjoint), ``distance`` (bigint).
+
+    Candidate generation never compares more than the pigeonhole theorem
+    requires; the exact distance runs only on candidates, with Spark's
+    threshold form (early exit, -1 past the budget).
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
+    d = max_distance
+    probe = left.withColumn("_fk", F.explode(_probe_keys(F.col(left_col), d)))
+    index = right.withColumn("_fk", F.explode(_index_keys(F.col(right_col), d)))
+    # a pair can meet through several segment keys — dedupe to one row per
+    # pair. distinct() over the full row means fully-identical duplicate
+    # input rows collapse too; join on unique ids if duplicates matter.
+    cand = probe.join(index, probe["_fk"] == index["_fk"]).drop("_fk").distinct()
+    dist = F.levenshtein(F.col(left_col), F.col(right_col), d)
+    return (
+        cand.withColumn("distance", dist.cast("bigint"))
+        .filter(F.col("distance") >= 0)
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, col: str, id_col: str, max_distance: int = 2
+) -> DataFrame:
+    """All (id_a < id_b) pairs within ``max_distance`` edits — the
+    near-duplicate-string view of one table. Returns
+    ``(id_a, id_b, distance)``."""
+    a = df.select(F.col(id_col).alias("_ida"), F.col(col).alias("_sa"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(col).alias("_sb"))
+    joined = fuzzy_join(a, b, "_sa", "_sb", max_distance)
+    return (
+        joined.filter(F.col("_ida") < F.col("id_b"))
+        .select(
+            F.col("_ida").alias("id_a"),
+            "id_b",
+            "distance",
+        )
+    )
+
+
+def fuzzy_join_naive(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+) -> DataFrame:
+    """Cross-join reference implementation (test oracle only — O(n²), the
+    plan the blocked form exists to avoid)."""
+    dist = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
+    return (
+        left.crossJoin(right)
+        .withColumn("distance", dist.cast("bigint"))
+        .filter(F.col("distance") >= 0)
+    )

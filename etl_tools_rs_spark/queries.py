@@ -3134,6 +3134,29 @@ def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.validate(t["orders"], rules)
 
 
+@qdef(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (operators/fuzzy.py): customer-name pairs
+    within 1 edit via PassJoin segment blocking — candidates meet on
+    pigeonhole segment keys in a hash equi-join (content-keyed, so the
+    uniform name length creates no hot partition), verified with
+    threshold levenshtein. Oracle is the naive cross-join filter."""
+    from etl_tools_rs_spark.operators.fuzzy import fuzzy_self_pairs
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    return fuzzy_self_pairs(
+        t["customer"].select("c_custkey", "c_name"), "c_name", "c_custkey", 1
+    ).select("id_a", "id_b", F.col("distance").alias("dist"))
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

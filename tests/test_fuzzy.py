@@ -1,0 +1,93 @@
+"""Segment-blocked fuzzy join (operators/fuzzy.py) — soundness vs the
+naive cross-join form and plan checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators import fuzzy
+
+WORDS = [
+    "kettle", "kettel", "kettles", "cattle", "battle", "bottle",
+    "settle", "set", "sat", "s", "", "ab", "abc",
+    "chocolate", "chocolat", "choco1ate", "xhocolate",
+    "forest green", "forest greene", "forrest green",
+    "almond antique", "almond antiqeu", "almond  antique",
+    "ünïcode", "ünicode", "unicode",
+]
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(WORDS)], "wid int, w string"
+    )
+
+
+def pairs_of(df, a="id_a", b="id_b"):
+    return {(r[a], r[b], r["distance"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_blocked_matches_naive_exactly(spark, words_df, d):
+    """The pigeonhole blocking must lose nothing: blocked results ==
+    cross-join results for every distance budget."""
+    left = words_df.select(F.col("wid").alias("lid"), F.col("w").alias("lw"))
+    right = words_df.select(F.col("wid").alias("rid"), F.col("w").alias("rw"))
+    blocked = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in fuzzy.fuzzy_join(left, right, "lw", "rw", d).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in fuzzy.fuzzy_join_naive(left, right, "lw", "rw", d).collect()
+    }
+    assert blocked == naive
+    assert len(blocked) > len(WORDS)  # non-trivial: off-diagonal matches exist
+
+
+def test_self_pairs_ordered_unique(spark, words_df):
+    out = fuzzy.fuzzy_self_pairs(words_df, "w", "wid", max_distance=2)
+    rows = out.collect()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    got = pairs_of(out)
+    assert (0, 1, 2) in got  # kettle/kettel: transposition = 2 edits
+    assert (0, 2, 1) in got  # kettle/kettles: one insert
+
+
+def test_distance_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdff"), (3, "abcdefgh"), (4, "zzzzzz")],
+        "wid int, w string",
+    )
+    got = pairs_of(fuzzy.fuzzy_self_pairs(df, "w", "wid", max_distance=2))
+    assert got == {(1, 2, 1), (1, 3, 2)}
+
+
+def test_short_string_bucket(spark):
+    """Strings shorter than d+1 can't be segmented; the short bucket must
+    still pair them correctly (and not pair them with long strings)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "ab"), (4, ""), (5, "abcdefgh")],
+        "wid int, w string",
+    )
+    got = pairs_of(fuzzy.fuzzy_self_pairs(df, "w", "wid", max_distance=1))
+    assert got == {(1, 2, 1), (1, 3, 1), (1, 4, 1), (2, 4, 1), (2, 3, 1)}
+
+
+def test_no_cartesian_in_plan(spark, words_df):
+    """The blocked join must plan as a hash equi-join on segment keys —
+    never a cartesian/broadcast-nested-loop product."""
+    left = words_df.select(F.col("wid").alias("lid"), F.col("w").alias("lw"))
+    right = words_df.select(F.col("wid").alias("rid"), F.col("w").alias("rw"))
+    plan = (
+        fuzzy.fuzzy_join(left, right, "lw", "rw", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rejects_zero_distance(spark, words_df):
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy.fuzzy_join(words_df, words_df, "w", "w", 0)
