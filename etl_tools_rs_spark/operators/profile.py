@@ -89,3 +89,55 @@ def profile_approx(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("_s")).select("_s.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of ``col`` over ``[lo, hi)``: returns
+    ``(bin, bin_lo, bin_hi, n)`` with EVERY bin present (empty bins show
+    ``n = 0``) plus underflow/overflow rows ``bin = -1`` / ``bin = n_bins``
+    so no value is silently dropped. NULLs are excluded.
+
+    One conditional-bin aggregate over one scan (map-side combined; the
+    shuffle carries at most ``n_bins + 2`` rows), then a broadcast join
+    against a ``spark.range(n_bins)`` frame to materialize empty bins —
+    the distributed twin of NumPy's ``histogram``, with the bin edge
+    arithmetic (``floor((x - lo) / w)``) kept in integer-comparable form
+    so the oracle reproduces it bit-for-bit.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins!r}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r})")
+    w = (hi - lo) / n_bins
+    c = F.col(col).cast("double")
+    bin_ = (
+        F.when(c < lo, F.lit(-1))
+        .when(c >= hi, F.lit(n_bins))
+        .otherwise(F.floor((c - F.lit(lo)) / F.lit(w)).cast("int"))
+    )
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(-1, n_bins + 1).select(F.col("id").cast("int").alias("bin"))
+    return (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.when(F.col("bin") < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(lo) + F.col("bin") * F.lit(w))
+            .alias("bin_lo"),
+            F.when(F.col("bin") >= n_bins, F.lit(float("inf")))
+            .otherwise(F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
+            .alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )

@@ -379,3 +379,79 @@ def gopher_filter(
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     )
     return out.withColumn("keep", keep)
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    scale: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation / phrase-mining statistic ("new york" scores high, "of
+    the" low) used to build phrase vocabularies for tokenizer training.
+
+    ``pmi = ln( (c_xy / N_bigrams) / ((c_x / N_tokens) * (c_y / N_tokens)) )``
+
+    with occurrence counts over the whole corpus; pairs below
+    ``min_count`` are pruned (PMI is noise at tiny counts). The ln is
+    floor-scaled to ``scale`` decimals (the only cross-engine-fragile
+    operation, applied once per surviving pair).
+
+    Plan shape: one explode → groupBy for unigrams, one zip-shifted
+    explode → groupBy for bigrams (both map-side combined; the zip is a
+    JVM array op, no Python); corpus totals are 1-row aggregates
+    broadcast back (never collected); unigram counts join the bigram
+    table on each side — broadcast while the vocabulary fits, shuffle on
+    the token key beyond that. Output: (tok_x, tok_y, n_xy, pmi).
+    """
+    toks = df.select(tokens(text_col).alias("_ts"))
+    uni = (
+        toks.select(F.explode("_ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("_ts") >= 2,
+                    F.arrays_zip(
+                        F.slice(F.col("_ts"), 1, F.size("_ts") - 1).alias("x"),
+                        F.slice(F.col("_ts"), 2, F.size("_ts") - 1).alias("y"),
+                    ),
+                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+            ).alias("_bg")
+        )
+        .select(F.col("_bg.x").alias("tok_x"), F.col("_bg.y").alias("tok_y"))
+        .groupBy("tok_x", "tok_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    n_uni = uni.select(F.sum("_c").cast("double").alias("_nu"))
+    # total bigram occurrences BEFORE min_count pruning (pruning selects
+    # which pairs are reported, it must not skew the probability model) —
+    # computed directly from token counts, no second bigram aggregate
+    n_bi = toks.select(
+        F.sum(F.greatest(F.size("_ts") - 1, F.lit(0))).cast("double").alias("_nb")
+    )
+    ux = uni.select(F.col("tok").alias("tok_x"), F.col("_c").alias("_cx"))
+    uy = uni.select(F.col("tok").alias("tok_y"), F.col("_c").alias("_cy"))
+    p = float(10**scale)
+    pmi = (
+        F.floor(
+            F.lit(p)
+            * F.log(
+                (F.col("n_xy").cast("double") * F.col("_nu") * F.col("_nu"))
+                / (F.col("_nb") * F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+            )
+        )
+        / F.lit(p)
+    )
+    return (
+        bi.join(ux, "tok_x")
+        .join(uy, "tok_y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("tok_x", "tok_y", "n_xy", pmi.cast("double").alias("pmi"))
+    )

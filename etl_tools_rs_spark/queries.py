@@ -3157,6 +3157,65 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("distance").alias("dist"))
 
 
+@qdef(
+    "histogram_totalprice",
+    """
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v >= 600000 THEN 24
+                      ELSE CAST(FLOOR((v - 0) / 25000.0) AS INT) END AS bin
+          FROM v),
+    bins AS (SELECT CAST(i AS INT) AS bin FROM range(-1, 25) t(i)),
+    c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+    SELECT bins.bin,
+           CASE WHEN bins.bin < 0 THEN CAST('-infinity' AS DOUBLE)
+                ELSE 0 + bins.bin * 25000.0 END AS bin_lo,
+           CASE WHEN bins.bin >= 24 THEN CAST('infinity' AS DOUBLE)
+                ELSE 0 + (bins.bin + 1) * 25000.0 END AS bin_hi,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM bins LEFT JOIN c USING (bin)
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distributed histogram (operators/profile.py::histogram):
+    one conditional-bin aggregate (shuffle carries <= n_bins+2 rows) plus
+    a broadcast join against the bin range so empty bins surface as 0;
+    underflow/overflow rows make the count total-preserving."""
+    from etl_tools_rs_spark.operators.profile import histogram
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return histogram(t["orders"], "o_totalprice", 0.0, 600_000.0, 24)
+
+
+@qdef(
+    "bigram_pmi_documents",
+    f"""
+    WITH toks AS (SELECT {TOKS_SQL} AS ts FROM documents),
+    uni AS (SELECT t.tok AS tok, COUNT(*) AS c
+            FROM toks, UNNEST(ts) AS t(tok) GROUP BY 1),
+    bi AS (SELECT b.bg[1] AS tok_x, b.bg[2] AS tok_y, COUNT(*) AS n_xy
+           FROM toks, UNNEST(list_zip(ts[:-2], ts[2:])) AS b(bg)
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS nu FROM uni),
+    nb AS (SELECT CAST(SUM(GREATEST(len(ts) - 1, 0)) AS DOUBLE) AS nb FROM toks)
+    SELECT tok_x, tok_y, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(FLOOR(1000000.0 * LN((n_xy * nu * nu) /
+                    (nb * ux.c * uy.c))) / 1000000.0 AS DOUBLE) AS pmi
+    FROM bi JOIN uni ux ON bi.tok_x = ux.tok
+            JOIN uni uy ON bi.tok_y = uy.tok, nu, nb
+    """,
+)
+def bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token PMI collocation mining (operators/text.py::
+    bigram_pmi, min_count=5): zip-shifted bigram explode + unigram counts,
+    corpus totals broadcast back, floor-scaled ln — verified value-exact
+    against the DuckDB list_zip oracle."""
+    from etl_tools_rs_spark.operators.text import bigram_pmi
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return bigram_pmi(t["documents"], "text", min_count=5)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -58,3 +58,36 @@ class TestProfile:
         rep = plan_report(profile_approx(mixed))
         assert "Expand" not in rep.text  # the multi-COUNT(DISTINCT) rewrite
         assert rep.num_exchanges == 1
+
+
+class TestHistogram:
+    def test_counts_and_empty_bins(self, spark):
+        from etl_tools_rs_spark.operators.profile import histogram
+
+        df = spark.createDataFrame(
+            [(v,) for v in [-5.0, 0.0, 1.0, 2.5, 9.9, 10.0, 42.0, None]], "x double"
+        )
+        rows = {r["bin"]: r for r in histogram(df, "x", 0.0, 10.0, 4).collect()}
+        assert set(rows) == {-1, 0, 1, 2, 3, 4}
+        assert rows[-1]["n"] == 1  # -5
+        assert rows[0]["n"] == 2  # 0.0, 1.0
+        assert rows[1]["n"] == 1  # 2.5
+        assert rows[2]["n"] == 0  # empty bin surfaces as 0
+        assert rows[3]["n"] == 1  # 9.9
+        assert rows[4]["n"] == 2  # 10.0 (== hi) and 42 overflow
+        assert rows[0]["bin_lo"] == 0.0 and rows[0]["bin_hi"] == 2.5
+        assert rows[-1]["bin_lo"] == float("-inf")
+        assert rows[4]["bin_hi"] == float("inf")
+        # total-preserving: every non-null value lands in exactly one bin
+        assert sum(r["n"] for r in rows.values()) == 7
+
+    def test_rejects_bad_args(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.profile import histogram
+
+        df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+        with pytest.raises(ValueError, match="n_bins"):
+            histogram(df, "x", 0.0, 1.0, 0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            histogram(df, "x", 1.0, 1.0, 4)

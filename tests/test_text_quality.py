@@ -127,3 +127,44 @@ class TestUrlNormalize:
 
         rep = plan_report(df.select(url_normalize("url")))
         assert rep.num_exchanges == 0
+
+
+class TestBigramPmi:
+    def test_hand_computed(self, spark):
+        import math
+
+        from etl_tools_rs_spark.operators.text import bigram_pmi
+
+        # corpus: "a b" x3, "a c" x1  -> unigrams: a=4, b=3, c=1, N_uni=8
+        # bigrams: (a,b)=3, (a,c)=1, N_bi=4
+        df = spark.createDataFrame(
+            [("a b",), ("a b",), ("a b",), ("a c",)], "text string"
+        )
+        rows = {
+            (r["tok_x"], r["tok_y"]): r
+            for r in bigram_pmi(df, "text", min_count=1).collect()
+        }
+        assert set(rows) == {("a", "b"), ("a", "c")}
+        assert rows[("a", "b")]["n_xy"] == 3
+        expect_ab = math.floor(1e6 * math.log((3 * 8.0 * 8.0) / (4.0 * 4 * 3))) / 1e6
+        assert rows[("a", "b")]["pmi"] == expect_ab
+        expect_ac = math.floor(1e6 * math.log((1 * 8.0 * 8.0) / (4.0 * 4 * 1))) / 1e6
+        assert rows[("a", "c")]["pmi"] == expect_ac
+
+    def test_min_count_prunes_pairs_not_totals(self, spark):
+        from etl_tools_rs_spark.operators.text import bigram_pmi
+
+        df = spark.createDataFrame([("a b",), ("a b",), ("c d",)], "text string")
+        out = bigram_pmi(df, "text", min_count=2)
+        rows = out.collect()
+        assert [(r["tok_x"], r["tok_y"], r["n_xy"]) for r in rows] == [("a", "b", 2)]
+        # N_bi must stay 3 (pre-prune): pmi = ln(2*6*6/(3*2*2)) = ln(6)
+        import math
+
+        assert rows[0]["pmi"] == math.floor(1e6 * math.log(6.0)) / 1e6
+
+    def test_single_token_docs_contribute_no_bigrams(self, spark):
+        from etl_tools_rs_spark.operators.text import bigram_pmi
+
+        df = spark.createDataFrame([("solo",), ("a b",)], "text string")
+        assert bigram_pmi(df, "text", min_count=1).count() == 1
