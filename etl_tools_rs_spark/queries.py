@@ -3216,6 +3216,47 @@ def bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(t["documents"], "text", min_count=5)
 
 
+@qdef(
+    "inverted_index_documents",
+    f"""
+    SELECT t.tok AS token,
+           list_sort(list(DISTINCT doc_id)) AS postings,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, {TOKS_SQL} AS ts FROM documents), UNNEST(ts) AS t(tok)
+    GROUP BY 1
+    """,
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (operators/index.py): token → sorted postings
+    + doc frequency in one explode/groupBy; postings arrays compared
+    element-for-element against the DuckDB list oracle."""
+    from etl_tools_rs_spark.operators.index import build_inverted_index
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return build_inverted_index(t["documents"])
+
+
+@qdef(
+    "keyword_search_documents",
+    f"""
+    SELECT doc_id, CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_matched
+    FROM (SELECT doc_id, {TOKS_SQL} AS ts FROM documents), UNNEST(ts) AS t(tok)
+    WHERE t.tok IN ('vector', 'hash', 'stream')
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT t.tok) = 3
+    """,
+)
+def keyword_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND keyword search (operators/index.py::keyword_search):
+    explode filtered to the query terms, count distinct matches per doc —
+    the text never rescans per term. search_index answers the same query
+    from the prebuilt index (covered in unit tests)."""
+    from etl_tools_rs_spark.operators.index import keyword_search
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return keyword_search(t["documents"], ["vector", "hash", "stream"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
