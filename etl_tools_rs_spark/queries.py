@@ -3257,6 +3257,45 @@ def keyword_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(t["documents"], ["vector", "hash", "stream"])
 
 
+@qdef(
+    "incremental_orders_state",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def incremental_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): the
+    history (orders before 1997) becomes a per-key state table; the
+    'new partition' (1997+) aggregates alone and MERGES into the state —
+    scan cost is the delta, never the history. The merged state must
+    equal the full GROUP BY, which is exactly what the oracle computes."""
+    from etl_tools_rs_spark.operators import incremental as inc
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    cut = F.lit("1997-01-01").cast("timestamp")
+    orders = t["orders"].withColumn("_price", dec("o_totalprice"))
+    measures = {
+        "n": ("count", "*"),
+        "sum_price": ("sum", "_price"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    keys = ["o_orderstatus", "o_orderpriority"]
+    history = inc.agg_state(orders.filter(F.col("o_orderdate") < cut), keys, measures)
+    state = inc.refresh(history, orders.filter(F.col("o_orderdate") >= cut), keys, measures)
+    return state.select(
+        *keys,
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_price", 2).cast("double").alias("sum_price"),
+        "first_order",
+        "last_order",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
