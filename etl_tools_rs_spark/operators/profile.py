@@ -141,3 +141,79 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+def approx_quantiles_hist(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    scale: int = 6,
+) -> DataFrame:
+    """Deterministic approximate quantiles from a fixed-grid histogram
+    CDF with linear interpolation inside the winning bin — error bounded
+    by one bin width, independent of data size or partitioning.
+
+    Why not ``approx_percentile``: its GK/KLL-style sketch state depends
+    on merge order, so two runs (or two engines) can disagree — useless
+    under an exactness gate. A fixed grid is a pure function of the data:
+    one conditional-bin aggregate (shuffle = n_bins rows), a tiny
+    cumulative window over the bins, one interpolation row per prob.
+    Values are clamped to [lo, hi]; out-of-range values count toward the
+    edge bins (total mass is preserved). Returns ``(prob, value)``.
+
+    The interpolation arithmetic is floor-scaled so the oracle reproduces
+    it bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    if not probs:
+        raise ValueError("need at least one prob")
+    if any(p < 0 or p > 1 for p in probs):
+        raise ValueError(f"probs must lie in [0, 1]: {probs!r}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins!r}")
+    w = (hi - lo) / n_bins
+    c = F.col(col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # n_bins rows total: the single-partition window is on sketch-sized
+    # data (the bins), never on the input
+    cdf = counts.withColumn("_cum", F.sum("_n").over(cw)).withColumn(
+        "_total", F.max("_cum").over(Window.partitionBy())
+    )
+    spark = df.sparkSession
+    pr = spark.createDataFrame([(float(p),) for p in sorted(set(probs))], "prob double")
+    # winning bin: first with cum >= ceil(p * total) (nearest-rank)
+    target = F.ceil(F.col("prob") * F.col("_total"))
+    joined = (
+        pr.crossJoin(F.broadcast(cdf))
+        .filter(F.col("_cum") >= F.greatest(target, F.lit(1)))
+        .groupBy("prob")
+        .agg(
+            F.min_by(F.struct("bin", "_n", "_cum", "_total"), F.col("bin")).alias("_b")
+        )
+        .select("prob", "_b.*")
+    )
+    p10 = float(10**scale)
+    # linear interpolation: position of the target rank inside the bin
+    frac = (
+        F.greatest(target, F.lit(1)).cast("double")
+        - (F.col("_cum") - F.col("_n")).cast("double")
+    ) / F.col("_n").cast("double")
+    value = F.floor(
+        F.lit(p10) * (F.lit(lo) + (F.col("bin").cast("double") + frac) * F.lit(w))
+    ) / F.lit(p10)
+    return joined.select("prob", value.cast("double").alias("value"))

@@ -3296,6 +3296,43 @@ def incremental_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "quantiles_totalprice_hist",
+    """
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0) / 600.0) AS INT), 0), 999)
+              AS bin FROM v),
+    c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    cdf AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
+                   SUM(n) OVER () AS total FROM c),
+    p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE) AS prob),
+    j AS (SELECT prob, bin, n, cum, total,
+                 ROW_NUMBER() OVER (PARTITION BY prob ORDER BY bin) AS rn
+          FROM p JOIN cdf ON cum >= GREATEST(CEIL(prob * total), 1))
+    SELECT prob,
+           CAST(FLOOR(1000000.0 * (0 + (bin +
+                (CAST(GREATEST(CEIL(prob * total), 1) AS DOUBLE) - (cum - n))
+                 / CAST(n AS DOUBLE)) * 600.0)) / 1000000.0 AS DOUBLE) AS value
+    FROM j WHERE rn = 1
+    """,
+)
+def quantiles_totalprice_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate quantiles (operators/profile.py::
+    approx_quantiles_hist, 1000 bins over [0, 600k)): fixed-grid
+    histogram CDF + in-bin linear interpolation — unlike GK/KLL sketches
+    the result is a pure function of the data (no merge-order drift), so
+    it hash-matches the oracle exactly; error is bounded by one bin
+    width regardless of data size or partitioning."""
+    from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return approx_quantiles_hist(
+        t["orders"], "o_totalprice", [0.25, 0.5, 0.75, 0.95, 0.99],
+        0.0, 600_000.0, 1000,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -91,3 +91,56 @@ class TestHistogram:
             histogram(df, "x", 0.0, 1.0, 0)
         with pytest.raises(ValueError, match="hi > lo"):
             histogram(df, "x", 1.0, 1.0, 4)
+
+
+class TestApproxQuantilesHist:
+    def test_within_one_bin_of_exact(self, spark):
+        from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+        df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("x"))
+        got = {
+            r["prob"]: r["value"]
+            for r in approx_quantiles_hist(
+                df, "x", [0.25, 0.5, 0.9], 0.0, 1000.0, 100
+            ).collect()
+        }
+        # uniform over 0..999: true quantiles ~ p*1000; bin width 10
+        for p, v in got.items():
+            assert abs(v - p * 1000) <= 10 + 1e-6, (p, v)
+
+    def test_deterministic_under_repartition(self, spark):
+        from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+        df = spark.range(5000).select(
+            (F.xxhash64("id") % 997).cast("double").alias("x")
+        )
+        a = approx_quantiles_hist(df, "x", [0.5, 0.9], -1000.0, 1000.0, 64).collect()
+        b = approx_quantiles_hist(
+            df.repartition(17), "x", [0.5, 0.9], -1000.0, 1000.0, 64
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_out_of_range_clamped_mass_preserved(self, spark):
+        from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+        df = spark.createDataFrame(
+            [(-100.0,), (0.5,), (0.7,), (999.0,)], "x double"
+        )
+        got = {
+            r["prob"]: r["value"]
+            for r in approx_quantiles_hist(df, "x", [0.0, 1.0], 0.0, 1.0, 2).collect()
+        }
+        # p=0 -> rank 1 -> first occupied bin; p=1 -> rank 4 -> last bin
+        assert 0.0 <= got[0.0] <= 0.5
+        assert 0.5 <= got[1.0] <= 1.0
+
+    def test_rejects_bad_probs(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+        df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+        with pytest.raises(ValueError, match="probs"):
+            approx_quantiles_hist(df, "x", [1.5], 0.0, 1.0)
+        with pytest.raises(ValueError, match="at least one"):
+            approx_quantiles_hist(df, "x", [], 0.0, 1.0)
