@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "pack_concat_documents",
     "mixture_sample_documents",
     "profile_orders",
+    "validate_orders",
+    "histogram_totalprice",
+    "quantiles_totalprice_hist",
+    "bigram_pmi_documents",
+    "keyword_search_documents",
+    "incremental_orders_state",
 ]
 
 

@@ -214,3 +214,62 @@ def test_batch_text_ops_compose_on_streams(spark, tmp_path):
     run_available_now(flagged, str(tmp_path / "ck2"), query_name="t_flags")
     rows = {r["doc_id"]: r["keep"] for r in spark.table("t_flags").collect()}
     assert rows[1] is True and rows[2] is False
+
+
+def test_incremental_agg_state_maintained_by_stream(spark, tmp_path):
+    """Cross-layer composition: the BATCH incremental-agg operator
+    (operators/incremental.py) is the foreachBatch maintenance function
+    of a streaming pipeline — each micro-batch folds into a parquet
+    state table, and the final state equals a full batch recompute.
+    This is how a 100 TB running aggregate is actually maintained: the
+    stream only ever aggregates the new files."""
+    from etl_tools_rs_spark.operators import incremental as inc
+    from etl_tools_rs_spark.streaming import sources
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    state_path = str(tmp_path / "inc_state")
+    measures = {"n": ("count", "*"), "total": ("sum", "v")}
+
+    rows_a = [{"k": i % 3, "v": i} for i in range(50)]
+    rows_b = [{"k": i % 3, "v": i * 2} for i in range(50, 90)]
+    (src / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows_a) + "\n")
+    (src / "b.ndjson").write_text("\n".join(json.dumps(r) for r in rows_b) + "\n")
+
+    stream = sources.file_stream(
+        spark, str(src), format="json", schema="k int, v int",
+        max_files_per_trigger=1,  # force one micro-batch per file
+    )
+
+    def maintain(batch_df, batch_id):
+        try:
+            state = batch_df.sparkSession.read.parquet(state_path)
+        except Exception:
+            state = None
+        inc.refresh(state, batch_df, ["k"], measures).write.mode(
+            "overwrite"
+        ).parquet(state_path + "__next")
+        # swap: read is from the committed path only after full write
+        out = batch_df.sparkSession.read.parquet(state_path + "__next")
+        out.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in rows_a + rows_b], "k int, v int"
+    )
+    expect = {
+        r["k"]: (r["n"], r["total"])
+        for r in inc.agg_state(full, ["k"], measures).collect()
+    }
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    assert got == expect
