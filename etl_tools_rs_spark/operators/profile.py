@@ -217,3 +217,49 @@ def approx_quantiles_hist(
         F.lit(p10) * (F.lit(lo) + (F.col("bin").cast("double") + frac) * F.lit(w))
     ) / F.lit(p10)
     return joined.select("prob", value.cast("double").alias("value"))
+
+
+def outliers_mad(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    k: float = 3.5,
+    scale: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier detection via median/MAD (the
+    mean/stddev-free form that one corrupt value cannot drag): a row is
+    an outlier when ``|x - median| / (1.4826 * MAD) > k`` (1.4826 scales
+    MAD to sigma-equivalents under normality; k=3.5 is the standard
+    robust z cutoff).
+
+    Returns the input rows plus ``mad_score`` (floor-scaled double; NULL
+    when the group's MAD is 0 and the value equals the median — in a
+    MAD-0 group any deviating value IS an outlier and gets score NULL
+    with ``is_outlier`` true) and ``is_outlier``.
+
+    Plan shape: two grouped exact-percentile aggregates (median of x,
+    then median of |x - median|) joined back by group key — group-stat
+    frames are one row per group so the joins broadcast; rows shuffle
+    only if Catalyst can't broadcast (huge group counts). Exact
+    interpolated percentiles keep the whole thing deterministic and
+    oracle-checkable, unlike sketch-based approx_percentile.
+    """
+    by = by or []
+    c = F.col(col).cast("double")
+    med = df.groupBy(*by).agg(F.percentile(c, F.lit(0.5)).alias("_med"))
+    with_med = df.join(F.broadcast(med), by) if by else df.crossJoin(F.broadcast(med))
+    dev = F.abs(c - F.col("_med"))
+    mad = with_med.groupBy(*by).agg(
+        F.percentile(dev, F.lit(0.5)).alias("_mad")
+    )
+    j = with_med.join(F.broadcast(mad), by) if by else with_med.crossJoin(F.broadcast(mad))
+    p = float(10**scale)
+    denom = F.lit(1.4826) * F.col("_mad")
+    raw = dev / F.when(denom > 0, denom)  # NULL when MAD == 0
+    score = (F.floor(F.lit(p) * raw) / F.lit(p)).cast("double")
+    flag = F.when(
+        F.col("_mad") > 0, F.coalesce(score > F.lit(float(k)), F.lit(False))
+    ).otherwise(dev > 0)
+    return j.select(
+        *df.columns, score.alias("mad_score"), flag.alias("is_outlier")
+    )

@@ -3333,6 +3333,46 @@ def quantiles_totalprice_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "outliers_event_value_mad",
+    """
+    WITH med AS (SELECT event_type AS g,
+                        quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+                 FROM events GROUP BY 1),
+    d AS (SELECT event_id, event_type AS g, CAST(value AS DOUBLE) AS v,
+                 ABS(CAST(value AS DOUBLE) - med) AS dev
+          FROM events JOIN med ON event_type = g),
+    mad AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT d.event_id, d.g AS event_type, d.v AS value,
+           CAST(FLOOR(10000.0 * (dev / (1.4826 * mad))) / 10000.0 AS DOUBLE)
+             AS mad_score
+    FROM d JOIN mad USING (g)
+    WHERE CASE WHEN mad > 0
+               THEN COALESCE((FLOOR(10000.0 * (dev / (1.4826 * mad)))
+                              / 10000.0) > 3.5, FALSE)
+               ELSE dev > 0 END
+    """,
+)
+def outliers_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging (operators/profile.py::outliers_mad,
+    k=3.5): per-event-type median/MAD via exact interpolated percentiles
+    (deterministic, unlike sketch percentiles), group-stat frames
+    broadcast back onto the rows — verified row-for-row against the
+    DuckDB quantile_cont oracle (events.value is heavy-tailed, so the
+    flag actually fires)."""
+    from etl_tools_rs_spark.operators.profile import outliers_mad
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "event_type", "value")
+    out = outliers_mad(ev, "value", by=["event_type"], k=3.5)
+    return out.filter(F.col("is_outlier")).select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "mad_score",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -144,3 +144,45 @@ class TestApproxQuantilesHist:
             approx_quantiles_hist(df, "x", [1.5], 0.0, 1.0)
         with pytest.raises(ValueError, match="at least one"):
             approx_quantiles_hist(df, "x", [], 0.0, 1.0)
+
+
+class TestOutliersMad:
+    def test_hand_computed(self, spark):
+        from etl_tools_rs_spark.operators.profile import outliers_mad
+
+        # group a: 1..9 plus a wild 1000 -> median 5.5, MAD 2.5
+        vals = [float(v) for v in range(1, 10)] + [1000.0]
+        df = spark.createDataFrame([("a", v) for v in vals], "g string, x double")
+        rows = {r["x"]: r for r in outliers_mad(df, "x", by=["g"], k=3.5).collect()}
+        assert rows[1000.0]["is_outlier"]
+        inliers = [v for v in vals if v != 1000.0]
+        assert all(not rows[v]["is_outlier"] for v in inliers)
+        # score of the wild point: |1000-5.5| / (1.4826*2.5), floor-scaled
+        import math
+
+        expect = math.floor(1e4 * (994.5 / (1.4826 * 2.5))) / 1e4
+        assert rows[1000.0]["mad_score"] == expect
+
+    def test_mad_zero_group(self, spark):
+        from etl_tools_rs_spark.operators.profile import outliers_mad
+
+        df = spark.createDataFrame(
+            [("c", 5.0)] * 6 + [("c", 9.0)], "g string, x double"
+        )
+        rows = outliers_mad(df, "x", by=["g"]).collect()
+        by_val = {}
+        for r in rows:
+            by_val.setdefault(r["x"], []).append(r)
+        # MAD == 0: deviating value is an outlier (score NULL), equals-median rows are not
+        assert all(r["is_outlier"] for r in by_val[9.0])
+        assert all(r["mad_score"] is None for r in by_val[9.0])
+        assert all(not r["is_outlier"] for r in by_val[5.0])
+
+    def test_global_no_group(self, spark):
+        from etl_tools_rs_spark.operators.profile import outliers_mad
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in [1, 2, 3, 4, 100]], "x double"
+        )
+        rows = {r["x"]: r["is_outlier"] for r in outliers_mad(df, "x").collect()}
+        assert rows[100.0] and not rows[1.0]
