@@ -185,3 +185,38 @@ def url_normalize(col: str | Column) -> Column:
         .otherwise(hostport)
     )
     return F.concat(scheme, F.lit("://"), host, url_path(c))
+
+
+# accent-folding table: built pairwise so source/target stay aligned
+_ACCENT_PAIRS = [
+    ("áàâäãå", "a"), ("ç", "c"), ("éèêë", "e"), ("íìîï", "i"), ("ñ", "n"),
+    ("óòôöõø", "o"), ("úùûü", "u"), ("ýÿ", "y"),
+    ("ÁÀÂÄÃÅ", "A"), ("Ç", "C"), ("ÉÈÊË", "E"), ("ÍÌÎÏ", "I"), ("Ñ", "N"),
+    ("ÓÒÔÖÕØ", "O"), ("ÚÙÛÜ", "U"), ("Ý", "Y"),
+]
+ACCENT_FROM = "".join(src for src, _ in _ACCENT_PAIRS)
+ACCENT_TO = "".join(dst * len(src) for src, dst in _ACCENT_PAIRS)
+
+
+def normalize_text(
+    col: str | Column,
+    lower: bool = True,
+    strip_accents: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """Canonical text for dedup keys and matching: trim, optional
+    lowercase, Latin accent folding (é→e — a fixed ``translate`` table,
+    portable to any engine with ``translate``), whitespace runs collapsed
+    to single spaces. Pure narrow column expressions — codegen,
+    shuffle-free; the standard pre-fingerprint cleanup
+    (:func:`fingerprint` stays byte-exact once inputs pass through
+    this)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    if lower:
+        c = F.lower(c)
+    if strip_accents:
+        c = F.translate(c, ACCENT_FROM, ACCENT_TO)
+    if collapse_ws:
+        c = F.regexp_replace(c, r"\s+", " ")
+    return c

@@ -48,16 +48,34 @@ def left_join(
     return left.join(r, on, "left")
 
 
+_JOIN_STRATEGIES = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+
+
 def join(
     left: DataFrame,
     right: DataFrame,
     on: Column | list[str],
     how: str = "inner",
     broadcast_right: bool = False,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Full join surface (inner/left/right/full/semi/anti/cross) — native
     Spark capability the engine exposes beyond the reference (SURVEY §7.2
-    phase 4)."""
+    phase 4).
+
+    ``strategy`` pins a physical strategy hint on the RIGHT side when the
+    optimizer's estimate is known-wrong: ``broadcast`` (small dim that
+    stats undercount), ``merge`` (both sides pre-sorted/bucketed on the
+    key), ``shuffle_hash`` (one side much smaller but over the broadcast
+    limit — builds a hash map instead of sorting both sides),
+    ``shuffle_replicate_nl`` (cartesian). Hints beat config-wide
+    threshold twiddling because they scope to ONE join."""
+    if strategy is not None:
+        if strategy not in _JOIN_STRATEGIES:
+            raise ValueError(
+                f"strategy must be one of {sorted(_JOIN_STRATEGIES)}, got {strategy!r}"
+            )
+        right = right.hint(strategy)
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on, how)
 

@@ -3373,6 +3373,40 @@ def outliers_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _accent_tables() -> tuple[str, str]:
+    from etl_tools_rs_spark.functions import ACCENT_FROM, ACCENT_TO
+
+    return ACCENT_FROM, ACCENT_TO
+
+
+_AF, _AT = _accent_tables()
+
+@qdef(
+    "normalize_text_documents",
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+             translate(lower(trim(translate(text, 'ao', 'áö'))),
+                       '{_AF}', '{_AT}'),
+             '\\s+', ' ', 'g') AS text_norm
+    FROM documents
+    """,
+)
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (functions.normalize_text): trim + lower +
+    Latin accent folding (fixed translate table, engine-portable) +
+    whitespace collapse. The corpus is synthetically accented first
+    (a→á, o→ö) so the folding path is actually exercised; the oracle
+    applies the identical expression chain in DuckDB."""
+    from etl_tools_rs_spark.functions import normalize_text
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    accented = F.translate(F.col("text"), "ao", "áö")
+    return t["documents"].select(
+        "doc_id", normalize_text(accented).alias("text_norm")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

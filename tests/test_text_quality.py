@@ -168,3 +168,42 @@ class TestBigramPmi:
 
         df = spark.createDataFrame([("solo",), ("a b",)], "text string")
         assert bigram_pmi(df, "text", min_count=1).count() == 1
+
+
+class TestNormalizeText:
+    def test_accent_fold_lower_ws(self, spark):
+        from etl_tools_rs_spark.functions import normalize_text
+
+        df = spark.createDataFrame(
+            [("  Crème   BRÛLÉE\tà la\nmaison  ",), ("ñoño ÀÉÎÕÜ",)], "t string"
+        )
+        got = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+        assert got[0] == "creme brulee a la maison"
+        assert got[1] == "nono aeiou"
+
+    def test_flags_off(self, spark):
+        from etl_tools_rs_spark.functions import normalize_text
+
+        df = spark.createDataFrame([("  Ä  B  ",)], "t string")
+        keep_case = df.select(
+            normalize_text("t", lower=False).alias("n")
+        ).collect()[0]["n"]
+        assert keep_case == "A B"
+        keep_accent = df.select(
+            normalize_text("t", strip_accents=False, collapse_ws=False).alias("n")
+        ).collect()[0]["n"]
+        assert keep_accent == "ä  b"
+
+    def test_fingerprint_stable_after_normalize(self, spark):
+        from etl_tools_rs_spark.functions import fingerprint, normalize_text
+
+        df = spark.createDataFrame(
+            [("Héllo  Wörld",), ("hello   world",)], "t string"
+        )
+        fps = [
+            r["f"]
+            for r in df.select(
+                fingerprint(normalize_text("t")).alias("f")
+            ).collect()
+        ]
+        assert fps[0] == fps[1]
