@@ -228,3 +228,25 @@ def test_upsert_single_window_shuffle(spark):
     # base/update pre-windows + merge window all hash-partition on
     # o_custkey: one exchange per scan branch, reused through the union
     assert len(re.findall(r"\bExchange\b", plan)) <= 2
+
+
+def test_join_strategy_hints_reach_physical_plan(spark):
+    """strategy= must actually steer the planner: shuffle_hash yields a
+    ShuffledHashJoin, merge a SortMergeJoin, for the same tiny join that
+    would otherwise broadcast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_tools_rs_spark.operators.join import join
+
+    left = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+    plan_sh = join(left, right, ["k"], strategy="shuffle_hash")._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_sh
+
+    plan_m = join(left, right, ["k"], strategy="merge")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m
+
+    with pytest.raises(ValueError, match="strategy"):
+        join(left, right, ["k"], strategy="hash")
