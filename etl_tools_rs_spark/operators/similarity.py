@@ -348,3 +348,53 @@ def knn_ivf(
             "rank",
         )
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    by: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroid (mean pooling) — the class-prototype /
+    cluster-summary op (label prototypes, topic centroids, per-source
+    embedding drift monitoring).
+
+    Float summation is order-dependent, so a naive avg() differs run-to-
+    run under Spark's nondeterministic partial-agg order (and engine-to-
+    engine). Components therefore sum as exact DECIMAL(28,12) —
+    associative/commutative, partitioning-proof — and the final mean is
+    floor-scaled to ``scale`` decimals: bit-identical anywhere.
+
+    Plan: posexplode (rows = vectors × dim) → groupBy(group, position)
+    decimal sums (ONE shuffle, map-side combined) → per-group ordered
+    re-assembly (second shuffle of dim-sized rows). Returns
+    ``(by..., centroid array<double>, n bigint)``.
+    """
+    by = by or []
+    p10 = float(10**scale)
+    pos = df.select(
+        *by, F.posexplode(F.col(vec_col)).alias("_p", "_v")
+    ).select(
+        *by,
+        "_p",
+        F.col("_v").cast("double").cast("decimal(28,12)").alias("_vd"),
+    )
+    comp = pos.groupBy(*by, "_p").agg(
+        F.sum("_vd").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    mean = comp.select(
+        *by,
+        "_p",
+        "_n",
+        (
+            F.floor(F.lit(p10) * (F.col("_s").cast("double") / F.col("_n")))
+            / F.lit(p10)
+        ).cast("double").alias("_m"),
+    )
+    return mean.groupBy(*by).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_m"))), lambda s: s["_m"]
+        ).alias("centroid"),
+        F.max("_n").cast("bigint").alias("n"),
+    )

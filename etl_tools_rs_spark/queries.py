@@ -3407,6 +3407,37 @@ def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "label_centroids_embeddings",
+    """
+    WITH e AS (SELECT label,
+                      UNNEST(list_transform(embedding,
+                             (x, i) -> {'p': i, 'v': x})) AS u
+               FROM embeddings),
+    comp AS (SELECT label, u.p AS p,
+                    SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(28,12))) AS s,
+                    COUNT(*) AS n
+             FROM e GROUP BY 1, 2),
+    m AS (SELECT label, p, n,
+                 FLOOR(1000000.0 * (CAST(s AS DOUBLE) / n)) / 1000000.0 AS m
+          FROM comp)
+    SELECT label,
+           list_transform(list_sort(list({'p': p, 'm': m})), r -> r.m) AS centroid,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM m GROUP BY label
+    """,
+)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py::
+    group_centroids): mean pooling with exact-decimal component sums —
+    order-independent, so the floor-scaled means hash-match the oracle
+    element-for-element despite float inputs."""
+    from etl_tools_rs_spark.operators.similarity import group_centroids
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return group_centroids(t["embeddings"], "embedding", by=["label"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -189,3 +189,31 @@ def test_tfidf_hand_computed(spark):
     assert got[("d1", "b")] == (1, idf_b, idf_b)
     assert got[("d3", "c")][0] == 3
     assert len(got) == 5  # (d1,a),(d1,b),(d2,a),(d2,c),(d3,c)
+
+
+class TestGroupCentroids:
+    def test_hand_computed_and_partition_invariant(self, spark):
+        from etl_tools_rs_spark.operators.similarity import group_centroids
+
+        rows = [
+            ("a", [1.0, 2.0, 3.0]),
+            ("a", [3.0, 2.0, 1.0]),
+            ("b", [10.0, 0.0, -10.0]),
+        ]
+        df = spark.createDataFrame(rows, "g string, embedding array<float>")
+        got = {r["g"]: (r["centroid"], r["n"]) for r in
+               group_centroids(df, "embedding", by=["g"]).collect()}
+        assert got["a"] == ([2.0, 2.0, 2.0], 2)
+        assert got["b"] == ([10.0, 0.0, -10.0], 1)
+        got17 = {r["g"]: (r["centroid"], r["n"]) for r in
+                 group_centroids(df.repartition(17), "embedding", by=["g"]).collect()}
+        assert got17 == got
+
+    def test_global_centroid_no_group(self, spark):
+        from etl_tools_rs_spark.operators.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [([2.0, 4.0],), ([4.0, 8.0],)], "embedding array<float>"
+        )
+        r = group_centroids(df, "embedding").collect()[0]
+        assert r["centroid"] == [3.0, 6.0] and r["n"] == 2
