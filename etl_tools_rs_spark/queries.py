@@ -3438,6 +3438,60 @@ def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_centroids(t["embeddings"], "embedding", by=["label"])
 
 
+@qdef(
+    "snapshot_diff_orders",
+    """
+    WITH newt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (n.o_totalprice IS DISTINCT FROM o.o_totalprice)
+                  OR (n.o_orderstatus IS DISTINCT FROM o.o_orderstatus)
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN (n.o_totalprice IS DISTINCT FROM o.o_totalprice)
+                 OR (n.o_orderstatus IS DISTINCT FROM o.o_orderstatus)
+                 THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/merge.py::snapshot_diff): the
+    old snapshot diffs against a deterministically perturbed new one
+    (1/97 keys removed, 1/89 prices changed, 1/101 keys re-added under
+    new ids) — one full-outer key join, null-safe column compare,
+    change-sized output. Verified verdict-for-verdict by the oracle."""
+    from etl_tools_rs_spark.operators.merge import snapshot_diff
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus")
+    changed = base.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    added = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    return snapshot_diff(base, changed.unionByName(added), keys=["o_orderkey"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

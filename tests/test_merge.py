@@ -52,3 +52,48 @@ def test_merge_changes_delete_beats_upsert(spark):
     got = {r.k: r.v for r in merge_changes(base, changes, ["k"]).collect()}
     # 1 deleted, 2 updated, 3 upserted-then-tombstoned in the same batch
     assert got == {2: "b2"}
+
+
+class TestSnapshotDiff:
+    def test_all_change_types(self, spark):
+        from etl_tools_rs_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+            "k int, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 20.0), (3, "c", None), (5, "e", 50.0)],
+            "k int, s string, v double",
+        )
+        got = {r["k"]: r["change_type"] for r in
+               snapshot_diff(old, new, ["k"]).collect()}
+        # 1 unchanged (excluded), 3 unchanged with NULL==NULL (excluded)
+        assert got == {2: "changed", 4: "removed", 5: "added"}
+
+    def test_include_unchanged_and_null_vs_value(self, spark):
+        from etl_tools_rs_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, 5.0)], "k int, v double")
+        new = spark.createDataFrame([(1, 0.0), (2, 5.0)], "k int, v double")
+        got = {r["k"]: r["change_type"] for r in
+               snapshot_diff(old, new, ["k"], include_unchanged=True).collect()}
+        assert got == {1: "changed", 2: "unchanged"}  # NULL -> 0.0 is a change
+
+    def test_compare_cols_subset(self, spark):
+        from etl_tools_rs_spark.operators.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, "x", 1.0)], "k int, s string, v double")
+        new = spark.createDataFrame([(1, "y", 1.0)], "k int, s string, v double")
+        assert snapshot_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+
+    def test_rejects_bad_args(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.merge import snapshot_diff
+
+        df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+        with pytest.raises(ValueError, match="at least one key"):
+            snapshot_diff(df, df, [])
+        with pytest.raises(ValueError, match="not present"):
+            snapshot_diff(df, df, ["k"], compare_cols=["zz"])
