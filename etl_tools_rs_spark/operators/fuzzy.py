@@ -175,3 +175,37 @@ def fuzzy_join_naive(
         .withColumn("distance", dist.cast("bigint"))
         .filter(F.col("distance") >= 0)
     )
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_distance: int = 2,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Edit-distance dedup end to end: segment-blocked pair generation
+    (:func:`fuzzy_self_pairs`) → connected components → keep one
+    canonical row per cluster (the minimum id). Returns the surviving
+    rows plus ``n_merged`` (how many near-duplicates each survivor
+    absorbed, 0 for singletons).
+
+    Composition of two already-scalable pieces: pair volume is bounded
+    by the pigeonhole blocking, clustering by the pair list (never the
+    corpus), and the final keep-filter is an anti-join of cluster
+    non-representatives — the corpus shuffles once, on its id.
+    """
+    from etl_tools_rs_spark.operators.dedup import connected_components
+
+    pairs = fuzzy_self_pairs(df, col, id_col, max_distance)
+    comp = connected_components(pairs, "id_a", "id_b", max_iterations)
+    # component sizes → n_merged for the representative (min id = group id)
+    sizes = comp.groupBy("group_id").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_merged")
+    )
+    losers = comp.filter(F.col("member_id") != F.col("group_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    kept = df.join(losers, id_col, "left_anti")
+    reps = sizes.select(F.col("group_id").alias(id_col), "n_merged")
+    return kept.join(reps, id_col, "left").na.fill({"n_merged": 0})

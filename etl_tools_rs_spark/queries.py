@@ -3492,6 +3492,21 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(base, changed.unionByName(added), keys=["o_orderkey"])
 
 
+@qdef("dedup_fuzzy_customers", None)  # iterative connected components — rows-only
+def dedup_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end edit-distance dedup (operators/fuzzy.py::dedup_fuzzy):
+    segment-blocked pairs → connected components → one canonical row per
+    cluster with its absorption count. Rows-only check (label
+    propagation is iterative); the pair stage itself is oracle-checked
+    by fuzzy_name_pairs."""
+    from etl_tools_rs_spark.operators.fuzzy import dedup_fuzzy
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    return dedup_fuzzy(
+        t["customer"].select("c_custkey", "c_name"), "c_name", "c_custkey", 1
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -91,3 +91,19 @@ def test_no_cartesian_in_plan(spark, words_df):
 def test_rejects_zero_distance(spark, words_df):
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy.fuzzy_join(words_df, words_df, "w", "w", 0)
+
+
+def test_dedup_fuzzy_end_to_end(spark):
+    from etl_tools_rs_spark.operators.fuzzy import dedup_fuzzy
+
+    rows = [
+        # transitive chain: 1-2 and 2-3 are 1 edit apart, 1-3 is 2 —
+        # connected components still merges all three at d=1
+        (1, "kettle"), (2, "kettles"), (3, "kettless"),
+        (4, "firetruck"), (5, "firetruck!"),
+        (6, "unrelated string"),
+    ]
+    df = spark.createDataFrame(rows, "wid int, w string")
+    out = {r["wid"]: r["n_merged"] for r in
+           dedup_fuzzy(df, "w", "wid", max_distance=1).collect()}
+    assert out == {1: 2, 4: 1, 6: 0}  # min id survives, absorbs the rest
