@@ -93,3 +93,99 @@ def search_index(
     if mode == "all":
         hits = hits.filter(F.col("n_matched") == len(uniq))
     return hits
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 6,
+) -> DataFrame:
+    """BM25-ranked keyword search — the standard lexical relevance score
+    (Robertson/Spärck Jones; the Elasticsearch/Lucene formula):
+
+    ``score(D, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+
+    with ``idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))``. Returns
+    ``(id_col, score)`` for documents matching ANY query term, higher =
+    more relevant.
+
+    Determinism: idf (the ln) and each per-term contribution are
+    floor-scaled to ``scale`` decimals, and contributions sum as exact
+    decimals — so the score is partition-order-proof and oracle-exact.
+
+    Plan shape: one explode for doc lengths folded into the same scan's
+    tf aggregate; term stats (df_t, N, avgdl) are 1-row/handful-row
+    aggregates broadcast back; the matched-term stream (a sliver of the
+    corpus for selective terms) is all that shuffles.
+    """
+    if not terms:
+        raise ValueError("bm25_search needs at least one term")
+    uniq = sorted(set(terms))
+    p = float(10**scale)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
+    # document lengths + corpus totals
+    dl = toks.select(id_col, F.size("_ts").alias("_dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+    )
+    # term frequencies for query terms only (IN filter under the explode)
+    tf = (
+        toks.select(F.col(id_col), F.explode("_ts").alias("_tok"))
+        .filter(F.col("_tok").isin(uniq))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dft = tf.groupBy("_tok").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    idf = dft.crossJoin(F.broadcast(corpus)).select(
+        "_tok",
+        (
+            F.floor(
+                F.lit(p)
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("_n").cast("double") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+            )
+            / F.lit(p)
+        ).alias("_idf"),
+        # avgdl floor-scaled once, corpus-wide, so dl/avgdl is shared
+        (
+            F.floor(F.lit(p) * (F.col("_sumdl").cast("double") / F.col("_n")))
+            / F.lit(p)
+        ).alias("_avgdl"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "_tok")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.floor(
+                    F.lit(p)
+                    * (
+                        F.col("_idf")
+                        * (F.col("_tf") * F.lit(k1 + 1.0))
+                        / (
+                            F.col("_tf")
+                            + F.lit(k1)
+                            * (
+                                F.lit(1.0 - b)
+                                + F.lit(b)
+                                * (F.col("_dl").cast("double") / F.col("_avgdl"))
+                            )
+                        )
+                    )
+                )
+                / F.lit(p)
+            ).cast("decimal(18,6)").alias("_c"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum("_c").cast("double").alias("score")
+    )

@@ -3507,6 +3507,42 @@ def dedup_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "bm25_search_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+    corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+    tf AS (SELECT doc_id, t.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks, UNNEST(ts) AS t(tok)
+           WHERE t.tok IN ('vector', 'hash', 'stream')
+           GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfv FROM tf GROUP BY 1),
+    idf AS (SELECT tok,
+              FLOOR(1000000.0 * LN(1.0 + (CAST(n AS DOUBLE) - dfv + 0.5)
+                                          / (dfv + 0.5))) / 1000000.0 AS idf,
+              FLOOR(1000000.0 * (CAST(sumdl AS DOUBLE) / n)) / 1000000.0
+                AS avgdl
+            FROM dft, corpus),
+    contrib AS (SELECT tf.doc_id,
+        CAST(FLOOR(1000000.0 * (idf * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))
+             / 1000000.0 AS DECIMAL(18,6)) AS c
+        FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id))
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY doc_id
+    """,
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical relevance (operators/index.py::bm25_search, k1=1.2,
+    b=0.75): floor-scaled idf and per-term contributions summed as exact
+    decimals — the ranking function is a pure function of the corpus, so
+    every score hash-matches the DuckDB oracle."""
+    from etl_tools_rs_spark.operators.index import bm25_search
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return bm25_search(t["documents"], ["vector", "hash", "stream"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

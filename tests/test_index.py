@@ -65,3 +65,42 @@ def test_rejects_bad_args(spark, docs):
         ix.keyword_search(docs, [])
     with pytest.raises(ValueError, match="mode"):
         ix.keyword_search(docs, ["x"], mode="phrase")
+
+
+class TestBm25:
+    def test_ranking_properties(self, spark, docs):
+        from etl_tools_rs_spark.operators.index import bm25_search
+
+        scores = {
+            r["doc_id"]: r["score"]
+            for r in bm25_search(docs, ["spark", "fast"]).collect()
+        }
+        # only docs containing at least one term are scored
+        assert set(scores) == {1, 2, 3, 4}
+        # doc 1 has both terms: strictly higher than single-term docs
+        assert scores[1] > scores[2]
+        assert scores[1] > scores[3]
+        assert all(v > 0 for v in scores.values())
+
+    def test_hand_computed_single_doc_corpus(self, spark):
+        import math
+
+        from etl_tools_rs_spark.operators.index import bm25_search
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "c d")], "doc_id bigint, text string"
+        )
+        # term 'a': N=2, df=1 -> idf = ln(1 + 1.5/1.5) = ln 2; dl=2, avgdl=2
+        # tf=1 -> contribution = idf * 2.2 / (1 + 1.2*(0.25 + 0.75*1))
+        r = {x["doc_id"]: x["score"] for x in bm25_search(df, ["a"]).collect()}
+        idf = math.floor(1e6 * math.log(2.0)) / 1e6
+        expect = math.floor(1e6 * (idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 1.0)))) / 1e6
+        assert r == {1: expect}
+
+    def test_rejects_empty_terms(self, spark, docs):
+        import pytest
+
+        from etl_tools_rs_spark.operators.index import bm25_search
+
+        with pytest.raises(ValueError, match="at least one"):
+            bm25_search(docs, [])
