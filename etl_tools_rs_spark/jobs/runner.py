@@ -267,27 +267,61 @@ class JobRunner:
         return self.run_stream_handler(name, df, _H())
 
     # -- run_cmd (job.rs:606-643) -------------------------------------------
-    def run_cmd(self, name: str, fn: Callable[["JobRunner"], Any]) -> Any:
+    def run_cmd(
+        self,
+        name: str,
+        fn: Callable[["JobRunner"], Any],
+        retries: int = 0,
+        backoff_s: float = 0.1,
+        backoff_cap_s: float = 10.0,
+        retry_on: type[Exception] | tuple[type[Exception], ...] = Exception,
+        sleep: Callable[[float], None] | None = None,
+    ) -> Any:
         """Command step: arbitrary side effect (DDL/cleanup/spark.sql),
         recorded in step history with timestamps; subsumes the reference's
         AthenaQueryJobCommand (athena.rs:47-156) since ``spark.sql`` runs
-        inline."""
+        inline.
+
+        ``retries`` re-runs the callable on ``retry_on`` exceptions with
+        exponential backoff doubling from ``backoff_s`` up to
+        ``backoff_cap_s`` — the reference's transient-failure policy
+        (100-retry exp backoff on S3 503s, s3_datastore.rs:422-448)
+        generalized to any step. Only the FINAL failure reaches the step
+        history / error budget; a step that succeeds on retry is simply
+        Complete. ``sleep`` is injectable for tests."""
+        import time as _time
+
         step = self._skip_or_start(name, "command")
         if step is None:
             return None
-        try:
-            result = fn(self)
-            self.state.complete_step(name)
-            self._save()
-            return result
-        except Exception as e:
-            self.state.error_step(name, str(e))
-            if self.stop_on_error:
-                self.state.run_status = RUN_FATAL
+        do_sleep = sleep if sleep is not None else _time.sleep
+        attempt = 0
+        while True:
+            try:
+                result = fn(self)
+                self.state.complete_step(name)
                 self._save()
-                raise JobStepError(f"step {name!r}: {e}") from e
-            self._save()
-            return None
+                return result
+            except retry_on as e:
+                if attempt < retries:
+                    do_sleep(min(backoff_s * (2**attempt), backoff_cap_s))
+                    attempt += 1
+                    continue
+                self.state.error_step(name, str(e))
+                if self.stop_on_error:
+                    self.state.run_status = RUN_FATAL
+                    self._save()
+                    raise JobStepError(f"step {name!r}: {e}") from e
+                self._save()
+                return None
+            except Exception as e:
+                self.state.error_step(name, str(e))
+                if self.stop_on_error:
+                    self.state.run_status = RUN_FATAL
+                    self._save()
+                    raise JobStepError(f"step {name!r}: {e}") from e
+                self._save()
+                return None
 
     # -- parallel output tasks (job.rs:433-451, awaited :280-314) ------------
     def run_output_task(self, name: str, fn: Callable[[], Any]) -> Future:

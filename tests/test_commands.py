@@ -86,3 +86,50 @@ def test_output_task_failure_is_fatal():
     with pytest.raises(JobStepError):
         jr.complete()
     assert jr.state.run_status == RUN_FATAL
+
+
+class TestRetryBackoff:
+    def test_succeeds_after_transient_failures(self):
+        jr = JobRunner("r1", "retry", MemoryStore())
+        delays = []
+        calls = {"n": 0}
+
+        def flaky(_jr):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise OSError("transient")
+            return "ok"
+
+        out = jr.run_cmd(
+            "step", flaky, retries=5, backoff_s=0.1, sleep=delays.append
+        )
+        assert out == "ok" and calls["n"] == 3
+        assert delays == [0.1, 0.2]  # exponential
+        assert jr.state.step_history["step"].status == "Complete"
+
+    def test_backoff_cap_and_final_failure(self):
+        jr = JobRunner("r2", "retry2", MemoryStore())
+        delays = []
+
+        def always(_jr):
+            raise OSError("down")
+
+        with pytest.raises(JobStepError, match="down"):
+            jr.run_cmd(
+                "step", always, retries=6, backoff_s=1.0, backoff_cap_s=4.0,
+                sleep=delays.append,
+            )
+        assert delays == [1.0, 2.0, 4.0, 4.0, 4.0, 4.0]  # doubling, capped
+        assert jr.state.step_history["step"].status == "Error"
+
+    def test_non_retryable_exception_fails_immediately(self):
+        jr = JobRunner("r3", "retry3", MemoryStore())
+        calls = {"n": 0}
+
+        def bad(_jr):
+            calls["n"] += 1
+            raise ValueError("logic bug")
+
+        with pytest.raises(JobStepError, match="logic bug"):
+            jr.run_cmd("step", bad, retries=5, retry_on=OSError, sleep=lambda s: None)
+        assert calls["n"] == 1  # ValueError is not retryable here
