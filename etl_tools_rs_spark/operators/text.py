@@ -448,9 +448,13 @@ def bigram_pmi(
         )
         / F.lit(p)
     )
+    # unigram counts are vocabulary-sized — broadcast them onto the bigram
+    # rows (plan-pinned: no SMJ shuffle per side). If a corpus's vocab ever
+    # outgrows the broadcast limit, drop the hints and these become two
+    # token-keyed shuffle joins — same semantics.
     return (
-        bi.join(ux, "tok_x")
-        .join(uy, "tok_y")
+        bi.join(F.broadcast(ux), "tok_x")
+        .join(F.broadcast(uy), "tok_y")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .select("tok_x", "tok_y", "n_xy", pmi.cast("double").alias("pmi"))

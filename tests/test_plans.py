@@ -250,3 +250,41 @@ def test_join_strategy_hints_reach_physical_plan(spark):
 
     with pytest.raises(ValueError, match="strategy"):
         join(left, right, ["k"], strategy="hash")
+
+
+def test_round2_op_plan_shapes(spark):
+    """Shuffle-count + no-cartesian pins for the round-2 operators: these
+    shapes are what keep them viable at 100 TB, so regressions fail here."""
+    from pyspark.sql import functions as F
+
+    from etl_tools_rs_spark.operators.incremental import agg_state, refresh
+    from etl_tools_rs_spark.operators.index import bm25_search
+    from etl_tools_rs_spark.operators.text import bigram_pmi
+    from etl_tools_rs_spark.plans.inspect import plan_report
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} tok{i % 5}") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    rows = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(100)], "k int, v double"
+    )
+
+    # PMI: two count aggregates + stat joins; corpus totals broadcast, no cartesian blowup
+    pmi = plan_report(bigram_pmi(docs, "text", min_count=1))
+    assert "CartesianProduct" not in pmi.text
+    # unigram/bigram aggs + global totals; unigram stats broadcast, never SMJ
+    assert pmi.num_exchanges <= 6
+    assert not pmi.has_sortmerge_join
+    assert not pmi.has_python_udf
+
+    # BM25: tf/df aggregates + broadcast stat joins only
+    bm = plan_report(bm25_search(docs, ["tok1", "tok2"]))
+    assert "CartesianProduct" not in bm.text
+    assert not bm.has_python_udf
+
+    # incremental refresh: history agg + delta agg + one merge re-agg -> <= 3 exchanges
+    st = agg_state(rows.filter(F.col("v") < 50), ["k"], {"n": ("count", "*")})
+    rf = plan_report(refresh(st, rows.filter(F.col("v") >= 50), ["k"], {"n": ("count", "*")}))
+    assert rf.num_exchanges <= 3
+    assert not rf.has_python_udf
