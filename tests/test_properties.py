@@ -234,3 +234,36 @@ def test_pack_first_fit_invariants(spark, rows, budget):
         counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
     for b, t in fill.items():
         assert t <= budget or counts[b] == 1  # overfull only as a singleton
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc"), min_size=0, max_size=8),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_fuzzy_join_blocked_equals_naive(spark, words, d):
+    """PassJoin segment blocking loses nothing on random small-alphabet
+    strings (dense near-neighbor space — the adversarial case for any
+    blocking scheme): blocked pairs == cross-join pairs at every d."""
+    from etl_tools_rs_spark.operators.fuzzy import fuzzy_join, fuzzy_join_naive
+
+    left = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid int, lw string"
+    )
+    right = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "rid int, rw string"
+    )
+    blocked = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in fuzzy_join(left, right, "lw", "rw", d).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in fuzzy_join_naive(left, right, "lw", "rw", d).collect()
+    }
+    assert blocked == naive
