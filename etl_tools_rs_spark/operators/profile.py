@@ -151,6 +151,7 @@ def approx_quantiles_hist(
     hi: float,
     n_bins: int = 1024,
     scale: int = 6,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic approximate quantiles from a fixed-grid histogram
     CDF with linear interpolation inside the winning bin — error bounded
@@ -177,6 +178,7 @@ def approx_quantiles_hist(
         raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r})")
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins!r}")
+    by = by or []
     w = (hi - lo) / n_bins
     c = F.col(col).cast("double")
     bin_ = F.least(
@@ -185,27 +187,30 @@ def approx_quantiles_hist(
     )
     counts = (
         df.filter(c.isNotNull())
-        .groupBy(bin_.alias("bin"))
+        .groupBy(*by, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    # n_bins rows total: the single-partition window is on sketch-sized
-    # data (the bins), never on the input
+    # windows run over the BINS (groups × n_bins rows — sketch-sized),
+    # never the input; with groups the cumulative is per-group parallel
+    cw = (
+        Window.partitionBy(*by).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cdf = counts.withColumn("_cum", F.sum("_n").over(cw)).withColumn(
-        "_total", F.max("_cum").over(Window.partitionBy())
+        "_total", F.max("_cum").over(Window.partitionBy(*by))
     )
     spark = df.sparkSession
     pr = spark.createDataFrame([(float(p),) for p in sorted(set(probs))], "prob double")
     # winning bin: first with cum >= ceil(p * total) (nearest-rank)
     target = F.ceil(F.col("prob") * F.col("_total"))
     joined = (
-        pr.crossJoin(F.broadcast(cdf))
+        cdf.crossJoin(F.broadcast(pr))
         .filter(F.col("_cum") >= F.greatest(target, F.lit(1)))
-        .groupBy("prob")
+        .groupBy(*by, "prob")
         .agg(
             F.min_by(F.struct("bin", "_n", "_cum", "_total"), F.col("bin")).alias("_b")
         )
-        .select("prob", "_b.*")
+        .select(*by, "prob", "_b.*")
     )
     p10 = float(10**scale)
     # linear interpolation: position of the target rank inside the bin
@@ -216,7 +221,7 @@ def approx_quantiles_hist(
     value = F.floor(
         F.lit(p10) * (F.lit(lo) + (F.col("bin").cast("double") + frac) * F.lit(w))
     ) / F.lit(p10)
-    return joined.select("prob", value.cast("double").alias("value"))
+    return joined.select(*by, "prob", value.cast("double").alias("value"))
 
 
 def outliers_mad(

@@ -186,3 +186,29 @@ class TestOutliersMad:
         )
         rows = {r["x"]: r["is_outlier"] for r in outliers_mad(df, "x").collect()}
         assert rows[100.0] and not rows[1.0]
+
+
+class TestGroupedQuantiles:
+    def test_per_group_matches_global_of_each_group(self, spark):
+        from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(100)]
+            + [("b", float(i * 10)) for i in range(100)],
+            "g string, x double",
+        )
+        grouped = {
+            (r["g"], r["prob"]): r["value"]
+            for r in approx_quantiles_hist(
+                df, "x", [0.5, 0.9], 0.0, 1000.0, 100, by=["g"]
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = {
+                r["prob"]: r["value"]
+                for r in approx_quantiles_hist(
+                    df.filter(F.col("g") == g), "x", [0.5, 0.9], 0.0, 1000.0, 100
+                ).collect()
+            }
+            for p, v in solo.items():
+                assert grouped[(g, p)] == v
