@@ -1,0 +1,147 @@
+"""EngineFrame — the fluent facade over the whole operator surface.
+
+The reference composes pipelines by wrapping boxed trait objects
+(``CsvDecoder::new(opts, Box::new(LocalFs{...}))`` …,
+SURVEY §1.3); the engine's equivalent composition surface is a thin
+wrapper over DataFrame that exposes every engine operator as a chainable
+method. It adds NOTHING to the execution model — each method forwards to
+the module-level operator (one import point, one docstring, one plan) —
+it exists so a reference user can write the same shape of pipeline:
+
+    out = (EngineFrame.read(spark, path, format="json")
+           .transform(cols={...}, where=...)
+           .left_join(dim.df, pred)
+           .dedup_exact(["text"])
+           .df)
+
+``.df`` unwraps to the plain DataFrame at any point; ``wrap`` re-enters.
+Everything stays lazy; Catalyst sees exactly the same logical plan as
+direct operator calls (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+class EngineFrame:
+    """Chainable facade; hold one, call operators, unwrap with ``.df``."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def wrap(cls, df: DataFrame) -> "EngineFrame":
+        return cls(df)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str, format: str = "parquet", **options: Any) -> "EngineFrame":
+        from etl_tools_rs_spark.sources.files import FileSource
+
+        return cls(FileSource(paths=[path], format=format, **options).to_df(spark))
+
+    # -- generic passthrough -------------------------------------------------
+    def pipe(self, fn: Callable[[DataFrame], DataFrame]) -> "EngineFrame":
+        """Apply any DataFrame→DataFrame function and stay in the chain."""
+        return EngineFrame(fn(self.df))
+
+    def __getattr__(self, name: str):
+        # anything not wrapped explicitly falls through to the DataFrame;
+        # DataFrame-returning methods re-wrap so the chain continues
+        attr = getattr(self.df, name)
+        if callable(attr):
+            def call(*a, **kw):
+                out = attr(*a, **kw)
+                return EngineFrame(out) if isinstance(out, DataFrame) else out
+
+            return call
+        return attr
+
+    # -- transforms (T1/T2/T4) ----------------------------------------------
+    def transform(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.transform import transform
+
+        return EngineFrame(transform(self.df, *a, **kw))
+
+    def flat_transform(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.transform import flat_transform
+
+        return EngineFrame(flat_transform(self.df, *a, **kw))
+
+    def batch_by_count(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.batch import batch_by_count
+
+        return EngineFrame(batch_by_count(self.df, *a, **kw))
+
+    # -- joins (J1 + extensions) --------------------------------------------
+    def left_join(self, right: DataFrame, predicate: Column, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.join import left_join
+
+        return EngineFrame(left_join(self.df, right, predicate, **kw))
+
+    def join_(self, right: DataFrame, on, how: str = "inner", **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.join import join
+
+        return EngineFrame(join(self.df, right, on, how, **kw))
+
+    def asof_join(self, right: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.join import asof_join
+
+        return EngineFrame(asof_join(self.df, right, *a, **kw))
+
+    def range_join(self, right: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.join import range_join
+
+        return EngineFrame(range_join(self.df, right, *a, **kw))
+
+    def fuzzy_join(self, right: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.fuzzy import fuzzy_join
+
+        return EngineFrame(fuzzy_join(self.df, right, *a, **kw))
+
+    # -- dedup / sampling ----------------------------------------------------
+    def dedup_exact(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import dedup_exact
+
+        return EngineFrame(dedup_exact(self.df, *a, **kw))
+
+    def dedup_fuzzy(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.fuzzy import dedup_fuzzy
+
+        return EngineFrame(dedup_fuzzy(self.df, *a, **kw))
+
+    def hash_sample(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.sample import hash_sample
+
+        return EngineFrame(hash_sample(self.df, *a, **kw))
+
+    # -- quality / profiling -------------------------------------------------
+    def validate(self, rules) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.validate import validate
+
+        return EngineFrame(validate(self.df, rules))
+
+    def profile(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import profile
+
+        return EngineFrame(profile(self.df, *a, **kw))
+
+    def conform_schema(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.schema import conform_schema
+
+        out, _report = conform_schema(self.df, *a, **kw)
+        return EngineFrame(out)
+
+    # -- sinks ---------------------------------------------------------------
+    def write_to(self, path: str, format: str = "parquet", **kw) -> None:
+        from etl_tools_rs_spark.sinks.files import FileSink
+
+        FileSink(path, format=format, **kw).write(self.df)
+
+    def write_training_shards(self, path: str, n_shards: int, **kw):
+        from etl_tools_rs_spark.sinks.shards import write_training_shards
+
+        return write_training_shards(self.df, path, n_shards, **kw)

@@ -1,0 +1,77 @@
+"""EngineFrame facade: chains must produce the identical plan as direct
+operator calls (the facade adds surface, never semantics)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.frame import EngineFrame
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", 30), (2, "bob", 20), (2, "bob", 20), (3, "cat", 40)],
+        "id int, name string, age int",
+    )
+
+
+def test_chain_matches_direct_calls(spark, people):
+    from etl_tools_rs_spark.operators.dedup import dedup_exact
+    from etl_tools_rs_spark.operators.transform import transform
+
+    docs = people.select(F.col("id").alias("doc_id"), F.col("name").alias("text"))
+    chained = (
+        EngineFrame(docs)
+        .dedup_exact("text", "doc_id")
+        .transform(cols={"flag": F.col("dup_count") > 1}, where=F.col("doc_id") > 0)
+        .df
+    )
+    direct = transform(
+        dedup_exact(docs, "text", "doc_id"),
+        cols={"flag": F.col("dup_count") > 1},
+        where=F.col("doc_id") > 0,
+    )
+    assert chained.schema == direct.schema
+    assert sorted(map(tuple, chained.collect())) == sorted(map(tuple, direct.collect()))
+    # same logical plan → same optimized plan modulo expression ids
+    import re
+
+    def norm(df):
+        return re.sub(r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString())
+
+    assert norm(chained) == norm(direct)
+
+
+def test_getattr_passthrough_rewraps(spark, people):
+    out = EngineFrame(people).filter(F.col("age") > 25).select("name")
+    assert isinstance(out, EngineFrame)
+    assert {r["name"] for r in out.df.collect()} == {"ann", "cat"}
+    # non-DataFrame results come back raw
+    assert EngineFrame(people).count() == 4
+
+
+def test_read_validate_write_roundtrip(spark, people, tmp_path):
+    from etl_tools_rs_spark.operators import validate as v
+
+    src = tmp_path / "in"
+    people.write.mode("overwrite").parquet(str(src))
+    out = (
+        EngineFrame.read(spark, str(src), format="parquet")
+        .validate([v.not_null("id"), v.unique("id")])
+        .df
+    )
+    got = {r["rule"]: r["violations"] for r in out.collect()}
+    assert got == {"not_null_id": 0, "unique_id": 1}
+
+
+def test_pipe_and_shards(spark, people, tmp_path):
+    m = (
+        EngineFrame(people)
+        .pipe(lambda df: df.dropDuplicates(["id"]))
+        .write_training_shards(str(tmp_path / "sh"), 2, key_cols=["id"])
+    )
+    assert m.total_rows == 3 and m.n_shards == 2
+    manifest = json.loads((tmp_path / "sh" / "manifest.json").read_text())
+    assert manifest["total_rows"] == 3
