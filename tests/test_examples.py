@@ -1,0 +1,29 @@
+"""The examples/ scripts must stay runnable — they are the engine's
+user-facing pipeline shapes."""
+
+import importlib.util
+import json
+import sys
+
+
+def _load(path):
+    spec = importlib.util.spec_from_file_location("example_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_json_corpus_pipeline_end_to_end(spark, tmp_path, capsys):
+    mod = _load("examples/json_corpus_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["corrupt_records"] == 2
+    assert out["deduped_rows"] == 40
+    assert out["sharded_rows"] == 40
+    assert set(out["steps"].values()) == {"Complete"}
+
+    # re-run: every step skips via persisted state (reference O3 semantics)
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["deduped_rows"] is None  # skipped steps return None
+    assert set(again["steps"].values()) == {"Complete"}
