@@ -273,3 +273,35 @@ def test_incremental_agg_state_maintained_by_stream(spark, tmp_path):
         for r in spark.read.parquet(state_path).collect()
     }
     assert got == expect
+
+
+def test_validation_rules_on_streams_via_foreach_batch(spark, tmp_path):
+    """Batch validation rules run unchanged inside foreachBatch — the
+    streaming ingest gate: each micro-batch is checked against the same
+    declarative rules, violations accumulate to a quarantine log."""
+    from etl_tools_rs_spark.operators import validate as v
+    from etl_tools_rs_spark.streaming import sources
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    rows_ok = [{"k": i, "s": "x"} for i in range(10)]
+    rows_bad = [{"k": None, "s": "y"}, {"k": 5, "s": None}]
+    (src / "a.ndjson").write_text(
+        "\n".join(json.dumps(r) for r in rows_ok + rows_bad) + "\n"
+    )
+
+    stream = sources.file_stream(spark, str(src), format="json", schema="k int, s string")
+    seen = []
+
+    def gate(batch_df, batch_id):
+        out = v.validate(batch_df, [v.not_null("k"), v.not_null("s")])
+        seen.extend((r["rule"], r["violations"]) for r in out.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert dict(seen) == {"not_null_k": 1, "not_null_s": 1}
