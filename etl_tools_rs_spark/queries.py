@@ -3543,6 +3543,67 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(t["documents"], ["vector", "hash", "stream"])
 
 
+@qdef(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+    SELECT s1.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel depth per user (operators/events.py::funnel_users,
+    view → click → purchase, earliest-qualifying-occurrence semantics):
+    per-step conditional min-aggregates joined to the previous step's
+    survivors — one user-bounded row per step, no windows over raw
+    events. Depth verified user-for-user against the oracle's chained
+    CTE form."""
+    from etl_tools_rs_spark.operators.events import funnel_users
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return funnel_users(t["events"], ["view", "click", "purchase"])
+
+
+@qdef(
+    "cohort_retention_weekly",
+    """
+    WITH ev AS (SELECT user_id,
+                       CAST(to_timestamp(FLOOR(epoch(ts) / 604800) * 604800)
+                            AS TIMESTAMP) AS p
+                FROM events),
+    first AS (SELECT user_id, MIN(p) AS cohort FROM ev GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, p FROM ev)
+    SELECT first.cohort AS cohort_period,
+           CAST(FLOOR((epoch(active.p) - epoch(first.cohort)) / 604800)
+                AS BIGINT) AS period_offset,
+           CAST(COUNT(DISTINCT active.user_id) AS BIGINT) AS n_users
+    FROM active JOIN first ON active.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/events.py::
+    cohort_retention): first-activity cohort per user (one min-agg),
+    distinct activity periods, one user-key join + final aggregate —
+    user×period-bounded after the first pass. Cell counts hash-match
+    the oracle."""
+    from etl_tools_rs_spark.operators.events import cohort_retention
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return cohort_retention(t["events"], period_days=7)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -1,0 +1,82 @@
+"""Funnel + cohort retention (operators/events.py) on crafted sequences."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators import events as ev_ops
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2: clicked BEFORE viewing -> order not satisfied past step 1
+        (2, "click", _ts(1)), (2, "view", _ts(2)), (2, "purchase", _ts(3)),
+        # u3: view only
+        (3, "view", _ts(5)),
+        # u4: never viewed -> absent from funnel
+        (4, "purchase", _ts(1)),
+        # u5: view, then click, no purchase; second click later irrelevant
+        (5, "view", _ts(1)), (5, "click", _ts(4)), (5, "click", _ts(6)),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_users_depths(spark, events):
+    got = {r["user_id"]: r["depth"] for r in
+           ev_ops.funnel_users(events, ["view", "click", "purchase"]).collect()}
+    # u2 stops at depth 1: the click precedes the matched view, and each
+    # later step only considers the previous step's survivors — the
+    # purchase cannot skip the missing ordered click
+    assert got == {1: 3, 2: 1, 3: 1, 5: 2}
+
+
+def test_funnel_counts_non_increasing(spark, events):
+    out = ev_ops.funnel(events, ["view", "click", "purchase"])
+    rows = sorted(out.collect(), key=lambda r: r["step"])
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] == 4  # u1, u2, u3, u5 viewed
+
+
+def test_funnel_strictly_after_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", _ts(1)), (1, "b", _ts(1))],  # same timestamp: not 'after'
+        "user_id int, event_type string, ts timestamp",
+    )
+    got = {r["user_id"]: r["depth"] for r in
+           ev_ops.funnel_users(df, ["a", "b"]).collect()}
+    assert got == {1: 1}
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        (1, _ts(1)), (1, _ts(9)),   # cohort w0, active w0 and w1
+        (2, _ts(2)), (2, _ts(3)),   # cohort w0, active w0 only
+        (3, _ts(10)),               # cohort w1
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = ev_ops.cohort_retention(df, period_days=7)
+    cells = {
+        (r["cohort_period"].day, r["period_offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    # 7-day buckets anchor at the unix epoch: the bucket containing
+    # Jan 1 2024 starts Dec 28 2023; the next starts Jan 4
+    assert cells == {(28, 0): 2, (28, 1): 1, (4, 0): 1}
+
+
+def test_funnel_rejects_empty_steps(spark, events):
+    import pytest as _p
+
+    with _p.raises(ValueError, match="at least one"):
+        ev_ops.funnel_users(events, [])
