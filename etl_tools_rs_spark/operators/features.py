@@ -1,0 +1,114 @@
+"""Feature engineering: quantile discretization and standardization.
+
+The last-mile numeric transforms before model training. Both are
+deterministic by construction (the failure mode of naive ports is
+nondeterministic float reductions — here every statistic comes from
+exact or floor-scaled arithmetic), so transformed features are
+reproducible across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
+
+
+def bucketize_quantiles(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: add ``out_col`` (default
+    ``{col}_bucket``) in [0, n_buckets) split at the histogram-CDF
+    quantiles — deterministic cut points (see approx_quantiles_hist),
+    so the same row always lands in the same bucket.
+
+    The n_buckets-1 cut points are sketch-sized metadata: they collect
+    to the driver (same deliberate exception as k-means centroids) and
+    compile into a chain of comparisons — the transform itself is a
+    pure narrow projection, no join, no shuffle. NULLs get NULL."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets!r}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = [
+        r["value"]
+        for r in approx_quantiles_hist(df, col, probs, lo, hi, n_bins)
+        .orderBy("prob")
+        .collect()
+    ]
+    c = F.col(col).cast("double")
+    bucket: Column = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + (c > F.lit(cut)).cast("int")
+    out = F.when(c.isNotNull(), bucket.cast("int"))
+    return df.withColumn(out_col or f"{col}_bucket", out)
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    scale: int = 6,
+    input_scale: int = 2,
+) -> DataFrame:
+    """Z-score standardization: replace each column in ``cols`` with
+    ``(x - mean) / stddev`` (population stddev), optionally per ``by``
+    group. Zero-variance columns yield NULL (no information — flag
+    upstream with validate/outliers).
+
+    Mean and variance come from exact DECIMAL(18, ``input_scale``)
+    moment sums (same discipline as the stats_moments gate: values must
+    be representable at ``input_scale`` decimals — true for prices,
+    counts, quantized measures — so the cast is lossless and the sums
+    are add-order-proof, unlike float accumulators). Derived stats are
+    floor-scaled to ``scale`` decimals; the stats frame is
+    group-count-sized and broadcasts back onto the rows.
+    """
+    if not cols:
+        raise ValueError("standardize needs at least one column")
+    by = by or []
+    p10 = float(10**scale)
+    dec_t = f"decimal(18,{input_scale})"
+    aggs = []
+    for i, c in enumerate(cols):
+        d = F.col(c).cast(dec_t)
+        aggs.append(F.sum(d).cast("double").alias(f"_s1_{i}"))
+        aggs.append(F.sum(d * d).cast("double").alias(f"_s2_{i}"))
+        aggs.append(F.count(F.col(c)).cast("double").alias(f"_n_{i}"))
+    stats = df.groupBy(*by).agg(*aggs)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    sel = []
+    for i, _c in enumerate(cols):
+        n = F.col(f"_n_{i}")
+        s1 = F.col(f"_s1_{i}")
+        s2 = F.col(f"_s2_{i}")
+        sel.append(fl(s1 / n).alias(f"_mean_{i}"))
+        sel.append(F.sqrt(fl(s2 / n - (s1 / n) * (s1 / n))).alias(f"_sd_{i}"))
+    stats = stats.select(*by, *sel)
+    joined = (
+        df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            i = cols.index(c)
+            z = F.when(
+                F.col(f"_sd_{i}") > 0,
+                fl(
+                    (F.col(c).cast("double") - F.col(f"_mean_{i}"))
+                    / F.col(f"_sd_{i}")
+                ),
+            )
+            out_cols.append(z.cast("double").alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

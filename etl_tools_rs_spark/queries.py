@@ -3604,6 +3604,60 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(t["events"], period_days=7)
 
 
+@qdef(
+    "standardize_totalprice",
+    """
+    WITH s AS (SELECT o_orderpriority,
+                 CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+                          CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+               FROM orders GROUP BY 1),
+    m AS (SELECT o_orderpriority,
+                 FLOOR(1000000.0 * (s1 / n)) / 1000000.0 AS mean,
+                 SQRT(FLOOR(1000000.0 * (s2 / n - (s1 / n) * (s1 / n)))
+                      / 1000000.0) AS sd
+          FROM s)
+    SELECT o_orderkey, o.o_orderpriority,
+           CAST(CASE WHEN sd > 0 THEN
+                  FLOOR(1000000.0 * ((CAST(o_totalprice AS DOUBLE) - mean) / sd))
+                  / 1000000.0 END AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+    """,
+)
+def standardize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (operators/features.py::
+    standardize): exact decimal moment sums (add-order-proof), floor-
+    scaled mean/sd broadcast back onto the rows — every standardized
+    value hash-matches the oracle."""
+    from etl_tools_rs_spark.operators.features import standardize
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    narrow = t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    return standardize(narrow, ["o_totalprice"], by=["o_orderpriority"])
+
+
+@qdef(
+    "bucketize_totalprice",
+    None,  # cut points come from the quantile op already oracle-gated
+)
+def bucketize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing (operators/features.py::
+    bucketize_quantiles, 10 buckets): deterministic histogram-CDF cut
+    points compiled into a narrow projection. Rows-only check here; the
+    cut-point machinery is oracle-gated by quantiles_totalprice_hist."""
+    from etl_tools_rs_spark.operators.features import bucketize_quantiles
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    out = bucketize_quantiles(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        "o_totalprice", 10, 0.0, 600_000.0,
+    )
+    return out.groupBy("o_totalprice_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Feature transforms (operators/features.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators import features as ft
+
+
+class TestBucketize:
+    def test_uniform_data_equal_buckets(self, spark):
+        df = spark.range(1000).select((F.col("id").cast("double")).alias("x"))
+        out = ft.bucketize_quantiles(df, "x", 4, 0.0, 1000.0, n_bins=1000)
+        counts = {
+            r["x_bucket"]: r["n"]
+            for r in out.groupBy("x_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert set(counts) == {0, 1, 2, 3}
+        assert all(200 <= v <= 300 for v in counts.values())  # ~250 each
+
+    def test_null_passthrough_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (None,), (100.0,)], "x double"
+        )
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        out1 = ft.bucketize_quantiles(df, "x", 2, 0.0, 100.0).collect()
+        out2 = ft.bucketize_quantiles(df.repartition(7), "x", 2, 0.0, 100.0).collect()
+        assert sorted(map(tuple, out1), key=key) == sorted(map(tuple, out2), key=key)
+        got = {r["x"]: r["x_bucket"] for r in out1}
+        assert got[None] is None
+
+    def test_rejects_single_bucket(self, spark):
+        df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+        with pytest.raises(ValueError, match="n_buckets"):
+            ft.bucketize_quantiles(df, "x", 1, 0.0, 5.0)
+
+
+class TestStandardize:
+    def test_hand_computed_grouped(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)],
+            "g string, x double",
+        )
+        got = {}
+        for r in ft.standardize(df, ["x"], by=["g"]).collect():
+            got.setdefault(r["g"], []).append(r["x"])
+        # group a: mean 2, sd 1 -> z = -1, 1
+        assert sorted(got["a"]) == [-1.0, 1.0]
+        # group b: zero variance -> NULL
+        assert got["b"] == [None, None]
+
+    def test_matches_python_global(self, spark):
+        vals = [1.25, 2.5, 3.75, 10.0, 20.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = sorted(r["x"] for r in ft.standardize(df, ["x"]).collect())
+        n = len(vals)
+        mean = math.floor(1e6 * (sum(vals) / n)) / 1e6
+        var = math.floor(1e6 * (sum(v * v for v in vals) / n - (sum(vals) / n) ** 2)) / 1e6
+        sd = math.sqrt(var)
+        expect = sorted(math.floor(1e6 * ((v - mean) / sd)) / 1e6 for v in vals)
+        assert got == expect
+
+    def test_other_columns_untouched(self, spark):
+        df = spark.createDataFrame([(1, 4.0), (2, 8.0)], "id int, x double")
+        out = ft.standardize(df, ["x"])
+        assert out.columns == ["id", "x"]
+        assert {r["id"] for r in out.collect()} == {1, 2}
+
+    def test_rejects_empty_cols(self, spark):
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="at least one"):
+            ft.standardize(df, [])
