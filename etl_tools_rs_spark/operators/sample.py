@@ -226,3 +226,66 @@ def negative_sample(
         F.col("__idx").alias("__neg_idx"), key.alias(f"neg_{key_col}")
     )
     return probes.join(lookup, "__neg_idx").drop("__neg_idx")
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str | Column
+) -> DataFrame:
+    """Per-row Bernoulli sampling with row-specific keep probability
+    (quality-weighted corpus pruning: keep high-quality documents with
+    probability ∝ their score): keep a row iff
+    ``uniform_hash(key) < clamp(weight, 0, 1)``.
+
+    Deterministic — the 'coin flip' is the content hash of ``key_col``,
+    so re-runs keep exactly the same rows (and raising a row's weight
+    can only ADD it, never drop it: monotone under weight increases,
+    the property curriculum re-weighting needs). Narrow: no shuffle,
+    no rand(). Weights outside [0, 1] clamp."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wc = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    u = kmv_hash(key_col).cast("double") / F.lit(TWO_POW_60)
+    return df.filter(u < wc)
+
+
+def top_p_by_group(
+    df: DataFrame,
+    score_col: str | Column,
+    weight_col: str | Column,
+    by: list[str] | None = None,
+    p: float = 0.9,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Nucleus (top-p) pruning per group: order rows by ``score_col``
+    descending, keep the smallest prefix whose ``weight_col`` share
+    reaches ``p`` of the group total (the row that crosses the
+    threshold is INCLUDED — output shares are ≥ p, as in nucleus
+    sampling). The corpus-pruning form of 'keep the best 90% of mass,
+    not the best 90% of rows'.
+
+    ``tie_col`` (default ``score_col``) breaks score ties
+    deterministically — required for a stable result set.
+
+    One shuffle on the group key; the cumulative window runs per group
+    in parallel. Group totals come from a window (no second scan).
+    """
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1], got {p!r}")
+    by = by or []
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    if tie_col is None and not isinstance(score_col, str):
+        raise ValueError("tie_col is required when score_col is an expression")
+    tie = F.col(tie_col) if tie_col else score
+    order = [score.desc(), tie.asc()]
+    wsum = Window.partitionBy(*by)
+    wcum = wsum.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum(weight).over(wsum)
+    cum = F.sum(weight).over(wcum)
+    # exact-decimal weights keep the sums add-order-proof; the single
+    # double division at the end is deterministic either way
+    prev = (cum - weight).cast("double")
+    return (
+        df.withColumn("_prev_share", prev / total.cast("double"))
+        .filter(F.col("_prev_share") < p)
+        .drop("_prev_share")
+    )

@@ -3658,6 +3658,72 @@ def bucketize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "weighted_sample_documents",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0
+          < LEAST(GREATEST((LENGTH(text) % 100) / 100.0, 0.0), 1.0)
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with row-specific keep
+    probability (operators/sample.py::weighted_sample): the coin flip is
+    the content hash, so the kept set is reproducible, engine-portable
+    (verified row-by-row), and monotone under weight increases. Weight
+    here = a deterministic text-length score."""
+    from etl_tools_rs_spark.operators.sample import weighted_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = (F.length("text") % 100) / F.lit(100.0)
+    return weighted_sample(t["documents"], "doc_id", w).select("doc_id", "lang")
+
+
+@qdef(
+    "top_p_orders_by_priority",
+    """
+    WITH w AS (SELECT o_orderkey, o_orderpriority,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS wgt,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_orderpriority) AS total,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+               FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CAST(wgt AS DOUBLE) AS o_totalprice
+    FROM w
+    WHERE CAST(cum - wgt AS DOUBLE) / CAST(total AS DOUBLE) < 0.5
+    """,
+)
+def top_p_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) pruning per group (operators/sample.py::
+    top_p_by_group, p=0.5): per priority, the fewest top-price orders
+    covering half the group's revenue — exact decimal weight sums keep
+    the cumulative shares add-order-proof, verified row-for-row."""
+    from etl_tools_rs_spark.operators.sample import top_p_by_group
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    narrow = t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    kept = top_p_by_group(
+        narrow,
+        score_col="o_totalprice",
+        weight_col=dec("o_totalprice"),
+        by=["o_orderpriority"],
+        p=0.5,
+        tie_col="o_orderkey",
+    )
+    return kept.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -159,3 +159,60 @@ class TestNegativeSample:
             negative_sample(df, "k", k=0)
         with pytest.raises(ValueError):
             negative_sample(df, "k", k=2)  # single row: no possible negative
+
+
+class TestWeightedSample:
+    def test_monotone_under_weight_increase(self, spark):
+        from etl_tools_rs_spark.operators.sample import weighted_sample
+
+        df = spark.range(2000).select(
+            F.col("id"), (F.col("id") % 10 / 20.0).alias("w")
+        )
+        low = {r["id"] for r in weighted_sample(df, "id", "w").collect()}
+        high = {
+            r["id"]
+            for r in weighted_sample(df, "id", F.col("w") * 2).collect()
+        }
+        assert low <= high  # raising weights only adds rows
+        assert len(low) < len(high)
+
+    def test_extreme_weights_and_determinism(self, spark):
+        from etl_tools_rs_spark.operators.sample import weighted_sample
+
+        df = spark.range(500).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, F.lit(5.0)).otherwise(F.lit(-1.0)).alias("w"),
+        )
+        kept = {r["id"] for r in weighted_sample(df, "id", "w").collect()}
+        assert kept == {i for i in range(500) if i % 2 == 0}  # clamp to [0,1]
+        again = {r["id"] for r in weighted_sample(df.repartition(13), "id", "w").collect()}
+        assert kept == again
+
+
+class TestTopP:
+    def test_minimal_prefix_covers_p(self, spark):
+        from etl_tools_rs_spark.operators.sample import top_p_by_group
+
+        rows = [("g", i, float(w)) for i, w in enumerate([50, 30, 10, 5, 5])]
+        df = spark.createDataFrame(rows, "g string, id int, w double")
+        kept = {r["id"] for r in
+                top_p_by_group(df, "w", "w", by=["g"], p=0.6, tie_col="id").collect()}
+        # 50 alone is 50% < 60%; adding 30 reaches 80% >= 60% -> {50, 30}
+        assert kept == {0, 1}
+
+    def test_p_one_keeps_everything(self, spark):
+        from etl_tools_rs_spark.operators.sample import top_p_by_group
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)], "g string, id int, w double"
+        )
+        assert top_p_by_group(df, "w", "w", by=["g"], p=1.0, tie_col="id").count() == 3
+
+    def test_rejects_bad_p(self, spark):
+        import pytest as _p
+
+        from etl_tools_rs_spark.operators.sample import top_p_by_group
+
+        df = spark.createDataFrame([("a", 1, 1.0)], "g string, id int, w double")
+        with _p.raises(ValueError, match="p must be"):
+            top_p_by_group(df, "w", "w", by=["g"], p=0.0)
