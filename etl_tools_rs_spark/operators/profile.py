@@ -97,23 +97,28 @@ def histogram(
     lo: float,
     hi: float,
     n_bins: int = 20,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-width histogram of ``col`` over ``[lo, hi)``: returns
-    ``(bin, bin_lo, bin_hi, n)`` with EVERY bin present (empty bins show
-    ``n = 0``) plus underflow/overflow rows ``bin = -1`` / ``bin = n_bins``
-    so no value is silently dropped. NULLs are excluded.
+    ``(by..., bin, bin_lo, bin_hi, n)`` with EVERY bin present (empty
+    bins show ``n = 0``) plus underflow/overflow rows ``bin = -1`` /
+    ``bin = n_bins`` so no value is silently dropped. NULLs are
+    excluded. With ``by``, one histogram per group (every group gets its
+    full bin range).
 
     One conditional-bin aggregate over one scan (map-side combined; the
-    shuffle carries at most ``n_bins + 2`` rows), then a broadcast join
-    against a ``spark.range(n_bins)`` frame to materialize empty bins —
-    the distributed twin of NumPy's ``histogram``, with the bin edge
-    arithmetic (``floor((x - lo) / w)``) kept in integer-comparable form
-    so the oracle reproduces it bit-for-bit.
+    shuffle carries at most ``(n_bins + 2) × groups`` rows), then a join
+    against the bin range (× distinct groups when grouped) to
+    materialize empty bins — the distributed twin of NumPy's
+    ``histogram``, with the bin edge arithmetic (``floor((x - lo) / w)``)
+    kept in integer-comparable form so the oracle reproduces it
+    bit-for-bit.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins!r}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo!r}, {hi!r})")
+    by = by or []
     w = (hi - lo) / n_bins
     c = F.col(col).cast("double")
     bin_ = (
@@ -123,14 +128,20 @@ def histogram(
     )
     counts = (
         df.filter(c.isNotNull())
-        .groupBy(bin_.alias("bin"))
+        .groupBy(*by, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     spark = df.sparkSession
     bins = spark.range(-1, n_bins + 1).select(F.col("id").cast("int").alias("bin"))
+    if by:
+        frame = df.select(*by).distinct().crossJoin(F.broadcast(bins))
+        joined = frame.join(counts, [*by, "bin"], "left")
+    else:
+        joined = bins.join(counts, "bin", "left")
     return (
-        bins.join(counts, "bin", "left")
+        joined
         .select(
+            *by,
             "bin",
             F.when(F.col("bin") < 0, F.lit(float("-inf")))
             .otherwise(F.lit(lo) + F.col("bin") * F.lit(w))

@@ -212,3 +212,20 @@ class TestGroupedQuantiles:
             }
             for p, v in solo.items():
                 assert grouped[(g, p)] == v
+
+
+class TestGroupedHistogram:
+    def test_every_group_gets_full_bin_range(self, spark):
+        from etl_tools_rs_spark.operators.profile import histogram
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 9.0)], "g string, x double"
+        )
+        out = histogram(df, "x", 0.0, 10.0, 5, by=["g"]).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], {})[r["bin"]] = r["n"]
+        assert set(by_g["a"]) == set(by_g["b"]) == {-1, 0, 1, 2, 3, 4, 5}
+        assert by_g["a"][0] == 1 and by_g["a"][1] == 1 and by_g["a"][4] == 0
+        assert by_g["b"][4] == 1 and by_g["b"][0] == 0
+        assert sum(by_g["a"].values()) == 2 and sum(by_g["b"].values()) == 1
