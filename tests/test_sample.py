@@ -216,3 +216,14 @@ class TestTopP:
         df = spark.createDataFrame([("a", 1, 1.0)], "g string, id int, w double")
         with _p.raises(ValueError, match="p must be"):
             top_p_by_group(df, "w", "w", by=["g"], p=0.0)
+
+
+def test_weighted_sample_plan_is_narrow(spark):
+    """weighted_sample must stay a pure filter — no exchange, no UDF."""
+    from etl_tools_rs_spark.operators.sample import weighted_sample
+    from etl_tools_rs_spark.plans.inspect import plan_report
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") / 200.0).alias("w"))
+    rep = plan_report(weighted_sample(df, "id", "w"))
+    assert rep.num_exchanges == 0
+    assert not rep.has_python_udf
