@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -139,4 +140,108 @@ def cohort_retention(
             ).cast("bigint").alias("period_offset"),
         )
         .agg(F.countDistinct("_u").cast("bigint").alias("n_users"))
+    )
+
+
+def resample(
+    df: DataFrame,
+    time_col: str,
+    step_seconds: int,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Regular time grid with gap filling: bucket events into
+    ``step_seconds`` periods over [``start``, ``end``) and emit EVERY
+    period for every group — empty periods as ``n = 0`` (and
+    ``sum_value = NULL``) — the dense series downstream feature windows
+    and charting need (a missing hour must read as zero traffic, not as
+    an absent row).
+
+    Explicit bounds keep the grid deterministic and the operator
+    composable (a backfill over Jan replays with the same grid). The
+    grid is ``spark.range`` (distributed, never a driver loop) crossed
+    with the distinct groups; the event aggregate joins onto it.
+    Returns ``(by..., period_start timestamp, n bigint[, sum_value])``.
+    """
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds!r}")
+    by = by or []
+    spark = df.sparkSession
+    lo = F.lit(start).cast("timestamp")
+    hi = F.lit(end).cast("timestamp")
+    lo_s = F.unix_timestamp(lo)
+    step = F.lit(step_seconds)
+    ts_s = F.unix_timestamp(F.col(time_col).cast("timestamp"))
+    period = F.from_unixtime(
+        F.floor((ts_s - lo_s) / step) * step + lo_s
+    ).cast("timestamp")
+    ev = df.filter(
+        (F.col(time_col).cast("timestamp") >= lo)
+        & (F.col(time_col).cast("timestamp") < hi)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("sum_value"))
+    counts = ev.groupBy(*by, period.alias("period_start")).agg(*aggs)
+
+    # the grid: one row per step in [start, end), built distributedly
+    import datetime as _dt
+
+    lo_py = _dt.datetime.fromisoformat(start)
+    hi_py = _dt.datetime.fromisoformat(end)
+    n_steps = int(
+        (hi_py - lo_py).total_seconds() + step_seconds - 1
+    ) // step_seconds
+    grid = spark.range(n_steps).select(
+        F.from_unixtime(F.col("id") * step + F.unix_timestamp(lo))
+        .cast("timestamp")
+        .alias("period_start")
+    )
+    if by:
+        grid = df.select(*by).distinct().crossJoin(grid)
+    out = grid.join(counts, [*by, "period_start"], "left")
+    sel = [*by, "period_start", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")]
+    if value_col is not None:
+        sel.append(F.col("sum_value"))
+    return out.select(*sel)
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per group (the gaps-and-
+    islands problem): collapse ``[start, end)`` rows into maximal
+    disjoint spans — session stitching, coverage maps, downtime windows.
+
+    Relational single-pass form: order intervals by start within each
+    group; a new island begins where ``start > max(end) of everything
+    before``; the island id is a running flag sum; one aggregate per
+    island. Two windows + one aggregate, all partitioned by the group
+    key — one shuffle, no iteration, works on timestamps or numerics.
+    Returns ``(by..., span_start, span_end, n_merged bigint)``.
+    """
+    by = by or []
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*by).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new", F.when(prev_max_end.isNull() | (s > prev_max_end), 1).otherwise(0)
+    )
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("_isl", island)
+        .groupBy(*by, "_isl")
+        .agg(
+            F.min(s).alias("span_start"),
+            F.max(e).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .drop("_isl")
     )

@@ -3724,6 +3724,78 @@ def top_p_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "resample_events_hourly",
+    """
+    WITH grid AS (SELECT CAST(to_timestamp(1704067200 + i * 3600) AS TIMESTAMP)
+                    AS period_start
+                  FROM range(0, 720) t(i)),
+    g AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT event_type,
+                 CAST(to_timestamp(CAST(FLOOR((epoch(ts) - 1704067200) / 3600)
+                      AS BIGINT) * 3600 + 1704067200) AS TIMESTAMP)
+                   AS period_start,
+                 COUNT(*) AS n
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+          GROUP BY 1, 2)
+    SELECT g.event_type, grid.period_start,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM g CROSS JOIN grid
+    LEFT JOIN c ON c.event_type = g.event_type
+               AND c.period_start = grid.period_start
+    """,
+)
+def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling (operators/events.py::resample): a
+    deterministic 720-hour grid × event types with empty periods
+    surfacing as n=0 — the dense-series contract charting/feature
+    windows need, verified cell-for-cell (3600 rows)."""
+    from etl_tools_rs_spark.operators.events import resample
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return resample(
+        t["events"], "ts", 3600, "2024-01-01", "2024-01-31", by=["event_type"]
+    )
+
+
+@qdef(
+    "merge_intervals_user_activity",
+    """
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e
+                FROM events),
+    f AS (SELECT user_id, s, e,
+            CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS nw
+          FROM iv),
+    i AS (SELECT user_id, s, e,
+                 SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM f)
+    SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM i GROUP BY user_id, isl
+    """,
+)
+def merge_intervals_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging (operators/events.py::
+    merge_intervals): 5-minute activity intervals per user collapsed
+    into maximal disjoint spans — two group-partitioned windows + one
+    aggregate, verified span-for-span."""
+    from etl_tools_rs_spark.operators.events import merge_intervals
+
+    t = load_tables(spark, sf_dir, ("events",))
+    iv = t["events"].select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    return merge_intervals(iv, "s", "e", by=["user_id"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

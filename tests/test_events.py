@@ -80,3 +80,63 @@ def test_funnel_rejects_empty_steps(spark, events):
 
     with _p.raises(ValueError, match="at least one"):
         ev_ops.funnel_users(events, [])
+
+
+class TestResample:
+    def test_gap_fill_and_bounds(self, spark):
+        rows = [
+            (1, "a", _ts(1, 0)), (2, "a", _ts(1, 0)),  # hour 0: 2 events
+            (3, "a", _ts(1, 2)),                        # hour 2: 1 event
+            (4, "b", _ts(1, 1)),                        # other group
+            (5, "a", _ts(2, 0)),                        # outside [start, end)
+        ]
+        df = spark.createDataFrame(rows, "id int, g string, ts timestamp")
+        out = ev_ops.resample(
+            df, "ts", 3600, "2024-01-01", "2024-01-01T04:00:00", by=["g"]
+        )
+        cells = {(r["g"], r["period_start"].hour): r["n"] for r in out.collect()}
+        assert len(cells) == 8  # 2 groups x 4 hours, all present
+        assert cells[("a", 0)] == 2 and cells[("a", 1)] == 0
+        assert cells[("a", 2)] == 1 and cells[("a", 3)] == 0
+        assert cells[("b", 1)] == 1 and cells[("b", 0)] == 0
+
+    def test_value_sum_and_validation(self, spark):
+        import pytest as _p
+
+        df = spark.createDataFrame(
+            [(1, _ts(1), 2.0), (2, _ts(1), 3.0)], "id int, ts timestamp, v double"
+        )
+        out = ev_ops.resample(
+            df, "ts", 3600, "2024-01-01", "2024-01-01T02:00:00", value_col="v"
+        )
+        got = {r["period_start"].hour: (r["n"], r["sum_value"]) for r in out.collect()}
+        assert got[0] == (2, 5.0)
+        assert got[1] == (0, None)  # empty period: n=0, sum NULL
+        with _p.raises(ValueError, match="step_seconds"):
+            ev_ops.resample(df, "ts", 0, "2024-01-01", "2024-01-02")
+
+
+class TestMergeIntervals:
+    def test_overlap_touch_and_gap(self, spark):
+        rows = [
+            ("u", 0, 10), ("u", 5, 15),   # overlap -> one span 0..15
+            ("u", 15, 20),                 # touches (start == prev end): merges
+            ("u", 30, 40),                 # gap -> new span
+            ("v", 0, 1),
+        ]
+        df = spark.createDataFrame(rows, "k string, s int, e int")
+        got = {
+            (r["k"], r["span_start"], r["span_end"]): r["n_merged"]
+            for r in ev_ops.merge_intervals(df, "s", "e", by=["k"]).collect()
+        }
+        assert got == {("u", 0, 20): 3, ("u", 30, 40): 1, ("v", 0, 1): 1}
+
+    def test_contained_interval(self, spark):
+        df = spark.createDataFrame(
+            [("u", 0, 100), ("u", 10, 20), ("u", 150, 160)], "k string, s int, e int"
+        )
+        got = {
+            (r["span_start"], r["span_end"]): r["n_merged"]
+            for r in ev_ops.merge_intervals(df, "s", "e", by=["k"]).collect()
+        }
+        assert got == {(0, 100): 2, (150, 160): 1}
