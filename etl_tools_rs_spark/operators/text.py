@@ -459,3 +459,70 @@ def bigram_pmi(
         .crossJoin(F.broadcast(n_bi))
         .select("tok_x", "tok_y", "n_xy", pmi.cast("double").alias("pmi"))
     )
+
+
+def token_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Token-distribution drift between two corpora — the
+    data-monitoring statistic for "did this week's crawl change?" /
+    "does the train split match eval?": per-token smoothed probabilities
+    under each corpus plus both KL contributions. Summing ``kl_ab_term``
+    gives KL(A‖B); ``kl_ba_term`` gives KL(B‖A).
+
+    Add-λ smoothing over the UNION vocabulary keeps every log finite:
+    ``p = (c + λ) / (N + λ·V)``. All probabilities and log terms are
+    floor-scaled to ``scale`` decimals, so the whole table is
+    bit-reproducible and engine-checkable.
+
+    Plan: one token count aggregate per corpus (map-side combined), a
+    full-outer vocab join, corpus totals (N_a, N_b, V) as 1-row
+    aggregates broadcast back — no driver collect. Output:
+    ``(token, n_a, n_b, p_a, p_b, kl_ab_term, kl_ba_term)``.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing!r}")
+    lam = float(smoothing)
+    p10 = float(10**scale)
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    ca, cb = counts(df_a, "n_a"), counts(df_b, "n_b")
+    vocab = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    totals = vocab.agg(
+        F.sum("n_a").cast("double").alias("_na"),
+        F.sum("n_b").cast("double").alias("_nb"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+
+    def fl(c):
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    pa = (F.col("n_a").cast("double") + F.lit(lam)) / (
+        F.col("_na") + F.lit(lam) * F.col("_v")
+    )
+    pb = (F.col("n_b").cast("double") + F.lit(lam)) / (
+        F.col("_nb") + F.lit(lam) * F.col("_v")
+    )
+    return vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "n_a",
+        "n_b",
+        fl(pa).cast("double").alias("p_a"),
+        fl(pb).cast("double").alias("p_b"),
+        fl(pa * F.log(pa / pb)).cast("double").alias("kl_ab_term"),
+        fl(pb * F.log(pb / pa)).cast("double").alias("kl_ba_term"),
+    )

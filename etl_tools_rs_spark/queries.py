@@ -3796,6 +3796,51 @@ def merge_intervals_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     return merge_intervals(iv, "s", "e", by=["user_id"])
 
 
+@qdef(
+    "token_divergence_by_lang",
+    f"""
+    WITH ca AS (SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM (SELECT {TOKS_SQL} AS ts FROM documents WHERE lang = 'en'),
+                     UNNEST(ts) AS t(tok) GROUP BY 1),
+    cb AS (SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS n_b
+           FROM (SELECT {TOKS_SQL} AS ts FROM documents WHERE lang <> 'en'),
+                UNNEST(ts) AS t(tok) GROUP BY 1),
+    v AS (SELECT COALESCE(ca.token, cb.token) AS token,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+    tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS na,
+                   CAST(SUM(n_b) AS DOUBLE) AS nb,
+                   CAST(COUNT(*) AS DOUBLE) AS vv FROM v)
+    SELECT token, n_a, n_b,
+           CAST(FLOOR(1000000.0 * ((n_a + 0.5) / (na + 0.5 * vv)))
+                / 1000000.0 AS DOUBLE) AS p_a,
+           CAST(FLOOR(1000000.0 * ((n_b + 0.5) / (nb + 0.5 * vv)))
+                / 1000000.0 AS DOUBLE) AS p_b,
+           CAST(FLOOR(1000000.0 * (((n_a + 0.5) / (na + 0.5 * vv)) *
+                LN(((n_a + 0.5) / (na + 0.5 * vv)) /
+                   ((n_b + 0.5) / (nb + 0.5 * vv))))) / 1000000.0 AS DOUBLE)
+             AS kl_ab_term,
+           CAST(FLOOR(1000000.0 * (((n_b + 0.5) / (nb + 0.5 * vv)) *
+                LN(((n_b + 0.5) / (nb + 0.5 * vv)) /
+                   ((n_a + 0.5) / (na + 0.5 * vv))))) / 1000000.0 AS DOUBLE)
+             AS kl_ba_term
+    FROM v, tot
+    """,
+)
+def token_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitoring (operators/text.py::token_divergence):
+    per-token smoothed probabilities and KL contributions between the
+    English and non-English document subsets — one count aggregate per
+    corpus, full-outer vocab join, totals broadcast back, floor-scaled
+    throughout. Verified token-for-token."""
+    from etl_tools_rs_spark.operators.text import token_divergence
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    a = t["documents"].filter(F.col("lang") == "en")
+    b = t["documents"].filter(F.col("lang") != "en")
+    return token_divergence(a, b)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -207,3 +207,42 @@ class TestNormalizeText:
             ).collect()
         ]
         assert fps[0] == fps[1]
+
+
+class TestTokenDivergence:
+    def test_hand_computed(self, spark):
+        import math
+
+        from etl_tools_rs_spark.operators.text import token_divergence
+
+        a = spark.createDataFrame([("x x y",)], "text string")  # x:2 y:1
+        b = spark.createDataFrame([("y y z",)], "text string")  # y:2 z:1
+        rows = {r["token"]: r for r in token_divergence(a, b).collect()}
+        assert set(rows) == {"x", "y", "z"}
+        # vocab=3, Na=Nb=3, denom = 3 + 0.5*3 = 4.5
+        pa_x, pb_x = 2.5 / 4.5, 0.5 / 4.5
+        fl = lambda v: math.floor(1e6 * v) / 1e6  # noqa: E731
+        assert rows["x"]["p_a"] == fl(pa_x)
+        assert rows["x"]["p_b"] == fl(pb_x)
+        assert rows["x"]["kl_ab_term"] == fl(pa_x * math.log(pa_x / pb_x))
+        assert rows["x"]["n_a"] == 2 and rows["x"]["n_b"] == 0
+
+    def test_identical_corpora_near_zero_kl(self, spark):
+        from etl_tools_rs_spark.operators.text import token_divergence
+
+        df = spark.createDataFrame([("a b c a",), ("b c",)], "text string")
+        out = token_divergence(df, df)
+        total = out.agg(
+            F.sum("kl_ab_term").alias("ab"), F.sum("kl_ba_term").alias("ba")
+        ).collect()[0]
+        # identical distributions: every term is 0 up to the floor-scale
+        assert abs(total["ab"]) < 1e-5 and abs(total["ba"]) < 1e-5
+
+    def test_rejects_bad_smoothing(self, spark):
+        import pytest as _p
+
+        from etl_tools_rs_spark.operators.text import token_divergence
+
+        df = spark.createDataFrame([("a",)], "text string")
+        with _p.raises(ValueError, match="smoothing"):
+            token_divergence(df, df, smoothing=0.0)
