@@ -602,3 +602,55 @@ def simhash_near_dup(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: Column | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Asymmetric n-gram containment: ``|A ∩ B| / |A|`` — how much of
+    document A's shingle set appears in B. The quote/subset detector
+    Jaccard misses: a paragraph fully quoted inside a long article has
+    LOW Jaccard (the union is huge) but containment ≈ 1. Emits ordered
+    (id_a, id_b) pairs BOTH ways when both directions pass — direction
+    matters (A-inside-B ≠ B-inside-A).
+
+    Same block-bounded self-join shape as ngram_jaccard_pairs (callers
+    at scale supply ``block_col``); containment is floor-scaled so the
+    pair table is engine-checkable. Returns
+    ``(id_a, id_b, containment)`` where id_a is the contained side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(ngrams(text_col, n)).alias("_ng"),
+        (block_col if block_col is not None else F.element_at(tokens(text_col), 1)).alias(
+            "_blk"
+        ),
+    ).filter(F.size("_ng") > 0)
+    a = toks.alias("a")
+    b = toks.alias("b")
+    p10 = float(10**scale)
+    inter = F.size(F.array_intersect(F.col("a._ng"), F.col("b._ng")))
+    cont = (
+        F.floor(
+            F.lit(p10) * inter.cast("double") / F.size(F.col("a._ng")).cast("double")
+        )
+        / F.lit(p10)
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -3841,6 +3841,39 @@ def token_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_divergence(a, b)
 
 
+@qdef(
+    "containment_pairs_blocked",
+    """
+    WITH tk0 AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks[1] AS blk, unnest(range(1, len(toks) - 1)) AS i, toks
+      FROM tk0 WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id, blk,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    ), gs AS (
+      SELECT doc_id, blk, list_distinct(list(g)) AS ng FROM sh GROUP BY doc_id, blk
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(FLOOR(10000.0 * len(list_intersect(a.ng, b.ng)) /
+                CAST(len(a.ng) AS DOUBLE)) / 10000.0 AS DOUBLE) AS containment
+    FROM gs a JOIN gs b ON a.blk = b.blk AND a.doc_id <> b.doc_id
+    WHERE CAST(FLOOR(10000.0 * len(list_intersect(a.ng, b.ng)) /
+          CAST(len(a.ng) AS DOUBLE)) / 10000.0 AS DOUBLE) >= 0.3
+    """,
+)
+def containment_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (operators/dedup.py::
+    containment_pairs, |A∩B|/|A| ≥ 0.3 within first-token blocks) — the
+    quote/subset detector Jaccard misses; direction preserved, verified
+    pair-for-pair."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup_ops.containment_pairs(t["documents"], n=3, threshold=0.3)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

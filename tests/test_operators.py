@@ -217,3 +217,36 @@ class TestGroupCentroids:
         )
         r = group_centroids(df, "embedding").collect()[0]
         assert r["centroid"] == [3.0, 6.0] and r["n"] == 2
+
+
+class TestContainmentPairs:
+    def test_quote_detection_asymmetric(self, spark):
+        from etl_tools_rs_spark.operators import dedup as dd
+        from pyspark.sql import functions as F
+
+        quote = "alpha beta gamma delta"
+        article = quote + " " + "rest of a much longer body with many words here"
+        df = spark.createDataFrame(
+            [(1, quote), (2, article), (3, "alpha unrelated thing entirely")],
+            "doc_id bigint, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dd.containment_pairs(
+                df, threshold=0.5, block_col=F.lit(1)
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # quote fully inside
+        assert (2, 1) not in pairs  # article is NOT inside the quote
+        assert (3, 2) not in pairs
+
+    def test_direction_both_ways_for_near_identical(self, spark):
+        from etl_tools_rs_spark.operators import dedup as dd
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e f")], "doc_id bigint, text string"
+        )
+        got = {(r["id_a"], r["id_b"]) for r in
+               dd.containment_pairs(df, threshold=0.7, block_col=F.lit(1)).collect()}
+        assert got == {(1, 2), (2, 1)}
