@@ -245,3 +245,56 @@ def merge_intervals(
         )
         .drop("_isl")
     )
+
+
+def assign_sessions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based session assignment: add ``session_col`` (1-based per
+    user, in time order) — a new session starts after ``gap_seconds`` of
+    inactivity. The reusable building block behind the sessionize query:
+    downstream ops (funnels within session, per-session aggregates,
+    session sampling) join/group on the id instead of re-deriving cuts.
+
+    One shuffle on the user key; the new-session flag is a lag
+    comparison and the id a running sum — both in the same window pass.
+    Ties on the timestamp break by all remaining column order being
+    irrelevant: rows with equal (user, ts) land in the same session by
+    construction (gap 0 ≤ gap_seconds).
+    """
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds!r}")
+    ts_s = F.unix_timestamp(F.col(time_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(F.col(time_col).asc())
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(F.col(time_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(session_col, F.sum(new_sess).over(run).cast("bigint"))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session summary built on :func:`assign_sessions`: one row per
+    (user, session) with event count, start/end, and duration in
+    seconds. Same single user-key shuffle — the session aggregate reuses
+    the window pass's partitioning."""
+    sessions = assign_sessions(df, user_col, time_col, gap_seconds)
+    ts = F.col(time_col).cast("timestamp")
+    return sessions.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts)))
+        .cast("bigint")
+        .alias("duration_s"),
+    )

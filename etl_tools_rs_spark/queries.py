@@ -3874,6 +3874,40 @@ def containment_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.containment_pairs(t["documents"], n=3, threshold=0.3)
 
 
+@qdef(
+    "session_stats_events",
+    """
+    WITH f AS (SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts))) > 1800
+             THEN 1 ELSE 0 END AS nw
+        FROM events),
+    s AS (SELECT user_id, ts,
+                 SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+          FROM f)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT)
+             AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reusable session assignment + per-session summary
+    (operators/events.py::assign_sessions / session_stats, 30-min gap):
+    lag-flag + running sum in one user-key window pass, aggregate reuses
+    the same partitioning. Verified session-for-session (ids, counts,
+    bounds, durations) against the oracle."""
+    from etl_tools_rs_spark.operators.events import session_stats
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return session_stats(t["events"], gap_seconds=1800)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

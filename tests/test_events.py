@@ -140,3 +140,31 @@ class TestMergeIntervals:
             for r in ev_ops.merge_intervals(df, "s", "e", by=["k"]).collect()
         }
         assert got == {(0, 100): 2, (150, 160): 1}
+
+
+class TestSessions:
+    def test_assignment_and_stats(self, spark):
+        rows = [
+            (1, _ts(1, 0)), (1, _ts(1, 0)),  # same instant: same session
+            (1, _ts(1, 1)),                   # 1h later with 30-min gap: new
+            (1, _ts(1, 1)),                   # duplicate ts again
+            (2, _ts(1, 5)),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+        out = ev_ops.session_stats(df, gap_seconds=1800)
+        got = {
+            (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+            for r in out.collect()
+        }
+        assert got == {(1, 1): (2, 0), (1, 2): (2, 0), (2, 1): (1, 0)}
+
+    def test_gap_boundary_inclusive(self, spark):
+        # exactly gap_seconds apart: NOT a new session (> comparison)
+        df = spark.createDataFrame(
+            [(1, _ts(1, 0)), (1, dt.datetime(2024, 1, 1, 0, 30))],
+            "user_id int, ts timestamp",
+        )
+        out = ev_ops.assign_sessions(df, gap_seconds=1800)
+        assert {r["session_idx"] for r in out.collect()} == {1}
+        out2 = ev_ops.assign_sessions(df, gap_seconds=1799)
+        assert {r["session_idx"] for r in out2.collect()} == {1, 2}
