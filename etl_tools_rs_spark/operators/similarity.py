@@ -398,3 +398,46 @@ def group_centroids(
         ).alias("centroid"),
         F.max("_n").cast("bigint").alias("n"),
     )
+
+
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-dimension statistics of an embedding column — the vector-
+    quality audit (dead dimensions, range drift after a model swap,
+    normalization checks): one row per dimension with min/max/mean and
+    the count of non-null vectors carrying it.
+
+    Same determinism discipline as :func:`group_centroids`: means come
+    from exact DECIMAL(28,12) sums (float add order never leaks),
+    floor-scaled; min/max are order-free already. One posexplode +
+    one groupBy(dimension) — shuffle rows = vectors × dim, combined
+    map-side down to dim rows.
+    """
+    p10 = float(10**scale)
+    pos = df.select(F.posexplode(F.col(vec_col)).alias("_p", "_v")).select(
+        "_p",
+        F.col("_v").cast("double").alias("_vd"),
+        F.col("_v").cast("double").cast("decimal(28,12)").alias("_vdec"),
+    )
+    return (
+        pos.groupBy("_p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("_vd").alias("min_v"),
+            F.max("_vd").alias("max_v"),
+            F.sum("_vdec").alias("_s"),
+        )
+        .select(
+            F.col("_p").cast("bigint").alias("dim"),
+            "n",
+            "min_v",
+            "max_v",
+            (
+                F.floor(F.lit(p10) * (F.col("_s").cast("double") / F.col("n")))
+                / F.lit(p10)
+            ).cast("double").alias("mean_v"),
+        )
+    )

@@ -3908,6 +3908,33 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(t["events"], gap_seconds=1800)
 
 
+@qdef(
+    "embedding_profile_dims",
+    """
+    WITH e AS (SELECT UNNEST(list_transform(embedding,
+                             (x, i) -> {'p': i, 'v': x})) AS u
+               FROM embeddings)
+    SELECT CAST(u.p - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CAST(u.v AS DOUBLE)) AS min_v,
+           MAX(CAST(u.v AS DOUBLE)) AS max_v,
+           CAST(FLOOR(1000000.0 *
+                (CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*))) / 1000000.0 AS DOUBLE) AS mean_v
+    FROM e GROUP BY 1
+    """,
+)
+def embedding_profile_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding audit (operators/similarity.py::
+    embedding_profile): min/max/mean per dimension with exact-decimal
+    mean sums — the dead-dimension / range-drift check, verified
+    dimension-for-dimension."""
+    from etl_tools_rs_spark.operators.similarity import embedding_profile
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return embedding_profile(t["embeddings"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -250,3 +250,23 @@ class TestContainmentPairs:
         got = {(r["id_a"], r["id_b"]) for r in
                dd.containment_pairs(df, threshold=0.7, block_col=F.lit(1)).collect()}
         assert got == {(1, 2), (2, 1)}
+
+
+class TestEmbeddingProfile:
+    def test_hand_computed_and_partition_invariant(self, spark):
+        from etl_tools_rs_spark.operators.similarity import embedding_profile
+
+        df = spark.createDataFrame(
+            [([1.0, -2.0],), ([3.0, 4.0],), ([5.0, 0.0],)],
+            "embedding array<float>",
+        )
+        got = {r["dim"]: r for r in embedding_profile(df).collect()}
+        assert got[0]["n"] == 3 and got[0]["min_v"] == 1.0 and got[0]["max_v"] == 5.0
+        assert got[0]["mean_v"] == 3.0
+        assert got[1]["min_v"] == -2.0 and got[1]["max_v"] == 4.0
+        import math
+
+        assert got[1]["mean_v"] == math.floor(1e6 * (2.0 / 3.0)) / 1e6
+        re = {r["dim"]: r["mean_v"] for r in
+              embedding_profile(df.repartition(7)).collect()}
+        assert re == {k: v["mean_v"] for k, v in got.items()}
