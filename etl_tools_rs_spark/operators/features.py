@@ -112,3 +112,48 @@ def standardize(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def minmax_scale(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Min-max normalization to [0, 1]: ``(x - min) / (max - min)`` per
+    column, optionally per group. Constant columns (max == min) yield
+    NULL. Unlike mean/variance, min and max are order-free aggregates —
+    no decimal discipline needed; the single division is floor-scaled.
+
+    One grouped min/max aggregate (map-side combined), stats broadcast
+    back onto the rows — same plan shape as :func:`standardize`.
+    """
+    if not cols:
+        raise ValueError("minmax_scale needs at least one column")
+    by = by or []
+    p10 = float(10**scale)
+    aggs = []
+    for i, c in enumerate(cols):
+        d = F.col(c).cast("double")
+        aggs.append(F.min(d).alias(f"_lo_{i}"))
+        aggs.append(F.max(d).alias(f"_hi_{i}"))
+    stats = df.groupBy(*by).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            i = cols.index(c)
+            rng = F.col(f"_hi_{i}") - F.col(f"_lo_{i}")
+            scaled = F.when(
+                rng > 0,
+                F.floor(
+                    F.lit(p10) * ((F.col(c).cast("double") - F.col(f"_lo_{i}")) / rng)
+                )
+                / F.lit(p10),
+            )
+            out_cols.append(scaled.cast("double").alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

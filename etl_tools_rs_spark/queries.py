@@ -3935,6 +3935,33 @@ def embedding_profile_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_profile(t["embeddings"])
 
 
+@qdef(
+    "minmax_scale_value",
+    """
+    WITH m AS (SELECT event_type,
+                 MIN(CAST(value AS DOUBLE)) AS lo,
+                 MAX(CAST(value AS DOUBLE)) AS hi
+               FROM events GROUP BY 1)
+    SELECT event_id, e.event_type,
+           CAST(CASE WHEN hi - lo > 0 THEN
+                  FLOOR(1000000.0 * ((CAST(value AS DOUBLE) - lo) / (hi - lo)))
+                  / 1000000.0 END AS DOUBLE) AS value
+    FROM events e JOIN m ON e.event_type = m.event_type
+    """,
+)
+def minmax_scale_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization (operators/features.py::
+    minmax_scale): order-free min/max stats broadcast back, floor-scaled
+    division — every scaled value hash-matches the oracle (works on the
+    continuous events.value because min/max need no decimal
+    quantization, unlike mean/variance)."""
+    from etl_tools_rs_spark.operators.features import minmax_scale
+
+    t = load_tables(spark, sf_dir, ("events",))
+    narrow = t["events"].select("event_id", "event_type", "value")
+    return minmax_scale(narrow, ["value"], by=["event_type"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -71,3 +71,25 @@ class TestStandardize:
         df = spark.createDataFrame([(1.0,)], "x double")
         with pytest.raises(ValueError, match="at least one"):
             ft.standardize(df, [])
+
+
+class TestMinmaxScale:
+    def test_hand_computed_grouped(self, spark):
+        from etl_tools_rs_spark.operators import features as ft2
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0), ("b", 7.0)],
+            "g string, x double",
+        )
+        got = {}
+        for r in ft2.minmax_scale(df, ["x"], by=["g"]).collect():
+            got.setdefault(r["g"], []).append(r["x"])
+        assert sorted(got["a"]) == [0.0, 0.5, 1.0]
+        assert got["b"] == [None, None]  # constant column
+
+    def test_global_and_range(self, spark):
+        from etl_tools_rs_spark.operators import features as ft2
+
+        df = spark.createDataFrame([(-5.0,), (0.0,), (5.0,)], "x double")
+        vals = sorted(r["x"] for r in ft2.minmax_scale(df, ["x"]).collect())
+        assert vals == [0.0, 0.5, 1.0]
