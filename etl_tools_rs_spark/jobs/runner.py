@@ -74,9 +74,25 @@ class HandlerInit:
 class StreamHandler:
     """User hook: init/process_item/shutdown (etl-job/src/job/handler.rs:14-31).
 
-    ``process_item`` runs driver-side over collected partitions only when
-    the caller explicitly opts into driver iteration; the scalable path is
-    ``process_partition`` which ships to executors."""
+    Two consumption modes:
+
+    - ``process_partition(rows)`` — the SCALABLE path. Override it and the
+      runner ships the handler to executors via ``DataFrame.foreachPartition``;
+      each task receives an iterator of Rows for one partition, so the handler
+      can open one connection/file per partition (the reference handler's
+      typical use, handler.rs:14-31) without any driver round-trip. The
+      handler instance is pickled into the task closure: executor-side
+      mutations do NOT propagate back to the driver object — report per-row
+      outcomes by returning ``(n_ok, n_err)`` (counted into step stats and
+      the error budget via accumulators) or ``None`` (all rows counted ok).
+    - ``process_item(index, row, runner)`` — the driver-side ordered loop,
+      kept for Resume{index} semantics and handlers that must mutate
+      driver state per row. It is a deliberate driver bottleneck; only use
+      it when ordering/resume genuinely matters.
+
+    The runner picks ``process_partition`` whenever it is overridden, init
+    returned Start, and no ``order_by`` was requested; otherwise it falls
+    back to the ordered driver loop."""
 
     def init(self, runner: "JobRunner") -> HandlerInit:
         return HandlerInit.start()
@@ -84,8 +100,15 @@ class StreamHandler:
     def process_item(self, index: int, item: Row, runner: "JobRunner") -> None:
         raise NotImplementedError
 
+    def process_partition(self, rows: "Any") -> "tuple[int, int] | None":
+        raise NotImplementedError
+
     def shutdown(self, runner: "JobRunner") -> None:
         pass
+
+    def has_partition_path(self) -> bool:
+        """True when the subclass overrides ``process_partition``."""
+        return type(self).process_partition is not StreamHandler.process_partition
 
 
 class JobRunner:
@@ -201,7 +224,14 @@ class JobRunner:
         (job.rs:677-679); the engine makes that explicit — ``order_by``
         defines the deterministic ordering that ``Resume{index}`` filters
         against via row_number (SURVEY §7.3). Without order_by, resume is
-        refused (no deterministic order exists in a distributed scan)."""
+        refused (no deterministic order exists in a distributed scan).
+
+        Execution path: when the handler overrides ``process_partition``,
+        init returned Start, and no ``order_by`` is requested, the handler
+        runs ON EXECUTORS via ``foreachPartition`` (ok/err counts flow back
+        through accumulators — one Spark action, no per-row driver
+        traffic). Otherwise the ordered driver loop over ``process_item``
+        runs (required for Resume, which needs a global row_number)."""
         step = self._skip_or_start(name, "stream")
         if step is None:
             return None
@@ -227,17 +257,29 @@ class JobRunner:
             self.num_errors += n_err
             step.num_errors = n_err
             self._check_budget(step)
-            rows = ok.toLocalIterator() if order_by is None else ok.orderBy(*order_by).toLocalIterator()
-            n_ok = 0
-            base = init.index if init.action == "resume" else 0
-            for i, row in enumerate(rows):
-                try:
-                    handler.process_item(base + i, row, self)
-                    n_ok += 1
-                except Exception:
-                    self.num_errors += 1
-                    step.num_errors += 1
-                    self._check_budget(step)
+            use_executor = (
+                handler.has_partition_path()
+                and init.action == "start"
+                and order_by is None
+            )
+            if use_executor:
+                n_ok = self._run_partition_handler(ok, handler, step)
+            else:
+                rows = (
+                    ok.toLocalIterator()
+                    if order_by is None
+                    else ok.orderBy(*order_by).toLocalIterator()
+                )
+                n_ok = 0
+                base = init.index if init.action == "resume" else 0
+                for i, row in enumerate(rows):
+                    try:
+                        handler.process_item(base + i, row, self)
+                        n_ok += 1
+                    except Exception:
+                        self.num_errors += 1
+                        step.num_errors += 1
+                        self._check_budget(step)
             step.total_lines_scanned = n_ok + step.num_errors
             handler.shutdown(self)
             self.state.complete_step(name)
@@ -252,6 +294,43 @@ class JobRunner:
             raise
         finally:
             work.unpersist()
+
+    def _run_partition_handler(
+        self, ok: DataFrame, handler: StreamHandler, step: StepStatus
+    ) -> int:
+        """Executor-side dispatch: one ``foreachPartition`` action runs
+        ``handler.process_partition`` per task; ok/err counts flow back via
+        accumulators (classic-mode; under Spark Connect the driver loop is
+        the fallback). A handler that returns ``None`` reports no counts,
+        so ok falls back to one ``count()`` on the cached frame."""
+        sc = ok.sparkSession.sparkContext
+        ok_acc = sc.accumulator(0)
+        err_acc = sc.accumulator(0)
+        silent_acc = sc.accumulator(0)  # partitions that returned None
+
+        def _part(rows: Any) -> None:
+            res = handler.process_partition(rows)
+            if res is not None:
+                n_ok, n_err = res
+                ok_acc.add(int(n_ok))
+                err_acc.add(int(n_err))
+            else:
+                silent_acc.add(1)
+                # drain so lazy handlers that merely yield still consume
+                for _ in rows:
+                    pass
+
+        ok.foreachPartition(_part)
+        n_err = err_acc.value
+        if n_err:
+            self.num_errors += n_err
+            step.num_errors += n_err
+            self._check_budget(step)
+        if silent_acc.value == 0:
+            return ok_acc.value
+        # some partitions reported no counts → books incomplete; one count()
+        # on the cached frame closes them (cache hit, no rescan)
+        return ok.count() - n_err
 
     def run_stream_handler_fn(
         self, name: str, df: DataFrame, fn: Callable[[int, Row, "JobRunner"], None]

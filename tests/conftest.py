@@ -3,7 +3,17 @@ file fixtures from FIXTURES.md (F1 malformed-json mix, F2 ndjson/csv)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# Python workers don't inherit pytest's sys.path tweaks — export the tests
+# dir so classes defined in test modules (e.g. StreamHandler subclasses)
+# unpickle on executors. Must happen before the JVM/session starts.
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = (
+    _TESTS_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 @pytest.fixture(scope="session")
