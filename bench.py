@@ -6,11 +6,18 @@ Execution is forced with the noop sink (full plan runs, nothing collected
 to the driver) so timings measure the distributed plan, not result
 transfer.
 
-Protocol: each query executes twice; the reported time is the second
-(steady-state) run, which measures the distributed plan itself rather than
-one-time driver costs (Catalyst codegen compilation, parquet footer reads,
-page-cache faults) that are amortized across a real cluster workload. The
-first-run total is still reported as ``cold_total_sec`` for transparency.
+Protocol (round 3+): each query executes once cold, then WARM_RUNS times
+warm; the reported time is the MEDIAN of the warm runs — single warm runs
+proved noisy for sub-2s queries (VERDICT r2 flagged three "regressions"
+within single-run noise). Warm medians measure the distributed plan itself
+rather than one-time driver costs (Catalyst codegen compilation, parquet
+footer reads, page-cache faults) that are amortized across a real cluster
+workload. The cold total is still reported as ``cold_total_sec``.
+
+Each run also appends to ``BENCH_HISTORY.json`` (per-query medians keyed
+by timestamp) and mechanically compares against the previous entry:
+queries slower by >25% AND >0.3s are listed in the ``regressions`` output
+field so drift is caught without human diffing.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -77,6 +85,7 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -84,15 +93,20 @@ def main() -> int:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(warm_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
         print(
-            f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s)",
+            f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s, "
+            f"warm {'/'.join(f'{s:.2f}' for s in samples)})",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    regressions = _append_history(timings, total, sf)
     print(
         json.dumps(
             {
@@ -102,14 +116,53 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
-                # metric protocol marker: "value" is the warm (second) run
-                # since round 1; compare rounds on the same protocol, or
-                # use cold_total_sec for the cold-start view
-                "protocol": "warm-second-run",
+                # protocol history: r1-r2 reported the single second run;
+                # r3+ reports the median of `warm_runs` warm runs. Compare
+                # rounds on the same protocol or via BENCH_HISTORY.json.
+                "protocol": f"warm-median-of-{warm_runs}",
+                "regressions": regressions,
             }
         )
     )
     return 0
+
+
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json")
+
+
+def _append_history(
+    timings: dict[str, float], total: float, sf: float
+) -> dict[str, list[float]]:
+    """Append this run to BENCH_HISTORY.json and return {query: [prev, cur]}
+    for queries slower than the previous entry by >25% and >0.3s (both
+    thresholds so sub-second noise never flags)."""
+    try:
+        with open(HISTORY_PATH) as f:
+            history = json.load(f)
+    except (OSError, ValueError):
+        history = {"runs": []}
+    prev = history["runs"][-1] if history["runs"] else None
+    regressions: dict[str, list[float]] = {}
+    if prev is not None and prev.get("sf") == sf:
+        for name, cur in timings.items():
+            old = prev.get("queries", {}).get(name)
+            if old is not None and cur > old * 1.25 and cur - old > 0.3:
+                regressions[name] = [old, cur]
+                print(f"# REGRESSION {name}: {old:.2f}s -> {cur:.2f}s", file=sys.stderr)
+    history["runs"].append(
+        {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "sf": sf,
+            "total": total,
+            "queries": timings,
+        }
+    )
+    try:
+        with open(HISTORY_PATH, "w") as f:
+            json.dump(history, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return regressions
 
 
 if __name__ == "__main__":

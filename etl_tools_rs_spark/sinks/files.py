@@ -46,10 +46,9 @@ class FileSink:
         if self.compression:
             w = w.option("compression", self.compression)
         if self.format == "csv":
-            opts = self.csv_options.to_spark()
-            opts.pop("mode", None)
-            opts.pop("columnNameOfCorruptRecord", None)
-            w = w.options(**opts)
+            # writer-side dialect: quote_style/terminator/double_quote
+            # (reference CsvWriteOptions, etl-core/src/datastore/mod.rs:284-297)
+            w = w.options(**self.csv_options.to_spark_write())
         elif self.format == "xml":
             w = w.option("rowTag", self.xml_row_tag)
         w.format(self.format).save(self.path)

@@ -45,7 +45,33 @@ CORRUPT_COL = "_corrupt_record"
 class CsvOptions:
     """CSV dialect vocabulary, mirroring the reference's CsvReadOptions /
     CsvWriteOptions (etl-core/src/datastore/mod.rs:267-326) onto Spark
-    reader options."""
+    reader/writer options.
+
+    Full dialect mapping (reference field → Spark option):
+
+    - ``terminator`` → ``lineSep`` (read AND write; Spark 4 accepts
+      multi-char, so ``"\\r\\n"`` round-trips CRLF files byte-for-byte).
+      ``None`` keeps Spark defaults, which already auto-detect LF/CR/CRLF
+      on read — the reference's ``Terminator::CRLF`` default needs no
+      option at all to parse.
+    - ``double_quote`` → escape char selection: True (reference default)
+      means ``""`` escapes a quote inside a quoted field (Spark: escape ==
+      quote char); False uses the explicit ``escape`` char (reference
+      write default ``\\``).
+    - ``quoting`` → False disables quote processing on read (Spark: NUL
+      quote char — the documented univocity toggle). On write, prefer
+      ``quote_style="never"``.
+    - ``quote_style`` (write only, reference CsvWriteOptions.quote_style)
+      → ``"necessary"`` (univocity default), ``"always"`` (``quoteAll``),
+      ``"never"`` (NUL quote + ``escapeQuotes=false``; caveat: fields
+      containing the delimiter still get NUL-delimited by univocity —
+      truly quote-free output of delimiter-bearing fields is ambiguous
+      CSV and rejected by every parser, the reference's included).
+      ``"non_numeric"`` has no univocity equivalent and raises.
+    - ``unescaped_quote_handling`` → univocity recovery policy for
+      malformed quotes on read (e.g. ``STOP_AT_CLOSING_QUOTE``,
+      ``RAISE_ERROR``); None keeps Spark's default.
+    """
 
     delimiter: str = ","
     has_headers: bool = True
@@ -53,18 +79,56 @@ class CsvOptions:
     escape: str = '"'
     comment: str | None = None
     flexible: bool = False  # reference: allow ragged rows; Spark: PERMISSIVE fills
+    terminator: str | None = None  # None → LF/CR/CRLF auto (read), LF (write)
+    quoting: bool = True
+    double_quote: bool = True
+    quote_style: str = "necessary"  # write: necessary | always | never
+    unescaped_quote_handling: str | None = None  # read: univocity policy name
+
+    _NO_QUOTE = "\u0000"
+
+    def _effective_escape(self) -> str:
+        return self.quote if self.double_quote else self.escape
 
     def to_spark(self) -> dict[str, str]:
         opts = {
             "sep": self.delimiter,
             "header": str(self.has_headers).lower(),
-            "quote": self.quote,
-            "escape": self.escape,
+            "quote": self.quote if self.quoting else self._NO_QUOTE,
+            "escape": self._effective_escape(),
             "mode": "PERMISSIVE",
             "columnNameOfCorruptRecord": CORRUPT_COL,
         }
         if self.comment:
             opts["comment"] = self.comment
+        if self.terminator is not None:
+            opts["lineSep"] = self.terminator
+        if self.unescaped_quote_handling is not None:
+            opts["unescapedQuoteHandling"] = self.unescaped_quote_handling
+        return opts
+
+    def to_spark_write(self) -> dict[str, str]:
+        """Writer-side dialect (reference CsvWriteOptions,
+        etl-core/src/datastore/mod.rs:284-297)."""
+        style = self.quote_style
+        if style not in ("necessary", "always", "never"):
+            raise ValueError(
+                f"quote_style {style!r} not supported (necessary|always|never; "
+                "univocity has no non_numeric mode)"
+            )
+        opts = {
+            "sep": self.delimiter,
+            "header": str(self.has_headers).lower(),
+            "quote": self.quote,
+            "escape": self._effective_escape(),
+        }
+        if self.terminator is not None:
+            opts["lineSep"] = self.terminator
+        if style == "always":
+            opts["quoteAll"] = "true"
+        elif style == "never" or not self.quoting:
+            opts["quote"] = self._NO_QUOTE
+            opts["escapeQuotes"] = "false"
         return opts
 
 
