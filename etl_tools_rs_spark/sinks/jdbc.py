@@ -50,11 +50,19 @@ class JdbcSink:
         w.save()
 
 
+def _row_bytes(row: Row) -> int:
+    """Approximate encoded size of one row's VALUES tuple — the analogue of
+    the reference's num_bytes accumulation over joined value strings
+    (datastore.rs:207-216)."""
+    return sum(len(str(v)) for v in row) + 3 * len(row)
+
+
 def write_with_dlq(
     df: DataFrame,
     insert_batch: Callable[[list[Row]], None],
     on_failed_row: Callable[[Row, Exception], None],
     batch_size: int = 60,
+    max_batch_bytes: int = 4_000_000,
 ) -> None:
     """Row-level dead-letter write path (reference datastore.rs:264-288:
     batch failure → retry one-by-one → dead-letter the stragglers).
@@ -62,29 +70,83 @@ def write_with_dlq(
     ``insert_batch`` runs per executor partition (create the DB client
     inside it, once per partition); rows that fail individually go to
     ``on_failed_row`` instead of failing the job.
+
+    Batches flush at ``batch_size`` rows OR ``max_batch_bytes`` of encoded
+    values, whichever comes first — the reference's 4 MB
+    ``max_allowed_packet`` guard (datastore.rs:198-216) made a hard flush
+    trigger instead of a console warning.
     """
 
     def _part(rows: Iterable[Row]) -> None:
         buf: list[Row] = []
+        buf_bytes = 0
 
         def flush() -> None:
+            nonlocal buf_bytes
             if not buf:
                 return
             try:
                 insert_batch(list(buf))
             except Exception:
-                # batch failed: retry row-by-row; dead-letter the failures
+                # batch failed: retry one-by-one; dead-letter the failures
                 for r in buf:
                     try:
                         insert_batch([r])
                     except Exception as e:  # noqa: BLE001 — row goes to DLQ
                         on_failed_row(r, e)
             buf.clear()
+            buf_bytes = 0
 
         for row in rows:
             buf.append(row)
-            if len(buf) >= batch_size:
+            buf_bytes += _row_bytes(row)
+            if len(buf) >= batch_size or buf_bytes >= max_batch_bytes:
                 flush()
         flush()
 
     df.foreachPartition(_part)
+
+
+def render_insert(table: str, columns: list[str], rows: list[Row]) -> str:
+    """Multi-row INSERT in the reference's exact shape
+    (datastore.rs:349-363): backtick-quoted identifiers, one VALUES tuple
+    per row. Values are SQL-literal-escaped here (the reference
+    pre-renders values upstream in utils::key_values)."""
+
+    def lit(v: object) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
+
+    cols = ",".join(f"`{c}`" for c in columns)
+    vals = ",\n".join("(" + ",".join(lit(v) for v in r) + ")" for r in rows)
+    return f"INSERT INTO {table} ({cols}) \nVALUES \n{vals}"
+
+
+def sql_insert_batch(
+    execute: Callable[[str], None],
+    table: str,
+    map_query: Callable[[str], str] | None = None,
+) -> Callable[[list[Row]], None]:
+    """Build an ``insert_batch`` callable for :func:`write_with_dlq` that
+    renders the reference-shaped INSERT, applies the optional ``map_query``
+    pre-insert rewrite hook (reference PreInsertFn, datastore.rs:22,40 —
+    applied to every statement before execution, datastore.rs:365-371),
+    and hands the final SQL to ``execute`` (a DB cursor in production, a
+    recorder in tests)."""
+
+    def insert_batch(rows: list[Row]) -> None:
+        if not rows:
+            return
+        columns = list(rows[0].asDict().keys())
+        query = render_insert(table, columns, rows)
+        if map_query is not None:
+            query = map_query(query)
+        execute(query)
+
+    return insert_batch

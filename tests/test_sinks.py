@@ -130,3 +130,66 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
         (1, "a", 1.5), (2, "b", 2.5),
     ]
+
+
+def test_write_with_dlq_byte_budget_flush(spark):
+    """Packet guard parity (reference datastore.rs:198-216): a batch
+    flushes when the byte budget is hit BEFORE the row cap."""
+    import json
+    import os
+    import tempfile
+
+    # 6 rows of ~100-byte payload, byte cap 250 → flushes of 2-3 rows even
+    # though batch_size=60 would hold all six
+    df = spark.createDataFrame([("x" * 100,) for _ in range(6)], "v string").coalesce(1)
+    tmp = tempfile.mkdtemp()
+    sizes_path = os.path.join(tmp, "sizes.jsonl")
+
+    def insert_batch(rows):
+        with open(sizes_path, "a") as f:
+            f.write(json.dumps(len(rows)) + "\n")
+
+    write_with_dlq(
+        df, insert_batch, lambda r, e: None, batch_size=60, max_batch_bytes=250
+    )
+    sizes = [json.loads(l) for l in open(sizes_path)]
+    assert sum(sizes) == 6
+    assert max(sizes) <= 3  # byte cap kicked in before the 60-row cap
+    assert len(sizes) >= 2
+
+
+def test_sql_insert_batch_map_query_rewrite(spark):
+    """map_query hook parity (reference PreInsertFn, datastore.rs:22,40,
+    365-371): the rendered INSERT is rewritten before execution."""
+    import os
+    import tempfile
+
+    from etl_tools_rs_spark.sinks.jdbc import render_insert, sql_insert_batch
+
+    df = spark.createDataFrame(
+        [(1, "Alice"), (2, "O'Brien")], "id int, name string"
+    ).coalesce(1)
+    tmp = tempfile.mkdtemp()
+    sql_path = os.path.join(tmp, "sql.log")
+
+    def execute(sql):
+        with open(sql_path, "a") as f:
+            f.write(sql + "\n---\n")
+
+    def map_query(sql):
+        return sql + " ON DUPLICATE KEY UPDATE `name`=VALUES(`name`)"
+
+    batch = sql_insert_batch(execute, "`db`.`people`", map_query=map_query)
+    write_with_dlq(df, batch, lambda r, e: None, batch_size=60)
+
+    stmts = open(sql_path).read().split("\n---\n")
+    stmts = [s for s in stmts if s.strip()]
+    assert len(stmts) == 1
+    s = stmts[0]
+    assert s.startswith("INSERT INTO `db`.`people` (`id`,`name`)")
+    assert s.endswith("ON DUPLICATE KEY UPDATE `name`=VALUES(`name`)")
+    assert "'O''Brien'" in s  # literal escaping
+
+    # render_insert alone: reference statement shape
+    r = render_insert("`d`.`t`", ["a"], df.select("id").limit(1).collect())
+    assert r.splitlines()[0] == "INSERT INTO `d`.`t` (`a`) "
