@@ -2,10 +2,12 @@
 
 No reference equivalent (extension surface per BASELINE.json). The Spark
 plumbing here — schemas, binaryFile ingestion, Arrow-batched decode UDFs,
-partition sizing — is real and tested; the actual media decoding is STUBBED
-(image/audio libraries are not in this container) behind
-``decode_image_stub``: a deterministic fake that derives "pixels"/features
-from the bytes' hash, clearly marked, swappable for a real decoder.
+partition sizing — is real and tested. Decoders are import-gated (same
+pattern as the SFTP/SQS environment stubs): AUDIO decode is REAL (stdlib
+``wave`` PCM parser — RMS envelope features + header metadata); IMAGE
+decode is real via PIL when importable, else the loudly-marked
+deterministic fake (``_fake_decode``, derives features from the payload
+hash) stands in so the pipeline shape stays testable in this container.
 
 Scale notes: binary payloads dominate partition size — size partitions by
 bytes not rows (maxPartitionBytes), keep metadata in separate narrow
@@ -74,27 +76,151 @@ def _fake_decode(content: bytes, dim: int) -> list[float]:
     return vals
 
 
-def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content") -> DataFrame:
+# -- real decoders, import-gated (same pattern as SFTP/SQS stubs) -----------
+
+
+def _pil_image():  # pragma: no cover - depends on environment
+    """PIL import gate: returns the Image module or None."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_real(content: bytes, dim: int) -> list[float]:
+    """REAL image decode via PIL when importable: decode → grayscale →
+    resize to a √dim×√dim grid → normalized pixel vector. Raises
+    ImportError when PIL is absent (callers fall back to the fake)."""
+    Image = _pil_image()
+    if Image is None:
+        raise ImportError("PIL not available")
+    import io
+    import math
+
+    side = max(1, int(math.isqrt(dim)))
+    img = Image.open(io.BytesIO(content)).convert("L").resize((side, side))
+    px = list(img.getdata())
+    vals = [p / 255.0 for p in px]
+    # pad/trim to exactly dim
+    vals = (vals * ((dim // max(1, len(vals))) + 1))[:dim]
+    return vals
+
+
+def decode_wav_real(content: bytes, dim: int) -> list[float]:
+    """REAL audio decode for WAV payloads using only the stdlib ``wave``
+    module (always available): parse PCM frames and return a ``dim``-bucket
+    RMS envelope normalized to [0, 1]. Raises on non-WAV payloads (callers
+    treat that as a decode error-as-record)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if sw == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        full = 32768.0
+    elif sw == 1:
+        samples = [b - 128 for b in raw]
+        full = 128.0
+    else:  # 24/32-bit: decode via 4-byte little-endian chunks
+        step = sw
+        samples = [
+            int.from_bytes(raw[i : i + step], "little", signed=True)
+            for i in range(0, len(raw) - step + 1, step)
+        ]
+        full = float(1 << (8 * sw - 1))
+    # mixdown: average interleaved channels
+    if ch > 1:
+        samples = [
+            sum(samples[i : i + ch]) / ch for i in range(0, len(samples) - ch + 1, ch)
+        ]
+    if not samples:
+        return [0.0] * dim
+    bucket = max(1, len(samples) // dim)
+    vals = []
+    for b in range(dim):
+        chunk = samples[b * bucket : (b + 1) * bucket]
+        if not chunk:
+            vals.append(0.0)
+            continue
+        rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
+        vals.append(min(1.0, rms / full))
+    return vals
+
+
+def wav_metadata(content: bytes) -> dict[str, int]:
+    """Parse WAV header → {sample_rate, channels, duration_ms, sample_width}
+    with the stdlib only. Real, not a stub."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        return {
+            "sample_rate": rate,
+            "channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "duration_ms": int(n * 1000 / rate) if rate else 0,
+        }
+
+
+def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
+    """Dispatch to the best available decoder: real WAV parser for audio,
+    PIL (when importable) for images, deterministic fake otherwise. The
+    fake is the documented fallback, not the default at any site where a
+    real decoder can run."""
+    if modality == "audio":
+        return decode_wav_real(content, dim)  # stdlib — always real
+    if modality == "image" and _pil_image() is not None:
+        return decode_image_real(content, dim)
+    return _fake_decode(content, dim)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    content_col: str = "content",
+    modality_col: str | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over media payloads.
 
-    The mapInPandas shape (batch iterator → batch iterator) is the real
+    The mapInPandas shape (batch iterator → batch iterator) is the
     production plumbing: decoding happens executor-side per Arrow batch,
-    bounded memory, no row-at-a-time Python overhead. Only the inner decode
-    call is a stub."""
+    bounded memory, no row-at-a-time Python overhead. When
+    ``modality_col`` is given, each row dispatches through
+    :func:`decode_media` — audio rows get the REAL stdlib WAV decoder,
+    image rows the real PIL path when PIL is importable; otherwise rows
+    fall back to the loudly-marked deterministic fake. Decode failures
+    are error-as-record (``decode_ok``), never job failures."""
     import pandas as pd
 
     id_col = "media_id" if "media_id" in df.columns else None
     if id_col is None:
         df = df.withColumn("media_id", F.monotonically_increasing_id())
 
-    src = df.select("media_id", content_col)
+    cols = ["media_id", content_col] + ([modality_col] if modality_col else [])
+    src = df.select(*cols)
 
     def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             feats, oks = [], []
-            for content in pdf[content_col]:
+            modalities = (
+                pdf[modality_col] if modality_col else [None] * len(pdf)
+            )
+            for content, modality in zip(pdf[content_col], modalities):
+                raw = bytes(content) if content is not None else b""
                 try:
-                    feats.append(_fake_decode(bytes(content) if content is not None else b"", dim))
+                    if modality is not None:
+                        feats.append(decode_media(raw, modality, dim))
+                    else:
+                        feats.append(_fake_decode(raw, dim))
                     oks.append("ok")
                 except Exception as e:  # noqa: BLE001 — error-as-record
                     feats.append(None)

@@ -344,3 +344,110 @@ def test_remove_common_lines(spark):
     assert (out["d3"].n_kept, out["d3"].n_removed) == (2, 1)
     # all-boilerplate doc survives as a row with empty text
     assert out["d4"].text_clean == "" and out["d4"].n_kept == 0
+
+
+def _make_wav(freq=440.0, seconds=0.5, rate=8000, amp=0.5, channels=1):
+    """Synthesize a PCM16 WAV in memory (stdlib only)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+            for _ in range(channels):
+                frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_decode_real_envelope():
+    """REAL audio path (stdlib wave): a constant-amplitude sine has a flat
+    RMS envelope at amp/sqrt(2); silence decodes to zeros."""
+    from etl_tools_rs_spark.operators.multimodal import decode_wav_real
+
+    tone = decode_wav_real(_make_wav(amp=0.5), dim=8)
+    assert len(tone) == 8
+    expected = 0.5 / (2**0.5)
+    for v in tone:
+        assert abs(v - expected) < 0.02
+    silence = decode_wav_real(_make_wav(amp=0.0), dim=8)
+    assert all(v == 0.0 for v in silence)
+    # louder signal -> larger envelope, monotone in amplitude
+    loud = decode_wav_real(_make_wav(amp=0.9), dim=8)
+    assert all(lo > t for lo, t in zip(loud, tone))
+
+
+def test_wav_metadata_real():
+    from etl_tools_rs_spark.operators.multimodal import wav_metadata
+
+    meta = wav_metadata(_make_wav(seconds=0.25, rate=16000, channels=2))
+    assert meta == {
+        "sample_rate": 16000,
+        "channels": 2,
+        "sample_width": 2,
+        "duration_ms": 250,
+    }
+
+
+def test_wav_stereo_mixdown():
+    from etl_tools_rs_spark.operators.multimodal import decode_wav_real
+
+    mono = decode_wav_real(_make_wav(amp=0.5, channels=1), dim=4)
+    stereo = decode_wav_real(_make_wav(amp=0.5, channels=2), dim=4)
+    for m, s in zip(mono, stereo):
+        assert abs(m - s) < 0.02  # same signal in both channels -> same envelope
+
+
+def test_extract_features_audio_real_path(spark):
+    """extract_features with modality dispatch: audio rows use the REAL
+    WAV decoder (error-as-record for garbage payloads)."""
+    rows = [
+        (1, _make_wav(amp=0.5), "audio"),
+        (2, b"not a wav at all", "audio"),
+        (3, b"anything", "other"),  # falls back to the documented fake
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, modality string"
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            media, dim=4, modality_col="modality"
+        ).collect()
+    }
+    assert out[1].decode_ok == "ok"
+    expected = 0.5 / (2**0.5)
+    assert all(abs(v - expected) < 0.02 for v in out[1].feature)
+    assert out[2].decode_ok.startswith("error:")
+    assert out[2].feature is None
+    assert out[3].decode_ok == "ok" and len(out[3].feature) == 4
+
+
+def test_image_decode_gated():
+    """PIL path: real when importable, ImportError otherwise (the gate)."""
+    from etl_tools_rs_spark.operators.multimodal import (
+        _pil_image,
+        decode_image_real,
+    )
+
+    if _pil_image() is None:
+        import pytest
+
+        with pytest.raises(ImportError):
+            decode_image_real(b"\x89PNG", dim=4)
+    else:  # pragma: no cover - environment-dependent
+        import io
+
+        Image = _pil_image()
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+        vals = decode_image_real(buf.getvalue(), dim=4)
+        assert len(vals) == 4 and all(abs(v - 128 / 255) < 0.01 for v in vals)
