@@ -119,6 +119,8 @@ def dedup_minhash_lsh(
     shingle_n: int = 3,
     threshold: float = 0.8,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    oversize_policy: str = "salt",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -142,6 +144,18 @@ def dedup_minhash_lsh(
     bucket rows are NARROW (id, band, bucket) — shingle arrays never travel
     through the self-join. Increase num_hashes/bands for tighter
     recall/precision.
+
+    Mega-bucket guard: a bucket of m near-identical boilerplate docs emits
+    m²/2 candidate pairs — AQE spreads the join work but cannot shrink the
+    output, so one 1M-doc boilerplate cluster means 5·10¹¹ pairs. Set
+    ``max_bucket_size`` to bound it: buckets over the cap are either
+    ``"salt"``-split into ⌈m/cap⌉ id-hashed sub-buckets (pairs still found
+    within each sub-bucket — bounded ~m·cap/2 candidates, partial recall
+    across shards; near-identical clusters lose nothing that matters since
+    any surviving pair transitively links the cluster for
+    connected_components) or ``"drop"``-ped entirely (handle boilerplate
+    via exact dedup instead). Costs one extra count-shuffle on the same
+    (band, bucket) key. Default None preserves exact uncapped semantics.
 
     Design note (measured, not guessed): the verify stage recomputes
     shingles over the whole corpus rather than semi-joining down to
@@ -175,6 +189,23 @@ def dedup_minhash_lsh(
     banded = sig.select(
         "_id", F.explode(bucket_structs).alias("_bb")
     ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        if oversize_policy not in ("salt", "drop"):
+            raise ValueError(f"oversize_policy must be salt|drop, got {oversize_policy!r}")
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(sizes, ["band", "bucket"])
+        if oversize_policy == "drop":
+            banded = banded.filter(F.col("_n") <= max_bucket_size).drop("_n")
+        else:
+            # split oversize buckets into ceil(n/cap) id-hashed shards;
+            # rehash (bucket, shard) into one uniform key so the self-join
+            # condition below is unchanged
+            shards = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
+            salt = F.pmod(F.xxhash64(F.col("_id")), shards)
+            banded = banded.withColumn(
+                "bucket", F.xxhash64(F.col("bucket"), salt)
+            ).drop("_n")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -332,6 +363,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node connects its strictly
+    LARGER neighbors to the minimum of its closed neighborhood."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node connects its
+    smaller neighbors (and itself) to the minimum among them."""
+    oriented = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return (
+        rewired.union(self_edge).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -341,58 +412,52 @@ def connected_components(
     """Group near-duplicate pairs into clusters: (member_id, group_id)
     where group_id = min member id of the connected component.
 
-    Large-star/small-star-style label propagation on DataFrames: each node
-    repeatedly adopts the smallest label among itself and its neighbors
-    until a fixpoint. Near-dup graphs are low-diameter (dup clusters are
-    quasi-cliques), so convergence is typically 2-4 rounds; every round is
-    one shuffle on the node id. localCheckpoint truncates the growing plan
-    lineage each round — without it the N-th iteration re-executes all
-    prior joins.
+    Alternating large-star/small-star (Kiveris et al., SoCC'14) — the
+    MapReduce-native CC algorithm. Unlike plain min-label propagation
+    (O(diameter) rounds — a 1,000-node chain needs 1,000 rounds), the
+    star operations contract whole subtrees per round and converge in
+    O(log²n) rounds worst-case, typically a handful: round-count depends
+    on component STRUCTURE, not diameter. Each round is two shuffles on
+    node id; localCheckpoint truncates lineage so round N never re-runs
+    rounds 1..N-1. Fixpoint detection is exact (exceptAll), not a
+    checksum.
 
-    At 100 TB: rounds = O(log(max component diameter)); skewed hub nodes
-    are AQE-handled; the pair list (not the corpus) bounds the work.
+    At 100 TB: the edge list (not the corpus) bounds the work; the edge
+    count never grows beyond the input edge count (proven in the paper),
+    and hub-node skew in the groupBy is AQE-handled.
     """
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    members = (  # every node that appears in any pair (for final labels)
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
-    labels = labels.localCheckpoint()
 
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+        edges_next = _small_star(_large_star(edges)).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            edges_next.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(edges_next).limit(1).count()
         )
-        labels = new_labels
+        edges = edges_next
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias("member_id"), F.col("label").alias("group_id")
+
+    # fixpoint is a star forest: edges = (member, component-min root)
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (
+        members.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("member_id"),
+            # roots have no outgoing star edge → they label themselves
+            F.coalesce(F.col("label"), F.col("node")).alias("group_id"),
+        )
     )
 
 

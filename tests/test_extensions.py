@@ -451,3 +451,83 @@ def test_image_decode_gated():
         Image.new("L", (8, 8), color=128).save(buf, format="PNG")
         vals = decode_image_real(buf.getvalue(), dim=4)
         assert len(vals) == 4 and all(abs(v - 128 / 255) < 0.01 for v in vals)
+
+
+def test_lsh_mega_bucket_cap(spark):
+    """Mega-bucket guard: N identical docs put all rows in one bucket per
+    band -> quadratic pairs uncapped; salt-splitting bounds candidates,
+    dropping eliminates them. (VERDICT r2 #6)"""
+    n = 200
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n)]
+    rows += [(n, "another unrelated document entirely"), (n + 1, "another unrelated document entirely!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kwargs = dict(num_hashes=8, bands=2, shingle_n=2, threshold=0.8)
+    uncapped = dedup.dedup_minhash_lsh(df, **kwargs).count()
+    assert uncapped >= n * (n - 1) // 2  # quadratic blowup is real
+
+    salted = dedup.dedup_minhash_lsh(
+        df, max_bucket_size=20, oversize_policy="salt", **kwargs
+    ).count()
+    # each of ~10 shards contributes <= C(~20,2) pairs per band; far below n^2/2
+    assert 0 < salted < uncapped / 3
+
+    dropped = dedup.dedup_minhash_lsh(
+        df, max_bucket_size=20, oversize_policy="drop", **kwargs
+    )
+    drop_ids = {(r.id_a, r.id_b) for r in dropped.collect()}
+    # the boilerplate cluster's bucket is dropped; small buckets survive
+    assert all(a >= n or b >= n for a, b in drop_ids)
+
+
+def test_connected_components_long_chain(spark):
+    """A 1,000-node path graph: plain min-label propagation needs ~1,000
+    rounds; large-star/small-star converges within the iteration budget.
+    (VERDICT r2 #7)"""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs, max_iterations=15)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.group_id for r in rows} == {0}  # one component, min-labeled
+
+
+def test_connected_components_matches_naive_union_find(spark):
+    """Property check: result equals a driver-side union-find transitive
+    closure on seeded random graphs."""
+    import random
+
+    rng = random.Random(7)
+    n, m = 120, 90
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {a for e in edges for a in e}
+    expected = {x: find(x) for x in touched}
+    # normalize: group id must be the component min
+    comp_min = {}
+    for x, r in expected.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    expected = {x: comp_min[find(x)] for x in touched}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.member_id: r.group_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected
