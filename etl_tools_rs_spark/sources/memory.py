@@ -8,17 +8,39 @@ Reference parity:
   (etl-core/src/datastore/mock/mock_csv.rs:5-98)
 
 Spark-first: createDataFrame of the raw lines, then the same PERMISSIVE
-decode path as file sources — identical error-as-record semantics.
+decode path as file sources — identical error-as-record semantics. No
+``.rdd`` anywhere (RDD-bridged reads break under Spark Connect and skip
+Arrow): where the reader API needs a scan, the mock lines spill to a
+session-scoped temp file and go through the standard file reader.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_tools_rs_spark.sources.files import CORRUPT_COL, CsvOptions
+
+_TMP_ROOT: str | None = None
+
+
+def _lines_path(lines: list[str], suffix: str) -> str:
+    """Spill mock lines to a temp file (cleaned at interpreter exit) so the
+    standard reader path handles them — Connect-safe, Arrow-enabled."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="etl_mock_src_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    fd, path = tempfile.mkstemp(dir=_TMP_ROOT, suffix=suffix)
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return path
 
 
 def _lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
@@ -47,8 +69,9 @@ class JsonLinesSource:
 
         raw = _lines_df(spark, self.lines)
         if self.schema is None:
-            # infer from the good lines
-            sample = spark.read.json(raw.rdd.map(lambda r: r.value))
+            # infer from the good lines via the standard json reader over a
+            # temp spill (no .rdd bridge — Connect-safe)
+            sample = spark.read.json(_lines_path(self.lines, ".ndjson"))
             inferred = [
                 f for f in sample.schema.fields if f.name != CORRUPT_COL
             ]
@@ -79,9 +102,7 @@ class CsvLinesSource:
     schema: str | None = None
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        ds = spark.createDataFrame([(ln,) for ln in self.lines], "value string").rdd.map(
-            lambda r: r.value
-        )
+        path = _lines_path(self.lines, ".csv")
         opts = self.csv_options.to_spark()
         reader = spark.read.options(**opts)
         if self.schema:
@@ -91,4 +112,7 @@ class CsvLinesSource:
             reader = reader.schema(schema)
         else:
             reader = reader.option("inferSchema", "true")
-        return reader.csv(ds)
+        # cache boundary: file-backed scans refuse corrupt-column-only
+        # queries (QUERY_ONLY_CORRUPT_RECORD_COLUMN); mocks are tiny, so
+        # eagerly caching restores the old in-memory ergonomics
+        return reader.csv(path).cache()
