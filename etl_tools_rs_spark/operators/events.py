@@ -60,7 +60,10 @@ def funnel(
                 .agg(F.min("_t").alias("_t2"))
                 .select("_u", F.col("_t2").alias("_prev_t"))
             )
-        survivors = cur
+        # checkpoint before counting: each count() is its own job, and
+        # without the boundary step i would recompute steps 0..i-1's joins
+        # from raw events — O(k²) recompute across k steps
+        survivors = cur.localCheckpoint()
         counts.append((i, step, survivors.count()))
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -124,16 +124,32 @@ def fuzzy_join(
     Candidate generation never compares more than the pigeonhole theorem
     requires; the exact distance runs only on candidates, with Spark's
     threshold form (early exit, -1 past the budget).
+
+    Cardinality matches the theta-join definition: duplicate input rows
+    each produce their own output pairs (pairs are deduped per input-row
+    tag, not by value).
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
     d = max_distance
-    probe = left.withColumn("_fk", F.explode(_probe_keys(F.col(left_col), d)))
-    index = right.withColumn("_fk", F.explode(_index_keys(F.col(right_col), d)))
-    # a pair can meet through several segment keys — dedupe to one row per
-    # pair. distinct() over the full row means fully-identical duplicate
-    # input rows collapse too; join on unique ids if duplicates matter.
-    cand = probe.join(index, probe["_fk"] == index["_fk"]).drop("_fk").distinct()
+    # a pair can meet through several segment keys — dedupe to ONE row per
+    # input-row pair via per-side row tags, so fully-identical duplicate
+    # input rows keep their multiplicity (theta-join cardinality), unlike
+    # a whole-row distinct() which would silently collapse them
+    probe = (
+        left.withColumn("_lid", F.monotonically_increasing_id())
+        .withColumn("_fk", F.explode(_probe_keys(F.col(left_col), d)))
+    )
+    index = (
+        right.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_fk", F.explode(_index_keys(F.col(right_col), d)))
+    )
+    cand = (
+        probe.join(index, probe["_fk"] == index["_fk"])
+        .drop("_fk")
+        .dropDuplicates(["_lid", "_rid"])
+        .drop("_lid", "_rid")
+    )
     dist = F.levenshtein(F.col(left_col), F.col(right_col), d)
     return (
         cand.withColumn("distance", dist.cast("bigint"))

@@ -277,10 +277,22 @@ def top_p_by_group(
         raise ValueError("tie_col is required when score_col is an expression")
     tie = F.col(tie_col) if tie_col else score
     order = [score.desc(), tie.asc()]
+    # weights must be non-negative and each group total positive — a zero/
+    # negative total makes cumulative shares NaN/mis-ordered and rows would
+    # silently vanish. The guards live INSIDE the computation path (not a
+    # droppable side column), so they raise at execution time, loudly.
+    checked_weight = F.when(
+        weight < 0,
+        F.raise_error(F.lit("top_p_by_group: negative weight encountered")),
+    ).otherwise(weight)
     wsum = Window.partitionBy(*by)
     wcum = wsum.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    total = F.sum(weight).over(wsum)
-    cum = F.sum(weight).over(wcum)
+    total_raw = F.sum(checked_weight).over(wsum)
+    total = F.when(
+        total_raw <= 0,
+        F.raise_error(F.lit("top_p_by_group: group weight total is <= 0")),
+    ).otherwise(total_raw)
+    cum = F.sum(checked_weight).over(wcum)
     # exact-decimal weights keep the sums add-order-proof; the single
     # double division at the end is deterministic either way
     prev = (cum - weight).cast("double")

@@ -116,8 +116,15 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     key that is dropped — callers see (rule, violations).
 
     ``unique`` counts rows in excess of one per key (a key seen k times
-    contributes k-1). ``foreign_key`` counts rows whose (non-NULL) key has
-    no match in the reference — NULL keys pass, as in SQL FK semantics.
+    contributes k-1); rows with a NULL in any key column are EXCLUDED
+    first — SQL UNIQUE-constraint semantics (NULLs never conflict). Pair
+    with a ``not_null`` rule to reject NULL keys. ``foreign_key`` counts
+    rows whose (non-NULL) key has no match in the reference — NULL keys
+    pass, as in SQL FK semantics.
+
+    Rule names are carried only as typed literals (never interpolated
+    into SQL), so any string — quotes, backticks, emoji — is a valid
+    rule name.
     """
     if not rules:
         raise ValueError("validate() needs at least one rule")
@@ -128,26 +135,33 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     pieces: list[DataFrame] = []
     row_local = [r for r in rules if r.kind not in ("unique", "foreign_key")]
     if row_local:
+        # positional aliases keep arbitrary rule names out of identifiers;
+        # the unpivot is a typed explode of (name-literal, count) structs —
+        # no stack() SQL string to escape
         aggs = [
-            F.sum(_row_violation(r).cast("bigint")).alias(r.name) for r in row_local
+            F.sum(_row_violation(r).cast("bigint")).alias(f"_v{i}")
+            for i, r in enumerate(row_local)
         ]
         one = df.agg(*aggs)
-        # unpivot the 1-row aggregate into (rule, violations) — stack is a
-        # driver-free narrow op on a single row
-        stacked = one.select(
-            F.expr(
-                "stack({n}, {args}) as (rule, violations)".format(
-                    n=len(row_local),
-                    args=", ".join(f"'{r.name}', `{r.name}`" for r in row_local),
+        kv = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"_v{i}").alias("violations"),
                 )
-            )
+                for i, r in enumerate(row_local)
+            ]
+        )
+        stacked = one.select(F.explode(kv).alias("_kv")).select(
+            "_kv.rule", "_kv.violations"
         )
         pieces.append(stacked.select("rule", F.coalesce("violations", F.lit(0)).alias("violations")))
 
     for r in rules:
         if r.kind == "unique":
             dups = (
-                df.groupBy(*r.cols)
+                df.na.drop(subset=list(r.cols))  # SQL UNIQUE: NULL keys never conflict
+                .groupBy(*r.cols)
                 .agg((F.count(F.lit(1)) - F.lit(1)).alias("_extra"))
                 .agg(F.coalesce(F.sum("_extra"), F.lit(0)).alias("violations"))
                 .select(F.lit(r.name).alias("rule"), "violations")

@@ -107,3 +107,12 @@ def test_dedup_fuzzy_end_to_end(spark):
     out = {r["wid"]: r["n_merged"] for r in
            dedup_fuzzy(df, "w", "wid", max_distance=1).collect()}
     assert out == {1: 2, 4: 1, 6: 0}  # min id survives, absorbs the rest
+
+
+def test_fuzzy_join_preserves_duplicate_rows(spark):
+    """Duplicate input rows keep theta-join multiplicity (ADVICE r2):
+    2 identical left rows x 1 right match -> 2 output rows."""
+    left = spark.createDataFrame([("abc",), ("abc",)], "l string")
+    right = spark.createDataFrame([("abd",)], "r string")
+    out = fuzzy.fuzzy_join(left, right, "l", "r", max_distance=2)
+    assert out.count() == 2

@@ -227,3 +227,22 @@ def test_weighted_sample_plan_is_narrow(spark):
     rep = plan_report(weighted_sample(df, "id", "w"))
     assert rep.num_exchanges == 0
     assert not rep.has_python_udf
+
+
+def test_top_p_rejects_negative_and_zero_weights(spark):
+    """Degenerate weights fail loudly at execution (ADVICE r2), not by
+    silently dropping rows."""
+    import pytest
+    from etl_tools_rs_spark.operators import sample
+
+    neg = spark.createDataFrame(
+        [("g", 1.0, -5.0), ("g", 2.0, 1.0)], "grp string, score double, w double"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        sample.top_p_by_group(neg, "score", "w", by=["grp"], p=0.9).collect()
+
+    zero = spark.createDataFrame(
+        [("g", 1.0, 0.0), ("g", 2.0, 0.0)], "grp string, score double, w double"
+    )
+    with pytest.raises(Exception, match="total is <= 0"):
+        sample.top_p_by_group(zero, "score", "w", by=["grp"], p=0.9).collect()

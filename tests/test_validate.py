@@ -100,3 +100,27 @@ def test_empty_input_zero_violations(spark):
         v.validate(df, [v.not_null("x"), v.unique("x"), v.in_range("x", 0, 1)])
     )
     assert got == {"not_null_x": 0, "unique_x": 0, "in_range_x": 0}
+
+
+def test_rule_names_with_quotes_and_backticks(spark):
+    """Rule names are typed literals, never SQL — hostile names work."""
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    out = v.validate(
+        df,
+        [
+            v.not_null("x", name="it's a `weird` name -- DROP"),
+            v.check(F.col("x") > 0, 'x > 0 "quoted"'),
+        ],
+    ).collect()
+    got = {r.rule: r.violations for r in out}
+    assert got == {"it's a `weird` name -- DROP": 1, 'x > 0 "quoted"': 1}
+
+
+def test_unique_ignores_null_keys(spark):
+    """SQL UNIQUE semantics: NULL keys never conflict (k NULL rows -> 0
+    violations); real duplicates still counted."""
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (1,), (1,), (2,)], "k int"
+    )
+    out = v.validate(df, [v.unique("k", name="u")]).collect()
+    assert out[0].violations == 1  # only the duplicated k=1 counts
