@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "bigram_pmi_documents",
     "keyword_search_documents",
     "incremental_orders_state",
+    # round-3 ops
+    "chunk_documents",
+    "lm_score_documents",
+    "gapfill_events_hourly",
 ]
 
 

@@ -301,3 +301,57 @@ def session_stats(
         .cast("bigint")
         .alias("duration_s"),
     )
+
+
+def fill_series(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Gap filling over a (possibly NULL-holed) regular series: adds
+
+    - ``locf_value`` — last observation carried forward (NULL until the
+      first observation);
+    - ``lerp_value`` — linear interpolation between the surrounding
+      observations (LOCF after the last one, backfill before the first),
+      quantized to 4 dp via the FLOOR form (floor(1e4·x)/1e4): round()
+      half-way ties land differently across engines, floor of the
+      bit-identical double never does (engine numeric policy,
+      queries.py header).
+
+    Composes with :func:`resample` (which emits every period with NULL
+    value for empty buckets): resample → fill_series is the standard
+    dense-and-interpolated telemetry series.
+
+    One shuffle on the group key; the two window passes share it. Series
+    are per-group — a single global series lands on one partition, which
+    is fine for the post-aggregation row counts this operates on (one row
+    per period, not per event).
+    """
+    by = by or []
+    ts = F.unix_timestamp(F.col(time_col).cast("timestamp"))
+    v = F.col(value_col)
+    w = Window.partitionBy(*by).orderBy(time_col)
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(F.when(v.isNotNull(), ts), ignorenulls=True).over(wf)
+    lerp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))  # backfill head
+        .when(next_v.isNull(), prev_v.cast("double"))  # LOCF tail
+        .otherwise(
+            prev_v
+            + (next_v - prev_v) * (ts - prev_t) / (next_t - prev_t)
+        )
+    )
+    return df.select(
+        *by,
+        time_col,
+        value_col,
+        prev_v.cast("double").alias("locf_value"),
+        (F.floor(lerp * 10000) / 10000).cast("double").alias("lerp_value"),
+    )

@@ -441,3 +441,188 @@ def embedding_profile(
             ).cast("double").alias("mean_v"),
         )
     )
+
+
+# -- product quantization (PQ) ----------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 5,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` equal subspaces,
+    k-means each with ``ksub`` codewords (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11). Returns
+    ``m × ksub × (dim/m)`` codewords.
+
+    Each subspace trains with the same deterministic distributed Lloyd's
+    as IVF (``kmeans_centroids``) over a sliced view — m passes over the
+    (sampled) corpus, nothing but centroids ever reaches the driver. At
+    100 TB: train on ``corpus.sample(...)``; codebooks are tiny
+    (m·ksub·dim/m floats) and reusable.
+    """
+    first = corpus.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = first[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias("_sv")
+        )
+        books.append(
+            kmeans_centroids(
+                sliced, ksub, vec_col="_sv", id_col=id_col, iterations=iterations
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to ``m`` codebook indices: ``(id, codes array<int>)``.
+    One Arrow-batched pass; each batch is m small matmuls. The code table
+    is dim/m·32-bit → 8-bit per subspace — the compressed representation
+    that makes the scan memory-bound instead of FLOP-bound at scale."""
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d = (C[s] * C[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ C[s].T)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col), _enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    rerank: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k cosine with exact re-ranking.
+
+    Asymmetric distance computation: each query builds an m×ksub lookup
+    table of subspace dot products against the codewords; a corpus
+    vector's approximate dot product is m table lookups on its codes —
+    the compressed-domain scan touches 8·m bits per vector instead of
+    32·dim. The top ``k·rerank`` ADC candidates per query are re-scored
+    EXACTLY against the raw vectors (one id-join), so returned scores
+    are true cosines; only the candidate choice is approximate.
+
+    At 100 TB: the code table is ~dim·4/m× smaller than the corpus,
+    queries broadcast, and the single wide scan is memory-bandwidth
+    bound. Recall tunes with m/ksub/rerank.
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ksub=ksub, vec_col=corpus_vec, id_col=corpus_id
+        )
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("knn_pq: empty queries (queries must be the small side)")
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    # LUT[q, s, c] = dot(query_sub, codeword); corpus-side approx norm from
+    # codeword norms (exact norm of the RECONSTRUCTION)
+    lut = np.stack(
+        [Q[:, s * sub : (s + 1) * sub] @ C[s].T for s in range(m)], axis=1
+    )
+    cw_norm2 = [np.asarray([(w * w).sum() for w in C[s]]) for s in range(m)]
+
+    codes = pq_encode(corpus, codebooks, vec_col=corpus_vec, id_col=corpus_id)
+    n_q = len(qids)
+    out_schema = f"{corpus_id} long, _qi int, _adc double"
+
+    def _scan(it):
+        for pdf in it:
+            Xc = np.stack(pdf["codes"].to_numpy())  # batch × m
+            b = Xc.shape[0]
+            approx = np.zeros((b, n_q), dtype=np.float64)
+            xnorm2 = np.zeros(b, dtype=np.float64)
+            for s in range(m):
+                approx += lut[:, s, :][:, Xc[:, s]].T  # b × n_q
+                xnorm2 += cw_norm2[s][Xc[:, s]]
+            sim = approx / (np.sqrt(xnorm2)[:, None] * qnorm[None, :] + 1e-12)
+            top = min(k * rerank, b)
+            for qi in range(n_q):
+                idx = np.argpartition(-sim[:, qi], top - 1)[:top]
+                yield pd.DataFrame(
+                    {
+                        corpus_id: pdf[corpus_id].to_numpy()[idx],
+                        "_qi": qi,
+                        "_adc": sim[idx, qi],
+                    }
+                )
+
+    # per-partition ADC top-(k·rerank), then global per-query cut to the
+    # same bound, then exact re-rank on the raw vectors
+    cand = codes.mapInPandas(_scan, schema=out_schema)
+    wq = Window.partitionBy("_qi").orderBy(
+        F.col("_adc").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= k * rerank)
+        .drop("_r")
+    )
+    qmap = queries.sparkSession.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)], f"_qi int, {query_id} long"
+    )
+    exact = (
+        cand.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(qmap), "_qi")
+        .join(
+            F.broadcast(queries.select(query_id, F.col(query_vec).alias("_qv"))),
+            query_id,
+        )
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            cosine(F.col("_qv"), F.col(corpus_vec)).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round("_sim", 6).cast("double").alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -3963,6 +3963,119 @@ def minmax_scale_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-3 extension ops: chunking, LM scoring, gap-fill, PQ ANN
+# --------------------------------------------------------------------------
+
+from etl_tools_rs_spark.operators.chunk import (  # noqa: E402
+    chunk_documents as _chunk_documents,
+    chunk_documents_oracle_sql as _chunk_oracle,
+)
+from etl_tools_rs_spark.operators.lm import (  # noqa: E402
+    lm_fit as _lm_fit,
+    lm_score as _lm_score,
+    lm_self_score_oracle_sql as _lm_oracle,
+)
+
+
+@qdef("chunk_documents", _chunk_oracle(chunk_size=64, overlap=8))
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (operators/chunk.py): the
+    RAG/pretraining prep op — 64-token windows advancing by 56, chunk
+    text + offsets hash-checked against the DuckDB window math."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return _chunk_documents(t["documents"], chunk_size=64, overlap=8)
+
+
+@qdef("lm_score_documents", _lm_oracle(alpha=0.5))
+def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring (operators/lm.py): fit on
+    the corpus, score per-doc avg negative log-likelihood. Log-probs
+    round to 6 dp then sum as exact decimals (add-order-proof), so the
+    NLL hash-matches DuckDB."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return _lm_score(docs, _lm_fit(docs))
+
+
+@qdef(
+    "gapfill_events_hourly",
+    """
+    WITH grid AS (SELECT CAST(to_timestamp(1704067200 + i * 3600) AS TIMESTAMP)
+                    AS period_start
+                  FROM range(0, 720) t(i)),
+    g AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT event_type,
+                 CAST(to_timestamp(CAST(FLOOR((epoch(ts) - 1704067200) / 3600)
+                      AS BIGINT) * 3600 + 1704067200) AS TIMESTAMP)
+                   AS period_start,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+          GROUP BY 1, 2),
+    s AS (SELECT g.event_type, grid.period_start, CAST(c.sv AS DOUBLE) AS v
+          FROM g CROSS JOIN grid
+          LEFT JOIN c ON c.event_type = g.event_type
+                     AND c.period_start = grid.period_start),
+    w AS (SELECT event_type, period_start, v,
+            last_value(v IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY period_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN epoch(period_start) END
+                       IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY period_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+            first_value(v IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY period_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN epoch(period_start) END
+                        IGNORE NULLS) OVER
+              (PARTITION BY event_type ORDER BY period_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          FROM s)
+    SELECT event_type, period_start, v AS sum_value,
+           CAST(pv AS DOUBLE) AS locf_value,
+           CAST(FLOOR(10000 * (CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (epoch(period_start) - pt) / (nt - pt)
+                 END)) / 10000 AS DOUBLE) AS lerp_value
+    FROM w
+    """,
+)
+def gapfill_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with LOCF + linear interpolation
+    (operators/events.py::resample → fill_series): empty hours carry NULL
+    sums which the fill pass interpolates. Bucket sums are exact decimals
+    (add-order-proof); the lerp expression mirrors the oracle's operand
+    order exactly, so doubles match bit-for-bit before the 4-dp round."""
+    from etl_tools_rs_spark.operators.events import fill_series, resample
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("value", F.col("value").cast("decimal(18,6)"))
+    hourly = resample(
+        ev, "ts", 3600, "2024-01-01", "2024-01-31",
+        by=["event_type"], value_col="value",
+    ).select(
+        "event_type", "period_start", F.col("sum_value").cast("double").alias("sum_value")
+    )
+    return fill_series(hourly, "period_start", "sum_value", by=["event_type"])
+
+
+@qdef("knn_cosine_pq", None)  # codebook training + ADC — rows-only check
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::knn_pq):
+    compressed-domain ADC scan + exact re-rank. Deterministic codebooks
+    (id-seeded Lloyd's); returned scores are true cosines. Rows-only gate
+    (k-means is not SQL-expressible); recall vs knn_brute is unit-tested."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.knn_pq(emb, queries, k=10, m=4, ksub=16, rerank=4)
+
+
+# --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
 
