@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "lm_score_documents",
     "gapfill_events_hourly",
+    "pagerank_customer_supplier",
+    "scd2_user_event_type",
+    "rolling_zscore_user_value",
 ]
 
 

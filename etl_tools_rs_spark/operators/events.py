@@ -13,7 +13,7 @@ event-count-bounded) and join on the user key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -354,4 +354,66 @@ def fill_series(
         value_col,
         prev_v.cast("double").alias("locf_value"),
         (F.floor(lerp * 10000) / 10000).cast("double").alias("lerp_value"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    order_cols: list[str],
+    lookback: int = 10,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+    scale: int = 6,
+    input_scale: int = 2,
+) -> DataFrame:
+    """Rolling-window anomaly detection: z-score each observation
+    against the trailing ``lookback`` observations in its group
+    (EXCLUDING itself — the point under test must not contaminate its
+    own baseline). The streaming-metrics tripwire: "is this value wild
+    relative to this key's recent history?".
+
+    Window moments come from exact DECIMAL(18, ``input_scale``) sums
+    over the trailing frame (add-order-proof, same discipline as
+    ``standardize``); derived mean/sd/z are floor-scaled to ``scale``
+    decimals so both engines agree bit-for-bit. Rows with fewer than
+    ``min_periods`` trailing observations, or a zero-variance baseline,
+    yield NULL z (no verdict — not "not anomalous").
+
+    Plan: one shuffle on ``by``, a single window pass computing all
+    three trailing sums, then pure per-row arithmetic. ``order_cols``
+    must totally order each group (pass an id tie-break).
+    """
+    if lookback < 1 or min_periods < 1:
+        raise ValueError("lookback and min_periods must be >= 1")
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    d = F.col(value_col).cast(f"decimal(18,{input_scale})")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(d).over(w).cast("double")
+    s1 = F.sum(d).over(w).cast("double")
+    s2 = F.sum(d * d).over(w).cast("double")
+    mean = fl(s1 / n)
+    sd = F.sqrt(fl(s2 / n - (s1 / n) * (s1 / n)))
+    z = F.when(
+        (n >= float(min_periods)) & (sd > 0),
+        fl((F.col(value_col).cast("double") - mean) / sd),
+    )
+    return df.select(
+        *by,
+        *order_cols,
+        F.col(value_col).cast("double").alias(value_col),
+        n.cast("bigint").alias("n_prior"),
+        z.alias("zscore"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))).alias(
+            "is_anomaly"
+        ),
     )

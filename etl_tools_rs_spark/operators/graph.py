@@ -1,0 +1,135 @@
+"""Bounded-iteration graph analytics on edge DataFrames.
+
+The reference engine has no graph operators; this module extends the
+surface the way a training-data pipeline needs it: link-analysis scores
+(PageRank) over entity graphs extracted from relational data — e.g.
+ranking sources/suppliers/pages by reference structure to weight or
+filter corpus mixtures.
+
+Scale notes (100 TB posture):
+- One shuffle per iteration (the contribution ``groupBy(dst)``); the
+  node and degree frames are built once and reused.
+- Iterations are BOUNDED (caller-fixed, default 3) and each round ends
+  in ``localCheckpoint`` so the lineage never grows with the iteration
+  count — the classic iterative-Spark failure mode (exponential plan
+  re-execution) is designed out.
+- No driver collects: the node count joins back as a broadcast 1-row
+  aggregate.
+
+Cross-engine determinism (same policy as queries.py): every per-row
+division is floor-scaled (``FLOOR(10^s·x)/10^s`` — no half-way
+boundary), and the per-destination contribution sum runs over exact
+DECIMAL(38,s) values, so addition order across partitions can never
+leak into the result. An oracle engine unrolling the same iterations in
+SQL reproduces the scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fl(c: Column, scale: int) -> Column:
+    p10 = float(10**scale)
+    return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    ``rank_{k+1}(v) = (1-d)/N + d · Σ_{u→v} rank_k(u)/outdeg(u)``
+
+    Dangling nodes (no out-edges) keep receiving the teleport term but
+    redistribute nothing — the standard "mass-dropping" variant, chosen
+    because it stays a pure per-edge map + per-destination sum (the
+    redistribution variant needs an extra global aggregate per round).
+    Ranks therefore sum to < 1 when dangling nodes exist; relative
+    ordering — the thing pipelines consume — is unaffected.
+
+    Returns ``(node, rank double)`` for every node on either side of an
+    edge. Deterministic: floor-scaled divisions, exact-decimal
+    contribution sums (see module docstring). ``checkpoint=False`` keeps
+    the full lineage visible (plan inspection / tiny graphs); leave it
+    on for real runs — without it iteration k replays all k-1 prior
+    rounds.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations!r}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping!r}")
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    deg = edges.groupBy(F.col(src).alias("_src")).agg(
+        F.count(F.lit(1)).cast("double").alias("_outdeg")
+    )
+    edges_deg = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).join(deg, "_src")
+    if checkpoint:
+        # built once, reused every round — avoid re-reading the edge source
+        edges_deg = edges_deg.localCheckpoint(eager=False)
+
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", _fl(F.lit(1.0) / F.col("_n"), scale).alias("rank")
+    )
+    dec_t = f"decimal(38,{scale})"
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["_src"] == ranks["node"])
+            .select(
+                "_dst",
+                _fl(F.col("rank") / F.col("_outdeg"), scale)
+                .cast(dec_t)
+                .alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_csum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                _fl(
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_csum").cast("double"), F.lit(0.0)),
+                    scale,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)  # cut lineage each round
+    return ranks
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree from an edge list — the cheap structural
+    profile (hub/authority/orphan detection) run before any iterative
+    algorithm. One aggregate per direction + a full-outer merge on the
+    node key; output is node-count-sized."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_degree")
+    )
+    return out_d.join(in_d, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_degree", F.lit(0).cast("bigint")).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0).cast("bigint")).alias("in_degree"),
+    )

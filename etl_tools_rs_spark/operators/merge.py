@@ -81,6 +81,70 @@ def merge_changes(
     return apply_deletes(upsert_snapshot(base, ups, keys, version_col), dels, keys)
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 historization from a change
+    stream: collapse consecutive same-value observations per key into
+    validity intervals — the dimension-table build every warehouse runs
+    on a CDC feed ("what was this user's plan on date X?").
+
+    A version starts where any tracked column IS DISTINCT FROM its
+    previous observation (null-safe, so NULL→value and value→NULL both
+    open versions). Output: one row per (key, version run) with
+    ``valid_from`` (first observation), ``valid_to`` (next version's
+    start, NULL while current) and ``is_current``.
+
+    Plan: one shuffle on the key — change flag + running version number
+    in one window pass, a per-(key, version) aggregate, and the
+    ``valid_to`` lead reuses the same key partitioning (no second
+    exchange). Ordering must be total for determinism: pass ``tiebreak``
+    columns when ``ts_col`` can tie (e.g. the event id).
+    """
+    if not keys or not value_cols:
+        raise ValueError("scd2_history needs key and value columns")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    flagged = changes.withColumn(
+        "_new",
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(changed, 1)
+        .otherwise(0),
+    )
+    version = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        flagged.withColumn("_ver", version)
+        .groupBy(*keys, "_ver")
+        .agg(
+            *[F.min(c).alias(c) for c in value_cols],  # constant within a run
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).cast("bigint").alias("n_observations"),
+        )
+    )
+    wv = Window.partitionBy(*keys).orderBy(F.col("_ver").asc())
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed("_ver", "version")
+        .select(
+            *keys,
+            F.col("version").cast("bigint").alias("version"),
+            *value_cols,
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_observations",
+        )
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

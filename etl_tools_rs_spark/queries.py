@@ -4075,6 +4075,179 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_pq(emb, queries, k=10, m=4, ksub=16, rerank=4)
 
 
+@qdef(
+    "pagerank_customer_supplier",
+    """
+    WITH edges AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                                   's' || l_suppkey AS dst
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, FLOOR(1e9 * (1.0 / nt.n)) / 1e9 AS rank
+           FROM nodes CROSS JOIN nt),
+    c1 AS (SELECT e.dst,
+                  SUM(CAST(FLOOR(1e9 * (r.rank / d.outdeg)) / 1e9
+                      AS DECIMAL(38,9))) AS csum
+           FROM edges e JOIN r0 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  FLOOR(1e9 * (0.15000000000000002 / nt.n
+                      + 0.85 * COALESCE(CAST(c1.csum AS DOUBLE), 0.0))) / 1e9
+                    AS rank
+           FROM nodes n LEFT JOIN c1 ON c1.dst = n.node CROSS JOIN nt),
+    c2 AS (SELECT e.dst,
+                  SUM(CAST(FLOOR(1e9 * (r.rank / d.outdeg)) / 1e9
+                      AS DECIMAL(38,9))) AS csum
+           FROM edges e JOIN r1 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  FLOOR(1e9 * (0.15000000000000002 / nt.n
+                      + 0.85 * COALESCE(CAST(c2.csum AS DOUBLE), 0.0))) / 1e9
+                    AS rank
+           FROM nodes n LEFT JOIN c2 ON c2.dst = n.node CROSS JOIN nt),
+    c3 AS (SELECT e.dst,
+                  SUM(CAST(FLOOR(1e9 * (r.rank / d.outdeg)) / 1e9
+                      AS DECIMAL(38,9))) AS csum
+           FROM edges e JOIN r2 r ON r.node = e.src
+                        JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)
+    SELECT n.node,
+           FLOOR(1e9 * (0.15000000000000002 / nt.n
+               + 0.85 * COALESCE(CAST(c3.csum AS DOUBLE), 0.0))) / 1e9 AS rank
+    FROM nodes n LEFT JOIN c3 ON c3.dst = n.node CROSS JOIN nt
+    """,
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis scoring (operators/graph.py::pagerank): 3 power
+    iterations over the customer→supplier purchase graph (distinct
+    edges from orders⋈lineitem). Bounded iterations + localCheckpoint
+    per round; contribution sums are exact DECIMAL(38,9), divisions
+    floor-scaled — the oracle unrolls the identical arithmetic in SQL
+    and matches every score bit-for-bit. The literal 0.15000000000000002
+    is ``1.0 - 0.85`` in IEEE doubles, spelled out so both engines
+    compute the teleport term from the same constant."""
+    from etl_tools_rs_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3, damping=0.85, scale=9)
+
+
+@qdef(
+    "scd2_user_event_type",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                  WHEN event_type IS DISTINCT FROM LAG(event_type) OVER w
+                    THEN 1 ELSE 0 END AS nw
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+      SELECT user_id, event_type, ts,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ver
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, ver, MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_observations
+      FROM versioned GROUP BY user_id, ver
+    )
+    SELECT user_id, CAST(ver AS BIGINT) AS version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver) IS NULL
+             AS is_current,
+           n_observations
+    FROM runs
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 historization (operators/merge.py::scd2_history):
+    per-user ``event_type`` validity intervals built from the raw event
+    stream — consecutive same-value observations collapse into one
+    version with valid_from/valid_to/is_current. Verified
+    interval-for-interval; ``event_id`` breaks timestamp ties so the
+    version numbering is total on both engines."""
+    from etl_tools_rs_spark.operators.merge import scd2_history
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return scd2_history(
+        t["events"],
+        keys=["user_id"],
+        value_cols=["event_type"],
+        ts_col="ts",
+        tiebreak=["event_id"],
+    )
+
+
+@qdef(
+    "rolling_zscore_user_value",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+             CAST(COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, ts, event_id, value, n,
+             CASE WHEN n >= 5.0
+                    AND SQRT(FLOOR(1e6 * (s2/n - (s1/n)*(s1/n))) / 1e6) > 0
+                  THEN FLOOR(1e6 * ((value - FLOOR(1e6 * (s1/n)) / 1e6)
+                       / SQRT(FLOOR(1e6 * (s2/n - (s1/n)*(s1/n))) / 1e6)))
+                       / 1e6
+             END AS zscore
+      FROM s
+    )
+    SELECT user_id, ts, event_id, value, CAST(n AS BIGINT) AS n_prior,
+           zscore,
+           CASE WHEN zscore IS NOT NULL THEN ABS(zscore) > 3.0 END
+             AS is_anomaly
+    FROM z
+    """,
+)
+def rolling_zscore_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (operators/events.py::
+    rolling_zscore): each event's ``value`` z-scored against that user's
+    previous ≤10 observations (self-excluded; <5 priors or flat baseline
+    → NULL verdict). Exact-decimal trailing sums + floor-scaled stats —
+    verified row-for-row including the NULL/anomaly flags."""
+    from etl_tools_rs_spark.operators.events import rolling_zscore
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return rolling_zscore(
+        t["events"],
+        value_col="value",
+        by=["user_id"],
+        order_cols=["ts", "event_id"],
+        lookback=10,
+        min_periods=5,
+        threshold=3.0,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

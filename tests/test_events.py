@@ -168,3 +168,52 @@ class TestSessions:
         assert {r["session_idx"] for r in out.collect()} == {1}
         out2 = ev_ops.assign_sessions(df, gap_seconds=1799)
         assert {r["session_idx"] for r in out2.collect()} == {1, 2}
+
+
+class TestRollingZscore:
+    def _z(self, spark, rows, **kw):
+        from etl_tools_rs_spark.operators.events import rolling_zscore
+
+        df = spark.createDataFrame(rows, "u int, t int, x double")
+        return rolling_zscore(
+            df, value_col="x", by=["u"], order_cols=["t"], **kw
+        ).collect()
+
+    def test_spike_flagged_constant_baseline_null(self, spark):
+        # baseline 1..2 alternating then a wild spike
+        rows = [(1, i, float(1 + (i % 2))) for i in range(10)] + [(1, 10, 100.0)]
+        got = {r.t: r for r in self._z(spark, rows, lookback=10, min_periods=5)}
+        spike = got[10]
+        assert spike.is_anomaly is True and spike.zscore > 3
+        # first rows: fewer than 5 priors -> no verdict
+        assert got[0].zscore is None and got[0].is_anomaly is None
+        assert got[4].zscore is None
+
+    def test_zero_variance_baseline_gives_null(self, spark):
+        rows = [(1, i, 5.0) for i in range(8)] + [(1, 8, 50.0)]
+        got = {r.t: r for r in self._z(spark, rows, min_periods=5)}
+        assert got[8].zscore is None and got[8].is_anomaly is None
+
+    def test_window_excludes_current_row(self, spark):
+        # 6 observations; the 6th sees exactly the first 5 as baseline
+        rows = [(1, i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 9.0])]
+        got = {r.t: r for r in self._z(spark, rows, min_periods=5)}
+        r = got[5]
+        assert r.n_prior == 5
+        # baseline mean 3, population sd sqrt(2): z = (9-3)/1.414214 ~ 4.2426
+        assert abs(r.zscore - 4.242640) < 1e-4
+        assert r.is_anomaly is True
+
+    def test_groups_are_independent(self, spark):
+        rows = [(1, i, 1.0) for i in range(6)] + [(2, i, 1000.0) for i in range(6)]
+        got = self._z(spark, rows, min_periods=5)
+        assert all(r.zscore is None for r in got)  # flat within each group
+
+    def test_validates_args(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.events import rolling_zscore
+
+        df = spark.createDataFrame([(1, 1, 1.0)], "u int, t int, x double")
+        with pytest.raises(ValueError):
+            rolling_zscore(df, "x", ["u"], ["t"], lookback=0)

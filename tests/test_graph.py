@@ -1,0 +1,72 @@
+"""Graph analytics (PageRank, degree stats) — hand-computed fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_tools_rs_spark.operators.graph import degree_stats, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_two_cycle_is_stationary(spark):
+    # a<->b: uniform 1/2 is the fixed point; any iteration count keeps it
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, [("a", "b"), ("b", "a")]), iterations=4
+        ).collect()
+    }
+    assert ranks.keys() == {"a", "b"}
+    for v in ranks.values():
+        assert v == pytest.approx(0.5, abs=1e-8)
+
+
+def test_pagerank_star_hand_computed(spark):
+    # a -> b, a -> c; b, c dangling (mass-dropping variant).
+    # N=3: r0 = 1/3 each.
+    # r1: a = 0.05 (teleport only); b = c = 0.05 + 0.85*(1/3)/2
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, [("a", "b"), ("a", "c")]), iterations=1
+        ).collect()
+    }
+    third = 0.333333333  # floor-scaled 1/3 at scale=9
+    assert got["a"] == pytest.approx(0.15 / 3, abs=1e-8)
+    assert got["b"] == got["c"] == pytest.approx(
+        0.15 / 3 + 0.85 * (third / 2), abs=1e-8
+    )
+
+
+def test_pagerank_sink_accumulates_above_source(spark):
+    # chain a -> b -> c: authority flows downstream
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, [("a", "b"), ("b", "c")]), iterations=3
+        ).collect()
+    }
+    assert got["c"] > got["b"] > got["a"]
+    # every rank at least the teleport floor
+    assert all(v >= 0.15 / 3 - 1e-9 for v in got.values())
+
+
+def test_pagerank_validates_args(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.0)
+
+
+def test_degree_stats_full_outer(spark):
+    got = {
+        r.node: (r.out_degree, r.in_degree)
+        for r in degree_stats(
+            _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+        ).collect()
+    }
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}

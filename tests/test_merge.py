@@ -97,3 +97,59 @@ class TestSnapshotDiff:
             snapshot_diff(df, df, [])
         with pytest.raises(ValueError, match="not present"):
             snapshot_diff(df, df, ["k"], compare_cols=["zz"])
+
+
+class TestScd2History:
+    def _hist(self, spark, rows):
+        from etl_tools_rs_spark.operators.merge import scd2_history
+
+        df = spark.createDataFrame(rows, "k int, v string, ts int, id int")
+        return scd2_history(
+            df, keys=["k"], value_cols=["v"], ts_col="ts", tiebreak=["id"]
+        )
+
+    def test_runs_collapse_and_intervals_chain(self, spark):
+        rows = [
+            (1, "A", 10, 1),
+            (1, "A", 20, 2),  # same value -> same version
+            (1, "B", 30, 3),
+            (1, "A", 40, 4),  # back to A -> NEW version (not merged with v1)
+        ]
+        got = sorted(
+            self._hist(spark, rows).collect(), key=lambda r: r.version
+        )
+        assert [(r.version, r.v, r.valid_from, r.valid_to, r.is_current,
+                 r.n_observations) for r in got] == [
+            (1, "A", 10, 30, False, 2),
+            (2, "B", 30, 40, False, 1),
+            (3, "A", 40, None, True, 1),
+        ]
+
+    def test_null_transitions_open_versions(self, spark):
+        rows = [(1, None, 10, 1), (1, "A", 20, 2), (1, None, 30, 3)]
+        got = sorted(
+            self._hist(spark, rows).collect(), key=lambda r: r.version
+        )
+        assert [r.v for r in got] == [None, "A", None]
+        assert [r.is_current for r in got] == [False, False, True]
+
+    def test_timestamp_ties_broken_by_id(self, spark):
+        rows = [(1, "B", 10, 2), (1, "A", 10, 1)]  # same ts: id orders A first
+        got = sorted(
+            self._hist(spark, rows).collect(), key=lambda r: r.version
+        )
+        assert [r.v for r in got] == ["A", "B"]
+
+    def test_keys_independent(self, spark):
+        rows = [(1, "A", 10, 1), (2, "A", 10, 1)]
+        got = self._hist(spark, rows).collect()
+        assert len(got) == 2 and all(r.is_current for r in got)
+
+    def test_requires_keys_and_values(self, spark):
+        from etl_tools_rs_spark.operators.merge import scd2_history
+
+        df = spark.createDataFrame([(1, "A", 10)], "k int, v string, ts int")
+        import pytest
+
+        with pytest.raises(ValueError):
+            scd2_history(df, keys=[], value_cols=["v"], ts_col="ts")

@@ -288,3 +288,48 @@ def test_round2_op_plan_shapes(spark):
     rf = plan_report(refresh(st, rows.filter(F.col("v") >= 50), ["k"], {"n": ("count", "*")}))
     assert rf.num_exchanges <= 3
     assert not rf.has_python_udf
+
+
+def test_scd2_single_key_shuffle(spark):
+    import re
+
+    df = REGISTRY["scd2_user_event_type"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # change-flag window, run aggregate, and valid_to lead all cluster on
+    # user_id: ONE data exchange (AQE may add read stages, not data moves)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_zscore_single_shuffle_jvm_only(spark):
+    import re
+
+    df = REGISTRY["rolling_zscore_user_value"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one user_id window carrying all three trailing sums; no Python
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_no_cartesian_broadcast_teleport(spark):
+    from etl_tools_rs_spark.operators.graph import pagerank
+    from etl_tools_rs_spark.session import load_tables
+
+    # checkpoint=False keeps the full lineage inspectable (the production
+    # default truncates the plan at each round's localCheckpoint)
+    t = load_tables(spark, SF_DIR, ("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    df = pagerank(edges, iterations=2, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # node-count teleport term joins back as a broadcast 1-row frame;
+    # contribution joins are hash equi-joins — never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -9,7 +9,9 @@ values (columns sorted by name, rows sorted, values normalized). Usage:
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -53,6 +55,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -64,9 +67,11 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -75,6 +80,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -94,8 +100,34 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
             failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+                "err": "; ".join(problems),
+            }
         else:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "ok",
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+            }
+    out_path = os.environ.get("SPARK_GRAFT_GATE_OUT")
+    if out_path and not only:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_failures": len(failures),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
