@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "pagerank_customer_supplier",
     "scd2_user_event_type",
     "rolling_zscore_user_value",
+    "corr_matrix_lineitem",
 ]
 
 

@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     scale: int = 9,
     checkpoint: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -61,17 +62,34 @@ def pagerank(
     the full lineage visible (plan inspection / tiny graphs); leave it
     on for real runs — without it iteration k replays all k-1 prior
     rounds.
+
+    ``broadcast_ranks=True`` ships the rank table (node-count-sized, 2
+    narrow columns) to executors each round instead of shuffling the
+    edge list into a sort-merge join — edges then NEVER move after the
+    initial degree join, and each iteration costs one map-side-combined
+    contribution shuffle bounded by the node count. The right choice
+    whenever ranks fit the broadcast budget (~100M nodes ≈ 2 GB is the
+    practical ceiling); leave False for billion-node graphs.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations!r}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0,1), got {damping!r}")
 
+    if checkpoint:
+        # nodes / degrees / the iteration loop all branch off the edge
+        # list — materialize it ONCE or every branch replays the
+        # caller's (often join-heavy) edge derivation
+        edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    if checkpoint:
+        # reused by the teleport count, the rank init, and every round's
+        # left join — node-count-sized
+        nodes = nodes.localCheckpoint(eager=False)
     n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     deg = edges.groupBy(F.col(src).alias("_src")).agg(
         F.count(F.lit(1)).cast("double").alias("_outdeg")
@@ -88,8 +106,9 @@ def pagerank(
     )
     dec_t = f"decimal(38,{scale})"
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            edges_deg.join(ranks, edges_deg["_src"] == ranks["node"])
+            edges_deg.join(rank_side, edges_deg["_src"] == rank_side["node"])
             .select(
                 "_dst",
                 _fl(F.col("rank") / F.col("_outdeg"), scale)
@@ -99,8 +118,9 @@ def pagerank(
             .groupBy("_dst")
             .agg(F.sum("_c").alias("_csum"))
         )
+        contrib_side = F.broadcast(contrib) if broadcast_ranks else contrib
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            nodes.join(contrib_side, nodes["node"] == contrib_side["_dst"], "left")
             .crossJoin(F.broadcast(n_total))
             .select(
                 "node",

@@ -14,7 +14,7 @@ right trade at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -279,3 +279,81 @@ def outliers_mad(
     return j.select(
         *df.columns, score.alias("mad_score"), flag.alias("is_outlier")
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    input_scale: int = 2,
+    scale: int = 9,
+) -> DataFrame:
+    """Pairwise Pearson correlation + covariance over numeric columns —
+    the feature-redundancy / leakage screen run before training. Output
+    is long-form: one row per unordered pair ``(col_a, col_b,
+    n bigint, cov double, corr double)`` with ``col_a < col_b``.
+
+    ONE scan, one wide aggregate: every per-column and per-pair moment
+    (Σx, Σx², Σxy) accumulates in the same map-side-combined pass —
+    profiling k columns costs k(k+1)/2 extra sum slots, never extra
+    scans. Moments are exact DECIMAL(18, ``input_scale``) sums (values
+    must be representable at that quantization — prices, counts), so
+    results are partition/AQE-proof; derived cov/corr are floor-scaled
+    to ``scale`` decimals. Zero-variance columns yield NULL corr.
+
+    Population (not sample) covariance: ``cov = Σxy/n − (Σx/n)(Σy/n)``.
+    Rows with a NULL in either column of a pair are excluded pair-wise
+    (conditional sums), matching SQL ``CORR`` semantics.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    dec_t = f"decimal(18,{input_scale})"
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        da = F.when(both, F.col(a).cast(dec_t))
+        db = F.when(both, F.col(b).cast(dec_t))
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("double").alias(f"_n_{tag}"),
+            F.sum(da).cast("double").alias(f"_sa_{tag}"),
+            F.sum(db).cast("double").alias(f"_sb_{tag}"),
+            F.sum(da * da).cast("double").alias(f"_saa_{tag}"),
+            F.sum(db * db).cast("double").alias(f"_sbb_{tag}"),
+            F.sum(da * db).cast("double").alias(f"_sab_{tag}"),
+        ]
+    moments = df.agg(*aggs)
+
+    # long-form via ONE explode over the single aggregated row — a
+    # unionAll of per-pair projections would re-plan (and re-scan) the
+    # aggregate once per branch
+    structs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = F.col(f"_n_{tag}")
+        sa, sb = F.col(f"_sa_{tag}"), F.col(f"_sb_{tag}")
+        saa, sbb = F.col(f"_saa_{tag}"), F.col(f"_sbb_{tag}")
+        sab = F.col(f"_sab_{tag}")
+        cov = fl(sab / n - (sa / n) * (sb / n))
+        var_a = fl(saa / n - (sa / n) * (sa / n))
+        var_b = fl(sbb / n - (sb / n) * (sb / n))
+        corr = F.when(
+            (n > 0) & (var_a > 0) & (var_b > 0),
+            fl(cov / F.sqrt(var_a * var_b)),
+        )
+        lo, hi = sorted([a, b])
+        structs.append(
+            F.struct(
+                F.lit(lo).alias("col_a"),
+                F.lit(hi).alias("col_b"),
+                n.cast("bigint").alias("n"),
+                F.when(n > 0, cov).alias("cov"),
+                corr.alias("corr"),
+            )
+        )
+    return moments.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")

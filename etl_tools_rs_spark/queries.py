@@ -4143,7 +4143,11 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pagerank(edges, iterations=3, damping=0.85, scale=9)
+    # ranks are node-count-sized (~customers+suppliers): broadcast them
+    # each round so the (much larger) edge list never re-shuffles
+    return pagerank(
+        edges, iterations=3, damping=0.85, scale=9, broadcast_ranks=True
+    )
 
 
 @qdef(
@@ -4246,6 +4250,62 @@ def rolling_zscore_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_periods=5,
         threshold=3.0,
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    """Mirror of operators/profile.py::corr_matrix arithmetic in SQL —
+    built by loop so the 6 pair expressions can't drift apart."""
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    moment_sql, pair_sql = [], []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        da = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(18,2)) END"
+        db = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(18,2)) END"
+        moment_sql += [
+            f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE) AS n_{t}",
+            f"CAST(SUM({da}) AS DOUBLE) AS sa_{t}",
+            f"CAST(SUM({db}) AS DOUBLE) AS sb_{t}",
+            f"CAST(SUM(({da}) * ({da})) AS DOUBLE) AS saa_{t}",
+            f"CAST(SUM(({db}) * ({db})) AS DOUBLE) AS sbb_{t}",
+            f"CAST(SUM(({da}) * ({db})) AS DOUBLE) AS sab_{t}",
+        ]
+        cov = f"FLOOR(1e9 * (sab_{t}/n_{t} - (sa_{t}/n_{t})*(sb_{t}/n_{t}))) / 1e9"
+        va = f"FLOOR(1e9 * (saa_{t}/n_{t} - (sa_{t}/n_{t})*(sa_{t}/n_{t}))) / 1e9"
+        vb = f"FLOOR(1e9 * (sbb_{t}/n_{t} - (sb_{t}/n_{t})*(sb_{t}/n_{t}))) / 1e9"
+        lo, hi = sorted([a, b])
+        pair_sql.append(
+            f"SELECT '{lo}' AS col_a, '{hi}' AS col_b, "
+            f"CAST(n_{t} AS BIGINT) AS n, "
+            f"CASE WHEN n_{t} > 0 THEN {cov} END AS cov, "
+            f"CASE WHEN n_{t} > 0 AND ({va}) > 0 AND ({vb}) > 0 "
+            f"THEN FLOOR(1e9 * (({cov}) / SQRT(({va}) * ({vb})))) / 1e9 END "
+            f"AS corr FROM m"
+        )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moment_sql)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(pair_sql)
+    )
+
+
+@qdef("corr_matrix_lineitem", _corr_oracle())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation/covariance screen
+    (operators/profile.py::corr_matrix) over the four lineitem measures
+    — all 6 pairs' moments in ONE wide map-side-combined aggregate (one
+    scan), exact-decimal sums, floor-scaled derivations; verified
+    pair-for-pair against the identical SQL arithmetic."""
+    from etl_tools_rs_spark.operators.profile import corr_matrix
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return corr_matrix(t["lineitem"], _CORR_COLS)
 
 
 # --------------------------------------------------------------------------

@@ -229,3 +229,66 @@ class TestGroupedHistogram:
         assert by_g["a"][0] == 1 and by_g["a"][1] == 1 and by_g["a"][4] == 0
         assert by_g["b"][4] == 1 and by_g["b"][0] == 0
         assert sum(by_g["a"].values()) == 2 and sum(by_g["b"].values()) == 1
+
+
+class TestCorrMatrix:
+    def _cm(self, spark, rows, cols=("x", "y")):
+        from etl_tools_rs_spark.operators.profile import corr_matrix
+
+        df = spark.createDataFrame(
+            rows, ", ".join(f"{c} double" for c in cols)
+        )
+        return {
+            (r.col_a, r.col_b): r for r in corr_matrix(df, list(cols)).collect()
+        }
+
+    def test_perfect_positive_and_negative(self, spark):
+        got = self._cm(
+            spark,
+            [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+            cols=("x", "y", "z"),
+        )
+        assert abs(got[("x", "y")].corr - 1.0) < 1e-6
+        assert abs(got[("x", "z")].corr + 1.0) < 1e-6
+        assert abs(got[("y", "z")].corr + 1.0) < 1e-6
+        assert len(got) == 3
+
+    def test_zero_variance_yields_null(self, spark):
+        got = self._cm(spark, [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)])
+        r = got[("x", "y")]
+        assert r.corr is None and abs(r.cov) < 1e-9
+
+    def test_null_rows_excluded_pairwise(self, spark):
+        # the (None, 100) row must not poison the pair
+        got = self._cm(spark, [(1.0, 2.0), (2.0, 4.0), (None, 100.0)])
+        r = got[("x", "y")]
+        assert r.n == 2 and abs(r.corr - 1.0) < 1e-6
+
+    def test_hand_computed_cov(self, spark):
+        # x=[1,2,3], y=[1,3,2]: cov = mean(xy)-mean(x)mean(y) = 13/3 - 4
+        got = self._cm(spark, [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0)])
+        assert abs(got[("x", "y")].cov - (13.0 / 3 - 4.0)) < 1e-6
+
+    def test_single_scan_plan(self, spark):
+        from etl_tools_rs_spark.operators.profile import corr_matrix
+
+        df = spark.range(100).selectExpr(
+            "CAST(id AS DOUBLE) x", "CAST(id*2 AS DOUBLE) y",
+            "CAST(id%7 AS DOUBLE) z"
+        )
+        plan = (
+            corr_matrix(df, ["x", "y", "z"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one aggregate over one source; the long-form output is an
+        # explode of the single row, not a unionAll of re-scans
+        assert plan.count("Range (0, 100") == 1
+
+    def test_requires_two_columns(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.profile import corr_matrix
+
+        df = spark.range(5).selectExpr("CAST(id AS DOUBLE) x")
+        with pytest.raises(ValueError):
+            corr_matrix(df, ["x"])
