@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "scd2_user_event_type",
     "rolling_zscore_user_value",
     "corr_matrix_lineitem",
+    "cat_assoc_orders",
 ]
 
 

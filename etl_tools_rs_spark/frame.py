@@ -135,6 +135,32 @@ class EngineFrame:
         out, _report = conform_schema(self.df, *a, **kw)
         return EngineFrame(out)
 
+    def corr_matrix(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import corr_matrix
+
+        return EngineFrame(corr_matrix(self.df, *a, **kw))
+
+    def cat_association(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import cat_association
+
+        return EngineFrame(cat_association(self.df, *a, **kw))
+
+    def scd2_history(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.merge import scd2_history
+
+        return EngineFrame(scd2_history(self.df, *a, **kw))
+
+    def rolling_zscore(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.events import rolling_zscore
+
+        return EngineFrame(rolling_zscore(self.df, *a, **kw))
+
+    def pagerank(self, *a, **kw) -> "EngineFrame":
+        """Treat this frame as an edge list (src/dst columns)."""
+        from etl_tools_rs_spark.operators.graph import pagerank
+
+        return EngineFrame(pagerank(self.df, *a, **kw))
+
     # -- sinks ---------------------------------------------------------------
     def write_to(self, path: str, format: str = "parquet", **kw) -> None:
         from etl_tools_rs_spark.sinks.files import FileSink

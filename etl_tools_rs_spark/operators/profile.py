@@ -357,3 +357,89 @@ def corr_matrix(
             )
         )
     return moments.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def cat_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Association between two categorical columns: mutual information
+    (nats), chi-square statistic, and Cramér's V — the label-leakage /
+    feature-redundancy screen for categoricals (the pairing of
+    ``corr_matrix`` for discrete data). NULLs in either column are
+    excluded (no-information rows).
+
+    One scan: a single ``groupBy(a, b)`` contingency aggregate; the
+    marginals, total, and cardinalities are second-level aggregates over
+    the (distinct-pairs-sized) cell table, which is checkpointed so the
+    base data is never re-scanned. Per-cell MI/chi² terms are
+    floor-scaled to ``scale`` decimals and summed as exact
+    DECIMAL(38, ``scale``) — partition-order-proof, oracle-checkable.
+
+    Output (1 row): ``(n, r, c, mi, chi2, cramers_v)`` where r/c are
+    the observed cardinalities. Degenerate tables (r=1 or c=1) yield
+    NULL cramers_v and MI 0.
+    """
+    p10 = float(10**scale)
+
+    def fl(col: Column) -> Column:
+        return F.floor(F.lit(p10) * col) / F.lit(p10)
+
+    dec_t = f"decimal(38,{scale})"
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    )
+    if checkpoint:
+        # marginals/totals/cardinalities all branch off the cell table —
+        # materialize it once or the base table re-scans per branch
+        cells = cells.localCheckpoint(eager=False)
+    marg_a = cells.groupBy("_a").agg(F.sum("_o").alias("_oa"))
+    marg_b = cells.groupBy("_b").agg(F.sum("_o").alias("_ob"))
+    totals = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct(F.col("_a")).cast("double").alias("_r"),
+        F.count_distinct(F.col("_b")).cast("double").alias("_c"),
+    )
+    o, oa, ob, n = F.col("_o"), F.col("_oa"), F.col("_ob"), F.col("_n")
+    # e = n*p_a*p_b spelled as (oa/n)*(ob/n)*n == oa*(ob/n) — keep ONE
+    # operand order so the oracle reproduces the identical doubles
+    e = oa * (ob / n)
+    mi_term = fl((o / n) * F.log((o / n) / ((oa / n) * (ob / n))))
+    chi2_term = fl((o - e) * (o - e) / e)
+    per_cell = (
+        cells.join(F.broadcast(marg_a), "_a")
+        .join(F.broadcast(marg_b), "_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            mi_term.cast(dec_t).alias("_mi"),
+            chi2_term.cast(dec_t).alias("_chi2"),
+            fl(e).cast(dec_t).alias("_e"),
+            "_n", "_r", "_c",
+        )
+    )
+    agg = per_cell.groupBy("_n", "_r", "_c").agg(
+        F.sum("_mi").alias("_mis"),
+        F.sum("_chi2").alias("_chi2s"),
+        F.sum("_e").alias("_es"),
+    )
+    # cells UNOBSERVED in the contingency table (o=0) still contribute
+    # (0-e)²/e = e to chi²; since Σe over ALL r×c cells equals n, that
+    # missing mass is exactly n − Σ_observed e — no r×c grid needed
+    chi2 = fl(
+        F.col("_chi2s").cast("double")
+        + (F.col("_n") - F.col("_es").cast("double"))
+    )
+    denom = F.col("_n") * F.least(F.col("_r") - 1, F.col("_c") - 1)
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_r").cast("bigint").alias("r"),
+        F.col("_c").cast("bigint").alias("c"),
+        fl(F.col("_mis").cast("double")).alias("mi"),
+        chi2.alias("chi2"),
+        F.when(denom > 0, fl(F.sqrt(chi2 / denom))).alias("cramers_v"),
+    )

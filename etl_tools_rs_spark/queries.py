@@ -4308,6 +4308,54 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(t["lineitem"], _CORR_COLS)
 
 
+@qdef(
+    "cat_assoc_orders",
+    """
+    WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                          CAST(COUNT(*) AS DOUBLE) AS o
+                   FROM orders
+                   WHERE o_orderstatus IS NOT NULL
+                     AND o_orderpriority IS NOT NULL
+                   GROUP BY 1, 2),
+    ma AS (SELECT a, SUM(o) AS oa FROM cells GROUP BY a),
+    mb AS (SELECT b, SUM(o) AS ob FROM cells GROUP BY b),
+    tot AS (SELECT SUM(o) AS n, CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+                   CAST(COUNT(DISTINCT b) AS DOUBLE) AS c FROM cells),
+    terms AS (SELECT
+        CAST(FLOOR(1e9 * ((o/n) * LN((o/n) / ((oa/n) * (ob/n))))) / 1e9
+             AS DECIMAL(38,9)) AS mi_t,
+        CAST(FLOOR(1e9 * ((o - oa*(ob/n)) * (o - oa*(ob/n)) / (oa*(ob/n))))
+             / 1e9 AS DECIMAL(38,9)) AS chi_t,
+        CAST(FLOOR(1e9 * (oa*(ob/n))) / 1e9 AS DECIMAL(38,9)) AS e_t,
+        n, r, c
+      FROM cells JOIN ma USING(a) JOIN mb USING(b) CROSS JOIN tot),
+    agg AS (SELECT n, r, c, SUM(mi_t) AS mis, SUM(chi_t) AS chis,
+                   SUM(e_t) AS es
+            FROM terms GROUP BY n, r, c)
+    SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+           CAST(c AS BIGINT) AS c,
+           FLOOR(1e9 * CAST(mis AS DOUBLE)) / 1e9 AS mi,
+           FLOOR(1e9 * (CAST(chis AS DOUBLE) + (n - CAST(es AS DOUBLE))))
+             / 1e9 AS chi2,
+           CASE WHEN n * LEAST(r - 1, c - 1) > 0
+                THEN FLOOR(1e9 * SQRT((FLOOR(1e9 * (CAST(chis AS DOUBLE)
+                     + (n - CAST(es AS DOUBLE)))) / 1e9)
+                     / (n * LEAST(r - 1, c - 1)))) / 1e9 END AS cramers_v
+    FROM agg
+    """,
+)
+def cat_assoc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association screen (operators/profile.py::
+    cat_association): mutual information, chi-square and Cramér's V
+    between order status and priority — one contingency aggregate,
+    marginals broadcast back, per-cell terms floor-scaled and summed as
+    exact decimals; the oracle reproduces every double."""
+    from etl_tools_rs_spark.operators.profile import cat_association
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return cat_association(t["orders"], "o_orderstatus", "o_orderpriority")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -75,3 +75,29 @@ def test_pipe_and_shards(spark, people, tmp_path):
     assert m.total_rows == 3 and m.n_shards == 2
     manifest = json.loads((tmp_path / "sh" / "manifest.json").read_text())
     assert manifest["total_rows"] == 3
+
+
+def test_round3_ops_chainable(spark):
+    from etl_tools_rs_spark.frame import EngineFrame
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    ranks = EngineFrame(edges).pagerank(iterations=1).collect()
+    assert len(ranks) == 2
+
+    ev = spark.createDataFrame(
+        [(1, 1, "A", 1.0), (1, 2, "B", 2.0)], "u int, t int, s string, x double"
+    )
+    hist = (
+        EngineFrame(ev)
+        .scd2_history(keys=["u"], value_cols=["s"], ts_col="t")
+        .collect()
+    )
+    assert len(hist) == 2
+    z = EngineFrame(ev).rolling_zscore("x", ["u"], ["t"]).collect()
+    assert len(z) == 2
+    cm = EngineFrame(ev).corr_matrix(["t", "x"]).collect()
+    assert len(cm) == 1
+    ca = EngineFrame(ev).cat_association("s", "s").collect()
+    assert len(ca) == 1

@@ -292,3 +292,39 @@ class TestCorrMatrix:
         df = spark.range(5).selectExpr("CAST(id AS DOUBLE) x")
         with pytest.raises(ValueError):
             corr_matrix(df, ["x"])
+
+
+class TestCatAssociation:
+    def _assoc(self, spark, rows):
+        from etl_tools_rs_spark.operators.profile import cat_association
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = cat_association(df, "a", "b").collect()
+        return r
+
+    def test_independent_columns_zero_mi(self, spark):
+        # perfectly independent 2x2: every (a,b) cell equally likely
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+        r = self._assoc(spark, rows)
+        assert r.n == 20 and r.r == 2 and r.c == 2
+        assert abs(r.mi) < 1e-6 and abs(r.chi2) < 1e-6
+        assert abs(r.cramers_v) < 1e-3
+
+    def test_identical_columns_full_association(self, spark):
+        rows = [("x", "x")] * 5 + [("y", "y")] * 5
+        r = self._assoc(spark, rows)
+        # MI = H = ln 2 for a balanced binary; V = 1
+        import math
+
+        assert abs(r.mi - math.log(2)) < 1e-6
+        assert abs(r.cramers_v - 1.0) < 1e-6
+
+    def test_degenerate_single_category_null_v(self, spark):
+        r = self._assoc(spark, [("x", "u"), ("x", "v")])
+        assert r.r == 1 and r.cramers_v is None
+        assert abs(r.mi) < 1e-9
+
+    def test_nulls_excluded(self, spark):
+        rows = [("x", "x")] * 3 + [(None, "x"), ("x", None)]
+        r = self._assoc(spark, rows)
+        assert r.n == 3
