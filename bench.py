@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "rolling_zscore_user_value",
     "corr_matrix_lineitem",
     "cat_assoc_orders",
+    "quantize_embeddings_int8",
+    "prefix_jaccard_documents",
 ]
 
 

@@ -171,3 +171,13 @@ class EngineFrame:
         from etl_tools_rs_spark.sinks.shards import write_training_shards
 
         return write_training_shards(self.df, path, n_shards, **kw)
+
+    def quantize_int8(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.similarity import quantize_int8
+
+        return EngineFrame(quantize_int8(self.df, *a, **kw))
+
+    def prefix_jaccard_pairs(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        return EngineFrame(prefix_jaccard_pairs(self.df, *a, **kw))

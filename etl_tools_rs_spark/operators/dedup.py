@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_tools_rs_spark.functions import fingerprint, ngrams, tokens
 
@@ -718,4 +719,86 @@ def containment_pairs(
             cont.alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    scale: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Blockless exact-Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin principle, Bayardo et al. WWW'07; cf. the blocked
+    variant ``ngram_jaccard_pairs`` whose caller must supply a block
+    key): two docs with Jaccard ≥ t over their distinct shingle sets
+    must share a shingle within each one's "prefix" — its
+    ``|d| − ⌈t·|d|⌉ + 1`` globally-RAREST shingles — so the self-join
+    runs on prefix shingles only and NO blocking key is needed. No
+    false negatives; every candidate is verified with the exact
+    count-based Jaccard.
+
+    Plan: shingle explode (distinct per doc, checkpointed — ranking,
+    prefixes and verification all branch off it), a frequency aggregate,
+    one per-doc window ranking shingles by global rarity, the prefix
+    equi-join (narrow ``(id, shingle)`` rows), then a count-based
+    intersection join per candidate pair. Rare shingles bound candidate
+    bucket sizes by construction — the frequent (hot) shingles never
+    enter the join, which is exactly what a blocked self-join cannot
+    guarantee. Output: ``(id_a, id_b, jaccard double)`` with
+    ``id_a < id_b``, floor-scaled to ``scale``.
+    """
+    from etl_tools_rs_spark.functions import ngrams
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
+    p10 = float(10**scale)
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(ngrams(text_col, shingle_n))).alias("_g"),
+    )
+    if checkpoint:
+        grams = grams.localCheckpoint(eager=False)
+    dfc = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_dfn"))
+    sz = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_id").orderBy(F.col("_dfn").asc(), F.col("_g").asc())
+    pfx = (
+        grams.join(dfc, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select("_id", "_g")
+    )
+    cand = (
+        pfx.select(F.col("_id").alias("id_a"), "_g")
+        .join(pfx.select(F.col("_id").alias("id_b"), "_g"), "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = grams.select(F.col("_id").alias("id_a"), "_g")
+    tb = grams.select(F.col("_id").alias("id_b"), "_g")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sa = sz.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sz.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.floor(
+        F.lit(p10)
+        * (F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
+    ) / F.lit(p10)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -626,3 +626,58 @@ def knn_pq(
             "rank",
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the 4× storage /
+    bandwidth cut every large embedding store takes before ANN serving:
+    ``q_i = floor(127·x_i/s + 0.5)`` with ``s = max|x_i|`` kept alongside
+    for dequantization (``x ≈ q·s/127``). ``floor(v + 0.5)`` instead of
+    a round() builtin because round's half-way tie rule differs between
+    engines while floor has none — the quantized codes are
+    bit-reproducible anywhere.
+
+    Pure per-row JVM column expressions (transform/array_max HOFs —
+    narrow, codegen, ZERO shuffles); all-zero vectors quantize to zero
+    codes with ``qscale = 0``. Output: id columns + ``(qscale double,
+    qvec array<int>)``.
+    """
+    ids = id_cols if id_cols is not None else [df.columns[0]]
+    emb = F.col(emb_col)
+    s = F.array_max(F.transform(emb, lambda x: F.abs(x))).cast("double")
+    q = F.when(
+        s > 0,
+        F.transform(
+            emb,
+            lambda x: F.floor(
+                F.lit(127) * x.cast("double") / s + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(emb, lambda x: F.lit(0)))
+    return df.select(
+        *ids,
+        F.when(s > 0, s).otherwise(F.lit(0.0)).alias("qscale"),
+        q.alias("qvec"),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_int8``: ``x ≈ q·s/127`` as float32 — the
+    read-path companion (narrow, no shuffle)."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda q: (q.cast("double") * s / F.lit(127)).cast("float"),
+        ),
+    )

@@ -4356,6 +4356,96 @@ def cat_assoc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat_association(t["orders"], "o_orderstatus", "o_orderpriority")
 
 
+@qdef(
+    "quantize_embeddings_int8",
+    """
+    WITH s AS (SELECT vec_id,
+                      CAST(list_max(list_transform(embedding,
+                           x -> ABS(x))) AS DOUBLE) AS sc,
+                      embedding
+               FROM embeddings)
+    SELECT vec_id,
+           CASE WHEN sc > 0 THEN sc ELSE 0.0 END AS qscale,
+           CASE WHEN sc > 0
+                THEN list_transform(embedding,
+                     x -> CAST(FLOOR(127 * CAST(x AS DOUBLE) / sc + 0.5)
+                          AS INTEGER))
+                ELSE list_transform(embedding, x -> 0) END AS qvec
+    FROM s
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/similarity.py::
+    quantize_int8): per-vector max-abs scale + floor(127·x/s + 0.5)
+    codes — pure narrow HOF expressions, zero shuffles; verified
+    code-for-code (floor-half-up has no engine-dependent tie rule,
+    unlike round)."""
+    from etl_tools_rs_spark.operators.similarity import quantize_int8
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return quantize_int8(t["embeddings"], "embedding", id_cols=["vec_id"])
+
+
+@qdef(
+    "prefix_jaccard_documents",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), grams AS (
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')
+               AS g
+      FROM sh0
+    ), dfc AS (SELECT g, COUNT(*) AS dfn FROM grams GROUP BY g),
+    sz AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+    pfx AS (
+      SELECT r.id, r.g FROM (
+        SELECT grams.id, grams.g,
+               ROW_NUMBER() OVER (PARTITION BY grams.id
+                                  ORDER BY dfc.dfn, grams.g) AS rn
+        FROM grams JOIN dfc USING (g)
+      ) r JOIN sz USING (id)
+      WHERE r.rn <= sz.n - CEIL(0.5 * sz.n) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pfx a JOIN pfx b ON a.g = b.g AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN grams ta ON ta.id = c.id_a
+      JOIN grams tb ON tb.id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           FLOOR(1e6 * (CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))) / 1e6
+             AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+    WHERE FLOOR(1e6 * (CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))) / 1e6
+          >= 0.5
+    """,
+)
+def prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockless near-dup pairs (operators/dedup.py::
+    prefix_jaccard_pairs): prefix-filtered exact-Jaccard self-join over
+    3-gram shingles at t=0.5 — no caller-supplied blocking key, no
+    false negatives, hot shingles never enter the join. Verified
+    pair-for-pair including the exact scores."""
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return prefix_jaccard_pairs(
+        t["documents"], threshold=0.5, shingle_n=3
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -78,15 +78,57 @@ class FileQueue:
         return sum(1 for e in os.listdir(self.home) if e.endswith(".push.json"))
 
 
-def sqs_client(queue_url: str, region: str | None = None):
-    """SQS-backed queue with the same contract (reference
-    sqs_queue.rs:27-58: JSON payload, dedup id = md5). Import-gated: boto3
-    is not in this container."""
-    try:
-        import boto3  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+class SqsQueue:
+    """SQS push queue with the reference contract
+    (etl-aws-utils/src/sqs_queue.rs:27-58): the payload is the record's
+    JSON string; ``MessageDeduplicationId`` and ``MessageGroupId`` are
+    BOTH hex(md5(payload)) — so a FIFO queue dedups identical payloads
+    across retries, the same at-least-once-to-exactly-once trick
+    FileQueue's ``{md5}.push.json`` naming plays locally.
+
+    ``client`` is any object with boto3's
+    ``send_message(QueueUrl=..., MessageBody=..., ...)`` shape —
+    injectable for tests; built from boto3 (import-gated) when omitted.
+    ``pop`` raises: the reference's pop arm is an explicit panic
+    (sqs_queue.rs:29-31) — SQS is its egress-only queue; consumption
+    happens via the streaming sources.
+    """
+
+    def __init__(
+        self, queue_url: str, client=None, region: str | None = None
+    ):
+        self.queue_url = queue_url
+        if client is None:  # pragma: no cover - needs boto3 + AWS
+            try:
+                import boto3
+            except ImportError as e:
+                raise NotImplementedError(
+                    "SQS queue requires boto3 (not available in this "
+                    "environment); use FileQueue locally or the Kafka "
+                    "streaming source at scale"
+                ) from e
+            client = boto3.client("sqs", region_name=region or "us-east-1")
+        self.client = client
+
+    def push(self, record: dict) -> str:
+        body = json.dumps(record, sort_keys=True)
+        digest = hashlib.md5(body.encode("utf-8")).hexdigest()
+        self.client.send_message(
+            QueueUrl=self.queue_url,
+            MessageBody=body,
+            MessageDeduplicationId=digest,
+            MessageGroupId=digest,
+        )
+        return digest
+
+    def pop(self):
         raise NotImplementedError(
-            "SQS queue requires boto3 (not available in this environment); "
-            "use FileQueue locally or the Kafka streaming source at scale"
-        ) from e
-    raise NotImplementedError("wire boto3 client here in a deployed environment")
+            "reference parity: AwsSqsClient::pop is an explicit panic "
+            "(sqs_queue.rs:29-31); consume via streaming sources instead"
+        )
+
+
+def sqs_client(queue_url: str, region: str | None = None) -> SqsQueue:
+    """Reference-parity constructor (sqs_queue.rs ``create``): boto3
+    chain-provider client against the given queue URL."""
+    return SqsQueue(queue_url, region=region)

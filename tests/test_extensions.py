@@ -192,13 +192,98 @@ def test_load_toml_autocreate(tmp_path):
 
 
 def test_sftp_and_sqs_gated(tmp_path):
+    # without paramiko/boto3 in the environment the default constructors
+    # raise the documented NotImplementedError
     from etl_tools_rs_spark.sources.config import sftp_connect
     from etl_tools_rs_spark.sources.queue import sqs_client
 
     with pytest.raises(NotImplementedError):
-        sftp_connect("sftp://h", "user")
+        sftp_connect("sftp://h", "user", password="pw")
+    # boto3 IS shipped here: the constructor builds a real client without
+    # touching the network; only pop is the documented reference panic
+    q = sqs_client("https://sqs/q")
     with pytest.raises(NotImplementedError):
-        sqs_client("https://sqs/q")
+        q.pop()
+
+
+class _FakeTransport:
+    def __init__(self):
+        self.connected_with = None
+        self.keys = []
+
+    def agent_keys(self):
+        return self.keys
+
+    def connect(self, **kw):
+        self.connected_with = kw
+
+    def open_sftp(self):
+        return ("sftp", self.connected_with)
+
+
+def test_sftp_password_arm_with_injected_transport():
+    from etl_tools_rs_spark.sources.config import sftp_connect
+
+    seen = {}
+
+    def factory(host, port):
+        seen["addr"] = (host, port)
+        return _FakeTransport()
+
+    kind, creds = sftp_connect(
+        "sftp://files.example.com:2222", "alice", password="pw",
+        transport_factory=factory,
+    )
+    assert kind == "sftp" and seen["addr"] == ("files.example.com", 2222)
+    assert creds == {"username": "alice", "password": "pw"}
+
+
+def test_sftp_agent_key_arm_matches_comment():
+    from etl_tools_rs_spark.sources.config import sftp_connect
+
+    class Key:
+        def __init__(self, comment):
+            self.comment = comment
+
+    t = _FakeTransport()
+    t.keys = [Key("other"), Key("id_rsa_deploy")]
+    kind, creds = sftp_connect(
+        "h", "bob", key_comment="deploy", transport_factory=lambda h, p: t
+    )
+    assert creds["pkey"].comment == "id_rsa_deploy"
+    # default port applied
+    with pytest.raises(ValueError):
+        sftp_connect("h", "bob", key_comment="missing",
+                     transport_factory=lambda h, p: t)
+
+
+def test_sqs_push_md5_dedup_contract():
+    import hashlib
+    import json as _json
+
+    from etl_tools_rs_spark.sources.queue import SqsQueue
+
+    sent = []
+
+    class FakeClient:
+        def send_message(self, **kw):
+            sent.append(kw)
+
+    q = SqsQueue("https://sqs/q", client=FakeClient())
+    digest = q.push({"b": 2, "a": 1})
+    body = _json.dumps({"b": 2, "a": 1}, sort_keys=True)
+    want = hashlib.md5(body.encode()).hexdigest()
+    assert digest == want
+    [msg] = sent
+    # reference contract (sqs_queue.rs:32-44): dedup id == group id == md5
+    assert msg["MessageBody"] == body
+    assert msg["MessageDeduplicationId"] == want
+    assert msg["MessageGroupId"] == want
+    # identical payload (any key order) -> identical dedup id
+    assert q.push({"a": 1, "b": 2}) == want
+    # pop is an explicit reference panic
+    with pytest.raises(NotImplementedError):
+        q.pop()
 
 
 def test_multimodal_resize_and_frames(spark):

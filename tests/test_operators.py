@@ -270,3 +270,129 @@ class TestEmbeddingProfile:
         re = {r["dim"]: r["mean_v"] for r in
               embedding_profile(df.repartition(7)).collect()}
         assert re == {k: v["mean_v"] for k, v in got.items()}
+
+
+class TestQuantizeInt8:
+    def test_round_trip_error_bounded(self, spark):
+        from etl_tools_rs_spark.operators.similarity import (
+            dequantize_int8,
+            quantize_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.001, 0.002, -0.003, 0.004])],
+            "id int, embedding array<float>",
+        )
+        q = quantize_int8(df, "embedding", id_cols=["id"])
+        back = {r.id: r.embedding for r in dequantize_int8(q).collect()}
+        orig = {r.id: r.embedding for r in df.collect()}
+        for k in orig:
+            s = max(abs(v) for v in orig[k])
+            for a, b in zip(orig[k], back[k]):
+                # quantization error <= half a code step
+                assert abs(a - b) <= s / 127 * 0.5 + 1e-7
+
+    def test_extremes_hit_127(self, spark):
+        from etl_tools_rs_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -1.0, 0.0])], "id int, embedding array<float>"
+        )
+        [r] = quantize_int8(df, id_cols=["id"]).collect()
+        assert r.qvec == [127, -127, 0] and r.qscale == 1.0
+
+    def test_zero_vector_safe(self, spark):
+        from etl_tools_rs_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0])], "id int, embedding array<float>"
+        )
+        [r] = quantize_int8(df, id_cols=["id"]).collect()
+        assert r.qvec == [0, 0] and r.qscale == 0.0
+
+    def test_narrow_no_shuffle(self, spark):
+        from etl_tools_rs_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.5, 0.25])], "id int, embedding array<float>"
+        )
+        plan = (
+            quantize_int8(df, id_cols=["id"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestPrefixJaccard:
+    def _naive(self, docs, t, n=3):
+        # reference all-pairs over distinct n-grams
+        def grams(s):
+            ws = s.split()
+            return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+        out = {}
+        import math
+
+        for i, (ia, sa) in enumerate(docs):
+            for ib, sb in docs[i + 1 :]:
+                ga, gb = grams(sa), grams(sb)
+                if not ga or not gb:
+                    continue
+                j = len(ga & gb) / len(ga | gb)
+                j = math.floor(1e6 * j) / 1e6
+                if j >= t:
+                    out[(min(ia, ib), max(ia, ib))] = j
+        return out
+
+    def test_equals_naive_no_false_negatives(self, spark):
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+        import itertools
+
+        docs = []
+        i = 0
+        for combo in itertools.permutations(words, 6):
+            docs.append((i, " ".join(combo)))
+            i += 1
+            if i >= 40:
+                break
+        # inject exact + near duplicates
+        docs.append((100, docs[0][1]))
+        docs.append((101, docs[1][1] + " omega"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.3, 0.5, 0.8):
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in prefix_jaccard_pairs(
+                    df, threshold=t, checkpoint=False
+                ).collect()
+            }
+            assert got == self._naive(docs, t), f"threshold {t}"
+
+    def test_identical_docs_score_one(self, spark):
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+            "doc_id long, text string",
+        )
+        got = prefix_jaccard_pairs(df, threshold=0.9).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+    def test_short_docs_excluded(self, spark):
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id long, text string"
+        )
+        assert prefix_jaccard_pairs(df, shingle_n=3).count() == 0
+
+    def test_validates_threshold(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            prefix_jaccard_pairs(df, threshold=0.0)
