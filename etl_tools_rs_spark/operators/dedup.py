@@ -773,12 +773,24 @@ def prefix_jaccard_pairs(
             F.col("_rn")
             <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
         )
-        .select("_id", "_g")
+        .select("_id", "_g", "_n")
     )
+    # length filter (AllPairs): J(x,y) >= t forces t·|x| <= |y| and
+    # t·|y| <= |x| — prunes candidates before the expensive verify join,
+    # no false negatives
     cand = (
-        pfx.select(F.col("_id").alias("id_a"), "_g")
-        .join(pfx.select(F.col("_id").alias("id_b"), "_g"), "_g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pfx.select(F.col("_id").alias("id_a"), "_g", F.col("_n").alias("_la"))
+        .join(
+            pfx.select(
+                F.col("_id").alias("id_b"), "_g", F.col("_n").alias("_lb")
+            ),
+            "_g",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_lb") >= F.lit(threshold) * F.col("_la"))
+            & (F.col("_la") >= F.lit(threshold) * F.col("_lb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
