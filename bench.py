@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "cat_assoc_orders",
     "quantize_embeddings_int8",
     "prefix_jaccard_documents",
+    "robust_scale_event_value",
+    "winsorize_totalprice",
 ]
 
 

@@ -181,3 +181,13 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
 
         return EngineFrame(prefix_jaccard_pairs(self.df, *a, **kw))
+
+    def robust_scale(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.features import robust_scale
+
+        return EngineFrame(robust_scale(self.df, *a, **kw))
+
+    def winsorize(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.features import winsorize
+
+        return EngineFrame(winsorize(self.df, *a, **kw))

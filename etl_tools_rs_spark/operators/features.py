@@ -157,3 +157,107 @@ def minmax_scale(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Median/IQR robust scaling: ``(x − median) / (p75 − p25)`` per
+    column (optionally per group) — the standardization that heavy tails
+    and sentinel values cannot drag, the robust sibling of
+    ``standardize``. Zero-IQR columns yield NULL (constant bulk — flag
+    upstream, don't fabricate a scale).
+
+    Exact interpolated percentiles (deterministic and oracle-checkable,
+    unlike sketch percentiles; same discipline as ``outliers_mad``) in
+    ONE grouped aggregate for all three quantiles of every column; the
+    group-count-sized stats frame broadcasts back. Scaled values are
+    floor-scaled to ``scale`` decimals.
+    """
+    if not cols:
+        raise ValueError("robust_scale needs at least one column")
+    by = by or []
+    p10 = float(10**scale)
+    aggs = []
+    for i, c in enumerate(cols):
+        d = F.col(c).cast("double")
+        aggs.append(F.percentile(d, F.lit(0.5)).alias(f"_med_{i}"))
+        aggs.append(F.percentile(d, F.lit(0.25)).alias(f"_p25_{i}"))
+        aggs.append(F.percentile(d, F.lit(0.75)).alias(f"_p75_{i}"))
+    stats = df.groupBy(*by).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            i = cols.index(c)
+            iqr = F.col(f"_p75_{i}") - F.col(f"_p25_{i}")
+            scaled = (
+                F.floor(
+                    F.lit(p10)
+                    * (F.col(c).cast("double") - F.col(f"_med_{i}"))
+                    / iqr
+                )
+                / F.lit(p10)
+            )
+            out_cols.append(
+                F.when(iqr > 0, scaled).cast("double").alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Percentile clipping: clamp each column into
+    ``[quantile(p_lo), quantile(p_hi)]`` (optionally per group) — the
+    standard tail-taming step before moment-based statistics or model
+    features. Values inside the band pass through UNCHANGED (no
+    re-scaling, so downstream semantics are preserved); NULLs stay NULL.
+
+    Exact interpolated percentiles in one grouped aggregate, broadcast
+    back; the clamp is a pure ``least/greatest`` projection — narrow,
+    codegen, bit-reproducible (clipped values equal the percentile
+    itself; unclipped values are untouched, so no scaling discipline is
+    even needed).
+    """
+    if not cols:
+        raise ValueError("winsorize needs at least one column")
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    by = by or []
+    aggs = []
+    for i, c in enumerate(cols):
+        d = F.col(c).cast("double")
+        aggs.append(F.percentile(d, F.lit(float(p_lo))).alias(f"_lo_{i}"))
+        aggs.append(F.percentile(d, F.lit(float(p_hi))).alias(f"_hi_{i}"))
+    stats = df.groupBy(*by).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            i = cols.index(c)
+            clipped = F.least(
+                F.greatest(F.col(c).cast("double"), F.col(f"_lo_{i}")),
+                F.col(f"_hi_{i}"),
+            )
+            # least/greatest IGNORE nulls (they'd resurrect a NULL as the
+            # clip bound) — guard explicitly
+            out_cols.append(
+                F.when(F.col(c).isNotNull(), clipped).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

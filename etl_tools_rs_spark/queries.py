@@ -4446,6 +4446,58 @@ def prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "robust_scale_event_value",
+    """
+    WITH s AS (SELECT event_type AS g,
+                      quantile_cont(CAST(value AS DOUBLE), 0.5) AS med,
+                      quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+                      quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+               FROM events GROUP BY 1)
+    SELECT event_id, g AS event_type,
+           CASE WHEN p75 - p25 > 0
+                THEN FLOOR(1e6 * (CAST(value AS DOUBLE) - med)
+                     / (p75 - p25)) / 1e6 END AS value
+    FROM events JOIN s ON event_type = g
+    """,
+)
+def robust_scale_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling (operators/features.py::robust_scale)
+    of the heavy-tailed event value per event type — exact interpolated
+    percentiles in one grouped aggregate, stats broadcast back; verified
+    value-for-value."""
+    from etl_tools_rs_spark.operators.features import robust_scale
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "event_type", "value")
+    return robust_scale(ev, ["value"], by=["event_type"])
+
+
+@qdef(
+    "winsorize_totalprice",
+    """
+    WITH s AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+                      quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+               FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice IS NOT NULL
+                THEN LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi)
+           END AS o_totalprice
+    FROM orders CROSS JOIN s
+    """,
+)
+def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (operators/features.py::winsorize) of order
+    totals into the [p5, p95] band — in-band values untouched, tails
+    clamped to the exact interpolated percentile; verified
+    value-for-value."""
+    from etl_tools_rs_spark.operators.features import winsorize
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    return winsorize(o, ["o_totalprice"], p_lo=0.05, p_hi=0.95)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

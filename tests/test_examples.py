@@ -27,3 +27,24 @@ def test_json_corpus_pipeline_end_to_end(spark, tmp_path, capsys):
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["deduped_rows"] is None  # skipped steps return None
     assert set(again["steps"].values()) == {"Complete"}
+
+
+def test_training_data_pipeline_end_to_end(spark, tmp_path, capsys):
+    mod = _load("examples/training_data_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["input_docs"] == 500
+    # each stage monotonically shrinks the corpus and none empties it
+    chain = [
+        out["input_docs"], out["after_quality"], out["after_dedup"],
+        out["after_decontaminate"],
+    ]
+    assert chain == sorted(chain, reverse=True) and chain[-1] > 0
+    assert out["packed_sequences"] == out["after_decontaminate"]
+    assert set(out["steps"].values()) == {"Complete"}
+
+    # resumability: second run skips all steps
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["after_dedup"] is None
+    assert set(again["steps"].values()) == {"Complete"}

@@ -93,3 +93,80 @@ class TestMinmaxScale:
         df = spark.createDataFrame([(-5.0,), (0.0,), (5.0,)], "x double")
         vals = sorted(r["x"] for r in ft2.minmax_scale(df, ["x"]).collect())
         assert vals == [0.0, 0.5, 1.0]
+
+
+class TestRobustScale:
+    def test_hand_computed(self, spark):
+        from etl_tools_rs_spark.operators.features import robust_scale
+
+        # values 0..8: med=4, p25=2, p75=6, IQR=4
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(9)], "id int, x double"
+        )
+        got = {r.id: r.x for r in robust_scale(df, ["x"]).collect()}
+        assert got[8] == 1.0 and got[0] == -1.0 and got[4] == 0.0
+
+    def test_outlier_resistant(self, spark):
+        from etl_tools_rs_spark.operators.features import robust_scale
+
+        base = [(i, float(i)) for i in range(9)]
+        df1 = spark.createDataFrame(base, "id int, x double")
+        df2 = spark.createDataFrame(
+            base[:-1] + [(8, 1e9)], "id int, x double"
+        )
+        g1 = {r.id: r.x for r in robust_scale(df1, ["x"]).collect()}
+        g2 = {r.id: r.x for r in robust_scale(df2, ["x"]).collect()}
+        # one corrupt value leaves the bulk's scaling unchanged
+        assert g1[2] == g2[2] and g1[4] == g2[4]
+
+    def test_zero_iqr_null(self, spark):
+        from etl_tools_rs_spark.operators.features import robust_scale
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(4)], "id int, x double"
+        )
+        assert all(r.x is None for r in robust_scale(df, ["x"]).collect())
+
+    def test_by_group_independent(self, spark):
+        from etl_tools_rs_spark.operators.features import robust_scale
+
+        rows = [("a", float(i)) for i in range(9)] + [
+            ("b", float(100 + 10 * i)) for i in range(9)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = robust_scale(df, ["x"], by=["g"]).collect()
+        # both groups scale to the same normalized shape
+        for g in ("a", "b"):
+            vals = sorted(r.x for r in got if r.g == g)
+            assert vals[0] == -1.0 and vals[-1] == 1.0
+
+
+class TestWinsorize:
+    def test_clamps_tails_keeps_bulk(self, spark):
+        from etl_tools_rs_spark.operators.features import winsorize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(101)], "id int, x double"
+        )
+        got = {r.id: r.x for r in winsorize(df, ["x"], 0.05, 0.95).collect()}
+        assert got[0] == 5.0 and got[100] == 95.0  # clamped
+        assert got[50] == 50.0  # untouched
+        assert got[5] == 5.0 and got[95] == 95.0  # boundary exact
+
+    def test_nulls_stay_null(self, spark):
+        from etl_tools_rs_spark.operators.features import winsorize
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 3.0)], "id int, x double"
+        )
+        got = {r.id: r.x for r in winsorize(df, ["x"], 0.0, 1.0).collect()}
+        assert got[2] is None
+
+    def test_validates_probs(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.features import winsorize
+
+        df = spark.createDataFrame([(1, 1.0)], "id int, x double")
+        with pytest.raises(ValueError):
+            winsorize(df, ["x"], 0.9, 0.1)
