@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "prefix_jaccard_documents",
     "robust_scale_event_value",
     "winsorize_totalprice",
+    "time_weighted_avg_events",
+    "linreg_price_by_returnflag",
 ]
 
 

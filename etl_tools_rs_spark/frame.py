@@ -191,3 +191,13 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.features import winsorize
 
         return EngineFrame(winsorize(self.df, *a, **kw))
+
+    def time_weighted_avg(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.events import time_weighted_avg
+
+        return EngineFrame(time_weighted_avg(self.df, *a, **kw))
+
+    def linreg(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import linreg
+
+        return EngineFrame(linreg(self.df, *a, **kw))

@@ -417,3 +417,59 @@ def rolling_zscore(
             "is_anomaly"
         ),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+    scale: int = 6,
+    input_scale: int = 2,
+) -> DataFrame:
+    """Time-weighted average per group for IRREGULARLY sampled series —
+    the correct mean when observations carry their value until the next
+    one (sensor states, prices, gauge metrics): plain AVG over-weights
+    bursts. Left-Riemann weighting: each observation holds for
+    ``dt = next_ts − ts`` (microsecond-exact); the last observation of a
+    group spans no interval and contributes only to ``n_points``.
+
+    ``twa = Σ(value·dt) / Σ(dt)`` with the products accumulated as exact
+    decimals (value quantized at ``input_scale``, dt an exact bigint of
+    microseconds), division floor-scaled to ``scale`` — partition-order
+    proof, oracle-checkable. Returns ``(by..., twa double,
+    span_micros bigint, n_points bigint)``; single-observation groups
+    yield NULL twa (no interval to weight).
+
+    Plan: one shuffle on the group key — the lead window and the final
+    aggregate share the same partitioning.
+    """
+    by = by or []
+    p10 = float(10**scale)
+    ts = F.unix_micros(F.col(time_col).cast("timestamp"))
+    # tied timestamps with different values would make dt assignment
+    # order-dependent — require a tiebreak for a total order
+    order = [ts.asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*by).orderBy(*order)
+    dt = (F.lead(ts).over(w) - ts).cast("bigint")
+    dec_v = F.col(value_col).cast(f"decimal(18,{input_scale})")
+    staged = df.select(*by, dec_v.alias("_v"), dt.alias("_dt"))
+    agg = staged.groupBy(*by).agg(
+        F.sum(F.col("_v") * F.col("_dt")).alias("_wv"),
+        F.sum("_dt").alias("_sdt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+    twa = (
+        F.floor(
+            F.lit(p10)
+            * (F.col("_wv").cast("double") / F.col("_sdt").cast("double"))
+        )
+        / F.lit(p10)
+    )
+    return agg.select(
+        *by,
+        F.when(F.col("_sdt") > 0, twa).alias("twa"),
+        F.coalesce(F.col("_sdt"), F.lit(0)).cast("bigint").alias("span_micros"),
+        "n_points",
+    )

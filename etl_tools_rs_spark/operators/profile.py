@@ -443,3 +443,62 @@ def cat_association(
         chi2.alias("chi2"),
         F.when(denom > 0, fl(F.sqrt(chi2 / denom))).alias("cramers_v"),
     )
+
+
+def linreg(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    input_scale: int = 2,
+    scale: int = 9,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit — the trend detector
+    ("is this metric drifting per key?"): ``slope = cov(x,y)/var(x)``,
+    ``intercept = ȳ − slope·x̄``, plus ``r2``. One grouped
+    map-side-combined aggregate of exact DECIMAL(18, ``input_scale``)
+    moments (both columns must be representable at that quantization);
+    derived stats are floor-scaled to ``scale`` — partition/AQE-proof
+    and oracle-checkable. Rows with a NULL in either column are
+    excluded pair-wise.
+
+    Returns ``(by..., n bigint, slope, intercept, r2)`` — all double;
+    zero-variance x (or fewer than 2 points) yields NULL slope; r2 is
+    NULL when y is constant.
+    """
+    by = by or []
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    dec_t = f"decimal(18,{input_scale})"
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    dx = F.when(both, F.col(x_col).cast(dec_t))
+    dy = F.when(both, F.col(y_col).cast(dec_t))
+    agg = df.groupBy(*by).agg(
+        F.count(F.when(both, F.lit(1))).cast("double").alias("_n"),
+        F.sum(dx).cast("double").alias("_sx"),
+        F.sum(dy).cast("double").alias("_sy"),
+        F.sum(dx * dx).cast("double").alias("_sxx"),
+        F.sum(dy * dy).cast("double").alias("_syy"),
+        F.sum(dx * dy).cast("double").alias("_sxy"),
+    )
+    n = F.col("_n")
+    cov = fl(F.col("_sxy") / n - (F.col("_sx") / n) * (F.col("_sy") / n))
+    var_x = fl(F.col("_sxx") / n - (F.col("_sx") / n) * (F.col("_sx") / n))
+    var_y = fl(F.col("_syy") / n - (F.col("_sy") / n) * (F.col("_sy") / n))
+    slope = F.when((n >= 2) & (var_x > 0), fl(cov / var_x))
+    intercept = F.when(
+        slope.isNotNull(), fl(F.col("_sy") / n - slope * (F.col("_sx") / n))
+    )
+    r2 = F.when(
+        slope.isNotNull() & (var_y > 0), fl((cov * cov) / (var_x * var_y))
+    )
+    return agg.select(
+        *by,
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

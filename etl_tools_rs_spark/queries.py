@@ -4498,6 +4498,100 @@ def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(o, ["o_totalprice"], p_lo=0.05, p_hi=0.95)
 
 
+@qdef(
+    "time_weighted_avg_events",
+    """
+    WITH s AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS v,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS dt
+      FROM events
+    ),
+    a AS (SELECT g, SUM(v * dt) AS wv, SUM(dt) AS sdt,
+                 CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM s GROUP BY g)
+    SELECT g AS event_type,
+           CASE WHEN sdt > 0
+                THEN FLOOR(1e6 * (CAST(wv AS DOUBLE) / CAST(sdt AS DOUBLE)))
+                     / 1e6 END AS twa,
+           CAST(COALESCE(sdt, 0) AS BIGINT) AS span_micros,
+           n_points
+    FROM a
+    """,
+)
+def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean event value per type
+    (operators/events.py::time_weighted_avg): microsecond-exact
+    left-Riemann weights, exact-decimal value·dt sums, floor-scaled
+    division — the irregular-sampling mean plain AVG gets wrong;
+    verified group-for-group."""
+    from etl_tools_rs_spark.operators.events import time_weighted_avg
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return time_weighted_avg(
+        t["events"], "ts", "value", by=["event_type"], tiebreak=["event_id"]
+    )
+
+
+@qdef(
+    "linreg_price_by_returnflag",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS g,
+        CAST(COUNT(CASE WHEN l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL THEN 1 END)
+             AS DOUBLE) AS n,
+        CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice
+                 IS NOT NULL THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS sx,
+        CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice
+                 IS NOT NULL THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS sy,
+        CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice
+                 IS NOT NULL THEN CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx,
+        CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice
+                 IS NOT NULL THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS syy,
+        CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice
+                 IS NOT NULL THEN CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1),
+    d AS (SELECT g, n, sx, sy,
+        FLOOR(1e9 * (sxy/n - (sx/n)*(sy/n))) / 1e9 AS cov,
+        FLOOR(1e9 * (sxx/n - (sx/n)*(sx/n))) / 1e9 AS varx,
+        FLOOR(1e9 * (syy/n - (sy/n)*(sy/n))) / 1e9 AS vary
+      FROM m),
+    s AS (SELECT g, n, sx, sy, cov, varx, vary,
+        CASE WHEN n >= 2 AND varx > 0
+             THEN FLOOR(1e9 * (cov / varx)) / 1e9 END AS slope
+      FROM d)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, slope,
+           CASE WHEN slope IS NOT NULL
+                THEN FLOOR(1e9 * (sy/n - slope * (sx/n))) / 1e9
+           END AS intercept,
+           CASE WHEN slope IS NOT NULL AND vary > 0
+                THEN FLOOR(1e9 * ((cov * cov) / (varx * vary))) / 1e9
+           END AS r2
+    FROM s
+    """,
+)
+def linreg_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (operators/profile.py::linreg):
+    extendedprice ~ quantity per return flag — exact-decimal moments in
+    one map-side-combined aggregate, floor-scaled slope/intercept/r²;
+    verified coefficient-for-coefficient."""
+    from etl_tools_rs_spark.operators.profile import linreg
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return linreg(
+        t["lineitem"], "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -217,3 +217,62 @@ class TestRollingZscore:
         df = spark.createDataFrame([(1, 1, 1.0)], "u int, t int, x double")
         with pytest.raises(ValueError):
             rolling_zscore(df, "x", ["u"], ["t"], lookback=0)
+
+
+class TestTimeWeightedAvg:
+    def _twa(self, spark, rows):
+        from etl_tools_rs_spark.operators.events import time_weighted_avg
+
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, id int"
+        )
+        return {
+            r.g: r
+            for r in time_weighted_avg(
+                df, "ts", "v", by=["g"], tiebreak=["id"]
+            ).collect()
+        }
+
+    def test_hand_computed_vs_plain_avg(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # value 10 held for 9s, then 0 for 1s: TWA = 9, plain avg = 5
+        rows = [
+            ("a", t0, 10.0, 1),
+            ("a", t0 + dt.timedelta(seconds=9), 0.0, 2),
+            ("a", t0 + dt.timedelta(seconds=10), 99.0, 3),  # terminal point
+        ]
+        r = self._twa(spark, rows)["a"]
+        assert abs(r.twa - 9.0) < 1e-6
+        assert r.span_micros == 10_000_000 and r.n_points == 3
+
+    def test_single_point_null(self, spark):
+        import datetime as dt
+
+        r = self._twa(spark, [("a", dt.datetime(2024, 1, 1), 5.0, 1)])["a"]
+        assert r.twa is None and r.span_micros == 0 and r.n_points == 1
+
+    def test_uniform_sampling_equals_plain_avg_of_head(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0 + dt.timedelta(seconds=i), float(i), i) for i in range(5)
+        ]
+        r = self._twa(spark, rows)["a"]
+        # equal dt: TWA = mean of all but the terminal point = (0+1+2+3)/4
+        assert abs(r.twa - 1.5) < 1e-6
+
+    def test_tied_timestamps_deterministic(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0, 100.0, 2),
+            ("a", t0, 1.0, 1),  # tie: id orders it first, dt=0
+            ("a", t0 + dt.timedelta(seconds=1), 0.0, 3),
+        ]
+        r = self._twa(spark, rows)["a"]
+        # id=1 holds 0us, id=2 holds 1s -> TWA = 100
+        assert abs(r.twa - 100.0) < 1e-6

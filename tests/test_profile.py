@@ -328,3 +328,43 @@ class TestCatAssociation:
         rows = [("x", "x")] * 3 + [(None, "x"), ("x", None)]
         r = self._assoc(spark, rows)
         assert r.n == 3
+
+
+class TestLinreg:
+    def _fit(self, spark, rows, **kw):
+        from etl_tools_rs_spark.operators.profile import linreg
+
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        return {
+            r.g: r for r in linreg(df, "x", "y", by=["g"], **kw).collect()
+        }
+
+    def test_exact_line_recovered(self, spark):
+        rows = [("a", float(i), 3.0 * i + 7.0) for i in range(10)]
+        r = self._fit(spark, rows)["a"]
+        assert abs(r.slope - 3.0) < 1e-6
+        assert abs(r.intercept - 7.0) < 1e-6
+        assert abs(r.r2 - 1.0) < 1e-6 and r.n == 10
+
+    def test_negative_slope_and_noise_r2(self, spark):
+        rows = [("a", 0.0, 10.0), ("a", 1.0, 8.0), ("a", 2.0, 7.0),
+                ("a", 3.0, 4.0)]
+        r = self._fit(spark, rows)["a"]
+        assert r.slope < 0 and 0 < r.r2 < 1
+
+    def test_constant_x_null_slope(self, spark):
+        rows = [("a", 5.0, float(i)) for i in range(4)]
+        r = self._fit(spark, rows)["a"]
+        assert r.slope is None and r.intercept is None and r.r2 is None
+
+    def test_constant_y_r2_null_slope_zero(self, spark):
+        rows = [("a", float(i), 9.0) for i in range(4)]
+        r = self._fit(spark, rows)["a"]
+        assert r.slope == 0.0 and r.r2 is None
+
+    def test_null_pairs_excluded(self, spark):
+        rows = [("a", float(i), 2.0 * i) for i in range(5)] + [
+            ("a", None, 99.0), ("a", 99.0, None)
+        ]
+        r = self._fit(spark, rows)["a"]
+        assert r.n == 5 and abs(r.slope - 2.0) < 1e-6
