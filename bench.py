@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "winsorize_totalprice",
     "time_weighted_avg_events",
     "linreg_price_by_returnflag",
+    "kmv_overlap_click_purchase",
+    "cooccurrence_suppliers",
 ]
 
 

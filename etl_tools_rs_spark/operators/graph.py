@@ -153,3 +153,47 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         F.coalesce("out_degree", F.lit(0).cast("bigint")).alias("out_degree"),
         F.coalesce("in_degree", F.lit(0).cast("bigint")).alias("in_degree"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_group_size: int | None = 1000,
+) -> DataFrame:
+    """Bipartite projection: item pairs co-occurring in at least
+    ``min_count`` groups (users/sessions/baskets) — the
+    related-items / co-click / co-citation primitive. Returns
+    ``(item_a, item_b, n_groups bigint)`` with ``item_a < item_b``.
+
+    The within-group self-join is quadratic in group degree, so
+    ``max_group_size`` DROPS groups larger than the cap before pairing
+    (reference practice for co-occurrence at scale: a user who touched
+    100k items contributes ~5·10⁹ pairs and near-zero signal per pair;
+    the cap is the documented contract, not a silent truncation — count
+    dropped groups via ``degree_stats`` if you need the audit).
+    Membership is deduped first (a group counts a pair once). One
+    shuffle to dedup membership, one for the group-size filter join,
+    one equi-join on the group key, one pair aggregate — all
+    map-side-combined.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count!r}")
+    m = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_group_size is not None:
+        sizes = m.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+        m = m.join(
+            sizes.filter(F.col("_sz") <= max_group_size).select("_g"), "_g"
+        )
+    a = m.select("_g", F.col("_i").alias("item_a"))
+    b = m.select("_g", F.col("_i").alias("item_b"))
+    return (
+        a.join(b, "_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .filter(F.col("n_groups") >= min_count)
+    )

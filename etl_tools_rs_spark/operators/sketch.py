@@ -213,3 +213,78 @@ def hll_estimate(sketch_df: DataFrame) -> DataFrame:
     return sketch_df.select(
         *others, F.hll_sketch_estimate("hll").cast("bigint").alias("est_distinct")
     )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    scale: int = 6,
+) -> DataFrame:
+    """Set-overlap estimation from KMV sketches (Beyer et al., SIGMOD'07):
+    Jaccard, union and intersection cardinality of two key sets WITHOUT
+    ever joining the raw sets — the audience-overlap / channel-overlap
+    query at 100 TB, where the exact distinct-intersection would shuffle
+    every key of both sides.
+
+    ``S_A``/``S_B`` = the k smallest 60-bit hashes of each side's
+    distinct keys; ``S_U`` = k smallest of their union; the fraction of
+    ``S_U`` present in BOTH sketches estimates Jaccard, and the union
+    cardinality comes from the kth smallest union hash. Below sketch
+    capacity everything degenerates to exact. Deterministic (md5 hash
+    order, no sampling) — oracle-checkable, and the same estimator both
+    engines.
+
+    Plan: each side is a distinct + ``orderBy().limit(k)`` —
+    TakeOrderedAndProject (per-partition top-k + driver merge of
+    k×partitions rows), NEVER a single-partition global window; the
+    final flags/aggregate run over ≤ 2k rows. Output (1 row):
+    ``(k, n_union_sketch bigint, est_union double, jaccard_est double,
+    est_intersection double)``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k!r}")
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(kmv_hash(value_col).alias("_hv"))
+            .filter(F.col("_hv").isNotNull())
+            .distinct()
+            .orderBy("_hv")
+            .limit(k)
+        )
+
+    sa = sketch(df_a)
+    sb = sketch(df_b)
+    su = sa.union(sb).distinct().orderBy("_hv").limit(k)
+    flagged = (
+        su.join(sa.withColumn("_in_a", F.lit(1)), "_hv", "left")
+        .join(sb.withColumn("_in_b", F.lit(1)), "_hv", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.max("_hv").alias("_kth"),
+        F.count(
+            F.when(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1)
+        ).alias("_both"),
+    )
+    est_union = F.when(
+        F.col("_cnt") < k, F.col("_cnt").cast("double")
+    ).otherwise(
+        fl(F.lit(float(k - 1)) * F.lit(TWO_POW_60) / F.col("_kth"))
+    )
+    jacc = fl(F.col("_both") / F.col("_cnt"))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("_cnt").cast("bigint").alias("n_union_sketch"),
+        est_union.cast("double").alias("est_union"),
+        F.when(F.col("_cnt") > 0, jacc).alias("jaccard_est"),
+        F.when(F.col("_cnt") > 0, fl(jacc * est_union)).alias(
+            "est_intersection"
+        ),
+    )

@@ -4592,6 +4592,92 @@ def linreg_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "kmv_overlap_click_purchase",
+    """
+    WITH ha AS (SELECT DISTINCT CAST(concat('0x',
+                  substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  AS hv
+                FROM events
+                WHERE event_type = 'click' AND user_id IS NOT NULL),
+    hb AS (SELECT DISTINCT CAST(concat('0x',
+             substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+    sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+    su AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+           ORDER BY hv LIMIT 64),
+    fl AS (SELECT su.hv,
+                  sa.hv IS NOT NULL AS in_a, sb.hv IS NOT NULL AS in_b
+           FROM su LEFT JOIN sa ON sa.hv = su.hv
+                   LEFT JOIN sb ON sb.hv = su.hv),
+    ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, MAX(hv) AS kth,
+                  COUNT(CASE WHEN in_a AND in_b THEN 1 END) AS nboth
+           FROM fl),
+    es AS (SELECT cnt, nboth,
+                  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                       ELSE FLOOR(1e6 * (63.0 * 1152921504606846976.0 / kth))
+                            / 1e6 END AS est_union,
+                  FLOOR(1e6 * (CAST(nboth AS DOUBLE) / cnt)) / 1e6 AS jacc
+           FROM ag)
+    SELECT CAST(64 AS BIGINT) AS k, cnt AS n_union_sketch, est_union,
+           CASE WHEN cnt > 0 THEN jacc END AS jaccard_est,
+           CASE WHEN cnt > 0 THEN FLOOR(1e6 * (jacc * est_union)) / 1e6 END
+             AS est_intersection
+    FROM es
+    """,
+)
+def kmv_overlap_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation (operators/sketch.py::kmv_overlap):
+    Jaccard/union/intersection of clicking vs purchasing users from
+    k=64 KMV sketches — the raw key sets never join or shuffle;
+    TakeOrderedAndProject top-k per side, sketch-sized everything after.
+    Deterministic md5 hash order, so the ESTIMATE itself is
+    oracle-verified."""
+    from etl_tools_rs_spark.operators.sketch import kmv_overlap
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    return kmv_overlap(
+        ev.filter(F.col("event_type") == "click").select("user_id"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        k=64,
+    )
+
+
+@qdef(
+    "cooccurrence_suppliers",
+    """
+    WITH m AS (SELECT DISTINCT o_custkey AS g, l_suppkey AS i
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    sz AS (SELECT g FROM m GROUP BY g HAVING COUNT(*) <= 1000),
+    mm AS (SELECT m.g, m.i FROM m JOIN sz USING (g))
+    SELECT a.i AS item_a, b.i AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM mm a JOIN mm b ON a.g = b.g AND a.i < b.i
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def cooccurrence_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (operators/graph.py::cooccurrence_pairs):
+    supplier pairs served to >= 3 common customers — deduped membership,
+    hot-group cap, within-group equi-join + map-side-combined pair
+    aggregate; verified pair-for-pair."""
+    from etl_tools_rs_spark.operators.graph import cooccurrence_pairs
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    m = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+    )
+    return cooccurrence_pairs(
+        m, "o_custkey", "l_suppkey", min_count=3, max_group_size=1000
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -70,3 +70,41 @@ def test_degree_stats_full_outer(spark):
         ).collect()
     }
     assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+class TestCooccurrence:
+    def _pairs(self, spark, rows, **kw):
+        from etl_tools_rs_spark.operators.graph import cooccurrence_pairs
+
+        df = spark.createDataFrame(rows, "g int, i string")
+        return {
+            (r.item_a, r.item_b): r.n_groups
+            for r in cooccurrence_pairs(df, "g", "i", **kw).collect()
+        }
+
+    def test_counts_and_threshold(self, spark):
+        rows = [
+            (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+        ]
+        got = self._pairs(spark, rows, min_count=2)
+        assert got == {("a", "b"): 2}  # (a,c) co-occurs once -> filtered
+
+    def test_duplicate_membership_counts_once(self, spark):
+        rows = [(1, "a"), (1, "a"), (1, "b")]
+        got = self._pairs(spark, rows, min_count=1)
+        assert got == {("a", "b"): 1}
+
+    def test_hot_group_capped(self, spark):
+        rows = [(1, f"i{k}") for k in range(10)] + [(2, "i0"), (2, "i1")]
+        got = self._pairs(spark, rows, min_count=1, max_group_size=5)
+        # group 1 (size 10) dropped entirely; only group 2's pair remains
+        assert got == {("i0", "i1"): 1}
+
+    def test_validates_min_count(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.graph import cooccurrence_pairs
+
+        df = spark.createDataFrame([(1, "a")], "g int, i string")
+        with pytest.raises(ValueError):
+            cooccurrence_pairs(df, "g", "i", min_count=0)

@@ -144,3 +144,52 @@ def test_count_min_rejects_bad_dims(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="depth and width"):
         count_min(df, "v", depth=0, width=16)
+
+
+class TestKmvOverlap:
+    def _overlap(self, spark, a_vals, b_vals, k=64):
+        from etl_tools_rs_spark.operators.sketch import kmv_overlap
+
+        da = spark.createDataFrame([(v,) for v in a_vals], "v string")
+        db = spark.createDataFrame([(v,) for v in b_vals], "v string")
+        [r] = kmv_overlap(da, db, "v", k=k).collect()
+        return r
+
+    def test_exact_below_capacity(self, spark):
+        # |A|=30, |B|=30, |A∩B|=10 — union 50 < k, so everything exact
+        a = [f"x{i}" for i in range(30)]
+        b = [f"x{i}" for i in range(20, 50)]
+        r = self._overlap(spark, a, b)
+        assert r.n_union_sketch == 50 and r.est_union == 50.0
+        assert abs(r.jaccard_est - 0.2) < 1e-6
+        assert abs(r.est_intersection - 10.0) < 1e-6
+
+    def test_disjoint_and_identical(self, spark):
+        a = [f"a{i}" for i in range(20)]
+        b = [f"b{i}" for i in range(20)]
+        assert self._overlap(spark, a, b).jaccard_est == 0.0
+        r = self._overlap(spark, a, a)
+        assert r.jaccard_est == 1.0 and r.est_intersection == 20.0
+
+    def test_estimate_above_capacity_within_tolerance(self, spark):
+        # 2000-element union, 50% overlap, k=256: KMV rel. error ~ 1/sqrt(k)
+        a = [f"u{i}" for i in range(1500)]
+        b = [f"u{i}" for i in range(500, 2000)]
+        r = self._overlap(spark, a, b, k=256)
+        assert abs(r.est_union - 2000) / 2000 < 0.2
+        assert abs(r.jaccard_est - 0.5) < 0.15
+
+    def test_duplicates_ignored(self, spark):
+        a = ["x"] * 100 + ["y"]
+        b = ["x"] * 50
+        r = self._overlap(spark, a, b)
+        assert r.n_union_sketch == 2 and abs(r.jaccard_est - 0.5) < 1e-6
+
+    def test_validates_k(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.sketch import kmv_overlap
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError):
+            kmv_overlap(df, df, "v", k=1)
