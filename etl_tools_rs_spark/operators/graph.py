@@ -180,9 +180,16 @@ def cooccurrence_pairs(
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count!r}")
-    m = df.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
-    ).distinct()
+    # ONE upfront hash partition on the group key: the membership
+    # distinct (clustering (g, i) ⊇ g), the size aggregate, the size
+    # filter join, and the within-group self-join are ALL g-keyed, so
+    # their exchanges elide against this partitioning — only the final
+    # pair aggregate shuffles again (same trick as winnowing)
+    m = (
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .repartition("_g")
+        .distinct()
+    )
     if max_group_size is not None:
         sizes = m.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
         m = m.join(
