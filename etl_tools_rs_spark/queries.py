@@ -4678,6 +4678,72 @@ def cooccurrence_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "set_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (``intersectAll`` — min of per-side
+    multiplicities, the INTERSECT ALL bag semantics the plain intersect
+    collapses): one count-per-key aggregate per side + a generate of
+    min(n_a, n_b) copies, never a quadratic join."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
+
+
+@qdef(
+    "set_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (``exceptAll`` — per-key multiplicity
+    subtraction, EXCEPT ALL bag semantics)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(o)
+
+
+@qdef(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS measure,
+           CAST(o_totalprice AS DOUBLE) AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS measure,
+           CAST(o_custkey AS DOUBLE) AS value
+    FROM orders
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long; the inverse of pivot): Spark's native
+    ``unpivot`` emits the Expand node — one scan multiplied by the
+    measure count BEFORE any shuffle, the same shape the oracle's
+    UNION ALL describes but with a single pass over the source."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot(
+        ["o_orderkey"],
+        ["o_totalprice", "o_custkey"],
+        "measure",
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

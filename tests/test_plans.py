@@ -333,3 +333,36 @@ def test_pagerank_no_cartesian_broadcast_teleport(spark):
     # contribution joins are hash equi-joins — never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cooccurrence_shares_group_partitioning(spark):
+    import re
+
+    from etl_tools_rs_spark.operators.graph import cooccurrence_pairs
+
+    df = spark.range(1000).selectExpr("id % 100 g", "CAST(id % 37 AS STRING) i")
+    plan = (
+        cooccurrence_pairs(df, "g", "i", min_count=2, max_group_size=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every exchange is g- or pair-keyed (bounded count); the quadratic
+    # risk — an all-pairs nested loop — must never appear
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 6
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        prefix_jaccard_pairs(df, threshold=0.5, checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # candidate generation and verification are hash equi-joins on the
+    # shingle / id keys — never an all-pairs nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
