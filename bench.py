@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "linreg_price_by_returnflag",
     "kmv_overlap_click_purchase",
     "cooccurrence_suppliers",
+    "event_paths_trigram",
 ]
 
 

@@ -201,3 +201,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.profile import linreg
 
         return EngineFrame(linreg(self.df, *a, **kw))
+
+    def path_ngrams(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.events import path_ngrams
+
+        return EngineFrame(path_ngrams(self.df, *a, **kw))

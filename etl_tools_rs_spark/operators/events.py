@@ -473,3 +473,51 @@ def time_weighted_avg(
         F.coalesce(F.col("_sdt"), F.lit(0)).cast("bigint").alias("span_micros"),
         "n_points",
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    time_col: str = "ts",
+    n: int = 3,
+    min_count: int = 1,
+    tiebreak: list[str] | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent behavioral paths: count every length-``n`` consecutive
+    event sequence per user ("view>click>purchase") — the
+    what-do-users-actually-do mining primitive behind funnel DISCOVERY
+    (funnels verify a hypothesized path; this surfaces the paths worth
+    hypothesizing). Returns ``(path string, n_occurrences bigint)``.
+
+    One shuffle on the user key (all ``n−1`` leads share a single
+    window pass), then a map-side-combined path count — paths crossing
+    user boundaries are excluded by construction (lead returns NULL at
+    the partition edge). Pass ``tiebreak`` (e.g. the event id) so tied
+    timestamps order identically everywhere.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n!r}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count!r}")
+    order = [F.col(time_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, k).over(w) for k in range(1, n)
+    ]
+    # window expressions can't sit in a WHERE — project them first, then
+    # filter on the materialized column (leads are monotone: the longest
+    # lead going NULL marks an incomplete tail path)
+    staged = df.select(
+        F.concat_ws(sep, *steps).alias("_path"),
+        steps[-1].alias("_last"),
+    )
+    return (
+        staged.filter(F.col("_last").isNotNull())
+        .groupBy(F.col("_path").alias("path"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )

@@ -4744,6 +4744,79 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "event_paths_trigram",
+    """
+    WITH s AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 HAVING COUNT(*) >= 5
+    """,
+)
+def event_paths_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining (operators/events.py::path_ngrams):
+    frequent 3-step event sequences per user — the funnel-DISCOVERY
+    primitive; one user-key window pass for both leads, map-side path
+    count; verified path-for-path."""
+    from etl_tools_rs_spark.operators.events import path_ngrams
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return path_ngrams(
+        t["events"], "user_id", "event_type", "ts",
+        n=3, min_count=5, tiebreak=["event_id"],
+    )
+
+
+@qdef("streaming_session_windows", None)  # Structured Streaming — rows-only
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows on a live stream
+    (streaming/ops.py::sessionize — ``session_window`` + watermark, the
+    streaming twin of the batch ``events_sessionize`` query): per-user
+    sessions close when 30 minutes pass with no event AND the watermark
+    moves on, so state stays bounded. File-stream source drained with
+    availableNow into a memory sink. Rows-only check (streaming plans
+    have no lazy batch oracle)."""
+    import tempfile
+    import uuid
+
+    from etl_tools_rs_spark.streaming.ops import run_available_now, sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events.[p]arquet"
+    )
+    if schema["ts"].dataType.simpleString() == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t")
+    else:
+        ts = F.col("ts").cast("timestamp").alias("ts_t")
+    sess = sessionize(
+        stream.select(ts, "user_id"),
+        time_col="ts_t",
+        watermark="1 hour",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).cast("bigint").alias("n_events")],
+    )
+    name = f"gate_sessions_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        sess, tempfile.mkdtemp(prefix="ckpt_"), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        "user_id",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -153,14 +153,19 @@ def dedup_stream(
 
 
 def run_available_now(
-    stream: DataFrame, checkpoint: str, query_name: str = "engine_stream"
+    stream: DataFrame,
+    checkpoint: str,
+    query_name: str = "engine_stream",
+    output_mode: str | None = None,
 ) -> None:
     """Drain all available input, then stop — batch-parity execution for
-    tests/backfills. Results land in the in-memory table ``query_name``."""
+    tests/backfills. Results land in the in-memory table ``query_name``.
+    ``output_mode`` overrides the default (update) — session-window
+    aggregations require append/complete."""
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update" if stream.isStreaming else "append")
+        .outputMode(output_mode or ("update" if stream.isStreaming else "append"))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -276,3 +276,40 @@ class TestTimeWeightedAvg:
         r = self._twa(spark, rows)["a"]
         # id=1 holds 0us, id=2 holds 1s -> TWA = 100
         assert abs(r.twa - 100.0) < 1e-6
+
+
+class TestPathNgrams:
+    def _paths(self, spark, rows, **kw):
+        from etl_tools_rs_spark.operators.events import path_ngrams
+
+        df = spark.createDataFrame(rows, "u int, e string, t int")
+        return {
+            r.path: r.n_occurrences
+            for r in path_ngrams(df, "u", "e", "t", **kw).collect()
+        }
+
+    def test_trigram_counts(self, spark):
+        rows = [
+            (1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "b", 4), (1, "c", 5),
+        ]
+        got = self._paths(spark, rows, n=3)
+        assert got == {"a>b>c": 1, "b>c>b": 1, "c>b>c": 1}
+
+    def test_paths_never_cross_users(self, spark):
+        rows = [(1, "a", 1), (1, "b", 2), (2, "c", 3), (2, "d", 4)]
+        got = self._paths(spark, rows, n=2)
+        assert got == {"a>b": 1, "c>d": 1}  # no b>c bridge
+
+    def test_min_count_filters(self, spark):
+        rows = [(u, e, t) for u in (1, 2, 3) for t, e in enumerate("xy")]
+        got = self._paths(spark, rows, n=2, min_count=3)
+        assert got == {"x>y": 3}
+
+    def test_validates_args(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.events import path_ngrams
+
+        df = spark.createDataFrame([(1, "a", 1)], "u int, e string, t int")
+        with pytest.raises(ValueError):
+            path_ngrams(df, "u", "e", "t", n=1)

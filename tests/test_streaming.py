@@ -305,3 +305,53 @@ def test_validation_rules_on_streams_via_foreach_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert dict(seen) == {"not_null_k": 1, "not_null_s": 1}
+
+
+def test_session_windows_match_batch_sessionize(spark, tmp_path):
+    """Streaming session_window sessions == batch assign_sessions islands
+    (same 30-min gap): per-user session counts and event totals agree."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from etl_tools_rs_spark.operators.events import assign_sessions
+    from etl_tools_rs_spark.streaming.ops import run_available_now, sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        # two bursts separated by > 30 min -> exactly 2 sessions per user
+        for k in range(3):
+            rows.append((u, t0 + dt.timedelta(minutes=k)))
+        for k in range(2):
+            rows.append((u, t0 + dt.timedelta(minutes=90 + k)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    src = str(tmp_path / "events_parquet")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = sessionize(
+        stream, "ts", watermark="1 hour", gap="30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).cast("bigint").alias("n_events")],
+    )
+    run_available_now(
+        sess, str(tmp_path / "ckpt"), "t_sessions", output_mode="complete"
+    )
+    got = (
+        spark.table("t_sessions")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    batch = (
+        assign_sessions(df, gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_idx").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert {(r.user_id, r.n_sessions, r.n_events) for r in got} == {
+        (r.user_id, r.n_sessions, r.n_events) for r in batch
+    } == {(1, 2, 5), (2, 2, 5)}
