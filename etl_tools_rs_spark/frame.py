@@ -206,3 +206,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.events import path_ngrams
 
         return EngineFrame(path_ngrams(self.df, *a, **kw))
+
+    def transition_matrix(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.events import transition_matrix
+
+        return EngineFrame(transition_matrix(self.df, *a, **kw))

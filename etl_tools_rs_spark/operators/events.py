@@ -521,3 +521,47 @@ def path_ngrams(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    time_col: str = "ts",
+    tiebreak: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """First-order Markov transition model of user behavior: for every
+    observed ``(from_event, to_event)`` pair of CONSECUTIVE events
+    within a user, the transition count and row-normalized probability
+    ``P(to | from)`` — the next-action model behind "users who did X
+    usually do Y next" and behavioral drift monitoring (compare two
+    periods' matrices).
+
+    One user-key window pass for the lead, a map-side-combined pair
+    count, and the per-source totals join back (source-event-count
+    sized, broadcast). Probabilities are floor-scaled to ``scale``;
+    counts are exact. Transitions never cross user boundaries (lead is
+    NULL at the partition edge).
+    """
+    p10 = float(10**scale)
+    order = [F.col(time_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    staged = df.select(
+        F.col(event_col).alias("from_event"),
+        F.lead(event_col).over(w).alias("to_event"),
+    )
+    counts = (
+        staged.filter(F.col("to_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = counts.groupBy("from_event").agg(
+        F.sum("n").cast("double").alias("_tot")
+    )
+    prob = F.floor(F.lit(p10) * (F.col("n") / F.col("_tot"))) / F.lit(p10)
+    return counts.join(F.broadcast(totals), "from_event").select(
+        "from_event", "to_event", "n", prob.alias("p")
+    )

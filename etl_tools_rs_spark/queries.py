@@ -4817,6 +4817,37 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type AS from_event,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_event
+      FROM events
+    ),
+    c AS (SELECT from_event, to_event, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE to_event IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_event, CAST(SUM(n) AS DOUBLE) AS tot
+          FROM c GROUP BY 1)
+    SELECT c.from_event, c.to_event, c.n,
+           FLOOR(1e6 * (c.n / t.tot)) / 1e6 AS p
+    FROM c JOIN t USING (from_event)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-action model (operators/events.py::
+    transition_matrix): P(to_event | from_event) over consecutive
+    per-user events — one user-key window pass + pair count + broadcast
+    row-normalization; verified cell-for-cell."""
+    from etl_tools_rs_spark.operators.events import transition_matrix
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return transition_matrix(
+        t["events"], "user_id", "event_type", "ts", tiebreak=["event_id"]
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

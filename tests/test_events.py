@@ -313,3 +313,37 @@ class TestPathNgrams:
         df = spark.createDataFrame([(1, "a", 1)], "u int, e string, t int")
         with pytest.raises(ValueError):
             path_ngrams(df, "u", "e", "t", n=1)
+
+
+class TestTransitionMatrix:
+    def test_probabilities_and_counts(self, spark):
+        from etl_tools_rs_spark.operators.events import transition_matrix
+
+        rows = [
+            (1, "a", 1), (1, "b", 2), (1, "a", 3), (1, "c", 4),
+            (2, "a", 1), (2, "b", 2),
+        ]
+        df = spark.createDataFrame(rows, "u int, e string, t int")
+        got = {
+            (r.from_event, r.to_event): (r.n, r.p)
+            for r in transition_matrix(df, "u", "e", "t").collect()
+        }
+        # from 'a': a->b twice, a->c once
+        assert got[("a", "b")] == (2, 0.666666)
+        assert got[("a", "c")][0] == 1 and abs(got[("a", "c")][1] - 0.333333) < 1e-9
+        # from 'b': b->a once (user 1 only; user 2's b is terminal)
+        assert got[("b", "a")] == (1, 1.0)
+        assert ("b", None) not in got and len(got) == 3
+
+    def test_rows_sum_to_one(self, spark):
+        from etl_tools_rs_spark.operators.events import transition_matrix
+
+        rows = [(1, e, t) for t, e in enumerate("abcabcaab")]
+        df = spark.createDataFrame(rows, "u int, e string, t int")
+        out = transition_matrix(df, "u", "e", "t").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.from_event, 0.0)
+            by_src[r.from_event] += r.p
+        # floor-scaling may lose <= 1e-6 per cell
+        assert all(0.999 < s <= 1.0 for s in by_src.values())
