@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "kmv_overlap_click_purchase",
     "cooccurrence_suppliers",
     "event_paths_trigram",
+    "psi_totalprice_f_vs_o",
 ]
 
 

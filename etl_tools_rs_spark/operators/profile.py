@@ -502,3 +502,60 @@ def linreg(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+    scale: int = 9,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard "did this feature drift?" monitor (rule of
+    thumb: < 0.1 stable, 0.1–0.25 moderate, > 0.25 act):
+    ``PSI = Σ_bins (p_b − p_a) · ln(p_b / p_a)`` over a FIXED bin grid
+    (the numeric twin of ``token_divergence``; same add-λ smoothing so
+    empty bins stay finite).
+
+    One conditional-bin aggregate per side (shuffle = bins+2 rows,
+    map-side combined), a bin-key join, totals broadcast back; per-bin
+    terms floor-scaled and summed as exact decimals. Out-of-range
+    values land in the underflow/overflow bins, so mass is never
+    silently dropped — a location shift OUT of the grid still registers.
+    Output: one row per bin (``bin, n_a, n_b, p_a, p_b, psi_term``) —
+    sum ``psi_term`` for the index, keep the rows for the which-bin-moved
+    diagnosis.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing!r}")
+    lam = float(smoothing)
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        h = histogram(df, col, lo, hi, n_bins)
+        return h.select("bin", F.col("n").alias(out))
+
+    ha, hb = side(df_a, "n_a"), side(df_b, "n_b")
+    j = ha.join(hb, "bin")  # same fixed grid: inner join is total
+    tot = j.agg(
+        F.sum("n_a").cast("double").alias("_ta"),
+        F.sum("n_b").cast("double").alias("_tb"),
+    )
+    nbins = float(n_bins + 2)  # grid + underflow + overflow
+    pa = (F.col("n_a") + F.lit(lam)) / (F.col("_ta") + F.lit(lam * nbins))
+    pb = (F.col("n_b") + F.lit(lam)) / (F.col("_tb") + F.lit(lam * nbins))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        fl(pa).alias("p_a"),
+        fl(pb).alias("p_b"),
+        fl((pb - pa) * F.log(pb / pa)).alias("psi_term"),
+    )

@@ -4848,6 +4848,54 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "psi_totalprice_f_vs_o",
+    """
+    WITH binf AS (
+      SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0 THEN -1
+                  WHEN CAST(o_totalprice AS DOUBLE) >= 600000 THEN 10
+                  ELSE CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0)
+                       / 60000.0) AS INT) END AS bin
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
+    bino AS (
+      SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0 THEN -1
+                  WHEN CAST(o_totalprice AS DOUBLE) >= 600000 THEN 10
+                  ELSE CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0)
+                       / 60000.0) AS INT) END AS bin
+      FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL),
+    bins AS (SELECT CAST(i AS INT) AS bin FROM range(-1, 11) t(i)),
+    ca AS (SELECT bin, COUNT(*) AS n FROM binf GROUP BY bin),
+    cb AS (SELECT bin, COUNT(*) AS n FROM bino GROUP BY bin),
+    j AS (SELECT bins.bin,
+                 CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_b
+          FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+    tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+                   CAST(SUM(n_b) AS DOUBLE) AS tb FROM j)
+    SELECT j.bin, j.n_a, j.n_b,
+           FLOOR(1e9 * ((j.n_a + 0.5) / (tot.ta + 6.0))) / 1e9 AS p_a,
+           FLOOR(1e9 * ((j.n_b + 0.5) / (tot.tb + 6.0))) / 1e9 AS p_b,
+           FLOOR(1e9 * (((j.n_b + 0.5) / (tot.tb + 6.0)
+                         - (j.n_a + 0.5) / (tot.ta + 6.0))
+                 * LN(((j.n_b + 0.5) / (tot.tb + 6.0))
+                      / ((j.n_a + 0.5) / (tot.ta + 6.0))))) / 1e9
+             AS psi_term
+    FROM j CROSS JOIN tot
+    """,
+)
+def psi_totalprice_f_vs_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift monitor (operators/profile.py::psi): per-bin PSI
+    terms of order totals, finished vs open orders — fixed grid (10
+    bins + under/overflow), add-λ smoothing, floor-scaled; verified
+    bin-for-bin. λ·(n_bins+2) = 0.5·12 = 6.0 in the oracle."""
+    from etl_tools_rs_spark.operators.profile import psi
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    f = t["orders"].filter(F.col("o_orderstatus") == "F")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O")
+    return psi(f, o, "o_totalprice", 0.0, 600_000.0, n_bins=10)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

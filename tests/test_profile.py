@@ -368,3 +368,45 @@ class TestLinreg:
         ]
         r = self._fit(spark, rows)["a"]
         assert r.n == 5 and abs(r.slope - 2.0) < 1e-6
+
+
+class TestPsi:
+    def _psi(self, spark, a_vals, b_vals, **kw):
+        from etl_tools_rs_spark.operators.profile import psi
+
+        da = spark.createDataFrame([(float(v),) for v in a_vals], "x double")
+        db = spark.createDataFrame([(float(v),) for v in b_vals], "x double")
+        rows = psi(da, db, "x", 0.0, 10.0, n_bins=5, **kw).collect()
+        return rows, sum(r.psi_term for r in rows)
+
+    def test_identical_distributions_near_zero(self, spark):
+        vals = [0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5] * 5
+        _, total = self._psi(spark, vals, vals)
+        assert abs(total) < 1e-9  # p_a == p_b bin-for-bin -> every term 0
+
+    def test_shift_detected(self, spark):
+        a = [1.0] * 50
+        b = [9.0] * 50
+        _, total = self._psi(spark, a, b)
+        assert total > 0.25  # the act-now threshold
+
+    def test_out_of_range_mass_registers(self, spark):
+        # b drifts entirely past the grid: overflow bin carries it
+        a = [5.0] * 50
+        b = [50.0] * 50
+        rows, total = self._psi(spark, a, b)
+        over = [r for r in rows if r.bin == 5][0]
+        assert over.n_b == 50 and over.n_a == 0 and total > 0.25
+
+    def test_rows_cover_full_grid(self, spark):
+        rows, _ = self._psi(spark, [1.0], [2.0])
+        assert sorted(r.bin for r in rows) == list(range(-1, 6))
+
+    def test_validates_smoothing(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.profile import psi
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            psi(df, df, "x", 0.0, 1.0, smoothing=0.0)

@@ -267,3 +267,100 @@ def test_fuzzy_join_blocked_equals_naive(spark, words, d):
         for r in fuzzy_join_naive(left, right, "lw", "rw", d).collect()
     }
     assert blocked == naive
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),               # key
+            st.sampled_from(["A", "B", None]),  # tracked value
+            st.integers(0, 30),              # ts
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_matches_naive_historization(spark, rows):
+    from etl_tools_rs_spark.operators.merge import scd2_history
+
+    # unique (key, ts, idx) total order
+    data = [(k, v, t, i) for i, (k, v, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v string, ts int, id int")
+    got = {
+        (r.k, r.version): (r.v, r.valid_from, r.valid_to, r.is_current,
+                           r.n_observations)
+        for r in scd2_history(
+            df, ["k"], ["v"], "ts", tiebreak=["id"]
+        ).collect()
+    }
+    # naive: sort per key, collapse consecutive equal values
+    expected = {}
+    bykey: dict = {}
+    for k, v, t, i in sorted(data, key=lambda r: (r[0], r[2], r[3])):
+        bykey.setdefault(k, []).append((v, t))
+    for k, obs in bykey.items():
+        runs = []
+        for v, t in obs:
+            if runs and runs[-1][0] == v:
+                runs[-1][2] += 1
+            else:
+                runs.append([v, t, 1])
+        for ver, (v, t, cnt) in enumerate(runs, start=1):
+            nxt = runs[ver][1] if ver < len(runs) else None
+            expected[(k, ver)] = (v, t, nxt, nxt is None, cnt)
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 5000)),  # (value, ts)
+        min_size=2,
+        max_size=15,
+        unique_by=lambda r: r[1],
+    )
+)
+@settings(**SETTINGS)
+def test_time_weighted_avg_matches_python(spark, rows):
+    import datetime as dt
+    import math
+
+    from etl_tools_rs_spark.operators.events import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (1, t0 + dt.timedelta(seconds=ts), float(v), i)
+        for i, (v, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "g int, ts timestamp, v double, id int")
+    [r] = time_weighted_avg(
+        df, "ts", "v", by=["g"], tiebreak=["id"]
+    ).collect()
+    srt = sorted(rows, key=lambda x: x[1])
+    wv = sum(
+        v * (srt[i + 1][1] - ts) * 1_000_000
+        for i, (v, ts) in enumerate(srt[:-1])
+    )
+    span = (srt[-1][1] - srt[0][1]) * 1_000_000
+    assert r.span_micros == span
+    expected = math.floor(1e6 * (wv / span)) / 1e6
+    assert r.twa == expected
+
+
+@given(
+    st.lists(st.sampled_from("abc"), min_size=2, max_size=25),
+)
+@settings(**SETTINGS)
+def test_transition_matrix_counts_match_python(spark, seq):
+    from collections import Counter
+
+    from etl_tools_rs_spark.operators.events import transition_matrix
+
+    data = [(1, e, t) for t, e in enumerate(seq)]
+    df = spark.createDataFrame(data, "u int, e string, t int")
+    got = {
+        (r.from_event, r.to_event): r.n
+        for r in transition_matrix(df, "u", "e", "t").collect()
+    }
+    expected = Counter(zip(seq, seq[1:]))
+    assert got == dict(expected)
