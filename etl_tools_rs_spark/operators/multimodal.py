@@ -176,9 +176,11 @@ def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
     PIL (when importable) for images, deterministic fake otherwise. The
     fake is the documented fallback, not the default at any site where a
     real decoder can run."""
-    if modality == "audio":
+    # MIME-style prefixes ("audio/wav", "image/png") and bare labels both
+    # dispatch — a real decoder must never be skipped over a spelling
+    if modality.startswith("audio"):
         return decode_wav_real(content, dim)  # stdlib — always real
-    if modality == "image" and _pil_image() is not None:
+    if modality.startswith("image") and _pil_image() is not None:
         return decode_image_real(content, dim)
     return _fake_decode(content, dim)
 

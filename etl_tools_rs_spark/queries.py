@@ -4896,6 +4896,67 @@ def psi_totalprice_f_vs_o(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi(f, o, "o_totalprice", 0.0, 600_000.0, n_bins=10)
 
 
+@qdef("multimodal_wav_pipeline", None)  # real stdlib decode — rows-only
+def multimodal_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end audio pipeline (operators/multimodal.py): 64
+    deterministic PCM WAV blobs are synthesized executor-side (stdlib
+    ``wave``, sine frequency keyed by id), then decoded by the REAL
+    stdlib WAV parser through the Arrow mapInPandas feature stage —
+    binary column in, RMS-envelope features out, no external media libs
+    involved. Every row must decode ok; the envelope varies with the
+    synthesized frequency (unit-tested)."""
+    base = spark.range(64).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    freq = 100.0 + float(mid) * 25.0
+                    w.writeframes(
+                        b"".join(
+                            struct.pack(
+                                "<h",
+                                int(
+                                    12000
+                                    * math.sin(2 * math.pi * freq * i / 8000.0)
+                                ),
+                            )
+                            for i in range(800)
+                        )
+                    )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": blobs,
+                    "modality": ["audio/wav"] * len(pdf),
+                }
+            )
+
+    media = base.mapInPandas(
+        _gen, "media_id long, content binary, modality string"
+    )
+    feats = mm_ops.extract_features(media, dim=8, modality_col="modality")
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.round(F.element_at("feature", 1), 6).cast("double").alias("rms0"),
+        F.round(F.element_at("feature", 8), 6).cast("double").alias("rms7"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -616,3 +616,31 @@ def test_connected_components_matches_naive_union_find(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_wav_pipeline_decodes_all_real(spark):
+    """The registry's WAV pipeline uses the REAL stdlib decoder end to
+    end: every synthesized blob decodes ok and the RMS envelope is
+    non-trivial (sine amplitude ~12000/32768 ≈ 0.37 per bucket)."""
+    from etl_tools_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_wav_pipeline"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 64
+    assert all(r.decode_ok == "ok" for r in rows)
+    for r in rows:
+        # bucket RMS varies with where the sine phase lands in the
+        # 100-sample bucket; amplitude 12000/32768 bounds it well inside
+        assert 0.05 < r.rms0 < 0.6 and 0.05 < r.rms7 < 0.6
+
+
+def test_wav_decoder_rejects_garbage_as_record(spark):
+    from etl_tools_rs_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, b"not a wav at all", "audio/wav")],
+        "media_id long, content binary, modality string",
+    )
+    [r] = extract_features(media, dim=4, modality_col="modality").collect()
+    assert r.decode_ok.startswith("error:") and r.feature is None
