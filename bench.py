@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "cooccurrence_suppliers",
     "event_paths_trigram",
     "psi_totalprice_f_vs_o",
+    "multimodal_wav_pipeline",
+    "multimodal_bmp_pipeline",
 ]
 
 

@@ -171,6 +171,53 @@ def wav_metadata(content: bytes) -> dict[str, int]:
         }
 
 
+def decode_bmp_real(content: bytes, dim: int) -> list[float]:
+    """REAL image decode for uncompressed 24/32-bit BMP using ONLY the
+    stdlib (``struct``): parse the BITMAPFILEHEADER/BITMAPINFOHEADER,
+    walk the (bottom-up, 4-byte-padded) pixel rows, and return a
+    ``dim``-bucket mean-brightness profile over horizontal bands,
+    normalized to [0, 1]. Raises on non-BMP / compressed payloads
+    (callers treat that as a decode error-as-record). BMP is the one
+    mainstream raster format fully decodable without external libs —
+    the same de-stubbing move the stdlib ``wave`` parser makes for
+    audio."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    px_off = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = height > 0  # positive height ⇒ rows stored bottom-up
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    step = bpp // 8
+    stride = ((width * step + 3) // 4) * 4
+    # mean brightness per pixel row (b, g, r byte order)
+    row_means = []
+    for r in range(height):
+        src = r if not flipped else height - 1 - r
+        base = px_off + src * stride
+        if base + width * step > len(content):
+            raise ValueError("truncated BMP pixel data")
+        tot = 0
+        for c in range(width):
+            i = base + c * step
+            tot += content[i] + content[i + 1] + content[i + 2]
+        row_means.append(tot / (3.0 * 255.0 * width))
+    # collapse rows into dim horizontal bands
+    bucket = max(1, len(row_means) // dim)
+    vals = []
+    for b in range(dim):
+        chunk = row_means[b * bucket : (b + 1) * bucket]
+        vals.append(sum(chunk) / len(chunk) if chunk else 0.0)
+    return vals
+
+
 def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
     """Dispatch to the best available decoder: real WAV parser for audio,
     PIL (when importable) for images, deterministic fake otherwise. The
@@ -180,8 +227,11 @@ def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
     # dispatch — a real decoder must never be skipped over a spelling
     if modality.startswith("audio"):
         return decode_wav_real(content, dim)  # stdlib — always real
-    if modality.startswith("image") and _pil_image() is not None:
-        return decode_image_real(content, dim)
+    if modality.startswith("image"):
+        if _pil_image() is not None:
+            return decode_image_real(content, dim)
+        if content[:2] == b"BM":
+            return decode_bmp_real(content, dim)  # stdlib — always real
     return _fake_decode(content, dim)
 
 

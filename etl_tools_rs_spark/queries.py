@@ -4957,6 +4957,56 @@ def multimodal_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef("multimodal_bmp_pipeline", None)  # real stdlib decode — rows-only
+def multimodal_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end image pipeline (operators/multimodal.py): 32
+    deterministic 24-bit BMP gradients are synthesized executor-side
+    (pure struct packing), then decoded by the REAL stdlib BMP parser
+    through the Arrow mapInPandas feature stage — the image twin of
+    ``multimodal_wav_pipeline``; no PIL involved. Band brightness must
+    follow the synthesized vertical gradient (unit-tested)."""
+    base = spark.range(32).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import struct
+
+        import pandas as pd
+
+        def make_bmp(mid: int, w: int = 16, h: int = 16) -> bytes:
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = bytearray()
+            for r in range(h - 1, -1, -1):  # stored bottom-up
+                # vertical gradient, offset keyed by id
+                shade = min(255, (r * 255) // max(1, h - 1))
+                shade = (shade + int(mid) * 3) % 256
+                rows += bytes([shade, shade, shade]) * w
+                rows += b"\x00" * (stride - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                               len(rows), 2835, 2835, 0, 0)
+            head = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            return head + info + bytes(rows)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_bmp(m) for m in pdf["media_id"]],
+                    "modality": ["image/bmp"] * len(pdf),
+                }
+            )
+
+    media = base.mapInPandas(
+        _gen, "media_id long, content binary, modality string"
+    )
+    feats = mm_ops.extract_features(media, dim=4, modality_col="modality")
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.round(F.element_at("feature", 1), 6).cast("double").alias("band0"),
+        F.round(F.element_at("feature", 4), 6).cast("double").alias("band3"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -644,3 +644,41 @@ def test_wav_decoder_rejects_garbage_as_record(spark):
     )
     [r] = extract_features(media, dim=4, modality_col="modality").collect()
     assert r.decode_ok.startswith("error:") and r.feature is None
+
+
+def test_bmp_decoder_hand_built_exact():
+    """Pure-python check (no Spark): a hand-packed 2x2 24-bit BMP decodes
+    to exact per-band brightness."""
+    import struct
+
+    from etl_tools_rs_spark.operators.multimodal import decode_bmp_real
+
+    # rows bottom-up: file row0 = image BOTTOM = white,white; row1 = top = black,black
+    stride_pad = b"\x00\x00"  # 2*3=6 -> stride 8
+    pixels = (b"\xff\xff\xff" * 2 + stride_pad) + (b"\x00\x00\x00" * 2 + stride_pad)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    vals = decode_bmp_real(head + info + bytes(pixels), dim=2)
+    assert vals == [0.0, 1.0]  # top band black, bottom band white
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp_real(b"not a bmp", 2)
+    # compressed BMP (compression=1) must be rejected, not garbage-decoded
+    bad_info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, len(pixels), 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_bmp_real(head + bad_info + bytes(pixels), 2)
+
+
+def test_bmp_pipeline_decodes_all_real(spark):
+    from etl_tools_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_bmp_pipeline"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 32
+    assert all(r.decode_ok == "ok" for r in rows)
+    # id 0: plain vertical gradient -> bottom band much brighter than top
+    r0 = next(r for r in rows if r.media_id == 0)
+    assert r0.band3 - r0.band0 > 0.5
