@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "psi_totalprice_f_vs_o",
     "multimodal_wav_pipeline",
     "multimodal_bmp_pipeline",
+    "key_skew_orders_custkey",
 ]
 
 

@@ -301,3 +301,25 @@ def top_p_by_group(
         .filter(F.col("_prev_share") < p)
         .drop("_prev_share")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: every row lands in fold
+    ``hash(key) mod k`` — the cross-validation splitter with the same
+    contracts as ``hash_split``: disjoint, exhaustive, stable under
+    data growth and re-partitioning (a row's fold never changes when
+    other rows arrive), identical across engines. Narrow projection,
+    no shuffle, no rand().
+
+    Rows sharing ``key_col`` share a fold (group-level splitting — the
+    leakage-safe behavior when the key identifies an entity)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k!r}")
+    return df.withColumn(
+        fold_col, F.pmod(kmv_hash(key_col), F.lit(k)).cast("int")
+    )

@@ -85,3 +85,44 @@ def salted_agg(
         else:  # sums and counts both re-combine with sum
             final_aggs.append(F.sum(name).alias(name))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+    scale: int = 6,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnosis: the ``top_n`` heaviest keys
+    with their row counts and share of the table — the pre-flight check
+    before any big join ("will one key serialize a task?"; feed the
+    verdict into ``salted_join``/AQE decisions). NULL keys count too —
+    they're the classic hidden hot key.
+
+    One map-side-combined count aggregate; the top-n is a
+    TakeOrderedAndProject (per-partition top-k, never a global sort);
+    the total joins back as a broadcast 1-row aggregate. Shares are
+    floor-scaled. Output: ``(key_cols..., n bigint, share double,
+    skew_ratio double)`` where skew_ratio = n / (total / n_keys) —
+    how many times heavier than average this key is.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n!r}")
+    p10 = float(10**scale)
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_nkeys"),
+    )
+    order = [F.col("n").desc()] + [F.col(c).asc() for c in key_cols]
+    top = counts.orderBy(*order).limit(top_n)
+    share = F.floor(F.lit(p10) * (F.col("n") / F.col("_tot"))) / F.lit(p10)
+    ratio = (
+        F.floor(F.lit(p10) * (F.col("n") / (F.col("_tot") / F.col("_nkeys"))))
+        / F.lit(p10)
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols, "n", share.alias("share"), ratio.alias("skew_ratio")
+    )

@@ -5007,6 +5007,52 @@ def multimodal_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "kfold_documents",
+    """
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % 5 AS INTEGER) AS fold
+    FROM documents
+    """,
+)
+def kfold_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (operators/sample.py::
+    kfold_assign): content-hash fold per doc — stable under growth and
+    re-partitioning, no rand(); verified row-for-row (the md5-bucket
+    hash is engine-portable, and the 60-bit value is non-negative so
+    pmod == %)."""
+    from etl_tools_rs_spark.operators.sample import kfold_assign
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return kfold_assign(t["documents"].select("doc_id"), "doc_id", k=5)
+
+
+@qdef(
+    "key_skew_orders_custkey",
+    """
+    WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot,
+                 CAST(COUNT(*) AS DOUBLE) AS nkeys FROM c),
+    top AS (SELECT o_custkey, n FROM c ORDER BY n DESC, o_custkey LIMIT 20)
+    SELECT top.o_custkey, top.n,
+           FLOOR(1e6 * (top.n / t.tot)) / 1e6 AS share,
+           FLOOR(1e6 * (top.n / (t.tot / t.nkeys))) / 1e6 AS skew_ratio
+    FROM top CROSS JOIN t
+    """,
+)
+def key_skew_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/skew.py::key_skew_profile):
+    the 20 heaviest customer keys with share and times-average ratio —
+    the pre-flight check that decides salting/AQE-skew settings;
+    verified key-for-key."""
+    from etl_tools_rs_spark.operators.skew import key_skew_profile
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return key_skew_profile(t["orders"], ["o_custkey"], top_n=20)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -246,3 +246,41 @@ def test_top_p_rejects_negative_and_zero_weights(spark):
     )
     with pytest.raises(Exception, match="total is <= 0"):
         sample.top_p_by_group(zero, "score", "w", by=["grp"], p=0.9).collect()
+
+
+class TestKfoldAssign:
+    def test_disjoint_exhaustive_stable(self, spark):
+        from etl_tools_rs_spark.operators.sample import kfold_assign
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id int")
+        got = {r.id: r.fold for r in kfold_assign(df, "id", k=5).collect()}
+        assert set(got.values()) <= set(range(5))
+        assert len(got) == 200
+        # growth stability: adding rows never moves existing assignments
+        df2 = spark.createDataFrame([(i,) for i in range(400)], "id int")
+        got2 = {r.id: r.fold for r in kfold_assign(df2, "id", k=5).collect()}
+        assert all(got2[i] == got[i] for i in got)
+        # roughly balanced (hash-uniform): every fold populated
+        from collections import Counter
+
+        c = Counter(got.values())
+        assert len(c) == 5 and min(c.values()) > 10
+
+    def test_same_key_same_fold(self, spark):
+        from etl_tools_rs_spark.operators.sample import kfold_assign
+
+        df = spark.createDataFrame(
+            [(7, "a"), (7, "b"), (8, "c")], "k int, v string"
+        )
+        rows = kfold_assign(df, "k", k=3).collect()
+        folds = {r.v: r.fold for r in rows}
+        assert folds["a"] == folds["b"]
+
+    def test_validates_k(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.sample import kfold_assign
+
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError):
+            kfold_assign(df, "id", k=1)
