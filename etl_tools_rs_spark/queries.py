@@ -5053,6 +5053,74 @@ def key_skew_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(t["orders"], ["o_custkey"], top_n=20)
 
 
+@qdef(
+    "scalar_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           p_type SIMILAR TO '.*BRUSHED.*' AS is_brushed,
+           CAST(LENGTH(regexp_replace(p_name, '[^ ]', '', 'g')) + 1
+                AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface (extract / global replace / match / count
+    via replace) — parity-checked value-for-value against DuckDB's
+    regexp functions (both engines use RE2-compatible semantics for
+    these patterns)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return t["part"].select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_type").rlike(".*BRUSHED.*").alias("is_brushed"),
+        (F.length(F.regexp_replace("p_name", "[^ ]", "")) + 1)
+        .cast("bigint")
+        .alias("n_words"),
+    )
+
+
+@qdef(
+    "scalar_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           toks[1] AS first_token,
+           toks[CAST(len(toks) AS INT)] AS last_token,
+           list_sort(list_distinct(toks))[1] AS min_token,
+           array_to_string(toks[1:3], '-') AS head3,
+           list_contains(toks, 'the') AS has_the
+    FROM t
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/HOF scalar surface (size / element_at / sort+distinct /
+    slice+join / contains) over tokenized documents — the collection
+    functions every nested-data pipeline leans on, parity-checked
+    value-for-value."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = tokens("text")
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, F.size(toks)).alias("last_token"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias(
+            "min_token"
+        ),
+        F.concat_ws("-", F.slice(toks, 1, 3)).alias("head3"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
