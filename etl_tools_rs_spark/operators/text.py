@@ -526,3 +526,62 @@ def token_divergence(
         fl(pa * F.log(pa / pb)).cast("double").alias("kl_ab_term"),
         fl(pb * F.log(pb / pa)).cast("double").alias("kl_ba_term"),
     )
+
+
+def char_stats(col: str | Column) -> dict[str, Column]:
+    """Character-level quality signals, entirely row-local (ZERO shuffle
+    — per-document signals should never pay an exchange; at 100 TB this
+    is a narrow codegen projection over the scan):
+
+    - ``n_chars_lc`` — character count of the lowercased text.
+    - ``char_entropy`` — Shannon entropy (nats) of the character
+      unigram distribution. Low entropy ≈ repeated filler / padding;
+      high entropy ≈ random bytes. The classic cheap compressibility
+      proxy (a zlib ratio needs a Python UDF; entropy stays JVM-side).
+    - ``tri_distinct_ratio`` — distinct / total character trigrams:
+      the direct text-diversity signal (near 0 = the document is a
+      loop of the same few phrases).
+
+    Determinism contract (hash-gate proof): each entropy term
+    ``p·ln(p)`` rounds to 6 dp and accumulates into an exact DECIMAL via
+    the ``aggregate`` HOF, so float add-order can never leak; the final
+    value is the correctly-rounded double of an exact decimal — no final
+    ``round()`` whose half-boundary semantics differ across engines.
+    ``tri_distinct_ratio`` is a single int/int IEEE division — exact in
+    any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    chars = F.filter(F.split(lc, ""), lambda ch: ch != "")
+    n = F.size(chars)
+    dist = F.array_distinct(chars)
+    # p·ln(p) per distinct char; O(|alphabet|·len) comparisons per row,
+    # all codegen — cheaper than an explode+groupBy shuffle at any scale
+    terms = F.transform(
+        dist,
+        lambda ch: F.round(
+            (F.size(F.filter(chars, lambda x: x == ch)) / n)
+            * F.log(F.size(F.filter(chars, lambda x: x == ch)) / n),
+            6,
+        ).cast("decimal(20,6)"),
+    )
+    ent_dec = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(20,6)"),
+        lambda acc, x: (acc + x).cast("decimal(20,6)"),
+    )
+    tri = F.when(
+        F.length(lc) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.length(lc) - 3),
+            lambda i: lc.substr(i + 1, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "n_chars_lc": n.cast("bigint"),
+        "char_entropy": (-ent_dec).cast("double"),
+        "tri_distinct_ratio": F.when(
+            F.size(tri) > 0,
+            F.size(F.array_distinct(tri)).cast("double") / F.size(tri),
+        ),
+    }

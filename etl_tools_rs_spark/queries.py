@@ -5121,6 +5121,56 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "char_stats_documents",
+    """
+    WITH freq AS (
+      SELECT doc_id, ch, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+            FROM documents)
+      WHERE ch <> ''
+      GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id
+    ), ent AS (
+      SELECT f.doc_id,
+             CAST(t.n AS BIGINT) AS n_chars_lc,
+             CAST(-sum(CAST(round((c / t.n) * ln(c / t.n), 6)
+                            AS DECIMAL(20,6))) AS DOUBLE) AS char_entropy
+      FROM freq f JOIN tot t USING (doc_id)
+      GROUP BY f.doc_id, t.n
+    ), tri AS (
+      SELECT doc_id,
+             CASE WHEN length(lower(text)) >= 3 THEN
+               list_transform(range(0, length(lower(text)) - 2),
+                              i -> substring(lower(text), CAST(i + 1 AS INT), 3))
+             ELSE [] END AS g
+      FROM documents
+    )
+    SELECT e.doc_id, e.n_chars_lc, e.char_entropy,
+           CASE WHEN len(g) > 0
+                THEN CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           END AS tri_distinct_ratio
+    FROM ent e JOIN tri USING (doc_id)
+    """,
+)
+def char_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy + trigram-diversity quality signals
+    (operators/text.py::char_stats) — row-local, zero-shuffle; the cheap
+    compressibility / diversity proxies every corpus-quality pipeline
+    computes before training. Hash-checked value-for-value: entropy
+    terms accumulate as exact decimals (add-order-proof), the diversity
+    ratio is a single IEEE int/int division."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    cs = text_ops.char_stats("text")
+    return t["documents"].select(
+        "doc_id",
+        cs["n_chars_lc"].alias("n_chars_lc"),
+        cs["char_entropy"].alias("char_entropy"),
+        cs["tri_distinct_ratio"].alias("tri_distinct_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

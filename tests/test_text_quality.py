@@ -246,3 +246,52 @@ class TestTokenDivergence:
         df = spark.createDataFrame([("a",)], "text string")
         with _p.raises(ValueError, match="smoothing"):
             token_divergence(df, df, smoothing=0.0)
+
+
+class TestCharStats:
+    def _stats(self, spark, text):
+        df = spark.createDataFrame([(text,)], ["text"])
+        cs = text_ops.char_stats("text")
+        return df.select(
+            *[c.alias(k) for k, c in cs.items()]
+        ).first().asDict()
+
+    def test_uniform_string_zero_entropy(self, spark):
+        r = self._stats(spark, "aaaaaaaa")
+        assert r["n_chars_lc"] == 8
+        assert r["char_entropy"] == 0.0
+        # every trigram is 'aaa'
+        assert r["tri_distinct_ratio"] == 1.0 / 6
+
+    def test_two_symbol_entropy_ln2(self, spark):
+        import math
+
+        r = self._stats(spark, "abababab")
+        # p=0.5 each -> entropy = ln 2 (to the 6dp term rounding)
+        assert abs(r["char_entropy"] - math.log(2)) < 2e-6
+
+    def test_case_folding(self, spark):
+        a = self._stats(spark, "AbAbAbAb")
+        b = self._stats(spark, "abababab")
+        assert a == b
+
+    def test_short_text_null_ratio(self, spark):
+        r = self._stats(spark, "ab")
+        assert r["tri_distinct_ratio"] is None
+        assert r["n_chars_lc"] == 2
+
+    def test_diverse_text_ratio_one(self, spark):
+        r = self._stats(spark, "abcdefgh")
+        assert r["tri_distinct_ratio"] == 1.0
+
+    def test_entropy_matches_counter(self, spark):
+        import math
+
+        text = "the quick brown fox jumps over the lazy dog"
+        r = self._stats(spark, text)
+        n = len(text)
+        expect = -sum(
+            round((c / n) * math.log(c / n), 6)
+            for c in Counter(text).values()
+        )
+        assert abs(r["char_entropy"] - expect) < 1e-9
