@@ -818,3 +818,83 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact repeated-substring spans: for every document, the maximal
+    character ranges covered by some length-``k`` substring that also
+    appears VERBATIM in at least one OTHER document — the k-gram
+    positional approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): any char covered by a cross-document duplicated k-gram is
+    flagged, and overlapping/adjacent coverage intervals merge into
+    maximal spans. No false negatives for duplicated substrings of
+    length ≥ k; substrings shorter than k are invisible by design.
+
+    Plan: positional k-gram explode (``len(text)`` narrow rows per doc),
+    a two-level (gram, doc) → gram aggregate for the cross-doc count
+    (never a COUNT DISTINCT expansion), a semi-join back onto positions,
+    then per-doc gaps-and-islands over ONLY the duplicated positions
+    (window bounded by dup hits per doc, not text length). The single
+    big exchange is the gram shuffle; with ``hash_grams=True`` grams
+    ship as 8-byte xxhash64 keys instead of k-char strings (the 100 TB
+    setting — collisions only ever ADD a span, never drop one; kept off
+    by default so the operator stays engine-exact and oracle-checkable).
+
+    Output: ``(id, span_start, span_end, span_len)`` with 0-based
+    ``[span_start, span_end)`` char offsets, all bigint.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k!r}")
+    t = F.col(text_col)
+    grams = df.where(F.length(t) >= k).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.length(t) - k),
+                lambda i: t.substr(i + 1, F.lit(k)),
+            )
+        ).alias("pos", "_g"),
+    )
+    if hash_grams:
+        grams = grams.withColumn("_g", F.xxhash64("_g"))
+    doc_grams = grams.select("_g", "_id").distinct()
+    shared = (
+        doc_grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_g")
+    )
+    hits = grams.join(shared, "_g", "left_semi").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + k),
+        1,
+    ).otherwise(0)
+    grp = F.sum("_brk").over(
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("_brk", brk)
+        .withColumn("_grp", grp)
+        .groupBy("_id", "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

@@ -5171,6 +5171,54 @@ def char_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "duplicate_spans_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, unnest(range(0, length(text) - 20 + 1)) AS pos, text
+      FROM documents WHERE length(text) >= 20
+    ), pg AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             substring(text, CAST(pos + 1 AS INT), 20) AS g
+      FROM base
+    ), docg AS (
+      SELECT g, doc_id FROM pg GROUP BY g, doc_id
+    ), dups AS (
+      SELECT g FROM docg GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM pg WHERE g IN (SELECT g FROM dups)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_len
+    FROM grps GROUP BY doc_id, grp
+    """,
+)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (operators/dedup.py::
+    duplicate_spans, Lee et al. 2022 k-gram form, k=20): maximal char
+    ranges shared verbatim with another document — what an exact
+    substring-dedup pass would cut before training. Oracle: the same
+    positional k-gram + gaps-and-islands logic in DuckDB SQL; all-integer
+    output, hash-exact."""
+    from etl_tools_rs_spark.operators.dedup import duplicate_spans
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return duplicate_spans(t["documents"], "text", "doc_id", k=20)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

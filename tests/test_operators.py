@@ -396,3 +396,73 @@ class TestPrefixJaccard:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError):
             prefix_jaccard_pairs(df, threshold=0.0)
+
+
+class TestDuplicateSpans:
+    def _spans(self, spark, docs, k=10, **kw):
+        from etl_tools_rs_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = duplicate_spans(df, "text", "doc_id", k=k, **kw).collect()
+        return sorted((r.doc_id, r.span_start, r.span_end, r.span_len) for r in rows)
+
+    def test_shared_substring_flagged_both_sides(self, spark):
+        shared = "0123456789ABCDEFGHIJ"  # 20 chars, appears in both docs
+        docs = [
+            (1, "xxxx" + shared + "yyyyyy"),
+            (2, "zz" + shared + "wwww"),
+        ]
+        got = self._spans(spark, docs, k=10)
+        # doc 1: shared at [4, 24); doc 2: at [2, 22)
+        assert got == [(1, 4, 24, 20), (2, 2, 22, 20)]
+
+    def test_no_cross_doc_duplicate_no_spans(self, spark):
+        docs = [(1, "abcdefghijklmnop"), (2, "qrstuvwxyz012345")]
+        assert self._spans(spark, docs, k=10) == []
+
+    def test_within_doc_repetition_not_flagged(self, spark):
+        # the 10-gram repeats INSIDE doc 1 only -> cross-doc count is 1
+        docs = [(1, "ABCDEFGHIJ--ABCDEFGHIJ"), (2, "unrelated text here!")]
+        assert self._spans(spark, docs, k=10) == []
+
+    def test_adjacent_duplicates_merge_into_one_span(self, spark):
+        # both docs share a 30-char region: every 10-gram inside it is
+        # duplicated, and the overlapping coverage merges to ONE span
+        region = "THE-QUICK-BROWN-FOX-JUMPED-NOW"
+        docs = [(1, region + " tail one"), (2, "head two " + region)]
+        got = self._spans(spark, docs, k=10)
+        assert got == [(1, 0, 30, 30), (2, 9, 39, 30)]
+
+    def test_disjoint_shared_regions_stay_separate(self, spark):
+        a = "AAAAAAAAAAAA"  # 12 chars
+        b = "BBBBBBBBBBBB"
+        docs = [
+            (1, a + "0123456789012345" + b),  # gap of 16 > k
+            (2, a + "abcdefghijklmnop" + b),
+        ]
+        got = self._spans(spark, docs, k=12)
+        assert got == [
+            (1, 0, 12, 12), (1, 28, 40, 12),
+            (2, 0, 12, 12), (2, 28, 40, 12),
+        ]
+
+    def test_hash_grams_equivalent(self, spark):
+        docs = [
+            (1, "shared-prefix-here plus own tail material"),
+            (2, "shared-prefix-here with a different rest"),
+            (3, "nothing in common with the others at all"),
+        ]
+        assert self._spans(spark, docs, k=12) == self._spans(
+            spark, docs, k=12, hash_grams=True
+        )
+
+    def test_short_docs_skipped(self, spark):
+        docs = [(1, "tiny"), (2, "tiny")]
+        assert self._spans(spark, docs, k=10) == []
+
+    def test_k_validation(self, spark):
+        from etl_tools_rs_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            duplicate_spans(df, k=1)
