@@ -681,3 +681,83 @@ def dequantize_int8(
             lambda q: (q.cast("double") * s / F.lit(127)).cast("float"),
         ),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iterations: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embeddings, then WITHIN each cluster mark every vector whose
+    cosine to any LOWER-id cluster member reaches ``threshold`` as a
+    semantic duplicate. The lower-id rule makes the verdict a pure
+    function of the pair set (deterministic, no greedy-order dependence)
+    and always keeps exactly one representative per duplicate group's
+    id-minimum.
+
+    Scale shape: clustering makes the quadratic part local — pairwise
+    cosine runs per cluster inside ``applyInPandas`` (one shuffle on the
+    cluster id, one numpy matmul per cluster), never across the corpus.
+    Work is Σ|cluster|² ≈ n²/k, so pick ``n_clusters`` ∝ corpus size
+    (SemDeDup used 50k clusters for LAION-440M; cluster on a sample via
+    ``kmeans_centroids`` and reuse). Skewed clusters are the residual
+    risk — AQE splits the shuffle, but a mega-cluster's matmul is one
+    task; cap it by raising ``n_clusters``.
+
+    Output: ``(id, cluster int, max_prior_sim double, is_dup boolean)``
+    — ``max_prior_sim`` is the rounded (6 dp) max cosine to lower-id
+    cluster members, NULL for each cluster's id-minimum.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
+    centroids = kmeans_centroids(
+        df, n_clusters, vec_col=vec_col, id_col=id_col, iterations=iterations
+    )
+    assign = nearest_cells_udf(centroids, 1)
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+    )
+    thr = float(threshold)
+
+    def _cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        Xn = X / nrm[:, None]
+        S = Xn @ Xn.T
+        # max over strictly-lower-id rows: lower triangle, diag excluded
+        tri = np.tril(S, k=-1)
+        tri[np.triu_indices_from(tri)] = -np.inf
+        mx = tri.max(axis=1)
+        mx = np.round(mx, 6)
+        out = pd.DataFrame(
+            {
+                "_id": pdf["_id"],
+                "cluster": pdf["cluster"],
+                "max_prior_sim": mx,
+                "is_dup": mx >= thr,
+            }
+        )
+        out.loc[0, "max_prior_sim"] = None  # id-minimum has no prior
+        return out
+
+    schema = (
+        f"_id long, cluster int, max_prior_sim double, is_dup boolean"
+    )
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(_cluster_dedup, schema=schema)
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "max_prior_sim",
+            "is_dup",
+        )
+    )

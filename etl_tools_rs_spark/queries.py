@@ -5219,6 +5219,21 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(t["documents"], "text", "doc_id", k=20)
 
 
+@qdef("semdedup_embeddings", None)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.py::semdedup,
+    Abbas et al. 2023): k-means clusters + within-cluster lower-id
+    cosine rule. Rows-only gate — k-means is iterative (not
+    SQL-expressible); pairwise semantics are pinned against a naive
+    within-cluster check in tests/test_fuzzy.py::TestSemdedup."""
+    from etl_tools_rs_spark.operators.similarity import semdedup
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return semdedup(
+        t["embeddings"], "embedding", "vec_id", n_clusters=8, threshold=0.9
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

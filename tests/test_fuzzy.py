@@ -116,3 +116,77 @@ def test_fuzzy_join_preserves_duplicate_rows(spark):
     right = spark.createDataFrame([("abd",)], "r string")
     out = fuzzy.fuzzy_join(left, right, "l", "r", max_distance=2)
     assert out.count() == 2
+
+
+class TestSemdedup:
+    def _run(self, spark, rows, **kw):
+        from etl_tools_rs_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        return {
+            r.vec_id: r
+            for r in semdedup(df, "embedding", "vec_id", **kw).collect()
+        }
+
+    def test_near_identical_pair_marks_higher_id(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # ~same direction as 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        got = self._run(spark, rows, n_clusters=2, threshold=0.95)
+        assert len(got) == 4
+        assert not got[1].is_dup            # id-minimum of its dup group
+        assert got[2].is_dup
+        assert got[2].max_prior_sim >= 0.99
+
+    def test_all_distinct_nothing_marked(self, spark):
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]), (4, [0.0, -1.0]),
+        ]
+        got = self._run(spark, rows, n_clusters=2, threshold=0.95)
+        assert not any(r.is_dup for r in got.values())
+
+    def test_matches_naive_within_cluster_rule(self, spark):
+        import itertools
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)
+        ]
+        got = self._run(spark, rows, n_clusters=3, threshold=0.9)
+        # rebuild clusters from the output, then apply the rule naively
+        by_cluster: dict[int, list[int]] = {}
+        for r in got.values():
+            by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+        vec = dict(rows)
+
+        def cos(a, b):
+            da = math.sqrt(sum(x * x for x in a))
+            db = math.sqrt(sum(x * x for x in b))
+            return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+        for cid, members in by_cluster.items():
+            for m in members:
+                prior = [x for x in members if x < m]
+                expect = prior and round(
+                    max(cos(vec[m], vec[p]) for p in prior), 6
+                ) >= 0.9
+                assert bool(expect) == got[m].is_dup, (cid, m)
+
+    def test_id_minimum_null_prior(self, spark):
+        rows = [(10, [1.0, 0.0]), (11, [1.0, 0.001])]
+        got = self._run(spark, rows, n_clusters=1, threshold=0.99)
+        assert got[10].max_prior_sim is None
+        assert got[11].is_dup
+
+    def test_threshold_validation(self, spark):
+        from etl_tools_rs_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError):
+            semdedup(df, threshold=0.0)
