@@ -5234,6 +5234,56 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from etl_tools_rs_spark.operators import ml as ml_ops  # noqa: E402
+
+_LOGREG_FEATURES_SQL = [
+    "CAST(n_chars AS DOUBLE) / 1000.0",
+    "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    " x -> x <> '')) AS DOUBLE) / 100.0",
+    "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))"
+    " AS DOUBLE) / n_chars",
+]
+
+
+@qdef(
+    "logreg_quality_documents",
+    ml_ops.logreg_oracle_sql(
+        _LOGREG_FEATURES_SQL,
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)",
+        "documents",
+        iterations=5,
+        lr=0.25,
+        feature_names=["n_chars_k", "tokens_h", "punct_ratio"],
+    ),
+)
+def logreg_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier
+    (operators/ml.py::logreg_fit): 5 full-batch GD iterations predicting
+    lang='en' from cheap document features; output = the fitted weights.
+    The oracle unrolls the SAME optimization in DuckDB SQL and the hash
+    gate matches the weights BIT-FOR-BIT — the whole training trajectory
+    (5 gradient aggregates, 5 IEEE weight updates) is verified, not just
+    a final projection."""
+    t = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = [
+        F.col("n_chars") / F.lit(1000.0),
+        F.size(tokens("text")).cast("double") / F.lit(100.0),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", ""))
+        .cast("double")
+        / F.col("n_chars"),
+    ]
+    w = ml_ops.logreg_fit(
+        t,
+        feats,
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0),
+        iterations=5,
+        lr=0.25,
+    )
+    return ml_ops.weights_frame(
+        spark, w, ["n_chars_k", "tokens_h", "punct_ratio"]
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
