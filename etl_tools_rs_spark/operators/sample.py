@@ -323,3 +323,26 @@ def kfold_assign(
     return df.withColumn(
         fold_col, F.pmod(kmv_hash(key_col), F.lit(k)).cast("int")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that can never leak a duplicated document
+    across splits: the split key is the exact-dup fingerprint (md5 of
+    normalized text, functions.fingerprint), so byte-identical documents
+    — however many copies, wherever they live — always land in the SAME
+    split. The standard guard against test-set contamination by exact
+    duplicates; near-dups need a group key from minhash/connected
+    components instead (pass that key to ``hash_split`` directly).
+
+    Same contracts as ``hash_split``: narrow projection, no shuffle,
+    disjoint + exhaustive, growth-stable."""
+    from etl_tools_rs_spark.functions import fingerprint
+
+    return hash_split(
+        df.withColumn("_fp", fingerprint(text_col)), "_fp", weights, split_col
+    ).drop("_fp")

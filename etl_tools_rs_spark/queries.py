@@ -5284,6 +5284,38 @@ def logreg_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash_split re-hashes its key column, so the split bucket comes from
+# md5(fingerprint) = md5(md5(normalized text))
+_FP_DOC = (
+    "CAST(concat('0x', substring("
+    "md5(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@qdef(
+    "leakage_safe_split_documents",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_FP_DOC} < {_B80} THEN 'train'
+                WHEN {_FP_DOC} < {_B90} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof split (operators/sample.py::
+    leakage_safe_split): the split key is the exact-dup FINGERPRINT, so
+    byte-identical documents always share a split — no train/test leak
+    through duplicates. Verified assignment-by-assignment."""
+    from etl_tools_rs_spark.operators.sample import leakage_safe_split
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return leakage_safe_split(
+        t["documents"], {"train": 0.8, "val": 0.1, "test": 0.1}, "text"
+    ).select("doc_id", "split")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -284,3 +284,48 @@ class TestKfoldAssign:
         df = spark.createDataFrame([(1,)], "id int")
         with pytest.raises(ValueError):
             kfold_assign(df, "id", k=1)
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_share_split(self, spark):
+        from etl_tools_rs_spark.operators.sample import leakage_safe_split
+
+        docs = [
+            (i, text)
+            for i, text in enumerate(
+                ["same doc", "Same   DOC", " same doc ", "other one", "third"]
+                * 8
+            )
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = leakage_safe_split(
+            df, {"train": 0.5, "val": 0.25, "test": 0.25}, "text"
+        )
+        # normalized-identical docs must all land in one split
+        from etl_tools_rs_spark.functions import fingerprint
+        from pyspark.sql import functions as F
+
+        per_fp = (
+            out.withColumn("_fp", fingerprint("text"))
+            .groupBy("_fp")
+            .agg(F.countDistinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in per_fp)
+
+    def test_splits_exhaustive_and_disjoint(self, spark):
+        from etl_tools_rs_spark.operators.sample import leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(100)], ["doc_id", "text"]
+        )
+        out = leakage_safe_split(df, {"a": 0.6, "b": 0.4}, "text")
+        assert out.count() == 100
+        assert set(r.split for r in out.select("split").distinct().collect()) <= {"a", "b"}
+
+    def test_original_columns_preserved(self, spark):
+        from etl_tools_rs_spark.operators.sample import leakage_safe_split
+
+        df = spark.createDataFrame([(1, "x", 9)], ["doc_id", "text", "extra"])
+        out = leakage_safe_split(df, {"train": 1.0}, "text")
+        assert out.columns == ["doc_id", "text", "extra", "split"]
