@@ -1,0 +1,139 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+No reference equivalent (extension surface): learning the merge table IS
+a training-data-pipeline job — the tokenizer ships with the model, and
+at corpus scale the pair-counting pass is the expensive part. The
+classic algorithm maps onto Spark cleanly once you notice the state that
+iterates is the WORD VOCABULARY, not the corpus:
+
+1. one corpus pass builds ``(word, freq)`` — the only corpus-sized
+   shuffle (map-side combined, output ≈ vocab size);
+2. each merge iteration runs entirely on the vocab frame: adjacent-pair
+   explode → count aggregate → arg-max (1-row collect — the merge rule
+   is metadata, exactly like k-means centroids), then a JVM ``aggregate``
+   fold rewrites every word's symbol array greedily left-to-right. No
+   Python touches per-word data; ``localCheckpoint`` truncates the
+   lineage each round so plan depth stays constant.
+
+At 100 TB: the vocab frame is millions of rows regardless of corpus
+size, so after pass 1 every iteration costs a vocab-sized job. Tie-breaks
+(pair frequency, then lexicographic pair) are total, so the learned merge
+table is deterministic on any partitioning — pinned in tests against an
+independent pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.functions import tokens
+
+EOW = "</w>"  # end-of-word marker: keeps final-position chars distinct
+
+
+def _chars_with_eow(word: Column) -> Column:
+    return F.concat(
+        F.filter(F.split(word, ""), lambda ch: ch != ""),
+        F.array(F.lit(EOW)),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (empty for 1-symbol
+    words)."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (left, right) with
+    the concatenated symbol — a JVM aggregate fold; a symbol produced by
+    a replacement is never re-used as the LEFT of another replacement in
+    the same pass (standard non-overlapping BPE semantics, e.g. 'aaa'
+    with merge (a,a) → ['aa','a'])."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over lowercased whitespace tokens — the one
+    corpus-sized aggregate."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merge rules; returns
+    ``[(left, right, pair_freq), …]`` in merge order."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges!r}")
+    vocab = bpe_word_counts(df, text_col).select(
+        _chars_with_eow(F.col("word")).alias("syms"), "freq"
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((l, r, int(n)))
+        vocab = vocab.select(
+            _merge_fold(F.col("syms"), l, r).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table: lowercased whitespace words → char
+    symbols (+ EOW) → the merge folds in training order → flattened
+    token array. Pure column expressions; expression depth grows with
+    ``len(merges)``, so for production-sized merge tables segment inside
+    a pandas UDF instead (same greedy semantics)."""
+    per_word = F.transform(
+        tokens(F.lower(F.col(text_col))),
+        lambda w: _apply_merges(_chars_with_eow(w), merges),
+    )
+    return df.withColumn(out_col, F.flatten(per_word))
+
+
+def _apply_merges(syms: Column, merges) -> Column:
+    for m in merges:
+        syms = _merge_fold(syms, m[0], m[1])
+    return syms

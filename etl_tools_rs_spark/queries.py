@@ -5316,6 +5316,26 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@qdef("bpe_merges_documents", None)
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py::bpe_train,
+    Sennrich et al. 2016): 12 merge rules learned over the documents
+    corpus. Rows-only gate — the merge loop is iterative (argmax +
+    vocab rewrite per round, not SQL-expressible); the algorithm is
+    pinned merge-for-merge against an independent pure-Python reference
+    in tests/test_bpe.py."""
+    from etl_tools_rs_spark.operators.bpe import bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    merges = bpe_train(t["documents"], "text", num_merges=12)
+    rows = [
+        (i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_freq bigint"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
