@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "multimodal_wav_pipeline",
     "multimodal_bmp_pipeline",
     "key_skew_orders_custkey",
+    # round-3 additions
+    "char_stats_documents",
+    "duplicate_spans_documents",
+    "semdedup_embeddings",
+    "logreg_quality_documents",
+    "leakage_safe_split_documents",
+    "bpe_merges_documents",
 ]
 
 
