@@ -48,3 +48,20 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path, capsys):
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["after_dedup"] is None
     assert set(again["steps"].values()) == {"Complete"}
+
+
+def test_curation_models_pipeline_end_to_end(spark, tmp_path, capsys):
+    mod = _load("examples/curation_models_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["classifier_weights"] == 4  # intercept + 3 features
+    assert out["bpe_merges"] == 8
+    assert out["split_rows"] > 0
+    assert out["flagged_docs"] >= 0
+    assert set(out["steps"].values()) == {"Complete"}
+
+    # resumability: second run skips all steps
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["bpe_merges"] is None
+    assert set(again["steps"].values()) == {"Complete"}
