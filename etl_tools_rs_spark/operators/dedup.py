@@ -898,3 +898,75 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The actionable form of ``duplicate_spans``: CUT every cross-document
+    duplicated span out of the text (the Lee-et-al. exact-substring-dedup
+    transform itself, not just the audit). Keeps the complement segments
+    in order and re-concatenates them.
+
+    Relational throughout: spans → complement intervals via one lag
+    window (spans are disjoint with positive gaps by construction, so
+    the complement is just [prev_end, start) per span plus the tail),
+    one join back to the text for ``substr`` slicing, and an ordered
+    re-assembly via ``array_sort(collect_list(struct(offset, piece)))``
+    — deterministic on any partitioning, no Python, no collect.
+    Documents without duplicated spans pass through unchanged (left
+    join + coalesce).
+
+    Output: ``(id, clean_text, removed_chars bigint)``.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k=k, hash_grams=hash_grams)
+    txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    sp = spans.select(
+        F.col(id_col).alias("_id"), "span_start", "span_end"
+    )
+    w = Window.partitionBy("_id").orderBy("span_start")
+    seg_before = sp.select(
+        "_id",
+        F.coalesce(F.lag("span_end").over(w), F.lit(0)).alias("_s"),
+        F.col("span_start").alias("_e"),
+    )
+    tail = (
+        sp.groupBy("_id")
+        .agg(F.max("span_end").alias("_s"))
+        .join(txt, "_id")
+        .select("_id", "_s", F.length("_t").cast("bigint").alias("_e"))
+    )
+    pieces = (
+        seg_before.unionByName(tail)
+        .join(txt, "_id")
+        .select(
+            "_id",
+            "_s",
+            F.col("_t").substr(
+                (F.col("_s") + 1).cast("int"), (F.col("_e") - F.col("_s")).cast("int")
+            ).alias("_piece"),
+        )
+    )
+    cleaned = pieces.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_s", "_piece"))),
+                lambda x: x["_piece"],
+            ),
+            "",
+        ).alias("clean_text")
+    )
+    return (
+        txt.join(cleaned, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", "_t").alias("clean_text"),
+            (
+                F.length("_t") - F.length(F.coalesce("clean_text", "_t"))
+            ).cast("bigint").alias("removed_chars"),
+        )
+    )

@@ -5336,6 +5336,74 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "remove_duplicate_spans_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, unnest(range(0, length(text) - 20 + 1)) AS pos, text
+      FROM documents WHERE length(text) >= 20
+    ), pg AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             substring(text, CAST(pos + 1 AS INT), 20) AS g
+      FROM base
+    ), docg AS (
+      SELECT g, doc_id FROM pg GROUP BY g, doc_id
+    ), dups AS (
+      SELECT g FROM docg GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM pg WHERE g IN (SELECT g FROM dups)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grps AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+      FROM grps GROUP BY doc_id, grp
+    ), segb AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS s,
+             s AS e
+      FROM spans
+    ), tl AS (
+      SELECT sp.doc_id, max(sp.e) AS s, length(d.text) AS e
+      FROM spans sp JOIN documents d USING (doc_id)
+      GROUP BY sp.doc_id, length(d.text)
+    ), segs AS (
+      SELECT * FROM segb UNION ALL SELECT * FROM tl
+    ), pieces AS (
+      SELECT sg.doc_id, sg.s,
+             substring(d.text, CAST(sg.s + 1 AS INT), CAST(sg.e - sg.s AS INT)) AS piece
+      FROM segs sg JOIN documents d USING (doc_id)
+    ), cleaned AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY s) AS clean_text
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.clean_text, d.text) AS clean_text,
+           CAST(length(d.text) - length(coalesce(c.clean_text, d.text))
+                AS BIGINT) AS removed_chars
+    FROM documents d LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup as a TRANSFORM (operators/dedup.py::
+    remove_duplicate_spans): cross-document duplicated spans (k=20) cut
+    from every document, complement segments re-concatenated in order.
+    The oracle rebuilds the whole chain — spans, interval complement,
+    ordered string agg — and the cleaned texts hash-match char-for-char."""
+    from etl_tools_rs_spark.operators.dedup import remove_duplicate_spans
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return remove_duplicate_spans(t["documents"], "text", "doc_id", k=20)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

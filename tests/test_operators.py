@@ -466,3 +466,48 @@ class TestDuplicateSpans:
         df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             duplicate_spans(df, k=1)
+
+
+class TestRemoveDuplicateSpans:
+    def _clean(self, spark, docs, k=10):
+        from etl_tools_rs_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.clean_text, r.removed_chars)
+            for r in remove_duplicate_spans(df, "text", "doc_id", k=k).collect()
+        }
+
+    def test_shared_region_cut_from_both(self, spark):
+        shared = "0123456789ABCDEFGHIJ"
+        docs = [(1, "xxxx" + shared + "yyyyyy"), (2, "zz" + shared + "wwww")]
+        got = self._clean(spark, docs, k=10)
+        assert got[1] == ("xxxxyyyyyy", 20)
+        assert got[2] == ("zzwwww", 20)
+
+    def test_untouched_docs_pass_through(self, spark):
+        docs = [(1, "abcdefghijklmnop"), (2, "qrstuvwxyz012345")]
+        got = self._clean(spark, docs, k=10)
+        assert got[1] == ("abcdefghijklmnop", 0)
+        assert got[2] == ("qrstuvwxyz012345", 0)
+
+    def test_multiple_disjoint_spans_cut(self, spark):
+        a, b = "AAAAAAAAAAAA", "BBBBBBBBBBBB"
+        docs = [
+            (1, a + "0123456789012345" + b),
+            (2, a + "abcdefghijklmnop" + b),
+        ]
+        got = self._clean(spark, docs, k=12)
+        assert got[1] == ("0123456789012345", 24)
+        assert got[2] == ("abcdefghijklmnop", 24)
+
+    def test_whole_doc_duplicated_empties(self, spark):
+        docs = [(1, "identical-document!!"), (2, "identical-document!!")]
+        got = self._clean(spark, docs, k=10)
+        assert got[1] == ("", 20)
+        assert got[2] == ("", 20)
+
+    def test_short_docs_unchanged(self, spark):
+        docs = [(1, "tiny"), (2, "tiny")]
+        got = self._clean(spark, docs, k=10)
+        assert got[1] == ("tiny", 0)
