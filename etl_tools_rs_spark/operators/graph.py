@@ -203,3 +203,77 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
         .filter(F.col("n_groups") >= min_count)
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient — the
+    structural cohesion profile (community density, spam-farm detection)
+    over an undirected graph given as an edge list (direction and
+    duplicate edges ignored; self-loops dropped).
+
+    Degree-ordered orientation (the MapReduce-era trick that makes
+    triangle enumeration feasible at scale): canonicalize each edge once,
+    then orient it from the (degree, id)-SMALLER endpoint to the larger.
+    Every wedge is then generated at its lowest-degree apex, so the
+    quadratic wedge self-join is bounded by Σ out_deg² with out-degree
+    ≤ O(√m) — a star node of degree 10⁶ generates ZERO wedges at its
+    center instead of 5·10¹¹. Closure is one equi-join of wedges against
+    the canonical edge set (wedge endpoints are already ordered, so the
+    probe is a plain two-column key — no least/greatest recompute).
+
+    Shuffles: canonical-dedup, degree agg, the wedge self-join on the
+    apex, the closure join, and the per-node roll-up — all equi-joins /
+    map-side-combined aggregates. Output: ``(node, degree bigint,
+    triangles bigint, clustering_coeff double)``; the coefficient is
+    ``2T/(d(d−1))`` (NULL when degree < 2) — a single IEEE int/int
+    division, engine-exact.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
+    ed = e.join(dx, "x").join(dy, "y")
+    fwd = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("s"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("t"),
+    )
+    o1 = o.select(F.col("s"), F.col("t").alias("u"))
+    o2 = o.select(F.col("s"), F.col("t").alias("w"))
+    wedges = o1.join(o2, "s").filter(F.col("u") < F.col("w"))
+    tri = wedges.join(
+        e, (wedges["u"] == e["x"]) & (wedges["w"] == e["y"])
+    ).select("s", "u", "w")
+    per_node = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("u").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        ).alias("clustering_coeff"),
+    )

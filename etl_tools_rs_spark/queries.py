@@ -5404,6 +5404,69 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return remove_duplicate_spans(t["documents"], "text", "doc_id", k=20)
 
 
+@qdef(
+    "triangle_count_suppliers",
+    """
+    WITH m AS (
+      SELECT DISTINCT l_partkey AS g, l_suppkey AS i FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.i AS x, b.i AS y
+      FROM m a JOIN m b USING (g) WHERE a.i < b.i
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+      GROUP BY node
+    ), o AS (
+      SELECT CASE WHEN dx.degree < dy.degree
+                       OR (dx.degree = dy.degree AND e.x < e.y)
+                  THEN e.x ELSE e.y END AS s,
+             CASE WHEN dx.degree < dy.degree
+                       OR (dx.degree = dy.degree AND e.x < e.y)
+                  THEN e.y ELSE e.x END AS t
+      FROM e
+      JOIN deg dx ON dx.node = e.x
+      JOIN deg dy ON dy.node = e.y
+    ), tri AS (
+      SELECT o1.s AS s, o1.t AS u, o2.t AS w
+      FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+      JOIN e ON e.x = o1.t AND e.y = o2.t
+    ), per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT s AS node FROM tri
+            UNION ALL SELECT u FROM tri
+            UNION ALL SELECT w FROM tri)
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           coalesce(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * coalesce(p.triangles, 0) AS DOUBLE)
+                     / (d.degree * (d.degree - 1))
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN per_node p USING (node)
+    """,
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation
+    (operators/graph.py::triangle_count) over the supplier
+    shared-part graph (suppliers adjacent when they ship the same
+    part). Verified node-for-node — degree, triangle count, and
+    clustering coefficient all hash-match the SQL oracle."""
+    from etl_tools_rs_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    m = t["lineitem"].select(
+        F.col("l_partkey").alias("_g"), F.col("l_suppkey").alias("_i")
+    ).distinct()
+    a = m.select("_g", F.col("_i").alias("src"))
+    b = m.select("_g", F.col("_i").alias("dst"))
+    edges = (
+        a.join(b, "_g").filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -108,3 +108,72 @@ class TestCooccurrence:
         df = spark.createDataFrame([(1, "a")], "g int, i string")
         with pytest.raises(ValueError):
             cooccurrence_pairs(df, "g", "i", min_count=0)
+
+
+class TestTriangleCount:
+    def _tc(self, spark, edges):
+        from etl_tools_rs_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            r.node: (r.degree, r.triangles, r.clustering_coeff)
+            for r in triangle_count(df).collect()
+        }
+
+    def test_single_triangle(self, spark):
+        got = self._tc(spark, [(1, 2), (2, 3), (3, 1)])
+        assert got == {
+            1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)
+        }
+
+    def test_triangle_plus_pendant(self, spark):
+        got = self._tc(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+        assert got[4] == (1, 0, None)          # degree-1: coeff undefined
+        assert got[3] == (3, 1, 1.0 / 3)       # 2*1/(3*2)
+        assert got[1][1] == 1 and got[2][1] == 1
+
+    def test_square_no_triangles(self, spark):
+        got = self._tc(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        assert all(t == 0 for (_, t, _) in got.values())
+
+    def test_k4_every_node_three(self, spark):
+        import itertools
+
+        edges = list(itertools.combinations(range(4), 2))
+        got = self._tc(spark, edges)
+        # K4 has 4 triangles; each node participates in C(3,2)=3
+        assert all(v == (3, 3, 1.0) for v in got.values())
+
+    def test_direction_duplicates_selfloops_ignored(self, spark):
+        messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1)]
+        assert self._tc(spark, messy) == self._tc(
+            spark, [(1, 2), (2, 3), (3, 1)]
+        )
+
+    def test_matches_naive_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(12))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.35
+        ]
+        got = self._tc(spark, edges)
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        for n in nodes:
+            d = len(adj[n])
+            if d == 0:
+                assert n not in got  # isolated nodes have no edges at all
+                continue
+            tris = sum(
+                1
+                for u, w in itertools.combinations(sorted(adj[n]), 2)
+                if w in adj[u]
+            )
+            assert got[n][0] == d and got[n][1] == tris, n
