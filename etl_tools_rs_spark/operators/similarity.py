@@ -761,3 +761,99 @@ def semdedup(
             "is_dup",
         )
     )
+
+
+def jl_signs(dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix
+    (Achlioptas 2003 sign form): entry (i, j) is +1 iff the first hex
+    nibble of md5(f"{seed}:{i}:{j}") is < 8. Reproducible anywhere md5
+    exists — the matrix is engine-independent metadata (dim × out_dim
+    ints, driver-side), so oracles can inline it as literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """JL random projection: reduce ``dim``-d embeddings to ``out_dim``
+    signed-sum components — the cheap pre-step before ANN indexing or
+    clustering when the raw dimension makes distance math the bottleneck
+    (pairwise distances are preserved within (1±ε) for out_dim =
+    O(log n / ε²)). The unscaled ±1 form: cosine and relative distances
+    are scale-invariant, and skipping the 1/√k factor keeps every output
+    a correctly-rounded double of an exact decimal sum (hash-exact in
+    any engine — the oracle inlines the same matrix as literals).
+
+    Row-local: one JVM fold per output component, ZERO shuffle — the
+    projection composes with any scan at 100 TB. Output: ``(id, p0 …
+    p{out_dim-1} double)``.
+    """
+    signs = jl_signs(dim, out_dim, seed)
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(float(signs[i][j])) for i in range(dim)])
+        dec = F.aggregate(
+            F.zip_with(
+                xd, sj, lambda a, b: F.round(a * b, 6).cast("decimal(24,6)")
+            ),
+            F.lit(0).cast("decimal(24,6)"),
+            lambda acc, x: (acc + x).cast("decimal(24,6)"),
+        )
+        cols.append(dec.cast("double").alias(f"p{j}"))
+    return df.select(F.col(id_col), *cols)
+
+
+def jl_oracle_sql(
+    dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 42,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for ``jl_project``: the same ±1 matrix inlined as
+    VALUES (1-based i to match generate_subscripts), identical 6-dp
+    DECIMAL accumulation, identical final double conversion."""
+    signs = jl_signs(dim, out_dim, seed)
+    vals = ", ".join(
+        f"({i + 1}, {j}, {signs[i][j]})"
+        for i in range(dim)
+        for j in range(out_dim)
+    )
+    pivot = ",\n           ".join(
+        f"max(CASE WHEN j = {j} THEN v END) AS p{j}" for j in range(out_dim)
+    )
+    return f"""
+    WITH r(i, j, s) AS (VALUES {vals}),
+    x AS (
+      SELECT {id_col}, CAST(unnest({vec_col}) AS DOUBLE) AS x,
+             generate_subscripts({vec_col}, 1) AS i
+      FROM {table}
+    ), p AS (
+      SELECT {id_col}, j,
+             CAST(sum(CAST(round(x * s, 6) AS DECIMAL(24,6))) AS DOUBLE) AS v
+      FROM x JOIN r USING (i) GROUP BY {id_col}, j
+    )
+    SELECT {id_col},
+           {pivot}
+    FROM p GROUP BY {id_col}
+    """

@@ -5467,6 +5467,21 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+from etl_tools_rs_spark.operators.similarity import jl_oracle_sql  # noqa: E402
+
+
+@qdef("jl_project_embeddings", jl_oracle_sql(64, 8))
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 projection (operators/similarity.py::
+    jl_project): 64-d embeddings → 8 signed-sum components, row-local
+    and shuffle-free. The oracle inlines the identical deterministic
+    projection matrix — every component hash-matches."""
+    from etl_tools_rs_spark.operators.similarity import jl_project
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return jl_project(t["embeddings"], "embedding", "vec_id", 64, 8)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -104,3 +104,57 @@ class TestBm25:
 
         with pytest.raises(ValueError, match="at least one"):
             bm25_search(docs, [])
+
+
+class TestJlProject:
+    def test_components_match_numpy(self, spark):
+        import numpy as np
+
+        from etl_tools_rs_spark.operators.similarity import jl_project, jl_signs
+
+        dim, out = 6, 3
+        vecs = [
+            (1, [0.5, -1.25, 2.0, 0.0, 1.5, -0.75]),
+            (2, [1.0] * 6),
+        ]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        got = {
+            r.vec_id: [r.p0, r.p1, r.p2]
+            for r in jl_project(df, "embedding", "vec_id", dim, out).collect()
+        }
+        R = np.array(jl_signs(dim, out))
+        for vid, v in vecs:
+            want = np.round(np.array(v), 6) @ R  # exact: r = ±1
+            assert np.allclose(got[vid], want, atol=1e-9), vid
+
+    def test_distance_preservation_rough(self, spark):
+        # JL with enough components roughly preserves relative distances
+        import numpy as np
+
+        from etl_tools_rs_spark.operators.similarity import jl_project
+
+        rng = np.random.RandomState(3)
+        X = rng.randn(20, 32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(20)],
+            ["vec_id", "embedding"],
+        )
+        out = jl_project(df, "embedding", "vec_id", 32, 16).collect()
+        P = np.array(
+            [[getattr(r, f"p{j}") for j in range(16)] for r in sorted(out, key=lambda r: r.vec_id)]
+        ) / np.sqrt(16)
+        d_orig = np.linalg.norm(X[0] - X[1:], axis=1)
+        d_proj = np.linalg.norm(P[0] - P[1:], axis=1)
+        # rank correlation of distances stays positive and strong-ish
+        from numpy import corrcoef
+
+        assert corrcoef(d_orig, d_proj)[0, 1] > 0.5
+
+    def test_signs_deterministic_and_balanced(self):
+        from etl_tools_rs_spark.operators.similarity import jl_signs
+
+        a = jl_signs(64, 8)
+        assert a == jl_signs(64, 8)
+        flat = [s for row in a for s in row]
+        assert set(flat) == {1, -1}
+        assert 0.3 < flat.count(1) / len(flat) < 0.7
