@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "logreg_quality_documents",
     "leakage_safe_split_documents",
     "bpe_merges_documents",
+    "remove_duplicate_spans_documents",
+    "triangle_count_suppliers",
+    "jl_project_embeddings",
 ]
 
 
