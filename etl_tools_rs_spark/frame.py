@@ -211,3 +211,39 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.events import transition_matrix
 
         return EngineFrame(transition_matrix(self.df, *a, **kw))
+
+    # -- round-3 late additions ---------------------------------------------
+    def duplicate_spans(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import duplicate_spans
+
+        return EngineFrame(duplicate_spans(self.df, *a, **kw))
+
+    def remove_duplicate_spans(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import remove_duplicate_spans
+
+        return EngineFrame(remove_duplicate_spans(self.df, *a, **kw))
+
+    def semdedup(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.similarity import semdedup
+
+        return EngineFrame(semdedup(self.df, *a, **kw))
+
+    def jl_project(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.similarity import jl_project
+
+        return EngineFrame(jl_project(self.df, *a, **kw))
+
+    def leakage_safe_split(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.sample import leakage_safe_split
+
+        return EngineFrame(leakage_safe_split(self.df, *a, **kw))
+
+    def triangle_count(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.graph import triangle_count
+
+        return EngineFrame(triangle_count(self.df, *a, **kw))
+
+    def bpe_tokenize(self, merges, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.bpe import bpe_tokenize
+
+        return EngineFrame(bpe_tokenize(self.df, merges, *a, **kw))

@@ -101,3 +101,36 @@ def test_round3_ops_chainable(spark):
     assert len(cm) == 1
     ca = EngineFrame(ev).cat_association("s", "s").collect()
     assert len(ca) == 1
+
+
+def test_round3_late_ops_chainable(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared-twenty-chars!! one"), (2, "shared-twenty-chars!! two")],
+        "doc_id long, text string",
+    )
+    spans = EngineFrame(docs).duplicate_spans(k=10).collect()
+    assert len(spans) == 2
+    clean = EngineFrame(docs).remove_duplicate_spans(k=10).collect()
+    assert {r.doc_id for r in clean} == {1, 2}
+    split = EngineFrame(docs).leakage_safe_split({"train": 1.0}).collect()
+    assert all(r.split == "train" for r in split)
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    sd = EngineFrame(vecs).semdedup(n_clusters=1, threshold=0.99).collect()
+    assert len(sd) == 2
+    pj = EngineFrame(vecs).jl_project(dim=2, out_dim=2).collect()
+    assert len(pj) == 2
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src int, dst int"
+    )
+    tc = EngineFrame(edges).triangle_count().collect()
+    assert all(r.triangles == 1 for r in tc)
+
+    from etl_tools_rs_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(docs, "text", num_merges=2)
+    toks = EngineFrame(docs).bpe_tokenize(merges).collect()
+    assert all(len(r.bpe_tokens) > 0 for r in toks)
