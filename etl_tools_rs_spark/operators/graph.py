@@ -206,7 +206,10 @@ def cooccurrence_pairs(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient — the
     structural cohesion profile (community density, spam-farm detection)
@@ -229,6 +232,13 @@ def triangle_count(
     triangles bigint, clustering_coeff double)``; the coefficient is
     ``2T/(d(d−1))`` (NULL when degree < 2) — a single IEEE int/int
     division, engine-exact.
+
+    The canonical edge set, the degree frame, and the oriented edges are
+    each referenced 2-3 times downstream; without lineage truncation
+    Catalyst re-executes the whole upstream subtree per reference
+    (measured: ~7× the edge-build work, 140 exchanges on a derived
+    graph). ``checkpoint=True`` (default) ``localCheckpoint``s the three
+    shared frames — all edge/node-sized, never corpus-sized.
     """
     e = (
         edges.select(
@@ -238,12 +248,16 @@ def triangle_count(
         .filter(F.col("x") != F.col("y"))
         .distinct()
     )
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
     dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
     dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
     ed = e.join(dx, "x").join(dy, "y")
@@ -254,6 +268,8 @@ def triangle_count(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("s"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("t"),
     )
+    if checkpoint:
+        o = o.localCheckpoint(eager=False)
     o1 = o.select(F.col("s"), F.col("t").alias("u"))
     o2 = o.select(F.col("s"), F.col("t").alias("w"))
     wedges = o1.join(o2, "s").filter(F.col("u") < F.col("w"))
