@@ -337,3 +337,175 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.select(
         "media_id", F.explode(frames).alias("f")
     ).select("media_id", "f.frame_ts_ms", "f.frame_stub")
+
+
+def _bmp_gray_grid(content: bytes, n: int) -> list[list[float]]:
+    """n×n block-mean grayscale grid from an uncompressed 24/32-bit BMP
+    (stdlib struct parsing, same header handling as decode_bmp_real)."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    px_off = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    step = bpp // 8
+    stride = ((width * step + 3) // 4) * 4
+    grid = [[0.0] * n for _ in range(n)]
+    cnt = [[0] * n for _ in range(n)]
+    for r in range(height):
+        src = r if not flipped else height - 1 - r
+        base = px_off + src * stride
+        if base + width * step > len(content):
+            raise ValueError("truncated BMP pixel data")
+        gr = min(n - 1, r * n // height)
+        for c in range(width):
+            i = base + c * step
+            gc = min(n - 1, c * n // width)
+            grid[gr][gc] += content[i] + content[i + 1] + content[i + 2]
+            cnt[gr][gc] += 1
+    return [
+        [
+            grid[r][c] / (3.0 * 255.0 * cnt[r][c]) if cnt[r][c] else 0.0
+            for c in range(n)
+        ]
+        for r in range(n)
+    ]
+
+
+def ahash_bytes(content: bytes, hash_size: int = 8) -> str:
+    """Perceptual average-hash of an image payload as a fixed-width hex
+    string (``hash_size²`` bits): block-mean grayscale grid, threshold
+    each cell at the global mean. Identical images hash identically;
+    small edits flip few bits — Hamming distance ≈ visual difference.
+    Dispatch: PIL when importable (any format), else the stdlib BMP
+    parser (this container's real path)."""
+    pil = _pil_image()
+    if pil is not None:
+        img = pil.open(__import__("io").BytesIO(content)).convert("L")
+        img = img.resize((hash_size, hash_size))
+        cells = [p / 255.0 for p in img.getdata()]
+    else:
+        grid = _bmp_gray_grid(content, hash_size)
+        cells = [v for row in grid for v in row]
+    mean = sum(cells) / len(cells)
+    bits = 0
+    for v in cells:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    return format(bits, f"0{hash_size * hash_size // 4}x")
+
+
+def image_ahash(
+    df: DataFrame,
+    hash_size: int = 8,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched perceptual hashing: ``(id, ahash hex-string,
+    decode_ok)``. Decode failures are error-as-record. The hash is
+    64 bits at the default size — the image analogue of simhash, and the
+    near-dup machinery composes the same way (``ahash_near_dup``)."""
+    import pandas as pd
+
+    src = df.select(id_col, content_col)
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            hs, oks = [], []
+            for content in pdf[content_col]:
+                try:
+                    hs.append(ahash_bytes(bytes(content), hash_size))
+                    oks.append("ok")
+                except Exception as e:  # noqa: BLE001 — error-as-record
+                    hs.append(None)
+                    oks.append(f"error: {e}")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "ahash": hs, "decode_ok": oks}
+            )
+
+    return src.mapInPandas(
+        _batches, schema=f"{id_col} long, ahash string, decode_ok string"
+    )
+
+
+def ahash_hamming(a, b):
+    """Hamming distance between two equal-length hex-hash columns —
+    nibble-wise ``bit_count(xor)``, pure codegen."""
+    idx = F.sequence(F.lit(1), F.length(a))
+    return F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.bit_count(
+                F.conv(F.substring(a, i, 1), 16, 10)
+                .cast("long")
+                .bitwiseXOR(F.conv(F.substring(b, i, 1), 16, 10).cast("long"))
+            ),
+        ),
+        F.lit(0).cast("int"),
+        lambda acc, x: acc + x.cast("int"),
+    )
+
+
+def ahash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    hex_len: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: pigeonhole
+    banding (split the hex hash into ``max_hamming + 1`` substrings —
+    any pair within the Hamming budget must agree on at least one whole
+    band) generates candidates through equi-joins, then the exact
+    nibble-wise Hamming verify filters. Same scale shape as
+    simhash_near_dup: candidates ≪ n², hot bands are uniform-hash keys.
+    ``hex_len`` is the hash width in hex chars (hash_size²/4, 16 for the
+    default 8×8) — a parameter, not a data peek, so building the plan
+    never runs a job. Output: ``(id_a, id_b, hamming int)`` with
+    ``id_a < id_b``."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming!r}")
+    if max_hamming >= hex_len:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands than {hex_len} "
+            "hex chars can pigeonhole"
+        )
+    n_bands = max_hamming + 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).where(F.col(hash_col).isNotNull())
+    # band b covers hex positions [start_b, end_b) — roughly equal splits
+    bounds = [round(i * hex_len / n_bands) for i in range(n_bands + 1)]
+    cands = None
+    for b in range(n_bands):
+        s, e = bounds[b], bounds[b + 1]
+        if e <= s:
+            continue
+        key = F.substring("_h", s + 1, e - s)
+        side = h.select("_id", "_h", key.alias("_k"))
+        a_side = side.select(
+            F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_k"
+        )
+        b_side = side.select(
+            F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_k"
+        )
+        pair = a_side.join(b_side, "_k").filter(F.col("id_a") < F.col("id_b"))
+        cands = pair if cands is None else cands.unionByName(pair)
+    out = (
+        cands.select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            ahash_hamming(F.col("_ha"), F.col("_hb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out

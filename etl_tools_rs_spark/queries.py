@@ -5482,6 +5482,46 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(t["embeddings"], "embedding", "vec_id", 64, 8)
 
 
+@qdef("image_ahash_near_dup", None)  # real stdlib decode — rows-only
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.py::image_ahash +
+    ahash_near_dup): 32 synthesized 24-bit BMPs in 8 repeated content
+    groups → REAL stdlib decode → 64-bit average-hash → pigeonhole-banded
+    Hamming pairs. The image twin of simhash near-dup; exact-dup groups
+    must surface as hamming-0 pairs (unit-pinned)."""
+    base = spark.range(32).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import struct
+
+        import pandas as pd
+
+        def make_bmp(mid: int, w: int = 16, h: int = 16) -> bytes:
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = bytearray()
+            for r in range(h - 1, -1, -1):
+                shade = min(255, (r * 255) // max(1, h - 1))
+                shade = (shade + int(mid) % 8 * 29) % 256  # 8 content groups
+                rows += bytes([shade, shade, shade]) * w
+                rows += b"\x00" * (stride - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                               len(rows), 2835, 2835, 0, 0)
+            head = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            return head + info + bytes(rows)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_bmp(m) for m in pdf["media_id"]],
+                }
+            )
+
+    media = base.mapInPandas(_gen, "media_id long, content binary")
+    hashes = mm_ops.image_ahash(media)
+    return mm_ops.ahash_near_dup(hashes, max_hamming=2)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -682,3 +682,103 @@ def test_bmp_pipeline_decodes_all_real(spark):
     # id 0: plain vertical gradient -> bottom band much brighter than top
     r0 = next(r for r in rows if r.media_id == 0)
     assert r0.band3 - r0.band0 > 0.5
+
+
+def _pack_bmp(pixel_rows):
+    """Pack a list of image rows (top-down, each a list of (b,g,r) byte
+    triples) into an uncompressed 24-bit BMP."""
+    import struct
+
+    h = len(pixel_rows)
+    w = len(pixel_rows[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for row in reversed(pixel_rows):  # stored bottom-up
+        for px in row:
+            body += bytes(px)
+        body += b"\x00" * (stride - w * 3)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return head + info + bytes(body)
+
+
+class TestImageAhash:
+    def _img(self, seed, flip_one_pixel=False):
+        rows = []
+        for r in range(16):
+            row = []
+            for c in range(16):
+                shade = 255 if ((r // 2 + c // 2 + seed) % 2 == 0) else 0
+                row.append((shade, shade, shade))
+            rows.append(row)
+        if flip_one_pixel:
+            b, g, rr = rows[0][0]
+            rows[0][0] = (255 - b, 255 - g, 255 - rr)
+        return _pack_bmp(rows)
+
+    def test_identical_images_hash_identically(self):
+        from etl_tools_rs_spark.operators.multimodal import ahash_bytes
+
+        assert ahash_bytes(self._img(0)) == ahash_bytes(self._img(0))
+        assert len(ahash_bytes(self._img(0))) == 16
+
+    def test_small_edit_small_hamming(self):
+        from etl_tools_rs_spark.operators.multimodal import ahash_bytes
+
+        a = int(ahash_bytes(self._img(0)), 16)
+        b = int(ahash_bytes(self._img(0, flip_one_pixel=True)), 16)
+        assert bin(a ^ b).count("1") <= 2
+
+    def test_different_images_large_hamming(self):
+        from etl_tools_rs_spark.operators.multimodal import ahash_bytes
+
+        a = int(ahash_bytes(self._img(0)), 16)
+        b = int(ahash_bytes(self._img(1)), 16)  # inverted checkerboard
+        assert bin(a ^ b).count("1") > 16
+
+    def test_hamming_column_matches_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.multimodal import ahash_hamming
+
+        df = spark.createDataFrame(
+            [("00ff00ff00ff00ff", "00ff00ff00ff00fe"),
+             ("0000000000000000", "ffffffffffffffff")],
+            "a string, b string",
+        )
+        got = [r.h for r in df.select(ahash_hamming(F.col("a"), F.col("b")).alias("h")).collect()]
+        assert got == [1, 64]
+
+    def test_near_dup_pipeline_end_to_end(self, spark):
+        from etl_tools_rs_spark.operators.multimodal import (
+            ahash_near_dup,
+            image_ahash,
+        )
+
+        payloads = [
+            (0, self._img(0)), (1, self._img(0)),          # exact dups
+            (2, self._img(0, flip_one_pixel=True)),        # near dup of 0/1
+            (3, self._img(1)), (4, b"garbage not an image"),
+        ]
+        media = spark.createDataFrame(payloads, "media_id long, content binary")
+        hashes = image_ahash(media)
+        by_id = {r.media_id: r for r in hashes.collect()}
+        assert by_id[4].decode_ok.startswith("error:")
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in ahash_near_dup(hashes, max_hamming=4).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert (0, 2) in pairs and pairs[(0, 2)] <= 4
+        assert all(3 not in p for p in pairs)
+
+    def test_max_hamming_validation(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.multimodal import ahash_near_dup
+
+        df = spark.createDataFrame([(1, "ff")], "media_id long, ahash string")
+        with pytest.raises(ValueError):
+            ahash_near_dup(df, max_hamming=-1)
+        with pytest.raises(ValueError):
+            ahash_near_dup(df, max_hamming=99, hex_len=16)
