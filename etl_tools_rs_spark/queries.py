@@ -5410,8 +5410,9 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
     WITH m AS (
       SELECT DISTINCT l_partkey AS g, l_suppkey AS i FROM lineitem
     ), e AS (
-      SELECT DISTINCT a.i AS x, b.i AS y
+      SELECT a.i AS x, b.i AS y
       FROM m a JOIN m b USING (g) WHERE a.i < b.i
+      GROUP BY a.i, b.i HAVING count(*) >= 25
     ), deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS degree
       FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
@@ -5449,8 +5450,12 @@ def remove_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFr
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting with degree-ordered orientation
     (operators/graph.py::triangle_count) over the supplier
-    shared-part graph (suppliers adjacent when they ship the same
-    part). Verified node-for-node — degree, triangle count, and
+    co-supply graph: suppliers adjacent when they ship ≥ 25 of the
+    same parts (the threshold sparsifies what is otherwise a complete
+    graph — EVERY supplier pair shares at least one part in this data;
+    an unthresholded co-occurrence projection of a dense bipartite
+    table is a modeling error at any scale, not a triangle-algorithm
+    problem). Verified node-for-node — degree, triangle count, and
     clustering coefficient all hash-match the SQL oracle."""
     from etl_tools_rs_spark.operators.graph import triangle_count
 
@@ -5462,6 +5467,9 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = m.select("_g", F.col("_i").alias("dst"))
     edges = (
         a.join(b, "_g").filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 25)
         .select("src", "dst")
     )
     return triangle_count(edges)
