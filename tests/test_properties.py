@@ -364,3 +364,96 @@ def test_transition_matrix_counts_match_python(spark, seq):
     }
     expected = Counter(zip(seq, seq[1:]))
     assert got == dict(expected)
+
+
+# ---- exact repeated-substring spans ≡ brute-force Python ------------------
+
+_span_texts = st.text(alphabet=st.sampled_from("abAB xy"), min_size=0, max_size=30)
+
+
+def _naive_spans(docs, k):
+    """Brute-force: positions of k-grams appearing in >= 2 docs, merged
+    into maximal coverage intervals."""
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for did, text in docs:
+        for i in range(len(text) - k + 1):
+            owners[text[i : i + k]].add(did)
+    out = []
+    for did, text in docs:
+        hits = [
+            i
+            for i in range(len(text) - k + 1)
+            if len(owners[text[i : i + k]]) >= 2
+        ]
+        start = prev = None
+        for p in hits:
+            if start is None:
+                start = prev = p
+            elif p <= prev + k:
+                prev = p
+            else:
+                out.append((did, start, prev + k, prev + k - start))
+                start = prev = p
+        if start is not None:
+            out.append((did, start, prev + k, prev + k - start))
+    return sorted(out)
+
+
+@given(st.lists(_span_texts, min_size=2, max_size=6), st.integers(2, 6))
+@settings(**SETTINGS)
+def test_duplicate_spans_match_bruteforce(spark, texts_, k):
+    from etl_tools_rs_spark.operators.dedup import duplicate_spans
+
+    docs = list(enumerate(texts_))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicate_spans(df, "text", "doc_id", k=k).collect()
+    )
+    assert got == _naive_spans(docs, k)
+
+
+@given(st.lists(_span_texts, min_size=2, max_size=6), st.integers(2, 6))
+@settings(**SETTINGS)
+def test_remove_duplicate_spans_is_span_complement(spark, texts_, k):
+    from etl_tools_rs_spark.operators.dedup import remove_duplicate_spans
+
+    docs = list(enumerate(texts_))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.removed_chars)
+        for r in remove_duplicate_spans(df, "text", "doc_id", k=k).collect()
+    }
+    spans_by_doc = {}
+    for did, s, e, _l in _naive_spans(docs, k):
+        spans_by_doc.setdefault(did, []).append((s, e))
+    for did, text in docs:
+        keep = []
+        pos = 0
+        for s, e in sorted(spans_by_doc.get(did, [])):
+            keep.append(text[pos:s])
+            pos = e
+        keep.append(text[pos:])
+        expect = "".join(keep)
+        assert got[did] == (expect, len(text) - len(expect)), did
+
+
+# ---- BPE trainer ≡ reference on randomized corpora ------------------------
+
+_bpe_words = st.text(alphabet=st.sampled_from("abcd"), min_size=1, max_size=6)
+
+
+@given(st.lists(st.lists(_bpe_words, min_size=1, max_size=5), min_size=1, max_size=4))
+@settings(max_examples=5, deadline=None)
+def test_bpe_train_matches_reference_random(spark, corpora):
+    from test_bpe import _ref_bpe
+
+    from etl_tools_rs_spark.operators import bpe
+
+    texts_ = [" ".join(ws) for ws in corpora]
+    df = spark.createDataFrame([(t,) for t in texts_], "text string")
+    got = bpe.bpe_train(df, "text", num_merges=4)
+    want, _ = _ref_bpe(texts_, 4)
+    assert got == want
