@@ -346,3 +346,64 @@ def leakage_safe_split(
     return hash_split(
         df.withColumn("_fp", fingerprint(text_col)), "_fp", weights, split_col
     ).drop("_fp")
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture rates (the multilingual/multi-domain
+    α-sampling rule: sample probability ∝ size^α, α < 1 upweights small
+    domains): per group, its size, its α-tempered share, and the
+    per-row keep ``rate`` that realizes ``target_total`` expected rows
+    (capped at 1.0 — a small domain can't yield more rows than it has;
+    when ``target_total`` is None, rates scale the LARGEST group to 1.0,
+    i.e. pure re-balancing). Feed the rates straight into
+    ``mixture_sample`` for the deterministic row draw.
+
+    One size aggregate + a 1-row broadcast of the normalizing constant —
+    group-count-sized throughout, composes at any scale. All shares are
+    floor-scaled to ``scale`` dp (identical expression shape in the
+    DuckDB oracle; floor has no half-way boundary, so pow()'s last-ulp
+    engine differences can't flip values).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha!r}")
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    sizes = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tempered = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    tot = sizes.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        ),
+        F.max(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias(
+            "_m"
+        ),
+    )
+    share = fl(tempered / F.col("_z"))
+    if target_total is None:
+        rate = F.least(F.lit(1.0), fl(tempered / F.col("_m")))
+    else:
+        rate = F.least(
+            F.lit(1.0),
+            fl(
+                F.lit(float(target_total))
+                * (tempered / F.col("_z"))
+                / F.col("n")
+            ),
+        )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n",
+        share.cast("double").alias("share"),
+        rate.cast("double").alias("rate"),
+    )

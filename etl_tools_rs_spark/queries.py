@@ -5530,6 +5530,35 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.ahash_near_dup(hashes, max_hamming=2)
 
 
+@qdef(
+    "temperature_mixture_documents",
+    """
+    WITH sizes AS (
+      SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(pow(CAST(n AS DOUBLE), 0.7)) AS z FROM sizes
+    )
+    SELECT grp, n,
+           CAST(floor(1e6 * (pow(CAST(n AS DOUBLE), 0.7) / z)) / 1e6
+                AS DOUBLE) AS share,
+           CAST(least(1.0,
+                floor(1e6 * (300.0 * (pow(CAST(n AS DOUBLE), 0.7) / z) / n))
+                / 1e6) AS DOUBLE) AS rate
+    FROM sizes CROSS JOIN tot
+    """,
+)
+def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-tempered mixture rates (operators/sample.py::temperature_rates,
+    α=0.7, 300-row target): the multilingual-sampling rule that
+    upweights small domains. Floor-scaled shares hash-match the oracle;
+    compose with mixture_sample for the deterministic draw."""
+    from etl_tools_rs_spark.operators.sample import temperature_rates
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return temperature_rates(t["documents"], "source", 0.7, 300)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -329,3 +329,49 @@ class TestLeakageSafeSplit:
         df = spark.createDataFrame([(1, "x", 9)], ["doc_id", "text", "extra"])
         out = leakage_safe_split(df, {"train": 1.0}, "text")
         assert out.columns == ["doc_id", "text", "extra", "split"]
+
+
+class TestTemperatureRates:
+    def _rates(self, spark, counts, **kw):
+        from etl_tools_rs_spark.operators.sample import temperature_rates
+
+        rows = [(g, i) for g, n in counts.items() for i in range(n)]
+        df = spark.createDataFrame(rows, ["grp_col", "i"])
+        return {
+            r.grp: r for r in temperature_rates(df, "grp_col", **kw).collect()
+        }
+
+    def test_alpha_one_is_proportional(self, spark):
+        got = self._rates(spark, {"a": 30, "b": 10}, alpha=1.0)
+        assert abs(got["a"].share - 0.75) < 1e-6
+        assert abs(got["b"].share - 0.25) < 1e-6
+
+    def test_small_alpha_upweights_small_groups(self, spark):
+        got = self._rates(spark, {"big": 80, "small": 10}, alpha=0.5)
+        # tempered share of 'small' exceeds its raw share 1/9
+        assert got["small"].share > 10 / 90
+        assert got["big"].share < 80 / 90
+
+    def test_target_total_expected_rows(self, spark):
+        got = self._rates(spark, {"a": 100, "b": 100}, alpha=1.0, target_total=50)
+        # symmetric groups: each contributes ~25 expected rows
+        for g in ("a", "b"):
+            assert abs(got[g].rate * got[g].n - 25) < 0.01
+
+    def test_rate_caps_at_one(self, spark):
+        got = self._rates(spark, {"a": 2, "b": 200}, alpha=0.1, target_total=150)
+        assert got["a"].rate == 1.0
+
+    def test_no_target_scales_largest_to_one(self, spark):
+        got = self._rates(spark, {"a": 100, "b": 25}, alpha=0.5)
+        assert got["a"].rate == 1.0
+        assert abs(got["b"].rate - 0.5) < 1e-6  # (25/100)^0.5
+
+    def test_alpha_validation(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.sample import temperature_rates
+
+        df = spark.createDataFrame([("a", 1)], ["grp_col", "i"])
+        with pytest.raises(ValueError):
+            temperature_rates(df, "grp_col", alpha=0.0)
