@@ -481,6 +481,11 @@ def ahash_near_dup(
     h = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     ).where(F.col(hash_col).isNotNull())
+    # each band contributes two references to the hash frame; without
+    # truncation every reference re-runs the upstream DECODE stage
+    # (2·bands full decodes of the corpus) — checkpoint the narrow
+    # (id, hash) rows once instead
+    h = h.localCheckpoint(eager=False)
     # band b covers hex positions [start_b, end_b) — roughly equal splits
     bounds = [round(i * hex_len / n_bands) for i in range(n_bands + 1)]
     cands = None

@@ -355,3 +355,45 @@ def test_session_windows_match_batch_sessionize(spark, tmp_path):
     assert {(r.user_id, r.n_sessions, r.n_events) for r in got} == {
         (r.user_id, r.n_sessions, r.n_events) for r in batch
     } == {(1, 2, 5), (2, 2, 5)}
+
+
+def test_round3_column_ops_compose_on_streams(spark, tmp_path):
+    """char_stats and leakage_safe_split are stateless column ops — they
+    must run unchanged on a streaming frame (deployment-mode split, not a
+    code split)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_tools_rs_spark.operators.sample import leakage_safe_split
+    from etl_tools_rs_spark.operators.text import char_stats
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.ndjson").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": f"streaming document {i}"})
+            for i in range(6)
+        )
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    cs = char_stats("text")
+    out = leakage_safe_split(
+        stream.withColumn("entropy", cs["char_entropy"]),
+        {"train": 0.5, "test": 0.5},
+        "text",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("r3_stream_ops")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from r3_stream_ops").collect()
+    assert len(rows) == 6
+    assert all(r.entropy > 0 for r in rows)
+    assert all(r.split in ("train", "test") for r in rows)
