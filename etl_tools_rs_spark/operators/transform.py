@@ -105,3 +105,36 @@ def apply_foreach(
     finally:
         df.unpersist()
     return n
+
+
+def flat_transform_udtf(
+    df: DataFrame,
+    gen_fn: Callable[..., Any],
+    input_cols: list[str],
+    output_schema: str,
+) -> DataFrame:
+    """True UDTF 1:N transform: ``gen_fn(*row_values)`` yields ZERO or
+    more output tuples per input row, lateral-joined back to the input
+    columns — the fully-general form of the reference's unimplemented
+    ``TransformOutput::List`` arm (etl-core/src/transform_store.rs:70-72,
+    a ``panic!`` in the reference). Use ``flat_transform`` (explode of a
+    column expression) whenever the expansion IS column-expressible —
+    that form stays JVM-side; this one is the Python escape hatch for
+    generator logic no expression can state (stateful parsers,
+    third-party tokenizers, record splitters).
+
+    Runs as a Spark Python UDTF (executor-side, batched through the
+    Python worker; ``.outer()`` semantics keep input rows with zero
+    outputs out of the result — same inner-lateral shape as explode).
+    Output: all input columns + the UDTF's ``output_schema`` columns.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=output_schema)
+    class _Gen:  # noqa: N801 — local adapter
+        def eval(self, *args):  # noqa: ANN002
+            yield from gen_fn(*args)
+
+    # .outer() marks each argument as a correlated reference to the left
+    # (input) relation — the lateral-join column binding
+    return df.lateralJoin(_Gen(*[F.col(c).outer() for c in input_cols]))

@@ -5559,6 +5559,49 @@ def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return temperature_rates(t["documents"], "source", 0.7, 300)
 
 
+@qdef(
+    "scalar_json_funcs",
+    """
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"p":"'
+               || o_orderpriority || '","tags":["x","y"]}' AS doc
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(doc, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(doc, '$.p') AS p_val,
+           json_extract_string(doc, '$.tags[1]') AS tag2,
+           CAST(json_array_length(doc, '$.tags') AS INT) AS n_tags,
+           json_extract_string(doc, '$.missing') AS absent
+    FROM j
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (§2.7 gap list: the reference has NO scalar
+    function library): path extraction, array indexing, array length,
+    missing-path NULL semantics — parity-checked value-for-value against
+    DuckDB's json functions on identically-constructed documents."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    doc = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"p":"'),
+        F.col("o_orderpriority"),
+        F.lit('","tags":["x","y"]}'),
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        F.get_json_object(doc, "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object(doc, "$.p").alias("p_val"),
+        F.get_json_object(doc, "$.tags[1]").alias("tag2"),
+        F.json_array_length(F.get_json_object(doc, "$.tags"))
+        .cast("int")
+        .alias("n_tags"),
+        F.get_json_object(doc, "$.missing").alias("absent"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

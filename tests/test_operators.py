@@ -511,3 +511,50 @@ class TestRemoveDuplicateSpans:
         docs = [(1, "tiny"), (2, "tiny")]
         got = self._clean(spark, docs, k=10)
         assert got[1] == ("tiny", 0)
+
+
+class TestFlatTransformUdtf:
+    def test_generator_expansion(self, spark):
+        from etl_tools_rs_spark.operators.transform import flat_transform_udtf
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e"), (3, "")], "id int, text string"
+        )
+
+        def split_words(text):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+        out = flat_transform_udtf(
+            df, split_words, ["text"], "word string, pos int"
+        )
+        rows = sorted((r.id, r.word, r.pos) for r in out.collect())
+        assert rows == [
+            (1, "a", 0), (1, "b", 1), (1, "c", 2), (2, "d", 0), (2, "e", 1)
+        ]
+        assert out.columns == ["id", "text", "word", "pos"]
+
+    def test_zero_output_rows_dropped(self, spark):
+        from etl_tools_rs_spark.operators.transform import flat_transform_udtf
+
+        df = spark.createDataFrame([(1,), (2,)], "id int")
+
+        def only_even(i):
+            if i % 2 == 0:
+                yield (i * 10,)
+
+        out = flat_transform_udtf(df, only_even, ["id"], "v int")
+        assert [(r.id, r.v) for r in out.collect()] == [(2, 20)]
+
+    def test_multi_column_input(self, spark):
+        from etl_tools_rs_spark.operators.transform import flat_transform_udtf
+
+        df = spark.createDataFrame([(2, 3)], "a int, b int")
+
+        def pairs(a, b):
+            for i in range(a):
+                for j in range(b):
+                    yield i, j
+
+        out = flat_transform_udtf(df, pairs, ["a", "b"], "i int, j int")
+        assert out.count() == 6
