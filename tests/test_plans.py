@@ -366,3 +366,46 @@ def test_prefix_jaccard_no_cartesian(spark):
     # shingle / id keys — never an all-pairs nested loop
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestScaleAuditDetectors:
+    """The sweep tool's detectors (tools/scale_audit.py) must actually
+    fire on known-bad plan shapes and stay quiet on the sanctioned
+    scalar-broadcast fold."""
+
+    def _flags(self, df):
+        import json as _json
+        import sys
+
+        sys.path.insert(0, ".")
+        from tools.scale_audit import _build_tree, audit_plan
+
+        qe = df._jdf.queryExecution()
+        tree = _build_tree(_json.loads(qe.sparkPlan().toJSON()))
+        return audit_plan(tree, qe.sparkPlan().toString())
+
+    def test_single_partition_window_fires(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.range(100).select(
+            F.col("id"), F.sum("id").over(Window.orderBy("id")).alias("c")
+        )
+        assert self._flags(df)["single_partition_window"]
+
+    def test_scalar_broadcast_fold_not_flagged(self, spark):
+        from pyspark.sql import functions as F
+
+        base = spark.range(100)
+        stats = base.agg(F.sum("id").alias("s"))
+        df = base.crossJoin(F.broadcast(stats)).select(
+            (F.col("id") / F.col("s")).alias("share")
+        )
+        flags = self._flags(df)
+        assert not flags["bnl_join"]
+
+    def test_nonscalar_cross_join_flagged(self, spark):
+        a = spark.range(50)
+        b = spark.range(40).withColumnRenamed("id", "id2")
+        flags = self._flags(a.crossJoin(b))
+        assert flags["bnl_join"] or flags["cartesian"]

@@ -1,0 +1,182 @@
+"""Mechanical scale audit: explain EVERY registry query and flag plan
+shapes that break at 100 TB — the sweep version of the targeted pins in
+tests/test_plans.py.
+
+Flags per query:
+- ``single_partition_window``: a window/sort over SinglePartition
+  (global ordering through one task — the classic scale-killer);
+- ``cartesian``: CartesianProduct in the physical plan;
+- ``bnl_join``: BroadcastNestedLoopJoin (quadratic unless one side is
+  genuinely tiny);
+- ``python_row_udf``: row-at-a-time BatchEvalPython (non-Arrow Python);
+- ``global_limit_sort``: Sort + GlobalLimit without TakeOrderedAndProject.
+
+Known-justified sites are allowlisted with the reason printed next to
+them (labeled brute-force baselines, reference-parity theta join). The
+audit fails (exit 1) on any NON-allowlisted hit, so a new scale smell in
+any future operator turns the build red mechanically.
+
+Usage: python tools/scale_audit.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# query -> (marker -> reason) documented exceptions
+ALLOWLIST: dict[str, dict[str, str]] = {
+    "knn_cosine_brute": {
+        "cartesian": "labeled brute-force correctness baseline; scale paths are knn_cosine_lsh / knn_cosine_ivf",
+        "bnl_join": "broadcast queries side — the documented baseline shape",
+    },
+    "j1_left_theta_join": {
+        "bnl_join": "reference-parity theta join (BNLJ is the only general theta strategy; docstring requires broadcast_right at scale)",
+    },
+    "fuzzy_name_pairs": {
+        "bnl_join": "short-string bucket fallback (length<=d strings join by length band, bounded rows)",
+    },
+    "dedup_token_jaccard": {
+        "bnl_join": "labeled single-block EXACT verification path; the scale path is the blocked/prefix-filtered variants",
+    },
+    "quantiles_totalprice_hist": {
+        "bnl_join": "empty-bin completion joins the broadcast bin-range table (<= n_bins+2 rows) — sketch-sized side",
+        "single_partition_window": "CDF window runs over the BIN table (<= n_bins+2 rows, sketch-sized), never the data",
+    },
+    "resample_events_hourly": {
+        "bnl_join": "dense-grid materialization: groups x time-grid cross join IS the output; grid side = n_steps rows, known at plan time",
+    },
+    "gapfill_events_hourly": {
+        "bnl_join": "same dense-grid shape as resample_events_hourly (grid side bounded by the requested window)",
+    },
+}
+
+
+class _Node:
+    __slots__ = ("cls", "raw", "children")
+
+    def __init__(self, cls: str, raw: dict):
+        self.cls = cls
+        self.raw = raw
+        self.children: list[_Node] = []
+
+
+def _build_tree(nodes: list[dict]) -> _Node:
+    """Reconstruct the plan tree from toJSON's pre-order node list."""
+    it = iter(nodes)
+
+    def rec() -> _Node:
+        raw = next(it)
+        n = _Node(raw.get("class", "?").rsplit(".", 1)[-1], raw)
+        for _ in range(int(raw.get("num-children", 0))):
+            n.children.append(rec())
+        return n
+
+    return rec()
+
+
+def _is_scalar_side(n: _Node) -> bool:
+    """True if this subtree produces (at most) one row: descend through
+    single-child wrappers to an ungrouped aggregate."""
+    while True:
+        if n.cls in ("HashAggregateExec", "ObjectHashAggregateExec",
+                     "SortAggregateExec"):
+            return n.raw.get("groupingExpressions") in ([], None, "[]")
+        if len(n.children) != 1:
+            return False
+        n = n.children[0]
+
+
+def _walk(n: _Node):
+    yield n
+    for c in n.children:
+        yield from _walk(c)
+
+
+def audit_plan(tree: _Node, plan_str: str) -> dict[str, bool]:
+    bad_bnl = False
+    cartesian = False
+    single_win = False
+    for n in _walk(tree):
+        if n.cls == "BroadcastNestedLoopJoinExec":
+            # the engine-wide scalar-fold idiom (crossJoin of a 1-row
+            # broadcast aggregate) is the CORRECT shape — only flag a
+            # BNLJ where NEITHER side is a scalar aggregate
+            if not any(_is_scalar_side(c) for c in n.children):
+                bad_bnl = True
+        if n.cls == "CartesianProductExec":
+            cartesian = True
+        if n.cls in ("WindowExec", "WindowGroupLimitExec") and n.raw.get(
+            "partitionSpec"
+        ) in ([], None):
+            # empty partitionSpec ⇒ the whole input flows through ONE
+            # task's window — the canonical scale-killer
+            single_win = True
+    return {
+        "single_partition_window": single_win,
+        "cartesian": cartesian,
+        "bnl_join": bad_bnl,
+        "python_row_udf": "BatchEvalPython" in plan_str,
+        "global_limit_sort": (
+            "GlobalLimit" in plan_str
+            and "Sort" in plan_str
+            and "TakeOrderedAndProject" not in plan_str
+        ),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_AUDIT.json"
+
+    import __spark_entry__ as entrymod
+    from etl_tools_rs_spark.session import get_spark
+
+    spark = get_spark("scale-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    bad = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
+            tree = _build_tree(json.loads(qe.sparkPlan().toJSON()))
+            plan_str = qe.sparkPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": str(e)[:200]}
+            bad.append((name, f"explain failed: {e}"))
+            continue
+        flags = audit_plan(tree, plan_str)
+        hits = {k: v for k, v in flags.items() if v}
+        entry: dict = {"flags": sorted(hits)}
+        for k in hits:
+            reason = ALLOWLIST.get(name, {}).get(k)
+            if reason:
+                entry.setdefault("allowlisted", {})[k] = reason
+            else:
+                bad.append((name, k))
+        results[name] = entry
+    summary = {
+        "n_queries": len(results),
+        "n_flagged": sum(1 for r in results.values() if r.get("flags")),
+        "violations": [f"{n}: {k}" for n, k in bad],
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(
+        f"{summary['n_queries']} queries audited, "
+        f"{summary['n_flagged']} with flags, "
+        f"{len(bad)} NON-allowlisted violations"
+    )
+    for n, k in bad:
+        print(f"VIOLATION  {n}: {k}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
