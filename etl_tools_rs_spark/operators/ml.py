@@ -41,12 +41,16 @@ def logreg_fit(
     label: Column,
     iterations: int = 5,
     lr: float = 0.25,
+    l2: float = 0.0,
 ) -> list[float]:
     """Full-batch GD fit; returns ``[intercept, w_1, …, w_d]``.
 
     ``lr`` should be exactly binary-representable (0.25, 0.5, 0.125…)
     so the update arithmetic is engine-portable; features should be
-    scaled to O(1) (this is plain GD — no line search)."""
+    scaled to O(1) (this is plain GD — no line search). ``l2`` adds
+    ridge shrinkage ``λ·w_j`` to each gradient (intercept excluded, the
+    standard convention) — also exactly reproducible in the SQL oracle
+    when λ is binary-representable."""
     feats = df.select(
         label.cast("double").alias("_y"),
         *[
@@ -74,7 +78,13 @@ def logreg_fit(
         row = feats.agg(*aggs).collect()[0]
         n = row["_n"]
         w = [
-            w[i] - lr * (float(row[f"_s{i}"]) / n) for i in range(d + 1)
+            w[i]
+            - lr
+            * (
+                float(row[f"_s{i}"]) / n
+                + (l2 * w[i] if (l2 and i > 0) else 0.0)
+            )
+            for i in range(d + 1)
         ]
     return w
 
@@ -107,6 +117,7 @@ def logreg_oracle_sql(
     iterations: int = 5,
     lr: float = 0.25,
     feature_names: list[str] | None = None,
+    l2: float = 0.0,
 ) -> str:
     """Unrolled DuckDB SQL reproducing ``logreg_fit`` exactly: one CTE
     per GD iteration (1-row weight relations cross-joined to the feature
@@ -130,9 +141,10 @@ def logreg_oracle_sql(
         upd = []
         for i in range(d + 1):
             term = err if i == 0 else f"{err} * x{i}"
+            reg = f" + {l2!r} * p.w{i}" if (l2 and i > 0) else ""
             upd.append(
                 f"p.w{i} - {lr!r} * (CAST(sum(CAST(round({term}, 6) "
-                f"AS DECIMAL(24,6))) AS DOUBLE) / count(*)) AS w{i}"
+                f"AS DECIMAL(24,6))) AS DOUBLE) / count(*){reg}) AS w{i}"
             )
         gb = ", ".join(f"p.w{i}" for i in range(d + 1))
         out.append(

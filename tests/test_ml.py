@@ -63,3 +63,35 @@ class TestLogreg:
         con.execute("CREATE TABLE t AS SELECT 0.1*range AS a, range % 2 AS b FROM range(20)")
         out = con.execute(sql).fetchall()
         assert len(out) == 2  # intercept + 1 feature
+
+    def test_l2_shrinks_weights(self, spark):
+        df = _separable(spark)
+        w_plain = ml.logreg_fit(
+            df, [F.col("x1")], F.col("y"), iterations=20, lr=0.5
+        )
+        w_reg = ml.logreg_fit(
+            df, [F.col("x1")], F.col("y"), iterations=20, lr=0.5, l2=0.5
+        )
+        assert abs(w_reg[1]) < abs(w_plain[1])
+
+    def test_l2_oracle_parity_duckdb(self, spark):
+        import duckdb
+
+        rows = [(i, (i % 10) / 10.0, 1.0 if i % 3 == 0 else 0.0) for i in range(30)]
+        df = spark.createDataFrame(rows, ["id", "a", "y"])
+        w = ml.logreg_fit(
+            df, [F.col("a")], F.col("y"), iterations=3, lr=0.25, l2=0.25
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT (range % 10)/10.0 AS a,"
+            " CASE WHEN range % 3 = 0 THEN 1.0 ELSE 0.0 END AS y"
+            " FROM range(30)"
+        )
+        sql = ml.logreg_oracle_sql(
+            ["CAST(a AS DOUBLE)"], "CAST(y AS DOUBLE)", "t",
+            iterations=3, lr=0.25, l2=0.25,
+        )
+        got = dict(con.execute(sql).fetchall())
+        assert got["intercept"] == w[0]  # bit-for-bit
+        assert got["x1"] == w[1]
