@@ -5602,6 +5602,77 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "events_hopping_agg",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), offs AS (
+      SELECT unnest(range(0, 4)) AS k   -- 1h window / 15min hop = 4 covers
+    ), win AS (
+      SELECT e.*, CAST(to_timestamp(
+               (floor(epoch(e.ts) / 900) - k) * 900
+             ) AS TIMESTAMP) AS window_start
+      FROM ev e CROSS JOIN offs
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM win
+    WHERE epoch(window_start) + 3600 > epoch((SELECT min(ts) FROM ev))
+    GROUP BY window_start
+    """,
+)
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windowed aggregation — 1-hour windows every 15
+    minutes via ``F.window(slideDuration=...)``; each event lands in 4
+    overlapping windows. The oracle materializes the same window
+    replication with an offsets cross join. Counts hash-match
+    window-for-window."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@qdef(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    per priority partition — deterministic total order via the
+    (price, key) tie-break; ratios are int/int with a 6-dp round,
+    hash-exact across engines."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
