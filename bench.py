@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "remove_duplicate_spans_documents",
     "triangle_count_suppliers",
     "jl_project_embeddings",
+    "events_hopping_agg",
+    "image_ahash_near_dup",
 ]
 
 

@@ -58,7 +58,11 @@ def get_spark(
     conf = dict(ENGINE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     # local-mode niceties; harmless on cluster
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # 16g: local mode puts executor + driver + accumulated localCheckpoint
+    # blocks (iterative ops truncate lineage into the block manager) in ONE
+    # heap; on a real cluster spark-submit sets this before the JVM starts
+    # and this line is inert
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     conf.setdefault("spark.ui.enabled", "false")
     if extra_conf:
         conf.update(extra_conf)
