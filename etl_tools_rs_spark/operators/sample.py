@@ -407,3 +407,40 @@ def temperature_rates(
         share.cast("double").alias("share"),
         rate.cast("double").alias("rate"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: list[str],
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per ``by``
+    group, chosen by content-hash order of ``key_col`` — the per-domain /
+    per-source cap every crawl-scale corpus applies so a handful of huge
+    hosts cannot dominate the training mix (the same shape as C4's and
+    RefinedWeb's per-domain limits).
+
+    Hash order (md5 of the row key, ties broken by the key itself) makes
+    the KEPT SET stable across runs, partitionings and engines — rows
+    added to a group later displace only rows whose hash ranks below
+    them, never reshuffle the survivors arbitrarily — and makes the op
+    oracle-checkable value-for-value, unlike ``ORDER BY rand()`` caps.
+
+    Plan: one row_number window on the group key (single shuffle).
+    Groups at or under ``k`` pass through whole. At 100 TB the window
+    input can pre-shrink: a mega-group's rows all carry the group key,
+    so AQE skew-split handles hot domains; no driver state, no collect.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    if not by:
+        raise ValueError("cap_per_group needs at least one group column")
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        kmv_hash(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -288,3 +288,131 @@ def kmv_overlap(
             "est_intersection"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch — bottom-k uniform-hash sample (mergeable SRS quantiles)
+# ---------------------------------------------------------------------------
+# The quantile member of the sketch family (KMV = distinct counts,
+# Count-Min = frequencies, HLL = compact distinct state): a deterministic
+# simple random sample taken as the k rows whose content hash is smallest.
+# Bottom-k by a uniform hash IS an SRS without replacement, every row has
+# equal inclusion probability, so equal-weight quantiles over the sample
+# estimate population quantiles with the usual sqrt(k) error — and unlike
+# engine-native quantile sketches (t-digest / KLL / GK), the state is
+# plain (hash, value) rows: exactly reproducible in any engine with md5
+# (oracle-checkable), mergeable by min-k union (`merge_quantile_sketch`
+# — combine per-shard/per-day sketches without rescanning history), and
+# partitioning-independent.
+#
+# Plan shape at 100 TB: ungrouped sketches are distinct-free
+# TakeOrderedAndProject (per-partition bottom-k, driver merges
+# k x partitions rows — never a global sort); grouped sketches are one
+# row_number window on the group key. Estimation runs over <= k rows per
+# group.
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Bottom-k quantile sketch: the ``k`` rows of ``df`` (per ``by``
+    group) with the smallest 60-bit md5 hash of ``key_col``, carrying
+    ``value_col`` as double. Output: ``by`` cols + ``(_hv bigint,
+    _qv double)`` — tall, mergeable, engine-neutral.
+
+    ``key_col`` must identify a row (an id/PK): the hash is the sampling
+    coin, so duplicate keys would collapse to one sample slot (that
+    property is exactly what makes the min-k union merge exact — the
+    same row arriving from two shards occupies one slot, not two).
+    NULL keys and NULL values never enter the sketch.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k!r}")
+    by = by or []
+    rows = df.select(
+        *by,
+        kmv_hash(key_col).alias("_hv"),
+        F.col(value_col).cast("double").alias("_qv"),
+    ).filter(F.col("_hv").isNotNull() & F.col("_qv").isNotNull())
+    if not by:
+        return rows.orderBy("_hv").limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_hv")
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def merge_quantile_sketch(
+    *sketches: DataFrame, k: int = 256, by: list[str] | None = None
+) -> DataFrame:
+    """Min-k union of quantile sketches (shards/days/backfills): union the
+    tall sketch frames, dedupe the sample slot (a row present in several
+    shards re-hashes identically), keep the k smallest per group. Exactly
+    equals sketching the concatenated input — the merge law the unit
+    tests pin — and the shuffle moves only sketch rows.
+    """
+    by = by or []
+    union = sketches[0]
+    for s in sketches[1:]:
+        union = union.unionByName(s)
+    union = union.dropDuplicates([*by, "_hv"])
+    if not by:
+        return union.orderBy("_hv").limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_hv")
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_estimate(
+    sketch_df: DataFrame,
+    ps: list[float],
+    by: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a sketch frame: one row per ``by`` group
+    and requested quantile, ``(by..., p double, est_q double)``.
+
+    Linear-interpolated percentile over the equal-weight sample — the
+    same interpolation as DuckDB ``quantile_cont`` (rank ``p * (n-1)``),
+    floor-scaled to ``scale`` decimals for cross-engine bit-stability.
+    Below sketch capacity the sample is the population, so estimates are
+    exact.
+    """
+    if not ps:
+        raise ValueError("ps must name at least one quantile")
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"quantile {p!r} outside [0, 1]")
+    by = by or []
+    p10 = float(10**scale)
+    aggs = [
+        (
+            F.floor(F.lit(p10) * F.percentile(F.col("_qv"), F.lit(float(p))))
+            / F.lit(p10)
+        ).alias(f"_q_{i}")
+        for i, p in enumerate(ps)
+    ]
+    one = sketch_df.groupBy(*by).agg(*aggs)
+    # long form via one explode — per-p union branches would re-plan the
+    # aggregate once per quantile
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.col(f"_q_{i}").cast("double").alias("est_q"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    return one.select(*by, F.explode(kv).alias("_kv")).select(
+        *by, "_kv.p", "_kv.est_q"
+    )

@@ -5673,6 +5673,96 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "quantile_sketch_totalprice",
+    """
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv,
+             CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT o_orderpriority, hv, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn
+      FROM h WHERE hv IS NOT NULL
+    ), s AS (
+      SELECT o_orderpriority, v FROM r WHERE rn <= 128
+    ), q AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(1000000.0 * quantile_cont(v, 0.25)) / 1000000.0 AS DOUBLE) AS q25,
+             CAST(FLOOR(1000000.0 * quantile_cont(v, 0.50)) / 1000000.0 AS DOUBLE) AS q50,
+             CAST(FLOOR(1000000.0 * quantile_cont(v, 0.75)) / 1000000.0 AS DOUBLE) AS q75,
+             CAST(FLOOR(1000000.0 * quantile_cont(v, 0.95)) / 1000000.0 AS DOUBLE) AS q95
+      FROM s GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(0.25 AS DOUBLE) AS p, q25 AS est_q FROM q
+    UNION ALL
+    SELECT o_orderpriority, CAST(0.50 AS DOUBLE) AS p, q50 AS est_q FROM q
+    UNION ALL
+    SELECT o_orderpriority, CAST(0.75 AS DOUBLE) AS p, q75 AS est_q FROM q
+    UNION ALL
+    SELECT o_orderpriority, CAST(0.95 AS DOUBLE) AS p, q95 AS est_q FROM q
+    """,
+)
+def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (operators/sketch.py::
+    quantile_sketch): a deterministic md5 bottom-k sample per priority
+    group, quantiles linearly interpolated over the sample — the
+    engine-neutral, min-k-union-mergeable alternative to t-digest/KLL,
+    estimated here at k=128 and verified value-for-value against the
+    identical estimator in DuckDB. Plan: one row_number window on the
+    group key, estimation over <= k rows per group."""
+    from etl_tools_rs_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    sk = quantile_sketch(
+        t["orders"],
+        value_col="o_totalprice",
+        key_col="o_orderkey",
+        k=128,
+        by=["o_orderpriority"],
+    )
+    return quantile_estimate(sk, [0.25, 0.50, 0.75, 0.95], by=["o_orderpriority"])
+
+
+@qdef(
+    "cap_per_source_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 15
+    """,
+)
+def cap_per_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sample.py::cap_per_group): at
+    most 15 docs per source, selected by deterministic content-hash order
+    — the per-domain cap of crawl curation (C4/RefinedWeb style), stable
+    across runs and engines. One window shuffle; hash-matches the
+    identical DuckDB selection."""
+    from etl_tools_rs_spark.operators.sample import cap_per_group
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return cap_per_group(
+        t["documents"].select("doc_id", "source", "n_chars"),
+        by=["source"],
+        k=15,
+        key_col="doc_id",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -193,3 +193,83 @@ class TestKmvOverlap:
         df = spark.createDataFrame([("a",)], "v string")
         with pytest.raises(ValueError):
             kmv_overlap(df, df, "v", k=1)
+
+
+class TestQuantileSketch:
+    """Bottom-k quantile sketch: SRS-by-hash quantiles, min-k merge law."""
+
+    def _df(self, spark, n=500, start=0):
+        return spark.range(start, start + n).selectExpr(
+            "cast(id as string) AS k", "cast(id as double) AS v"
+        )
+
+    def test_exact_below_capacity(self, spark):
+        from etl_tools_rs_spark.operators.sketch import (
+            quantile_estimate,
+            quantile_sketch,
+        )
+
+        df = self._df(spark, n=50)
+        sk = quantile_sketch(df, "v", "k", k=256)
+        est = {r.p: r.est_q for r in quantile_estimate(sk, [0.0, 0.5, 1.0]).collect()}
+        # sample == population below capacity: exact interpolated quantiles
+        assert est[0.0] == 0.0
+        assert est[0.5] == 24.5
+        assert est[1.0] == 49.0
+
+    def test_estimate_accuracy_above_capacity(self, spark):
+        from etl_tools_rs_spark.operators.sketch import (
+            quantile_estimate,
+            quantile_sketch,
+        )
+
+        df = self._df(spark, n=20_000)
+        sk = quantile_sketch(df, "v", "k", k=512)
+        assert sk.count() == 512
+        est = {r.p: r.est_q for r in quantile_estimate(sk, [0.5]).collect()}
+        # SRS of 512: standard error of the median ~ n/(2*sqrt(k)) ~ 440
+        assert abs(est[0.5] - 10_000) < 2_000
+
+    def test_merge_law(self, spark):
+        from etl_tools_rs_spark.operators.sketch import (
+            merge_quantile_sketch,
+            quantile_sketch,
+        )
+
+        a = self._df(spark, n=1_000, start=0)
+        b = self._df(spark, n=1_000, start=700)  # overlaps a: shared keys
+        merged = merge_quantile_sketch(
+            quantile_sketch(a, "v", "k", k=64),
+            quantile_sketch(b, "v", "k", k=64),
+            k=64,
+        )
+        whole = quantile_sketch(a.union(b).dropDuplicates(["k"]), "v", "k", k=64)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_grouped_sketch_caps_per_group(self, spark):
+        from etl_tools_rs_spark.operators.sketch import quantile_sketch
+
+        df = spark.range(300).selectExpr(
+            "cast(id % 3 as string) AS g", "cast(id as string) AS k",
+            "cast(id as double) AS v",
+        )
+        sk = quantile_sketch(df, "v", "k", k=10, by=["g"])
+        per = {r.g: r.n for r in sk.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+        assert per == {"0": 10, "1": 10, "2": 10}
+
+    def test_nulls_never_enter(self, spark):
+        from etl_tools_rs_spark.operators.sketch import quantile_sketch
+
+        df = spark.sql(
+            "SELECT * FROM VALUES ('a', 1.0), (NULL, 2.0), ('c', NULL) t(k, v)"
+        )
+        assert quantile_sketch(df, "v", "k", k=8).count() == 1
+
+    def test_validates_k(self, spark):
+        from etl_tools_rs_spark.operators.sketch import quantile_sketch
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            quantile_sketch(self._df(spark, 5), "v", "k", k=1)

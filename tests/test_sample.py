@@ -375,3 +375,51 @@ class TestTemperatureRates:
         df = spark.createDataFrame([("a", 1)], ["grp_col", "i"])
         with pytest.raises(ValueError):
             temperature_rates(df, "grp_col", alpha=0.0)
+
+
+class TestCapPerGroup:
+    def test_caps_and_passes_small_groups(self, spark):
+        from etl_tools_rs_spark.operators.sample import cap_per_group
+
+        df = spark.range(100).selectExpr(
+            "CASE WHEN id < 80 THEN 'big' ELSE 'small' END AS g",
+            "cast(id as string) AS k",
+        )
+        out = cap_per_group(df, by=["g"], k=30, key_col="k")
+        per = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+        assert per == {"big": 30, "small": 20}
+
+    def test_kept_set_is_stable_under_growth(self, spark):
+        """Adding rows to a group never swaps out a survivor that still
+        ranks inside the cap — the incremental-pipeline property."""
+        from etl_tools_rs_spark.operators.sample import cap_per_group
+
+        small = spark.range(50).selectExpr("'g' AS g", "cast(id as string) AS k")
+        grown = spark.range(200).selectExpr("'g' AS g", "cast(id as string) AS k")
+        kept_small = {r.k for r in cap_per_group(small, ["g"], 10, "k").collect()}
+        kept_grown = {r.k for r in cap_per_group(grown, ["g"], 10, "k").collect()}
+        # survivors of the grown run that existed in the small input must
+        # be a subset of the small run's survivors (hash order is global)
+        assert {k for k in kept_grown if int(k) < 50} <= kept_small
+
+    def test_deterministic_across_partitionings(self, spark):
+        from etl_tools_rs_spark.operators.sample import cap_per_group
+
+        df = spark.range(300).selectExpr(
+            "cast(id % 3 as string) AS g", "cast(id as string) AS k"
+        )
+        a = sorted(map(tuple, cap_per_group(df, ["g"], 12, "k").collect()))
+        b = sorted(
+            map(tuple, cap_per_group(df.repartition(17), ["g"], 12, "k").collect())
+        )
+        assert a == b
+
+    def test_validates_args(self, spark):
+        from etl_tools_rs_spark.operators.sample import cap_per_group
+        import pytest as _pytest
+
+        df = spark.range(3).selectExpr("'g' AS g", "cast(id as string) AS k")
+        with _pytest.raises(ValueError):
+            cap_per_group(df, ["g"], 0, "k")
+        with _pytest.raises(ValueError):
+            cap_per_group(df, [], 5, "k")
