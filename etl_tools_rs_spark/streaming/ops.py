@@ -235,3 +235,119 @@ def enrich_stream(
     if how not in ("inner", "left"):
         raise ValueError("stream-static joins support how='inner'|'left' only")
     return stream.join(F.broadcast(static), on, how)
+
+
+def tws_available() -> bool:
+    """True when the ``transformWithStateInPandas`` runtime dependency
+    (the ``protobuf`` Python package — its driver/worker protocol is
+    protobuf-framed) is importable. Mirrors the SFTP/SQS import-gating
+    pattern: the API surface exists either way; the capable path engages
+    where the environment allows."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ema_stream(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    time_col: str,
+    alpha: float = 0.5,
+    api: str = "auto",
+) -> DataFrame:
+    """Per-key exponential moving average maintained across micro-batches
+    — one fixed (ema, n) struct per key, state bounded regardless of
+    stream length; the shuffle is the standard per-key state partitioning.
+
+    Rows are folded in ``time_col`` order within each batch
+    (``ema ← α·v + (1−α)·ema``). Emits one ``(keys…, ema double,
+    n_seen long)`` row per key per micro-batch — ``update`` semantics,
+    last row wins.
+
+    Two executor-side implementations, same semantics (property-pinned):
+
+    - ``api="tws"`` — ``transformWithStateInPandas`` (Spark 4's
+      typed-state successor to ``applyInPandasWithState``: named state
+      variables on a processor handle instead of one opaque tuple).
+      Requires the RocksDB state store
+      (``spark.sql.streaming.stateStore.providerClass`` →
+      ``...RocksDBStateStoreProvider``) and the ``protobuf`` package
+      (``tws_available()``).
+    - ``api="legacy"`` — ``applyInPandasWithState``, no extra deps.
+
+    ``api="auto"`` picks tws when its runtime dependency is present.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha!r}")
+    if api not in ("auto", "tws", "legacy"):
+        raise ValueError(f"api must be auto|tws|legacy, got {api!r}")
+    if api == "auto":
+        api = "tws" if tws_available() else "legacy"
+    import pandas as pd
+
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", ema double, n_seen long"
+
+    def fold(ema: float | None, n: int, pdfs) -> tuple[float | None, int]:
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for v in pdf[value_col]:
+                if v is None or pd.isna(v):
+                    continue
+                v = float(v)
+                ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
+                n += 1
+        return ema, n
+
+    def out_row(key: tuple, ema: float | None, n: int) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                **{k: [key[i]] for i, k in enumerate(keys)},
+                "ema": [ema],
+                "n_seen": [n],
+            }
+        )
+
+    if api == "legacy":
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def legacy_fn(
+            key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+        ) -> Iterable["pd.DataFrame"]:
+            ema, n = state.get if state.exists else (None, 0)
+            ema, n = fold(ema, n, pdfs)
+            state.update((ema, n))
+            yield out_row(key, ema, n)
+
+        return stream.groupBy(*keys).applyInPandasWithState(
+            legacy_fn,
+            out_schema,
+            "ema double, n_seen long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ema", "ema double, n_seen long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ema, n = self._state.get() if self._state.exists() else (None, 0)
+            ema, n = fold(ema, n, rows)
+            self._state.update((ema, n))
+            yield out_row(key, ema, n)
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(*keys).transformWithStateInPandas(
+        EmaProcessor(), out_schema, "update", "None"
+    )

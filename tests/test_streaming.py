@@ -5,6 +5,7 @@ availableNow (deterministic, no wall-clock waits)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pyspark.sql.functions as F
 import pytest
@@ -397,3 +398,81 @@ def test_round3_column_ops_compose_on_streams(spark, tmp_path):
     assert len(rows) == 6
     assert all(r.entropy > 0 for r in rows)
     assert all(r.split in ("train", "test") for r in rows)
+
+
+def test_ema_stream_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas path: per-key EMA folds across
+    micro-batches (RocksDB state store), final value equals the batch
+    fold of the same rows in time order."""
+    rows_a = [
+        {"user": "u1", "ts": "2024-01-01 10:00:00", "v": 10.0},
+        {"user": "u1", "ts": "2024-01-01 10:01:00", "v": 20.0},
+        {"user": "u2", "ts": "2024-01-01 10:00:30", "v": 5.0},
+    ]
+    rows_b = [
+        {"user": "u1", "ts": "2024-01-01 10:02:00", "v": 40.0},
+        {"user": "u2", "ts": "2024-01-01 10:03:00", "v": 15.0},
+    ]
+    d = tmp_path / "ema_events"
+    d.mkdir()
+    (d / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows_a) + "\n")
+    (d / "b.ndjson").write_text("\n".join(json.dumps(r) for r in rows_b) + "\n")
+    # FileStreamSource orders batches by modification time — pin it so the
+    # cross-batch fold order is deterministic
+    os.utime(d / "a.ndjson", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "b.ndjson", (1_700_000_600, 1_700_000_600))
+
+    if ops.tws_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        raw = sources.file_stream(
+            spark,
+            str(d),
+            format="json",
+            schema="user string, ts string, v double",
+            max_files_per_trigger=1,  # force >= 2 micro-batches
+        )
+        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        ema = ops.ema_stream(
+            stream, keys=["user"], value_col="v", time_col="ts", alpha=0.5
+        )
+        ops.run_available_now(ema, str(tmp_path / "ck_ema"), "ema_out")
+        rows = spark.sql(
+            "SELECT user, ema, n_seen FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY user ORDER BY n_seen DESC) AS rn FROM ema_out"
+            ") WHERE rn = 1"
+        ).collect()
+        got = {r.user: (r.ema, r.n_seen) for r in rows}
+        # u1: 10 -> .5*20+.5*10=15 -> .5*40+.5*15=27.5 ; u2: 5 -> 10
+        assert got["u1"] == (27.5, 3)
+        assert got["u2"] == (10.0, 2)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ema_stream_api_gate(spark):
+    """api='tws' is import-gated on protobuf (absent in this container →
+    auto resolves to the legacy path); explicit bad api rejects."""
+    import pytest as _pytest
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) AS user", "timestamp AS ts",
+        "cast(value as double) AS v",
+    )
+    out = ops.ema_stream(df, ["user"], "v", "ts")  # auto never raises
+    assert out.isStreaming
+    with _pytest.raises(ValueError):
+        ops.ema_stream(df, ["user"], "v", "ts", api="nope")
+
+
+def test_ema_stream_validates_alpha(spark):
+    import pytest as _pytest
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError):
+        ops.ema_stream(df, ["value"], "value", "timestamp", alpha=0.0)
