@@ -164,6 +164,8 @@ def robust_scale(
     cols: list[str],
     by: list[str] | None = None,
     scale: int = 6,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Median/IQR robust scaling: ``(x − median) / (p75 − p25)`` per
     column (optionally per group) — the standardization that heavy tails
@@ -171,22 +173,30 @@ def robust_scale(
     ``standardize``. Zero-IQR columns yield NULL (constant bulk — flag
     upstream, don't fabricate a scale).
 
-    Exact interpolated percentiles (deterministic and oracle-checkable,
-    unlike sketch percentiles; same discipline as ``outliers_mad``) in
-    ONE grouped aggregate for all three quantiles of every column; the
-    group-count-sized stats frame broadcasts back. Scaled values are
-    floor-scaled to ``scale`` decimals.
+    ``exact=True`` (default) uses exact interpolated percentiles
+    (deterministic and oracle-checkable, unlike sketch percentiles; same
+    discipline as ``outliers_mad``) — but ``F.percentile``'s partial
+    state is ALL values of a group, so an ungrouped exact call
+    concentrates the whole column in one final-merge buffer: fine up to
+    ~10⁸ rows per group, a scale-killer beyond. ``exact=False`` switches
+    to ``percentile_approx`` (GK sketch: fixed ``accuracy``-sized
+    mergeable state, rank error ≤ 1/accuracy) — the 100 TB path; the
+    clip/scale plan shape is identical. Either way: ONE grouped
+    aggregate for all quantiles of every column, the group-count-sized
+    stats frame broadcasts back, scaled values floor-scaled to ``scale``
+    decimals.
     """
     if not cols:
         raise ValueError("robust_scale needs at least one column")
     by = by or []
     p10 = float(10**scale)
+    pctl = _pctl_fn(exact, accuracy)
     aggs = []
     for i, c in enumerate(cols):
         d = F.col(c).cast("double")
-        aggs.append(F.percentile(d, F.lit(0.5)).alias(f"_med_{i}"))
-        aggs.append(F.percentile(d, F.lit(0.25)).alias(f"_p25_{i}"))
-        aggs.append(F.percentile(d, F.lit(0.75)).alias(f"_p75_{i}"))
+        aggs.append(pctl(d, 0.5).alias(f"_med_{i}"))
+        aggs.append(pctl(d, 0.25).alias(f"_p25_{i}"))
+        aggs.append(pctl(d, 0.75).alias(f"_p75_{i}"))
     stats = df.groupBy(*by).agg(*aggs)
     joined = (
         df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))
@@ -212,12 +222,27 @@ def robust_scale(
     return joined.select(*out_cols)
 
 
+def _pctl_fn(exact: bool, accuracy: int):
+    """Percentile aggregate picker: exact interpolation (all-values
+    partial state — per-group memory O(group)) vs the GK sketch
+    ``percentile_approx`` (fixed-size mergeable state — the shape that
+    survives an ungrouped 100 TB column). Shared by the quantile-based
+    scalers."""
+    if exact:
+        return lambda d, p: F.percentile(d, F.lit(float(p)))
+    if accuracy < 100:
+        raise ValueError(f"accuracy must be >= 100, got {accuracy!r}")
+    return lambda d, p: F.percentile_approx(d, F.lit(float(p)), F.lit(accuracy))
+
+
 def winsorize(
     df: DataFrame,
     cols: list[str],
     p_lo: float = 0.05,
     p_hi: float = 0.95,
     by: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Percentile clipping: clamp each column into
     ``[quantile(p_lo), quantile(p_hi)]`` (optionally per group) — the
@@ -225,22 +250,26 @@ def winsorize(
     features. Values inside the band pass through UNCHANGED (no
     re-scaling, so downstream semantics are preserved); NULLs stay NULL.
 
-    Exact interpolated percentiles in one grouped aggregate, broadcast
-    back; the clamp is a pure ``least/greatest`` projection — narrow,
-    codegen, bit-reproducible (clipped values equal the percentile
-    itself; unclipped values are untouched, so no scaling discipline is
-    even needed).
+    Percentiles in one grouped aggregate, broadcast back; the clamp is a
+    pure ``least/greatest`` projection — narrow, codegen,
+    bit-reproducible (clipped values equal the percentile itself;
+    unclipped values are untouched, so no scaling discipline is even
+    needed). ``exact`` / ``accuracy`` trade oracle-exact interpolation
+    against the fixed-state ``percentile_approx`` sketch exactly as in
+    :func:`robust_scale` — prefer ``exact=False`` for ungrouped clips at
+    scale.
     """
     if not cols:
         raise ValueError("winsorize needs at least one column")
     if not (0.0 <= p_lo < p_hi <= 1.0):
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
     by = by or []
+    pctl = _pctl_fn(exact, accuracy)
     aggs = []
     for i, c in enumerate(cols):
         d = F.col(c).cast("double")
-        aggs.append(F.percentile(d, F.lit(float(p_lo))).alias(f"_lo_{i}"))
-        aggs.append(F.percentile(d, F.lit(float(p_hi))).alias(f"_hi_{i}"))
+        aggs.append(pctl(d, p_lo).alias(f"_lo_{i}"))
+        aggs.append(pctl(d, p_hi).alias(f"_hi_{i}"))
     stats = df.groupBy(*by).agg(*aggs)
     joined = (
         df.join(F.broadcast(stats), by) if by else df.crossJoin(F.broadcast(stats))

@@ -170,3 +170,47 @@ class TestWinsorize:
         df = spark.createDataFrame([(1, 1.0)], "id int, x double")
         with pytest.raises(ValueError):
             winsorize(df, ["x"], 0.9, 0.1)
+
+
+class TestApproxPercentilePath:
+    """exact=False swaps F.percentile (all-values state) for the GK
+    sketch percentile_approx — the ungrouped-at-100TB shape."""
+
+    def test_winsorize_approx_close_to_exact(self, spark):
+        from etl_tools_rs_spark.operators.features import winsorize
+
+        df = spark.range(10_000).selectExpr("cast(id as double) AS v")
+        ex = winsorize(df, ["v"], 0.05, 0.95)
+        ap = winsorize(df, ["v"], 0.05, 0.95, exact=False, accuracy=10_000)
+        lo_e, hi_e = ex.agg(F.min("v"), F.max("v")).first()
+        lo_a, hi_a = ap.agg(F.min("v"), F.max("v")).first()
+        # rank error <= n/accuracy = 1 at this accuracy
+        assert abs(lo_a - lo_e) <= 2 and abs(hi_a - hi_e) <= 2
+        assert ap.count() == 10_000
+
+    def test_robust_scale_approx_runs_and_centers(self, spark):
+        from etl_tools_rs_spark.operators.features import robust_scale
+
+        df = spark.range(10_001).selectExpr("cast(id as double) AS v")
+        out = robust_scale(df, ["v"], exact=False).agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).first()
+        # (x - median)/iqr on uniform 0..10000: min ~ -1, max ~ +1
+        assert -1.1 < out.lo < -0.9 and 0.9 < out.hi < 1.1
+
+    def test_plan_uses_sketch_aggregate(self, spark):
+        from etl_tools_rs_spark.operators.features import winsorize
+
+        df = spark.range(100).selectExpr("cast(id as double) AS v")
+        plan = winsorize(df, ["v"], exact=False)._jdf.queryExecution().executedPlan().toString()
+        assert "percentile_approx" in plan
+        plan_exact = winsorize(df, ["v"])._jdf.queryExecution().executedPlan().toString()
+        assert "percentile_approx" not in plan_exact
+
+    def test_validates_accuracy(self, spark):
+        from etl_tools_rs_spark.operators.features import winsorize
+        import pytest as _pytest
+
+        df = spark.range(10).selectExpr("cast(id as double) AS v")
+        with _pytest.raises(ValueError):
+            winsorize(df, ["v"], exact=False, accuracy=10)
