@@ -730,6 +730,7 @@ def prefix_jaccard_pairs(
     shingle_n: int = 3,
     scale: int = 6,
     checkpoint: bool = True,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Blockless exact-Jaccard self-join via prefix filtering (the
     AllPairs/PPJoin principle, Bayardo et al. WWW'07; cf. the blocked
@@ -750,6 +751,16 @@ def prefix_jaccard_pairs(
     enter the join, which is exactly what a blocked self-join cannot
     guarantee. Output: ``(id_a, id_b, jaccard double)`` with
     ``id_a < id_b``, floor-scaled to ``scale``.
+
+    ``hash_grams=True`` replaces each shingle string with its xxhash64
+    before anything shuffles: the frequency agg, the per-doc ranking,
+    the prefix self-join and the verify join all move 8-byte ints
+    instead of wide strings — the same key-narrowing that cut the
+    MinHash path 62%. A 64-bit collision merges two shingles
+    corpus-wide, so Jaccard error is bounded by the collision rate
+    ≈ ``G²/2⁶⁵`` for G distinct shingles — negligible below ~10⁹
+    shingles, but it breaks md5-oracle parity, so the oracle-checked
+    registry query keeps the default off; the scale path turns it on.
     """
     from etl_tools_rs_spark.functions import ngrams
 
@@ -760,6 +771,8 @@ def prefix_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(ngrams(text_col, shingle_n))).alias("_g"),
     )
+    if hash_grams:
+        grams = grams.select("_id", F.xxhash64("_g").alias("_g"))
     if checkpoint:
         grams = grams.localCheckpoint(eager=False)
     dfc = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_dfn"))

@@ -397,6 +397,31 @@ class TestPrefixJaccard:
         with pytest.raises(ValueError):
             prefix_jaccard_pairs(df, threshold=0.0)
 
+    def test_hash_grams_matches_exact(self, spark):
+        """The 8-byte-key scale path returns the same pairs and scores as
+        the string-key path (collisions are ~G²/2⁶⁵ — absent here)."""
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+        import itertools
+
+        docs = [
+            (i, " ".join(c))
+            for i, c in enumerate(itertools.permutations(words, 6))
+            if i < 60
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        exact = sorted(
+            map(tuple, prefix_jaccard_pairs(df, threshold=0.4).collect())
+        )
+        hashed = sorted(
+            map(
+                tuple,
+                prefix_jaccard_pairs(df, threshold=0.4, hash_grams=True).collect(),
+            )
+        )
+        assert exact == hashed and len(exact) > 0
+
 
 class TestDuplicateSpans:
     def _spans(self, spark, docs, k=10, **kw):
