@@ -286,6 +286,7 @@ def corr_matrix(
     cols: list[str],
     input_scale: int = 2,
     scale: int = 9,
+    assume_complete: bool = False,
 ) -> DataFrame:
     """Pairwise Pearson correlation + covariance over numeric columns —
     the feature-redundancy / leakage screen run before training. Output
@@ -303,6 +304,14 @@ def corr_matrix(
     Population (not sample) covariance: ``cov = Σxy/n − (Σx/n)(Σy/n)``.
     Rows with a NULL in either column of a pair are excluded pair-wise
     (conditional sums), matching SQL ``CORR`` semantics.
+
+    ``assume_complete=True`` declares the columns NULL-free (typical for
+    measure columns) and shares per-column moments across pairs —
+    ``3k + C(k,2)`` accumulator slots instead of ``6·C(k,2)`` (~2× less
+    aggregate CPU at k=4, growing with k). Bit-identical results on
+    complete data; ENFORCED by an in-aggregate assert that fails the job
+    if any declared column has a NULL, so a wrong declaration can never
+    silently mis-state correlations.
     """
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
@@ -314,19 +323,43 @@ def corr_matrix(
     dec_t = f"decimal(18,{input_scale})"
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     aggs = []
-    for a, b in pairs:
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        da = F.when(both, F.col(a).cast(dec_t))
-        db = F.when(both, F.col(b).cast(dec_t))
-        tag = f"{a}__{b}"
-        aggs += [
-            F.count(F.when(both, F.lit(1))).cast("double").alias(f"_n_{tag}"),
-            F.sum(da).cast("double").alias(f"_sa_{tag}"),
-            F.sum(db).cast("double").alias(f"_sb_{tag}"),
-            F.sum(da * da).cast("double").alias(f"_saa_{tag}"),
-            F.sum(db * db).cast("double").alias(f"_sbb_{tag}"),
-            F.sum(da * db).cast("double").alias(f"_sab_{tag}"),
-        ]
+    if assume_complete:
+        # NULL-free columns: the pairwise-conditional sums all equal the
+        # unconditional per-column sums, so share them — k·(3 slots) +
+        # C(k,2) product slots instead of 6·C(k,2) (36 → 15 decimal
+        # accumulators for k=4). Values are bit-identical to the
+        # pairwise form on complete data; enforced, not assumed: any
+        # NULL in `cols` raises at action time.
+        guard = F.count(F.lit(1)) - F.least(
+            *[F.count(F.col(c)) for c in cols]
+        ) if len(cols) > 1 else F.lit(0)
+        aggs.append(
+            F.assert_true(
+                guard == 0, f"corr_matrix(assume_complete=True): NULLs in {cols}"
+            ).alias("_guard")
+        )
+        aggs.append(F.count(F.lit(1)).cast("double").alias("_n_all"))
+        for a in cols:
+            d = F.col(a).cast(dec_t)
+            aggs.append(F.sum(d).cast("double").alias(f"_s_{a}"))
+            aggs.append(F.sum(d * d).cast("double").alias(f"_ss_{a}"))
+        for a, b in pairs:
+            da, db = F.col(a).cast(dec_t), F.col(b).cast(dec_t)
+            aggs.append(F.sum(da * db).cast("double").alias(f"_sab_{a}__{b}"))
+    else:
+        for a, b in pairs:
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            da = F.when(both, F.col(a).cast(dec_t))
+            db = F.when(both, F.col(b).cast(dec_t))
+            tag = f"{a}__{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).cast("double").alias(f"_n_{tag}"),
+                F.sum(da).cast("double").alias(f"_sa_{tag}"),
+                F.sum(db).cast("double").alias(f"_sb_{tag}"),
+                F.sum(da * da).cast("double").alias(f"_saa_{tag}"),
+                F.sum(db * db).cast("double").alias(f"_sbb_{tag}"),
+                F.sum(da * db).cast("double").alias(f"_sab_{tag}"),
+            ]
     moments = df.agg(*aggs)
 
     # long-form via ONE explode over the single aggregated row — a
@@ -335,9 +368,20 @@ def corr_matrix(
     structs = []
     for a, b in pairs:
         tag = f"{a}__{b}"
-        n = F.col(f"_n_{tag}")
-        sa, sb = F.col(f"_sa_{tag}"), F.col(f"_sb_{tag}")
-        saa, sbb = F.col(f"_saa_{tag}"), F.col(f"_sbb_{tag}")
+        if assume_complete:
+            # route n through the guard so the optimizer can neither prune
+            # nor constant-fold the assert away: assert_true yields NULL
+            # when it holds, so `n + coalesce(guard, 0)` is n — but the
+            # dependency on _guard is live
+            n = F.col("_n_all") + F.coalesce(
+                F.col("_guard").cast("double"), F.lit(0.0)
+            )
+            sa, sb = F.col(f"_s_{a}"), F.col(f"_s_{b}")
+            saa, sbb = F.col(f"_ss_{a}"), F.col(f"_ss_{b}")
+        else:
+            n = F.col(f"_n_{tag}")
+            sa, sb = F.col(f"_sa_{tag}"), F.col(f"_sb_{tag}")
+            saa, sbb = F.col(f"_saa_{tag}"), F.col(f"_sbb_{tag}")
         sab = F.col(f"_sab_{tag}")
         cov = fl(sab / n - (sa / n) * (sb / n))
         var_a = fl(saa / n - (sa / n) * (sa / n))

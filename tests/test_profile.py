@@ -410,3 +410,35 @@ class TestPsi:
         df = spark.createDataFrame([(1.0,)], "x double")
         with pytest.raises(ValueError):
             psi(df, df, "x", 0.0, 1.0, smoothing=0.0)
+
+
+class TestCorrMatrixAssumeComplete:
+    def test_matches_pairwise_form(self, spark):
+        from etl_tools_rs_spark.operators.profile import corr_matrix
+
+        df = spark.range(2_000).selectExpr(
+            "cast(id % 97 as double) AS x",
+            "cast((id * 7) % 89 as double) AS y",
+            "cast(id % 13 as double) AS z",
+        )
+        a = sorted(map(tuple, corr_matrix(df, ["x", "y", "z"]).collect()))
+        b = sorted(
+            map(
+                tuple,
+                corr_matrix(df, ["x", "y", "z"], assume_complete=True).collect(),
+            )
+        )
+        assert a == b
+
+    def test_guard_raises_on_nulls(self, spark):
+        """A wrong completeness declaration fails the job instead of
+        silently mis-stating correlations."""
+        from etl_tools_rs_spark.operators.profile import corr_matrix
+        import pytest as _pytest
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (1.0, 2.0), (2.0, CAST(NULL AS DOUBLE)), "
+            "(3.0, 6.0) t(x, y)"
+        )
+        with _pytest.raises(Exception, match="NULL|assert"):
+            corr_matrix(df, ["x", "y"], assume_complete=True).collect()
