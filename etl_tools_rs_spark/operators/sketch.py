@@ -416,3 +416,82 @@ def quantile_estimate(
     return one.select(*by, F.explode(kv).alias("_kv")).select(
         *by, "_kv.p", "_kv.est_q"
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — Misra-Gries candidates + exact verify (two passes)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    scale: int = 6,
+) -> DataFrame:
+    """EXACT frequent items: every value with frequency > n/k, with its
+    exact count and frequency — without ever shuffling the full distinct
+    key set, which is what makes it a different operator from
+    ``groupBy(col).count()`` at 100 TB: a plain group-by on an
+    ultra-high-cardinality column (URLs, user ids, shingles) shuffles
+    every distinct key; this shuffles at most ``k`` candidate keys.
+
+    Pass 1 — Misra-Gries per partition (Arrow-batched ``mapInPandas``,
+    ≤ ``k`` counters of bounded memory per task, batch-merged by the
+    standard subtract-the-(k+1)-th-count reduction): by pigeonhole, any
+    value with GLOBAL frequency > n/k has frequency > n_p/k in at least
+    one partition, so the union of per-partition candidates has NO false
+    negatives. Pass 2 — exact counts over candidate rows only (broadcast
+    semi-join, then a ≤ k-key aggregate), filtered to the true > n/k
+    hitters; false positives from pass 1 die here. Result is exact and
+    deterministic — oracle = plain ``HAVING COUNT(*) > n/k``.
+
+    Output: ``(value_col, cnt bigint, freq double)`` with ``freq``
+    floor-scaled to ``scale``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k!r}")
+    import pandas as pd
+
+    field = df.schema[value_col]
+    out_schema = df.select(value_col).schema
+
+    def mg(pdfs) -> "pd.DataFrame":
+        counters: dict = {}
+        for pdf in pdfs:
+            vc = pdf[value_col].dropna().value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # batched MG reduction: subtract the (k+1)-th largest
+                # count from everyone, keep the positive remainder
+                t = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - t for v, c in counters.items() if c > t}
+        yield pd.DataFrame({value_col: pd.Series(list(counters), dtype=object)})
+
+    cands = (
+        df.select(value_col)
+        .filter(F.col(value_col).isNotNull())
+        .mapInPandas(mg, out_schema)
+        .distinct()
+    )
+    total = df.select(
+        F.count(F.col(value_col)).cast("double").alias("_n")
+    )
+    counts = (
+        df.join(F.broadcast(cands), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p10 = float(10**scale)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("_n") / k)
+        .select(
+            value_col,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.floor(F.lit(p10) * F.col("cnt") / F.col("_n")) / F.lit(p10))
+            .cast("double")
+            .alias("freq"),
+        )
+    )

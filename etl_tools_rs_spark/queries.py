@@ -5766,6 +5766,33 @@ def cap_per_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "heavy_hitters_users",
+    """
+    WITH t AS (SELECT CAST(COUNT(user_id) AS DOUBLE) AS n FROM events),
+    c AS (
+      SELECT user_id, COUNT(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(1000000.0 * cnt / n) / 1000000.0 AS DOUBLE) AS freq
+    FROM c CROSS JOIN t
+    WHERE cnt > n / 150
+    """,
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/sketch.py::heavy_hitters): users
+    with > n/150 of all events, via Misra-Gries bounded-memory candidates
+    (mapInPandas, ≤ k counters per task — never a full-distinct shuffle)
+    + an exact verify pass over candidates only. No false negatives by
+    pigeonhole, false positives die in the verify — so the result is
+    exact and the oracle is a plain HAVING filter."""
+    from etl_tools_rs_spark.operators.sketch import heavy_hitters
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return heavy_hitters(t["events"], "user_id", k=150)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -273,3 +273,55 @@ class TestQuantileSketch:
 
         with _pytest.raises(ValueError):
             quantile_sketch(self._df(spark, 5), "v", "k", k=1)
+
+
+class TestHeavyHitters:
+    def test_exact_vs_naive(self, spark):
+        from etl_tools_rs_spark.operators.sketch import heavy_hitters
+        import pyspark.sql.functions as F
+
+        # zipf-ish: value i appears ~ 1000/i times
+        rows = [(str(i),) for i in range(1, 60) for _ in range(1000 // i)]
+        df = spark.createDataFrame(rows, "v string").repartition(13)
+        n = len(rows)
+        k = 20
+        naive = {
+            r.v: r.cnt
+            for r in df.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > n / k)
+            .collect()
+        }
+        got = {r.v: r.cnt for r in heavy_hitters(df, "v", k=k).collect()}
+        assert got == naive and len(got) > 0
+
+    def test_candidate_set_is_bounded(self, spark):
+        """The MG pass emits <= k candidates per partition — never the
+        full distinct key set."""
+        from etl_tools_rs_spark.operators.sketch import heavy_hitters
+
+        df = (
+            spark.range(50_000)
+            .selectExpr("cast(id as string) AS v")  # all-unique: no hitters
+            .repartition(4)
+        )
+        out = heavy_hitters(df, "v", k=10)
+        assert out.count() == 0
+
+    def test_nulls_ignored(self, spark):
+        from etl_tools_rs_spark.operators.sketch import heavy_hitters
+
+        df = spark.sql(
+            "SELECT * FROM VALUES ('a'), ('a'), ('a'), (NULL), ('b') t(v)"
+        )
+        got = {r.v: (r.cnt, r.freq) for r in heavy_hitters(df, "v", k=2).collect()}
+        # n counts non-null values only (4): a=3 > 4/2
+        assert got == {"a": (3, 0.75)}
+
+    def test_validates_k(self, spark):
+        from etl_tools_rs_spark.operators.sketch import heavy_hitters
+        import pytest as _pytest
+
+        df = spark.range(3).selectExpr("cast(id as string) AS v")
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "v", k=1)
