@@ -247,3 +247,18 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.bpe import bpe_tokenize
 
         return EngineFrame(bpe_tokenize(self.df, merges, *a, **kw))
+
+    def cap_per_group(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.sample import cap_per_group
+
+        return EngineFrame(cap_per_group(self.df, *a, **kw))
+
+    def quantile_sketch(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.sketch import quantile_sketch
+
+        return EngineFrame(quantile_sketch(self.df, *a, **kw))
+
+    def heavy_hitters(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.sketch import heavy_hitters
+
+        return EngineFrame(heavy_hitters(self.df, *a, **kw))

@@ -134,3 +134,25 @@ def test_round3_late_ops_chainable(spark):
     merges = bpe_train(docs, "text", num_merges=2)
     toks = EngineFrame(docs).bpe_tokenize(merges).collect()
     assert all(len(r.bpe_tokens) > 0 for r in toks)
+
+
+def test_round3_late_ops_chain(spark):
+    """cap_per_group → quantile_sketch / heavy_hitters chain through the
+    facade and equal the direct operator calls."""
+    from etl_tools_rs_spark.operators.sample import cap_per_group
+
+    df = spark.range(500).selectExpr(
+        "cast(id % 5 as string) AS g",
+        "cast(id as string) AS k",
+        "cast(id as double) AS v",
+    )
+    via_facade = (
+        EngineFrame(df).cap_per_group(by=["g"], k=20, key_col="k").df.collect()
+    )
+    direct = cap_per_group(df, by=["g"], k=20, key_col="k").collect()
+    assert sorted(map(tuple, via_facade)) == sorted(map(tuple, direct))
+
+    hh = EngineFrame(df).heavy_hitters("g", k=4)
+    assert isinstance(hh, EngineFrame)
+    qs = EngineFrame(df).quantile_sketch("v", "k", k=32)
+    assert qs.count() == 32
