@@ -262,3 +262,13 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.sketch import heavy_hitters
 
         return EngineFrame(heavy_hitters(self.df, *a, **kw))
+
+    def minhash_cross_pairs(self, right: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import minhash_cross_pairs
+
+        return EngineFrame(minhash_cross_pairs(self.df, right, *a, **kw))
+
+    def decontaminate_near_dup(self, benchmark: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import decontaminate_near_dup
+
+        return EngineFrame(decontaminate_near_dup(self.df, benchmark, *a, **kw))

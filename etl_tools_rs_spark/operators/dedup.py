@@ -983,3 +983,115 @@ def remove_duplicate_spans(
             ).cast("bigint").alias("removed_chars"),
         )
     )
+
+
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus MinHash/LSH near-duplicate pairs: ``(id_a, id_b,
+    jaccard)`` where ``id_a`` is from ``left`` and ``id_b`` from
+    ``right`` — doc-level decontamination between two corpora (train vs
+    benchmark, new crawl vs existing training set), the cross twin of
+    the self-join ``dedup_minhash_lsh`` (same signature/banding
+    machinery, same exact-Jaccard verify; cf. the gram-level EXACT
+    containment form ``decontaminate``).
+
+    Plan: each side gets its own minhash signature table (one shuffle on
+    its ids) and band rows; candidates come from an equi-join on (band,
+    bucket) BETWEEN the sides — within-side duplicates never pair, and
+    the join moves only narrow (id, band, bucket) rows. A hot bucket
+    (boilerplate on both sides) is an AQE skew-join case, and its
+    candidate count is |L_bucket|·|R_bucket| — bounded by the smaller
+    side, unlike the self-join's quadratic blowup. Verify joins shingle
+    arrays only onto the deduplicated candidate pairs.
+
+    At 100 TB x benchmark-sized right side: the right banding frame is
+    tiny → Catalyst broadcasts it, and the whole candidate stage is a
+    map-side join over the left scan. No driver state, no collect.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_table(
+            df, text_col, id_col, num_hashes, shingle_n, hash_family
+        ).withColumnRenamed(id_col, "_id")
+
+        def band_bucket(b: int) -> Column:
+            cols = [
+                F.col(f"_h{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            if hash_family == "xxhash64":
+                return F.xxhash64(*cols)
+            return F.md5(F.concat_ws("|", *cols))
+
+        bb = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                for b in range(bands)
+            ]
+        )
+        return sig.select("_id", F.explode(bb).alias("_bb")).select(
+            "_id",
+            F.col("_bb.band").alias("band"),
+            F.col("_bb.bucket").alias("bucket"),
+        )
+
+    lb = banded(left).withColumnRenamed("_id", "id_a")
+    rb = banded(right).withColumnRenamed("_id", "id_b")
+    pairs = lb.join(rb, ["band", "bucket"]).select("id_a", "id_b").distinct()
+
+    sa = left.select(
+        F.col(id_col).alias("id_a"), ngrams(text_col, shingle_n).alias("_sh_a")
+    )
+    sb = right.select(
+        F.col(id_col).alias("id_b"), ngrams(text_col, shingle_n).alias("_sh_b")
+    )
+    cand = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shingle_jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+        )
+    )
+    return cand.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def decontaminate_near_dup(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop every corpus doc whose text is a NEAR duplicate (Jaccard ≥
+    ``threshold``) of any benchmark doc — the doc-level fuzzy
+    complement of the exact gram-containment ``decontaminate``. One
+    anti-join on the flagged id set from :func:`minhash_cross_pairs`.
+    """
+    flagged = minhash_cross_pairs(
+        corpus,
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        **lsh_kwargs,
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

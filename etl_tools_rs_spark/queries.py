@@ -5793,6 +5793,29 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(t["events"], "user_id", k=150)
 
 
+@qdef("cross_near_dup_documents", None)  # LSH candidates aren't SQL-expressible
+def cross_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup decontamination (operators/dedup.py::
+    minhash_cross_pairs): a deterministic 10% hash-sample of documents
+    plays the benchmark (ids offset so sides are disjoint), the full
+    table plays the training corpus — every benchmark doc's exact twin
+    must be flagged, plus any true near-dups. Banded equi-join BETWEEN
+    the sides only (within-side dups never pair); with a benchmark-sized
+    right side the banding frame broadcasts. Rows-gated: the xxhash64
+    candidate stage has no SQL oracle (the verify is exact Jaccard)."""
+    from etl_tools_rs_spark.operators.dedup import minhash_cross_pairs
+    from etl_tools_rs_spark.operators.sample import hash_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = hash_sample(docs, "doc_id", 0.1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return minhash_cross_pairs(
+        docs, bench, threshold=0.8, num_hashes=16, bands=8
+    ).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

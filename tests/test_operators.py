@@ -583,3 +583,65 @@ class TestFlatTransformUdtf:
 
         out = flat_transform_udtf(df, pairs, ["a", "b"], "i int, j int")
         assert out.count() == 6
+
+
+class TestMinhashCrossPairs:
+    def _corpora(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated text about spark and shuffles"),
+                (3, "another document that matches nothing on the right"),
+            ],
+            "doc_id long, text string",
+        )
+        right = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy dog today"),
+                (102, "benchmark text that matches nothing on the left"),
+            ],
+            "doc_id long, text string",
+        )
+        return left, right
+
+    def test_finds_cross_duplicates_only(self, spark):
+        from etl_tools_rs_spark.operators.dedup import minhash_cross_pairs
+
+        left, right = self._corpora(spark)
+        got = minhash_cross_pairs(
+            left, right, threshold=0.9, num_hashes=16, bands=8
+        ).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 101, 1.0)]
+
+    def test_within_side_pairs_never_emitted(self, spark):
+        from etl_tools_rs_spark.operators.dedup import minhash_cross_pairs
+
+        df = spark.createDataFrame(
+            [(1, "identical text body here"), (2, "identical text body here")],
+            "doc_id long, text string",
+        )
+        other = spark.createDataFrame(
+            [(9, "something else entirely different")], "doc_id long, text string"
+        )
+        # both left dups pair with nothing on the right; they never pair
+        # with each other
+        assert minhash_cross_pairs(df, other, threshold=0.5).count() == 0
+
+    def test_decontaminate_near_dup_drops_flagged(self, spark):
+        from etl_tools_rs_spark.operators.dedup import decontaminate_near_dup
+
+        left, right = self._corpora(spark)
+        kept = decontaminate_near_dup(
+            left, right, threshold=0.9, num_hashes=16, bands=8
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+
+    def test_validates_args(self, spark):
+        from etl_tools_rs_spark.operators.dedup import minhash_cross_pairs
+        import pytest as _pytest
+
+        left, right = self._corpora(spark)
+        with _pytest.raises(ValueError):
+            minhash_cross_pairs(left, right, threshold=0.0)
+        with _pytest.raises(ValueError):
+            minhash_cross_pairs(left, right, num_hashes=16, bands=5)
