@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_tools_rs_spark.operators.profile import approx_quantiles_hist
 
@@ -290,3 +291,58 @@ def winsorize(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def rank_normalize(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    scale: int = 6,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile (rank) transform: replace each column with its percent
+    rank in ``[0, 1]`` (optionally per group) — the normalization that
+    makes any monotone feature uniform regardless of its distribution,
+    the nonparametric sibling of :func:`standardize` (heavy tails,
+    mixed units and outliers all flatten to rank).
+
+    Equal values get equal ranks (min-rank / SQL ``percent_rank``
+    semantics), so the transform is deterministic without a tie-break.
+    NULLs stay NULL and are EXCLUDED from the rank: they sort last
+    (never shifting non-null ranks) and the denominator is the non-null
+    count, so ``pr = (rank − 1) / (n_nonnull − 1)``; single-value groups
+    rank 0.
+
+    Plan: one window per column on the same partition key — Catalyst
+    collapses same-key windows into a single sort per distinct order, so
+    k columns cost one shuffle. Ranks are floor-scaled to ``scale``.
+    """
+    if not cols:
+        raise ValueError("rank_normalize needs at least one column")
+    by = by or []
+    p10 = float(10**scale)
+    out = df
+    for c in cols:
+        w = Window.partitionBy(*[F.col(g) for g in by]).orderBy(
+            F.col(c).asc_nulls_last()
+        )
+        wp = Window.partitionBy(*[F.col(g) for g in by])
+        m = F.count(F.col(c)).over(wp)
+        pr = F.when(
+            m > 1,
+            (F.rank().over(w) - F.lit(1)).cast("double") / (m - F.lit(1)),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(
+            f"_rn_{c}",
+            F.when(
+                F.col(c).isNotNull(),
+                F.floor(F.lit(p10) * pr) / F.lit(p10),
+            ).cast("double"),
+        )
+    sel = []
+    for c in df.columns:
+        if c in cols:
+            sel.append(F.col(f"_rn_{c}").alias(c))
+        else:
+            sel.append(F.col(c))
+    return out.select(*sel)

@@ -5816,6 +5816,37 @@ def cross_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@qdef(
+    "rank_normalize_totalprice",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(RANK() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS DOUBLE) AS rnk,
+             CAST(COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                  AS DOUBLE) AS m
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CASE WHEN m > 1
+                THEN FLOOR(1000000.0 * ((rnk - 1) / (m - 1))) / 1000000.0
+                ELSE 0.0 END AS DOUBLE) AS o_totalprice
+    FROM r
+    """,
+)
+def rank_normalize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile/rank transform (operators/features.py::rank_normalize):
+    order totals flattened to their percent rank within each priority
+    group — the nonparametric normalization (heavy tails, mixed units
+    and outliers all become uniform ranks). Min-rank tie semantics,
+    NULL-excluded denominator; verified rank-for-rank."""
+    from etl_tools_rs_spark.operators.features import rank_normalize
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    return rank_normalize(o, ["o_totalprice"], by=["o_orderpriority"])
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

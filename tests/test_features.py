@@ -214,3 +214,44 @@ class TestApproxPercentilePath:
         df = spark.range(10).selectExpr("cast(id as double) AS v")
         with _pytest.raises(ValueError):
             winsorize(df, ["v"], exact=False, accuracy=10)
+
+
+class TestRankNormalize:
+    def test_basic_and_ties(self, spark):
+        from etl_tools_rs_spark.operators.features import rank_normalize
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (1, 10.0), (2, 20.0), (3, 20.0), (5, 30.0) "
+            "t(id, v)"
+        )
+        got = {r.id: r.v for r in rank_normalize(df, ["v"]).collect()}
+        assert got == {1: 0.0, 2: 0.333333, 3: 0.333333, 5: 1.0}
+
+    def test_nulls_excluded_from_denominator(self, spark):
+        from etl_tools_rs_spark.operators.features import rank_normalize
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (1, 10.0), (2, CAST(NULL AS DOUBLE)), "
+            "(3, 30.0) t(id, v)"
+        )
+        got = {r.id: r.v for r in rank_normalize(df, ["v"]).collect()}
+        # NULL neither ranks nor counts: 10 -> 0, 30 -> 1 over m=2
+        assert got == {1: 0.0, 2: None, 3: 1.0}
+
+    def test_grouped_and_single_value_group(self, spark):
+        from etl_tools_rs_spark.operators.features import rank_normalize
+
+        df = spark.sql(
+            "SELECT * FROM VALUES ('a', 1.0), ('a', 2.0), ('b', 5.0) t(g, v)"
+        )
+        got = sorted(
+            (r.g, r.v) for r in rank_normalize(df, ["v"], by=["g"]).collect()
+        )
+        assert got == [("a", 0.0), ("a", 1.0), ("b", 0.0)]
+
+    def test_validates_cols(self, spark):
+        from etl_tools_rs_spark.operators.features import rank_normalize
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            rank_normalize(spark.range(3), [])
