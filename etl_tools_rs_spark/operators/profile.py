@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
+from pyspark.sql.window import Window
 
 
 def _numeric_cols(df: DataFrame, cols: list[str]) -> set[str]:
@@ -603,3 +604,97 @@ def psi(
         fl(pb).alias("p_b"),
         fl((pb - pa) * F.log(pb / pa)).alias("psi_term"),
     )
+
+
+def concentration_profile(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    top_fracs: tuple[float, ...] = (0.01, 0.1),
+    scale: int = 6,
+) -> DataFrame:
+    """Concentration / inequality screen: per group, the Gini
+    coefficient of ``value_col`` plus the share held by the top
+    ``top_fracs`` fraction of rows — how dominated a training mix is by
+    its largest contributors (domains by bytes, users by events, parts
+    by revenue). A mix whose top 1% of domains holds 60% of tokens
+    usually needs :func:`~etl_tools_rs_spark.operators.sample.cap_per_group`
+    or α-tempering before training.
+
+    Gini via the rank form on ascending-sorted values:
+    ``G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n`` — one rank window over the
+    group + one aggregate, no pairwise |xᵢ−xⱼ| join (that form is
+    O(n²)). Top-p share = sum of the top ⌈p·n⌉ values over the total,
+    from the same sort (descending rank = n−i+1, reusing the single
+    window). NULL and negative values are rejected (Gini is defined for
+    non-negative quantities; sentinel negatives would silently corrupt
+    shares).
+
+    Output: ``by…, n bigint, total double, gini double,
+    top_{frac}_share double…`` — floor-scaled to ``scale``. One window
+    shuffle on the group key + one grouped aggregate. Deterministic:
+    ties broken by value then rank position contribute identically to
+    every term.
+    """
+    for p in top_fracs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"top_frac {p!r} outside (0, 1]")
+    by = by or []
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    v = F.col(value_col).cast("double")
+    base = df.select(*by, v.alias("_v"))
+    guard = F.assert_true(
+        F.col("_v").isNotNull() & (F.col("_v") >= 0),
+        f"concentration_profile: NULL or negative {value_col}",
+    )
+    base = base.select(
+        *by, (F.col("_v") + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("_v")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("_v").asc()
+    )
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_tot"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_iw"),
+    ]
+    agg = ranked.groupBy(*by).agg(*aggs)
+    # top-p sums need the DESCENDING prefix: row i (ascending) is in the
+    # top ceil(p*n) iff i > n - ceil(p*n) — computed per row against the
+    # group size from a count window on the same partition key
+    wn = Window.partitionBy(*[F.col(c) for c in by])
+    sized = ranked.withColumn("_gn", F.count(F.lit(1)).over(wn))
+    for j, p in enumerate(top_fracs):
+        k = F.ceil(F.lit(float(p)) * F.col("_gn"))
+        tops = (
+            sized.filter(F.col("_i") > F.col("_gn") - k)
+            .groupBy(*by)
+            .agg(F.sum("_v").alias(f"_top_{j}"))
+        )
+        agg = agg.join(tops, by) if by else agg.crossJoin(tops)
+    n = F.col("_n").cast("double")
+    gini = F.when(
+        (F.col("_tot") > 0) & (F.col("_n") > 1),
+        fl(
+            F.lit(2.0) * F.col("_iw") / (n * F.col("_tot"))
+            - (n + 1.0) / n
+        ),
+    )
+    sel = [
+        *by,
+        F.col("_n").cast("bigint").alias("n"),
+        fl(F.col("_tot")).cast("double").alias("total"),
+        gini.cast("double").alias("gini"),
+    ]
+    for j, p in enumerate(top_fracs):
+        share = F.when(
+            F.col("_tot") > 0, fl(F.col(f"_top_{j}") / F.col("_tot"))
+        )
+        label = f"top_{str(p).replace('.', '_')}_share"
+        sel.append(share.cast("double").alias(label))
+    return agg.select(*sel)

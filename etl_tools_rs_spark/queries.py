@@ -5847,6 +5847,50 @@ def rank_normalize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(o, ["o_totalprice"], by=["o_orderpriority"])
 
 
+@qdef(
+    "concentration_nchars_by_lang",
+    """
+    WITH r AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY CAST(n_chars AS DOUBLE)) AS i,
+             COUNT(*) OVER (PARTITION BY lang) AS gn
+      FROM documents
+    ), a AS (
+      SELECT lang, COUNT(*) AS n, SUM(v) AS tot, SUM(i * v) AS iw
+      FROM r GROUP BY lang
+    ), t AS (
+      SELECT lang, SUM(v) AS topv
+      FROM r WHERE i > gn - CEIL(0.1 * gn) GROUP BY lang
+    )
+    SELECT a.lang,
+           CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(1000000.0 * tot) / 1000000.0 AS DOUBLE) AS total,
+           CAST(CASE WHEN tot > 0 AND n > 1
+                THEN FLOOR(1000000.0 * (2.0 * iw / (n * tot) - (n + 1.0) / n))
+                     / 1000000.0 END AS DOUBLE) AS gini,
+           CAST(CASE WHEN tot > 0
+                THEN FLOOR(1000000.0 * (topv / tot)) / 1000000.0 END
+                AS DOUBLE) AS top_0_1_share
+    FROM a JOIN t ON a.lang = t.lang
+    """,
+)
+def concentration_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration screen (operators/profile.py::concentration_profile):
+    Gini coefficient + top-10% share of document bytes per language —
+    the domain-dominance check run before fixing a training mixture
+    (feeds cap_per_group / temperature_rates). Rank-form Gini: one
+    window + one aggregate, never the O(n²) pairwise-difference join;
+    tie positions provably cancel so the value is engine-deterministic.
+    Verified group-for-group."""
+    from etl_tools_rs_spark.operators.profile import concentration_profile
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return concentration_profile(
+        t["documents"], "n_chars", by=["lang"], top_fracs=(0.1,)
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -442,3 +442,51 @@ class TestCorrMatrixAssumeComplete:
         )
         with _pytest.raises(Exception, match="NULL|assert"):
             corr_matrix(df, ["x", "y"], assume_complete=True).collect()
+
+
+class TestConcentrationProfile:
+    def test_uniform_is_zero_gini(self, spark):
+        from etl_tools_rs_spark.operators.profile import concentration_profile
+
+        df = spark.sql("SELECT * FROM VALUES (5.0),(5.0),(5.0),(5.0) t(v)")
+        r = concentration_profile(df, "v", top_fracs=(0.5,)).first()
+        assert r.gini == 0.0 and r.top_0_5_share == 0.5 and r.total == 20.0
+
+    def test_max_concentration(self, spark):
+        from etl_tools_rs_spark.operators.profile import concentration_profile
+
+        df = spark.sql("SELECT * FROM VALUES (0.0),(0.0),(0.0),(100.0) t(v)")
+        r = concentration_profile(df, "v", top_fracs=(0.25,)).first()
+        # all mass on one of n rows: G = (n-1)/n
+        assert r.gini == 0.75 and r.top_0_25_share == 1.0
+
+    def test_matches_pairwise_definition(self, spark):
+        """Rank form equals the mean-absolute-difference definition
+        G = sum|xi-xj| / (2 n^2 mean) on random data."""
+        import itertools
+        import math
+
+        from etl_tools_rs_spark.operators.profile import concentration_profile
+
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = concentration_profile(df, "v").first().gini
+        n, mean = len(vals), sum(vals) / len(vals)
+        mad = sum(abs(a - b) for a, b in itertools.product(vals, vals))
+        expect = math.floor(1e6 * (mad / (2 * n * n * mean))) / 1e6
+        assert abs(got - expect) <= 1e-6
+
+    def test_grouped_and_guard(self, spark):
+        from etl_tools_rs_spark.operators.profile import concentration_profile
+        import pytest as _pytest
+
+        df = spark.sql(
+            "SELECT * FROM VALUES ('a', 1.0), ('a', 3.0), ('b', 2.0) t(g, v)"
+        )
+        rows = {r.g: r for r in concentration_profile(df, "v", by=["g"]).collect()}
+        assert rows["a"].n == 2 and rows["b"].gini is None  # single row: no gini
+        bad = spark.sql("SELECT * FROM VALUES (1.0), (-2.0) t(v)")
+        with _pytest.raises(Exception):
+            concentration_profile(bad, "v").collect()
+        with _pytest.raises(ValueError):
+            concentration_profile(df, "v", top_fracs=(1.5,))
