@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "jl_project_embeddings",
     "events_hopping_agg",
     "image_ahash_near_dup",
+    "quantile_sketch_totalprice",
+    "cap_per_source_documents",
+    "heavy_hitters_users",
+    "cross_near_dup_documents",
+    "rank_normalize_totalprice",
+    "concentration_nchars_by_lang",
 ]
 
 

@@ -606,6 +606,51 @@ def psi(
     )
 
 
+def _two_phase_global_rank(
+    df: DataFrame, val_col: str, out_col: str
+) -> DataFrame:
+    """Global ascending rank (1-based row_number by ``val_col``) WITHOUT
+    a global-order window — the two-phase range-bucket form shared with
+    ``packing.scalable_cumsum``: approxQuantile boundaries split the
+    value domain, row_number runs per bucket in parallel, and the
+    driver adds per-bucket count offsets (two sketch-sized collects —
+    the documented metadata exception). Ties order arbitrarily within
+    their value block, which is exactly the tie-invariance the rank-form
+    statistics rely on; equal values always share a bucket, so blocks
+    never straddle an offset boundary incorrectly."""
+    from etl_tools_rs_spark.operators.packing import _bucket_of
+
+    spark = df.sparkSession
+    nb = spark.sparkContext.defaultParallelism
+    probs = [i / nb for i in range(1, nb)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(val_col, probs, 0.001)))
+        if probs
+        else []
+    )
+    bucketed = df.withColumn("__b", _bucket_of(F.col(val_col), bounds))
+    w = Window.partitionBy("__b").orderBy(F.col(val_col).asc())
+    local = bucketed.withColumn("__lr", F.row_number().over(w))
+    counts = {
+        r["__b"]: r["__c"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    offs = F.array(*[F.lit(o).cast("long") for o in offsets])
+    return local.withColumn(
+        out_col,
+        (
+            F.col("__lr").cast("long")
+            + F.element_at(offs, F.col("__b").cast("int") + F.lit(1))
+        ),
+    ).drop("__b", "__lr")
+
+
 def concentration_profile(
     df: DataFrame,
     value_col: str,
@@ -631,10 +676,14 @@ def concentration_profile(
     shares).
 
     Output: ``by…, n bigint, total double, gini double,
-    top_{frac}_share double…`` — floor-scaled to ``scale``. One window
-    shuffle on the group key + one grouped aggregate. Deterministic:
-    ties broken by value then rank position contribute identically to
-    every term.
+    top_{frac}_share double…`` — floor-scaled to ``scale``. Grouped: one
+    window shuffle on the group key + one grouped aggregate. UNGROUPED
+    inputs never see a global-order window (Spark would run it as a
+    single partition): the global rank comes from the same two-phase
+    range-bucket form as ``scalable_cumsum`` — parallel in-bucket
+    row_numbers plus driver-side bucket-count offsets (two sketch-sized
+    collects). Deterministic: ties broken by value then rank position
+    contribute identically to every term.
     """
     for p in top_fracs:
         if not (0.0 < p <= 1.0):
@@ -654,10 +703,18 @@ def concentration_profile(
     base = base.select(
         *by, (F.col("_v") + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("_v")
     )
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
-        F.col("_v").asc()
-    )
-    ranked = base.withColumn("_i", F.row_number().over(w))
+    if by:
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+            F.col("_v").asc()
+        )
+        ranked = base.withColumn("_i", F.row_number().over(w))
+        wn = Window.partitionBy(*[F.col(c) for c in by])
+        sized = ranked.withColumn("_gn", F.count(F.lit(1)).over(wn))
+    else:
+        ranked = _two_phase_global_rank(base, "_v", "_i")
+        sized = ranked.crossJoin(
+            F.broadcast(base.agg(F.count(F.lit(1)).alias("_gn")))
+        )
     aggs = [
         F.count(F.lit(1)).alias("_n"),
         F.sum("_v").alias("_tot"),
@@ -666,9 +723,8 @@ def concentration_profile(
     agg = ranked.groupBy(*by).agg(*aggs)
     # top-p sums need the DESCENDING prefix: row i (ascending) is in the
     # top ceil(p*n) iff i > n - ceil(p*n) — computed per row against the
-    # group size from a count window on the same partition key
-    wn = Window.partitionBy(*[F.col(c) for c in by])
-    sized = ranked.withColumn("_gn", F.count(F.lit(1)).over(wn))
+    # group size (count window on the partition key, or the 1-row
+    # broadcast total when ungrouped)
     for j, p in enumerate(top_fracs):
         k = F.ceil(F.lit(float(p)) * F.col("_gn"))
         tops = (

@@ -479,7 +479,8 @@ def heavy_hitters(
         F.count(F.col(value_col)).cast("double").alias("_n")
     )
     counts = (
-        df.join(F.broadcast(cands), value_col, "left_semi")
+        df.select(value_col)  # verify scan carries only the key column
+        .join(F.broadcast(cands), value_col, "left_semi")
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -292,14 +292,19 @@ def ema_stream(
     out_schema = ", ".join(f"{k} string" for k in keys) + ", ema double, n_seen long"
 
     def fold(ema: float | None, n: int, pdfs) -> tuple[float | None, int]:
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
-            for v in pdf[value_col]:
-                if v is None or pd.isna(v):
-                    continue
-                v = float(v)
-                ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
-                n += 1
+        # a key's batch may arrive as several Arrow chunks — concatenate
+        # BEFORE sorting so the fold order is the batch's global time
+        # order, not per-chunk order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return ema, n
+        whole = pd.concat(chunks).sort_values(time_col)
+        for v in whole[value_col]:
+            if v is None or pd.isna(v):
+                continue
+            v = float(v)
+            ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
+            n += 1
         return ema, n
 
     def out_row(key: tuple, ema: float | None, n: int) -> "pd.DataFrame":

@@ -490,3 +490,27 @@ class TestConcentrationProfile:
             concentration_profile(bad, "v").collect()
         with _pytest.raises(ValueError):
             concentration_profile(df, "v", top_fracs=(1.5,))
+
+
+def test_concentration_ungrouped_has_no_global_window(spark):
+    """The ungrouped path must use the two-phase rank — never a
+    single-partition global-order window."""
+    from etl_tools_rs_spark.operators.profile import concentration_profile
+
+    import json as _json
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.scale_audit import _build_tree, audit_plan
+
+    df = spark.range(5_000).selectExpr("cast(id % 987 as double) AS v")
+    out = concentration_profile(df, "v", top_fracs=(0.5,))
+    qe = out._jdf.queryExecution()
+    flags = audit_plan(
+        _build_tree(_json.loads(qe.sparkPlan().toJSON())),
+        qe.sparkPlan().toString(),
+    )
+    assert not flags["single_partition_window"]
+    # and it still computes the right thing on a known distribution
+    r = out.first()
+    assert r.n == 5_000 and 0.30 < r.gini < 0.36  # uniform-ish: G ~ 1/3
