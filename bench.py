@@ -22,6 +22,7 @@ field so drift is caught without human diffing.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -139,6 +140,12 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # drop references eagerly between queries: lazily-materialized
+        # localCheckpoint blocks from iterative ops otherwise accumulate
+        # in the shared JVM and tax LATER queries' timings (observed as
+        # cross-query drift at the tail of the run)
+        spark.catalog.clearCache()
+        gc.collect()
         print(
             f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s, "
             f"warm {'/'.join(f'{s:.2f}' for s in samples)})",

@@ -313,32 +313,67 @@ def rank_normalize(
     count, so ``pr = (rank − 1) / (n_nonnull − 1)``; single-value groups
     rank 0.
 
-    Plan: one window per column on the same partition key — Catalyst
-    collapses same-key windows into a single sort per distinct order, so
-    k columns cost one shuffle. Ranks are floor-scaled to ``scale``.
+    Plan — grouped: one window per column on the same partition key
+    (Catalyst collapses same-key windows into a single sort per distinct
+    order, so k columns cost one shuffle). UNGROUPED inputs never see a
+    global-order window (one task would sort everything): min-rank comes
+    from the distinct-VALUE frequency table instead — ``rank(x) = 1 +
+    Σ count(v < x)``, i.e. an exclusive cumulative count over distinct
+    values via the two-phase ``scalable_cumsum``, joined back on the
+    value. Cost per column: the frequency aggregate, the (distinct-value
+    -sized) cumsum, one value join; shuffle volume is bounded by the
+    value CARDINALITY, not the row count. Ranks are floor-scaled to
+    ``scale``.
     """
     if not cols:
         raise ValueError("rank_normalize needs at least one column")
     by = by or []
     p10 = float(10**scale)
     out = df
-    for c in cols:
-        w = Window.partitionBy(*[F.col(g) for g in by]).orderBy(
-            F.col(c).asc_nulls_last()
-        )
-        wp = Window.partitionBy(*[F.col(g) for g in by])
-        m = F.count(F.col(c)).over(wp)
-        pr = F.when(
-            m > 1,
-            (F.rank().over(w) - F.lit(1)).cast("double") / (m - F.lit(1)),
-        ).otherwise(F.lit(0.0))
-        out = out.withColumn(
-            f"_rn_{c}",
-            F.when(
-                F.col(c).isNotNull(),
-                F.floor(F.lit(p10) * pr) / F.lit(p10),
-            ).cast("double"),
-        )
+    if by:
+        for c in cols:
+            w = Window.partitionBy(*[F.col(g) for g in by]).orderBy(
+                F.col(c).asc_nulls_last()
+            )
+            wp = Window.partitionBy(*[F.col(g) for g in by])
+            m = F.count(F.col(c)).over(wp)
+            pr = F.when(
+                m > 1,
+                (F.rank().over(w) - F.lit(1)).cast("double") / (m - F.lit(1)),
+            ).otherwise(F.lit(0.0))
+            out = out.withColumn(
+                f"_rn_{c}",
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.floor(F.lit(p10) * pr) / F.lit(p10),
+                ).cast("double"),
+            )
+    else:
+        from etl_tools_rs_spark.operators.packing import scalable_cumsum
+
+        for c in cols:
+            d = F.col(c).cast("double")
+            freq = (
+                df.filter(d.isNotNull())
+                .groupBy(d.alias("_val"))
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+            )
+            cum = scalable_cumsum(freq, "_val", "_cnt", out_col="_cum")
+            m1 = cum.agg(F.sum("_cnt").alias("_m"))
+            pr = F.when(
+                F.col("_m") > 1,
+                (F.col("_cum") - F.col("_cnt")).cast("double")
+                / (F.col("_m") - F.lit(1)),
+            ).otherwise(F.lit(0.0))
+            vals = cum.crossJoin(F.broadcast(m1)).select(
+                "_val",
+                (F.floor(F.lit(p10) * pr) / F.lit(p10))
+                .cast("double")
+                .alias(f"_rn_{c}"),
+            )
+            out = out.join(
+                vals, on=out[c].cast("double") == vals["_val"], how="left"
+            ).drop("_val")
     sel = []
     for c in df.columns:
         if c in cols:
