@@ -272,3 +272,18 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.dedup import decontaminate_near_dup
 
         return EngineFrame(decontaminate_near_dup(self.df, benchmark, *a, **kw))
+
+    def rank_normalize(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.features import rank_normalize
+
+        return EngineFrame(rank_normalize(self.df, *a, **kw))
+
+    def concentration_profile(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import concentration_profile
+
+        return EngineFrame(concentration_profile(self.df, *a, **kw))
+
+    def budget_allocate(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.sample import budget_allocate
+
+        return EngineFrame(budget_allocate(self.df, *a, **kw))

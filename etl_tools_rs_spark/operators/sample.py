@@ -444,3 +444,113 @@ def cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def budget_allocate(
+    domains: DataFrame,
+    count_col: str,
+    weight_col: str,
+    budget: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Water-filling budget allocation: split a total token/row
+    ``budget`` across domains proportionally to ``weight_col`` but
+    capped by each domain's availability ``count_col`` — the step
+    between mixture weights (e.g. :func:`temperature_rates`) and an
+    actual sampling quota: naive ``budget·wᵢ`` overshoots domains with
+    too little data, and the surplus must cascade to the others.
+
+    Allocation: ``aᵢ = min(cᵢ, τ·wᵢ)`` with the water level τ chosen so
+    ``Σaᵢ = min(budget, Σc)`` — small/over-asked domains saturate at
+    their full count, the rest share the remainder by weight. τ has a
+    closed relational form: sort domains by saturation ratio
+    ``rᵢ = cᵢ/wᵢ``, take prefix sums, and the unique segment where
+    ``τ = (budget − cumC) / (W − cumW)`` lies between consecutive r's
+    wins. Exact, deterministic, oracle-checkable — no iteration.
+
+    ``domains`` is an AGGREGATED per-domain table (one row per domain —
+    the output of a groupBy upstream), so the prefix-sum window runs
+    over group-count-sized data; that is the same deliberate exception
+    as every stats frame in the engine, documented here: do NOT call
+    this on row-level data. Output: input columns + ``alloc double``
+    (floor-scaled), ``saturated boolean``. Weights must be > 0 and
+    counts ≥ 0 (guarded in-plan).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget!r}")
+    p10 = float(10**scale)
+
+    def fl(c: Column) -> Column:
+        return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+    c = F.col(count_col).cast("double")
+    wgt = F.col(weight_col).cast("double")
+    guard = F.assert_true(
+        c.isNotNull() & (c >= 0) & wgt.isNotNull() & (wgt > 0),
+        f"budget_allocate: need {count_col} >= 0 and {weight_col} > 0",
+    )
+    base = domains.select(
+        "*",
+        (c + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("_c"),
+        wgt.alias("_w"),
+        (c / wgt).alias("_r"),
+    )
+    # prefix sums in saturation-ratio order over the DOMAIN table
+    # (group-count-sized by contract — see docstring)
+    w = Window.orderBy(F.col("_r").asc(), F.col("_c").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = base.select(
+        "*",
+        F.sum("_c").over(w).alias("_cumC"),
+        F.sum("_w").over(w).alias("_cumW"),
+        F.lead("_r").over(
+            Window.orderBy(F.col("_r").asc(), F.col("_c").asc())
+        ).alias("_rnext"),
+    )
+    totals = base.agg(
+        F.sum("_c").alias("_Ctot"), F.sum("_w").alias("_Wtot")
+    )
+    # the winning segment: τ computed from everything at-or-below this
+    # row's ratio; valid when τ falls in [r, r_next). Edge segments:
+    # τ = budget/W below the smallest r; everything saturates when
+    # budget >= total count.
+    seg = pre.crossJoin(F.broadcast(totals))
+    # try_divide: the LAST row has cumW == Wtot (zero divisor) and is
+    # excluded by `valid` anyway — ANSI division would error first
+    tau_here = F.try_divide(
+        F.lit(float(budget)) - F.col("_cumC"),
+        F.col("_Wtot") - F.col("_cumW"),
+    )
+    valid = (
+        (F.col("_r") <= tau_here)
+        & ((F.col("_rnext").isNull()) | (tau_here < F.col("_rnext")))
+        & (F.col("_Wtot") > F.col("_cumW"))
+    )
+    tau0 = F.lit(float(budget)) / F.col("_Wtot")  # no domain saturates
+    cand = seg.select(
+        F.when(valid, tau_here).alias("_tau_seg"),
+        F.when(
+            F.min("_r").over(Window.orderBy(F.lit(1))) > tau0, tau0
+        ).alias("_tau_zero"),
+        "_Ctot",
+    )
+    tau_row = cand.agg(
+        F.coalesce(
+            F.max("_tau_zero"), F.max("_tau_seg"), F.lit(float("inf"))
+        ).alias("_tau"),
+        F.max("_Ctot").alias("_Call"),
+    )
+    out = base.crossJoin(F.broadcast(tau_row))
+    alloc = F.when(
+        F.lit(float(budget)) >= F.col("_Call"), F.col("_c")
+    ).otherwise(F.least(F.col("_c"), F.col("_tau") * F.col("_w")))
+    saturated = F.when(
+        F.lit(float(budget)) >= F.col("_Call"), F.lit(True)
+    ).otherwise(F.col("_c") <= F.col("_tau") * F.col("_w"))
+    keep = [col for col in domains.columns]
+    return out.select(
+        *keep,
+        fl(alloc).cast("double").alias("alloc"),
+        saturated.alias("saturated"),
+    )

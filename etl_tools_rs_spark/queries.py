@@ -5891,6 +5891,77 @@ def concentration_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "budget_allocate_sources",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(COUNT(*) AS DOUBLE) AS c,
+             CAST((ascii(substring(source, length(source), 1)) % 4) + 1
+                  AS DOUBLE) AS w
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT *, c / w AS sat FROM d
+    ), pre AS (
+      SELECT *,
+             SUM(c) OVER (ORDER BY sat, c
+                          ROWS UNBOUNDED PRECEDING) AS cumC,
+             SUM(w) OVER (ORDER BY sat, c
+                          ROWS UNBOUNDED PRECEDING) AS cumW,
+             LEAD(sat) OVER (ORDER BY sat, c) AS satnext
+      FROM r
+    ), tot AS (SELECT SUM(c) AS call, SUM(w) AS wtot FROM d),
+    seg AS (
+      SELECT CASE WHEN wtot > cumW
+                   AND sat <= (260.0 - cumC) / (wtot - cumW)
+                   AND (satnext IS NULL
+                        OR (260.0 - cumC) / (wtot - cumW) < satnext)
+                  THEN (260.0 - cumC) / (wtot - cumW) END AS tau_seg,
+             CASE WHEN (SELECT MIN(sat) FROM r) > 260.0 / wtot
+                  THEN 260.0 / wtot END AS tau_zero,
+             call
+      FROM pre CROSS JOIN tot
+    ), tau AS (
+      SELECT COALESCE(MAX(tau_zero), MAX(tau_seg)) AS tau,
+             MAX(call) AS call
+      FROM seg
+    )
+    SELECT source,
+           CAST(FLOOR(1000000.0 * CASE WHEN 260.0 >= call THEN c
+                ELSE LEAST(c, tau * w) END) / 1000000.0 AS DOUBLE) AS alloc,
+           CASE WHEN 260.0 >= call THEN TRUE
+                ELSE c <= tau * w END AS saturated
+    FROM r CROSS JOIN tau
+    """,
+)
+def budget_allocate_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget allocation (operators/sample.py::
+    budget_allocate): split a 260-document budget across sources
+    weighted by a deterministic per-source weight, capped by each
+    source's availability — small/over-asked sources saturate at their
+    count and the surplus cascades by weight (the step from mixture
+    RATES to an actual sampling QUOTA). Closed relational form: sort by
+    saturation ratio, prefix sums, unique water-level segment — exact,
+    no iteration; verified value-for-value."""
+    from etl_tools_rs_spark.operators.sample import budget_allocate
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    domains = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn(
+            "w",
+            (F.ascii(F.substring(F.col("source"), -1, 1)) % 4 + 1).cast(
+                "double"
+            ),
+        )
+    )
+    return budget_allocate(domains.select("source", "c", "w"), "c", "w", 260.0).select(
+        "source", "alloc", "saturated"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -423,3 +423,56 @@ class TestCapPerGroup:
             cap_per_group(df, ["g"], 0, "k")
         with _pytest.raises(ValueError):
             cap_per_group(df, [], 5, "k")
+
+
+class TestBudgetAllocate:
+    def _domains(self, spark):
+        return spark.sql(
+            "SELECT * FROM VALUES ('a', 100.0, 1.0), ('b', 1000.0, 1.0), "
+            "('c', 10000.0, 2.0) t(d, c, w)"
+        )
+
+    def test_water_filling_example(self, spark):
+        from etl_tools_rs_spark.operators.sample import budget_allocate
+
+        got = {
+            r.d: (r.alloc, r.saturated)
+            for r in budget_allocate(self._domains(spark), "c", "w", 2000.0).collect()
+        }
+        # a saturates at 100; remaining 1900 splits 1:2 across b and c
+        assert got["a"] == (100.0, True)
+        assert got["b"] == (633.333333, False)
+        assert got["c"] == (1266.666666, False)
+
+    def test_sum_is_min_budget_total(self, spark):
+        from etl_tools_rs_spark.operators.sample import budget_allocate
+
+        for budget in (50.0, 2000.0, 11100.0, 99999.0):
+            rows = budget_allocate(self._domains(spark), "c", "w", budget).collect()
+            assert abs(sum(r.alloc for r in rows) - min(budget, 11100.0)) < 1e-3
+
+    def test_budget_exceeds_total_saturates_all(self, spark):
+        from etl_tools_rs_spark.operators.sample import budget_allocate
+
+        rows = budget_allocate(self._domains(spark), "c", "w", 99999.0).collect()
+        assert all(r.saturated for r in rows)
+        assert {r.d: r.alloc for r in rows} == {"a": 100.0, "b": 1000.0, "c": 10000.0}
+
+    def test_no_saturation_small_budget(self, spark):
+        from etl_tools_rs_spark.operators.sample import budget_allocate
+
+        rows = {r.d: r for r in budget_allocate(self._domains(spark), "c", "w", 40.0).collect()}
+        # tau = 40/4 = 10: below every saturation ratio
+        assert rows["a"].alloc == 10.0 and rows["c"].alloc == 20.0
+        assert not any(r.saturated for r in rows.values())
+
+    def test_guards(self, spark):
+        from etl_tools_rs_spark.operators.sample import budget_allocate
+        import pytest as _pytest
+
+        df = self._domains(spark)
+        with _pytest.raises(ValueError):
+            budget_allocate(df, "c", "w", 0.0)
+        bad = spark.sql("SELECT * FROM VALUES ('a', 5.0, 0.0) t(d, c, w)")
+        with _pytest.raises(Exception):
+            budget_allocate(bad, "c", "w", 10.0).collect()
