@@ -428,6 +428,7 @@ def heavy_hitters(
     value_col: str,
     k: int = 100,
     scale: int = 6,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """EXACT frequent items: every value with frequency > n/k, with its
     exact count and frequency — without ever shuffling the full distinct
@@ -446,53 +447,75 @@ def heavy_hitters(
     hitters; false positives from pass 1 die here. Result is exact and
     deterministic — oracle = plain ``HAVING COUNT(*) > n/k``.
 
-    Output: ``(value_col, cnt bigint, freq double)`` with ``freq``
-    floor-scaled to ``scale``.
+    Output: ``(by…, value_col, cnt bigint, freq double)`` with ``freq``
+    floor-scaled to ``scale``. With ``by``, every group gets its own MG
+    summary (per-task memory O(groups-in-partition × k)) and its own
+    > n_group/k threshold — per-language top tokens, per-tenant top
+    URLs, still without a full-distinct shuffle.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k!r}")
+    by = by or []
     import pandas as pd
 
-    field = df.schema[value_col]
-    out_schema = df.select(value_col).schema
+    proj = [*by, value_col]
+    out_schema = df.select(*proj).schema
 
     def mg(pdfs) -> "pd.DataFrame":
-        counters: dict = {}
+        # one MG summary per group seen in this partition: memory is
+        # O(groups-in-partition x k); with by=[] exactly one summary
+        groups: dict[tuple, dict] = {}
         for pdf in pdfs:
-            vc = pdf[value_col].dropna().value_counts()
-            for v, c in vc.items():
+            clean = pdf.dropna(subset=[value_col])
+            vc = clean.groupby([*by, value_col], dropna=False, sort=False).size() if by else clean[value_col].value_counts()
+            for key, c in vc.items():
+                if by:
+                    g, v = tuple(key[: len(by)]), key[len(by)]
+                else:
+                    g, v = (), key
+                counters = groups.setdefault(g, {})
                 counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > k:
-                # batched MG reduction: subtract the (k+1)-th largest
-                # count from everyone, keep the positive remainder
-                t = sorted(counters.values(), reverse=True)[k]
-                counters = {v: c - t for v, c in counters.items() if c > t}
-        yield pd.DataFrame({value_col: pd.Series(list(counters), dtype=object)})
+                if len(counters) > k:
+                    # batched MG reduction: subtract the (k+1)-th
+                    # largest count from everyone, keep the positive
+                    # remainder
+                    t = sorted(counters.values(), reverse=True)[k]
+                    groups[g] = {v2: c2 - t for v2, c2 in counters.items() if c2 > t}
+        out = {col: [] for col in proj}
+        for g, counters in groups.items():
+            for v in counters:
+                for i, col in enumerate(by):
+                    out[col].append(g[i])
+                out[value_col].append(v)
+        yield pd.DataFrame(
+            {col: pd.Series(vals, dtype=object) for col, vals in out.items()}
+        )
 
     cands = (
-        df.select(value_col)
+        df.select(*proj)
         .filter(F.col(value_col).isNotNull())
         .mapInPandas(mg, out_schema)
         .distinct()
     )
-    total = df.select(
+    total = df.groupBy(*by).agg(
         F.count(F.col(value_col)).cast("double").alias("_n")
     )
     counts = (
-        df.select(value_col)  # verify scan carries only the key column
-        .join(F.broadcast(cands), value_col, "left_semi")
-        .groupBy(value_col)
+        df.select(*proj)  # verify scan carries only key columns
+        .join(F.broadcast(cands), proj, "left_semi")
+        .groupBy(*proj)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     p10 = float(10**scale)
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") > F.col("_n") / k)
-        .select(
-            value_col,
-            F.col("cnt").cast("bigint").alias("cnt"),
-            (F.floor(F.lit(p10) * F.col("cnt") / F.col("_n")) / F.lit(p10))
-            .cast("double")
-            .alias("freq"),
-        )
+    joined = (
+        counts.join(F.broadcast(total), by)
+        if by
+        else counts.crossJoin(F.broadcast(total))
+    )
+    return joined.filter(F.col("cnt") > F.col("_n") / k).select(
+        *proj,
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.floor(F.lit(p10) * F.col("cnt") / F.col("_n")) / F.lit(p10))
+        .cast("double")
+        .alias("freq"),
     )

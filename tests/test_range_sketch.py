@@ -325,3 +325,28 @@ class TestHeavyHitters:
         df = spark.range(3).selectExpr("cast(id as string) AS v")
         with _pytest.raises(ValueError):
             heavy_hitters(df, "v", k=1)
+
+    def test_grouped_matches_naive(self, spark):
+        from etl_tools_rs_spark.operators.sketch import heavy_hitters
+        import pyspark.sql.functions as F
+
+        rows = [("g1", str(i)) for i in range(1, 30) for _ in range(300 // i)]
+        rows += [("g2", str(i)) for i in range(1, 10) for _ in range(100 // i)]
+        df = spark.createDataFrame(rows, "g string, v string").repartition(7)
+        k = 8
+        naive = {
+            (r.g, r.v): r.cnt
+            for r in df.groupBy("g", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(
+                df.groupBy("g").agg(F.count(F.lit(1)).alias("n")), "g"
+            )
+            .filter(F.col("cnt") > F.col("n") / k)
+            .select("g", "v", "cnt")
+            .collect()
+        }
+        got = {
+            (r.g, r.v): r.cnt
+            for r in heavy_hitters(df, "v", k=k, by=["g"]).collect()
+        }
+        assert got == naive and len(got) > 0
