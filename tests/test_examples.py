@@ -65,3 +65,18 @@ def test_curation_models_pipeline_end_to_end(spark, tmp_path, capsys):
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["bpe_merges"] is None
     assert set(again["steps"].values()) == {"Complete"}
+
+
+def test_mixture_pipeline_end_to_end(spark, tmp_path, capsys):
+    mod = _load("examples/mixture_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the draw respects the budget (expected-value sampling + hard cap)
+    assert 0 < out["drawn"] <= out["budget"] * 1.1
+    assert set(out["steps"].values()) == {"Complete"}
+
+    # resumability: second run skips all steps
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["drawn"] is None  # skipped step returns None
+    assert set(again["steps"].values()) == {"Complete"}
