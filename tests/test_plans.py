@@ -409,3 +409,55 @@ class TestScaleAuditDetectors:
         b = spark.range(40).withColumnRenamed("id", "id2")
         flags = self._flags(a.crossJoin(b))
         assert flags["bnl_join"] or flags["cartesian"]
+
+
+def test_quantile_sketch_ungrouped_is_take_ordered(spark):
+    """Ungrouped bottom-k sketch must plan as TakeOrderedAndProject —
+    per-partition bottom-k + driver merge, never a global sort."""
+    from etl_tools_rs_spark.operators.sketch import quantile_sketch
+
+    df = spark.range(10_000).selectExpr(
+        "cast(id as string) AS k", "cast(id as double) AS v"
+    )
+    plan = (
+        quantile_sketch(df, "v", "k", k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cap_per_group_single_shuffle(spark):
+    """Per-group cap costs exactly one exchange (the group-key window)."""
+    import re
+
+    from etl_tools_rs_spark.operators.sample import cap_per_group
+
+    df = spark.range(1_000).selectExpr(
+        "cast(id % 7 as string) AS g", "cast(id as string) AS k"
+    )
+    plan = (
+        cap_per_group(df, ["g"], 10, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_heavy_hitters_no_python_row_udf(spark):
+    """The MG pass must be Arrow-batched (MapInPandas), never
+    row-at-a-time BatchEvalPython."""
+    from etl_tools_rs_spark.operators.sketch import heavy_hitters
+
+    df = spark.range(1_000).selectExpr("cast(id % 9 as string) AS v")
+    plan = (
+        heavy_hitters(df, "v", k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
