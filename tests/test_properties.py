@@ -457,3 +457,91 @@ def test_bpe_train_matches_reference_random(spark, corpora):
     got = bpe.bpe_train(df, "text", num_merges=4)
     want, _ = _ref_bpe(texts_, 4)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 500),          # availability c
+            st.integers(1, 9),            # weight w
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 2000),                 # budget
+)
+@settings(**SETTINGS)
+def test_budget_allocate_laws(spark, domains, budget):
+    """Water-filling invariants on random domain tables: Σalloc =
+    min(budget, Σc); 0 ≤ alloc_i ≤ c_i; saturated ⟺ alloc == c (within
+    the floor-scale quantum); unsaturated domains split by weight."""
+    from etl_tools_rs_spark.operators.sample import budget_allocate
+
+    rows = [(str(i), float(c), float(w)) for i, (c, w) in enumerate(domains)]
+    df = spark.createDataFrame(rows, "d string, c double, w double")
+    out = budget_allocate(df, "c", "w", float(budget)).collect()
+    total_c = sum(c for _, c, _ in rows)
+    got = sum(r.alloc for r in out)
+    assert abs(got - min(float(budget), total_c)) < 1e-3 * max(1, len(rows))
+    by_d = {r.d: r for r in out}
+    for d, c, w in rows:
+        r = by_d[d]
+        assert -1e-6 <= r.alloc <= c + 1e-6
+        if r.saturated:
+            assert abs(r.alloc - c) < 1e-5
+    # unsaturated pairs share τ: alloc_i / w_i equal across them
+    taus = [r.alloc / w for (d, c, w) in rows if not (r := by_d[d]).saturated]
+    for t in taus[1:]:
+        assert abs(t - taus[0]) < 1e-4
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    st.integers(4, 16),
+)
+@settings(**SETTINGS)
+def test_quantile_sketch_merge_law(spark, keys_a, keys_b, k):
+    """merge(sketch(A), sketch(B)) == sketch(dedup(A ∪ B)) exactly —
+    the min-k union law on random overlapping shards."""
+    from etl_tools_rs_spark.operators.sketch import (
+        merge_quantile_sketch,
+        quantile_sketch,
+    )
+
+    mk = lambda ks: spark.createDataFrame(
+        [(str(x), float(x)) for x in ks], "k string, v double"
+    )
+    a, b = mk(keys_a), mk(keys_b)
+    union = mk(sorted(set(keys_a) | set(keys_b)))
+    merged = merge_quantile_sketch(
+        quantile_sketch(a, "v", "k", k=k),
+        quantile_sketch(b, "v", "k", k=k),
+        k=k,
+    )
+    whole = quantile_sketch(union, "v", "k", k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+@given(
+    st.lists(st.integers(0, 5_000), min_size=1, max_size=80, unique=True),
+    st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_cap_per_group_is_prefix_of_hash_order(spark, keys, k):
+    """The kept set is exactly the k smallest by (hash, key) — i.e. a
+    prefix of a fixed global order, which is what makes it stable."""
+    from etl_tools_rs_spark.operators.sample import cap_per_group
+    from etl_tools_rs_spark.operators.sketch import kmv_hash
+
+    df = spark.createDataFrame([("g", str(x)) for x in keys], "g string, k string")
+    kept = {r.k for r in cap_per_group(df, ["g"], k, "k").collect()}
+    order = [
+        r.k
+        for r in df.select("k", kmv_hash("k").alias("h"))
+        .orderBy("h", "k")
+        .collect()
+    ]
+    assert kept == set(order[:k])
