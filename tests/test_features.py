@@ -255,3 +255,13 @@ class TestRankNormalize:
 
         with _pytest.raises(ValueError):
             rank_normalize(spark.range(3), [])
+
+    def test_ungrouped_multi_column(self, spark):
+        from etl_tools_rs_spark.operators.features import rank_normalize
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (1, 10.0, 5.0), (2, 20.0, 1.0), "
+            "(3, 30.0, 3.0) t(id, a, b)"
+        )
+        got = {r.id: (r.a, r.b) for r in rank_normalize(df, ["a", "b"]).collect()}
+        assert got == {1: (0.0, 1.0), 2: (0.5, 0.0), 3: (1.0, 0.5)}
