@@ -52,6 +52,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "gapfill_events_hourly": {
         "bnl_join": "same dense-grid shape as resample_events_hourly (grid side bounded by the requested window)",
     },
+    "budget_allocate_sources": {
+        "single_partition_window": "water-level prefix sums run over the DOMAIN table (one row per source — group-count-sized by the op's documented contract; raw rows never enter the window)",
+    },
 }
 
 
