@@ -287,3 +287,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.sample import budget_allocate
 
         return EngineFrame(budget_allocate(self.df, *a, **kw))
+
+    def prefix_jaccard_cross_pairs(self, right: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
+
+        return EngineFrame(prefix_jaccard_cross_pairs(self.df, right, *a, **kw))

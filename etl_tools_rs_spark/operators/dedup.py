@@ -1095,3 +1095,81 @@ def decontaminate_near_dup(
         **lsh_kwargs,
     ).select(F.col("id_a").alias(id_col)).distinct()
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def prefix_jaccard_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    scale: int = 6,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """EXACT cross-corpus Jaccard pairs via prefix filtering:
+    ``(id_a, id_b, jaccard)`` with ``id_a`` from ``left`` and ``id_b``
+    from ``right``, Jaccard ≥ ``threshold`` — the no-false-negative twin
+    of :func:`minhash_cross_pairs` for decontamination that must be
+    PROVABLY complete (LSH banding trades recall for speed; the prefix
+    filter trades nothing — Bayardo et al.'s AllPairs bound is exact).
+
+    Composition: tag sides, union, run the self-join machinery of
+    :func:`prefix_jaccard_pairs` (shared document frequencies — rarity
+    is computed over BOTH corpora, which the prefix bound requires),
+    then keep only cross-side pairs, oriented left-first. Ids must be
+    unique ACROSS the two frames (offset one side if they collide);
+    enforced in-plan — a duplicated id fails the job rather than
+    silently producing phantom pairs.
+
+    Scale: identical shape to the self-join form (whose per-doc prefix
+    bound already excludes hot shingles) — the cross filter drops
+    within-side candidates after the equi-join; candidate volume is the
+    self-join's, so prefer :func:`minhash_cross_pairs` when the corpora
+    are both huge and recall may be probabilistic.
+    """
+    lid = left.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).withColumn("_side", F.lit("l"))
+    rid = right.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).withColumn("_side", F.lit("r"))
+    u = lid.unionByName(rid)
+    # in-plan uniqueness guard: an id on both sides (or duplicated within
+    # one) would silently multiply pairs through the side join below
+    sides = u.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_m"), F.first("_side").alias("_side")
+    )
+    guard = F.assert_true(
+        F.col("_m") == 1,
+        f"prefix_jaccard_cross_pairs: duplicate {id_col} across inputs",
+    )
+    # route _side through the guard so pruning/constant-folding cannot
+    # drop the assert (assert_true is NULL when it holds, so the concat
+    # is the identity — but the dependency stays live)
+    sides = sides.select(
+        "_id",
+        F.concat(
+            F.col("_side"), F.coalesce(guard.cast("string"), F.lit(""))
+        ).alias("_side"),
+    )
+    pairs = prefix_jaccard_pairs(
+        u.select(F.col("_id").alias(id_col), F.col("_text").alias(text_col)),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        scale=scale,
+        hash_grams=hash_grams,
+    )
+    sa = sides.select(F.col("_id").alias("id_a"), F.col("_side").alias("_sa"))
+    sb = sides.select(F.col("_id").alias("id_b"), F.col("_side").alias("_sb"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b").filter(
+        F.col("_sa") != F.col("_sb")
+    )
+    # orient left-first regardless of which side sorted lower
+    out_a = F.when(F.col("_sa") == "l", F.col("id_a")).otherwise(F.col("id_b"))
+    out_b = F.when(F.col("_sa") == "l", F.col("id_b")).otherwise(F.col("id_a"))
+    return tagged.select(
+        out_a.alias("id_a"), out_b.alias("id_b"), F.col("jaccard")
+    )

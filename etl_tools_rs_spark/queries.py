@@ -5962,6 +5962,60 @@ def budget_allocate_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSS_BENCH_THRESHOLD = int(0.1 * float(1 << 60))  # hash_sample(0.1) literal
+
+@qdef(
+    "cross_exact_jaccard_documents",
+    f"""
+    WITH tk0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk0 WHERE len(toks) >= 3
+    ), gs AS (
+      SELECT doc_id,
+             list_distinct(list(array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS ng
+      FROM sh GROUP BY doc_id
+    ), bench AS (
+      SELECT doc_id + 10000000 AS doc_id, ng FROM gs
+      WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < {_CROSS_BENCH_THRESHOLD}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(FLOOR(1000000.0 *
+                (CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+                 (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))))
+                / 1000000.0 AS DOUBLE) AS jaccard
+    FROM gs a CROSS JOIN bench b
+    WHERE CAST(FLOOR(1000000.0 *
+          (CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+           (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))))
+          / 1000000.0 AS DOUBLE) >= 0.8
+    """,
+)
+def cross_exact_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-corpus Jaccard decontamination pairs
+    (operators/dedup.py::prefix_jaccard_cross_pairs): the same
+    corpus-vs-10%-sample shape as ``cross_near_dup_documents`` but with
+    the PROVABLY complete prefix-filter candidate bound instead of LSH
+    banding — and therefore a full value-checked oracle (the oracle
+    brute-forces the cross join; the engine's prefix filter must find
+    exactly the same pairs, which IS the no-false-negative proof at gate
+    scale). Shared document frequencies across both corpora, rarity
+    prefixes, cross-side candidates only."""
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
+    from etl_tools_rs_spark.operators.sample import hash_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = hash_sample(docs, "doc_id", 0.1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return prefix_jaccard_cross_pairs(docs, bench, threshold=0.8)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -645,3 +645,60 @@ class TestMinhashCrossPairs:
             minhash_cross_pairs(left, right, threshold=0.0)
         with _pytest.raises(ValueError):
             minhash_cross_pairs(left, right, num_hashes=16, bands=5)
+
+
+class TestPrefixJaccardCrossPairs:
+    def test_matches_brute_force_cross(self, spark):
+        import itertools
+        import math
+
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
+
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+        L = [(i, " ".join(c)) for i, c in enumerate(itertools.permutations(words, 6)) if i < 25]
+        # right side: some exact/near copies of the left plus fresh docs
+        R = [(100 + i, t) for i, (_, t) in enumerate(L[:6])]
+        R += [(200 + i, t + " omega") for i, (_, t) in enumerate(L[6:12])]
+        R += [
+            (300 + i, " ".join(c))
+            for i, c in enumerate(itertools.permutations(words[::-1], 6))
+            if i < 10
+        ]
+        lf = spark.createDataFrame(L, "doc_id long, text string")
+        rf = spark.createDataFrame(R, "doc_id long, text string")
+
+        def grams(t):
+            ws = t.split()
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        naive = {}
+        for (ia, ta), (ib, tb) in itertools.product(L, R):
+            ga, gb = grams(ta), grams(tb)
+            j = math.floor(1e6 * len(ga & gb) / len(ga | gb)) / 1e6
+            if j >= 0.3:
+                naive[(ia, ib)] = j
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_cross_pairs(lf, rf, threshold=0.3).collect()
+        }
+        assert got == naive and len(got) > 0
+
+    def test_within_side_pairs_excluded(self, spark):
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
+
+        L = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+        )
+        R = spark.createDataFrame(
+            [(9, "x y z w v u")], "doc_id long, text string"
+        )
+        assert prefix_jaccard_cross_pairs(L, R, threshold=0.5).count() == 0
+
+    def test_duplicate_id_raises(self, spark):
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
+        import pytest as _pytest
+
+        L = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        R = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with _pytest.raises(Exception):
+            prefix_jaccard_cross_pairs(L, R, threshold=0.5).collect()
