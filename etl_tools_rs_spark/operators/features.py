@@ -298,7 +298,6 @@ def rank_normalize(
     cols: list[str],
     by: list[str] | None = None,
     scale: int = 6,
-    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile (rank) transform: replace each column with its percent
     rank in ``[0, 1]`` (optionally per group) — the normalization that
