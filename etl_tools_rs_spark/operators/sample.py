@@ -380,15 +380,24 @@ def temperature_rates(
     sizes = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    tempered = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    # quantize each tempered size to `scale` dp BEFORE summing, and sum
+    # as exact decimal: a raw double sum of pow() terms is add-order
+    # sensitive, and when a share lands exactly on a floor boundary
+    # (uniform groups: share = 1/k) the last ulp of the sum decides the
+    # floored value — observed flipping 0.05 <-> 0.049999 across runs.
+    # Quantized-decimal sums are partition/AQE/engine-order-proof.
+    dec_t = f"decimal(38,{scale})"
+    tempered = (
+        F.floor(
+            F.lit(p10) * F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+        )
+        / F.lit(p10)
+    ).cast(dec_t)
     tot = sizes.agg(
-        F.sum(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias(
-            "_z"
-        ),
-        F.max(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias(
-            "_m"
-        ),
+        F.sum(tempered).cast("double").alias("_z"),
+        F.max(tempered).cast("double").alias("_m"),
     )
+    tempered = tempered.cast("double")
     share = fl(tempered / F.col("_z"))
     if target_total is None:
         rate = F.least(F.lit(1.0), fl(tempered / F.col("_m")))

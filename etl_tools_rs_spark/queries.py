@@ -5539,16 +5539,21 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sizes AS (
       SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
       FROM documents GROUP BY source
+    ), tq AS (
+      SELECT grp, n,
+             CAST(floor(1e6 * pow(CAST(n AS DOUBLE), 0.7)) / 1e6
+                  AS DECIMAL(38,6)) AS t
+      FROM sizes
     ), tot AS (
-      SELECT sum(pow(CAST(n AS DOUBLE), 0.7)) AS z FROM sizes
+      SELECT CAST(sum(t) AS DOUBLE) AS z FROM tq
     )
     SELECT grp, n,
-           CAST(floor(1e6 * (pow(CAST(n AS DOUBLE), 0.7) / z)) / 1e6
+           CAST(floor(1e6 * (CAST(t AS DOUBLE) / z)) / 1e6
                 AS DOUBLE) AS share,
            CAST(least(1.0,
-                floor(1e6 * (300.0 * (pow(CAST(n AS DOUBLE), 0.7) / z) / n))
+                floor(1e6 * (300.0 * (CAST(t AS DOUBLE) / z) / n))
                 / 1e6) AS DOUBLE) AS rate
-    FROM sizes CROSS JOIN tot
+    FROM tq CROSS JOIN tot
     """,
 )
 def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6014,6 +6019,35 @@ def cross_exact_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     return prefix_jaccard_cross_pairs(docs, bench, threshold=0.8)
+
+
+@qdef(
+    "heavy_hitters_users_by_event",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(COUNT(user_id) AS DOUBLE) AS n
+      FROM events GROUP BY event_type
+    ), c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id
+    )
+    SELECT c.event_type, c.user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(1000000.0 * cnt / n) / 1000000.0 AS DOUBLE) AS freq
+    FROM c JOIN t ON c.event_type = t.event_type
+    WHERE cnt > n / 130
+    """,
+)
+def heavy_hitters_users_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact heavy hitters (operators/sketch.py::heavy_hitters
+    with by=): per event type, users holding > n_group/130 of that
+    type's events (k=130) — one Misra-Gries summary per group inside the same
+    Arrow map pass (memory O(groups-in-partition × k) per task), each
+    group verified against its own threshold. Still never a
+    full-distinct shuffle; exact, so the oracle is a per-group HAVING."""
+    from etl_tools_rs_spark.operators.sketch import heavy_hitters
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return heavy_hitters(t["events"], "user_id", k=130, by=["event_type"])
 
 
 # --------------------------------------------------------------------------
