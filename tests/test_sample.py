@@ -476,3 +476,26 @@ class TestBudgetAllocate:
         bad = spark.sql("SELECT * FROM VALUES ('a', 5.0, 0.0) t(d, c, w)")
         with _pytest.raises(Exception):
             budget_allocate(bad, "c", "w", 10.0).collect()
+
+
+def test_temperature_rates_partition_invariant(spark):
+    """Uniform group sizes put every share EXACTLY on a floor boundary
+    (1/k) — the quantized-decimal sum must hold the same floored value
+    at any partitioning (the raw double pow() sum flipped
+    0.05 <-> 0.049999 with partition order)."""
+    from etl_tools_rs_spark.operators.sample import temperature_rates
+
+    df = spark.range(500).selectExpr("concat('s', id % 20) AS g")
+    seen = set()
+    for parts in (1, 7, 32):
+        rows = sorted(
+            map(
+                tuple,
+                temperature_rates(
+                    df.repartition(parts), "g", alpha=0.7, target_total=300
+                ).collect(),
+            )
+        )
+        seen.add(tuple(rows))
+        assert all(r[2] == 0.05 for r in rows)  # share column = 1/20 exactly
+    assert len(seen) == 1
