@@ -16,8 +16,15 @@ workload. The cold total is still reported as ``cold_total_sec``.
 
 Each run also appends to ``BENCH_HISTORY.json`` (per-query medians keyed
 by timestamp) and mechanically compares against the previous entry:
-queries slower by >25% AND >0.3s are listed in the ``regressions`` output
-field so drift is caught without human diffing.
+queries slower by >25% AND >0.3s are re-run in isolation after the sweep
+(r4) and only listed in the ``regressions`` output field if the slowdown
+reproduces — sweep-phase host contention produced three false positives
+in r3.
+
+The bench set is derived from the registry: EVERY oracle-backed query plus
+the rows-only scale pipelines in ``BENCH_ROWS_ONLY`` (r4; 70 → ~162
+queries). ``SPARK_GRAFT_BENCH_ONLY=a,b,c`` restricts to a subset for local
+iteration.
 """
 
 from __future__ import annotations
@@ -32,83 +39,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# headline set: relational core + joins + windows + the extension ops that
-# matter at scale (dedup / similarity / text / sessionize)
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "agg_distinct",
-    "window_running_total",
-    "topk_orders",
-    "j1_left_theta_join",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "asof_join_events_orders",
-    "t4_batch_by_count",
-    "events_hourly_agg",
-    "events_sessionize",
-    "text_analyze",
-    "dedup_exact",
+# Rows-only (no-oracle) ops that still belong in the headline bench: the
+# scale-path dedup/similarity/multimodal pipelines whose cost dominates a
+# real training-data run. Oracle-backed queries are ALL benched (the list
+# is derived from the registry at runtime, r4 — VERDICT r3 task #9), so
+# the headline number covers the full relational surface.
+BENCH_ROWS_ONLY = [
     "dedup_minhash_lsh",
-    "knn_cosine_brute",
-    "winnow_fingerprint",
-    "range_join_order_pairs",
-    "kmv_distinct_users",
-    "hash_split_documents",
-    # round-2 scale ops
-    "bloom_semi_join_lineitem",
-    "pack_concat_documents",
-    "mixture_sample_documents",
-    "profile_orders",
-    "validate_orders",
-    "histogram_totalprice",
-    "quantiles_totalprice_hist",
-    "bigram_pmi_documents",
-    "keyword_search_documents",
-    "incremental_orders_state",
-    # round-3 ops
-    "chunk_documents",
-    "lm_score_documents",
-    "gapfill_events_hourly",
-    "pagerank_customer_supplier",
-    "scd2_user_event_type",
-    "rolling_zscore_user_value",
-    "corr_matrix_lineitem",
-    "cat_assoc_orders",
-    "quantize_embeddings_int8",
-    "prefix_jaccard_documents",
-    "robust_scale_event_value",
-    "winsorize_totalprice",
-    "time_weighted_avg_events",
-    "linreg_price_by_returnflag",
-    "kmv_overlap_click_purchase",
-    "cooccurrence_suppliers",
-    "event_paths_trigram",
-    "psi_totalprice_f_vs_o",
     "multimodal_wav_pipeline",
     "multimodal_bmp_pipeline",
-    "key_skew_orders_custkey",
-    # round-3 additions
-    "char_stats_documents",
-    "duplicate_spans_documents",
     "semdedup_embeddings",
-    "logreg_quality_documents",
-    "leakage_safe_split_documents",
     "bpe_merges_documents",
-    "remove_duplicate_spans_documents",
-    "triangle_count_suppliers",
-    "jl_project_embeddings",
-    "events_hopping_agg",
     "image_ahash_near_dup",
-    "quantile_sketch_totalprice",
-    "cap_per_source_documents",
-    "heavy_hitters_users",
     "cross_near_dup_documents",
-    "rank_normalize_totalprice",
-    "concentration_nchars_by_lang",
 ]
+
+
+def bench_queries() -> list[str]:
+    """Every oracle-backed registry query (registry insertion order, which
+    is stable) plus the rows-only scale pipelines above."""
+    from etl_tools_rs_spark.queries import REGISTRY
+
+    extras = set(BENCH_ROWS_ONLY)
+    return [n for n in REGISTRY if REGISTRY[n].oracle is not None or n in extras]
 
 
 def main() -> int:
@@ -129,17 +82,22 @@ def main() -> int:
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    queries = bench_queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        queries = [n for n in only.split(",") if n]
+
+    def measure(name: str) -> tuple[float, float]:
+        """One cold run + warm_runs warm runs; returns (cold, warm median)."""
         fn = REGISTRY[name].fn
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
+        c = round(time.time() - t0, 3)
         samples = []
         for _ in range(warm_runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
         # drop references eagerly between queries: lazily-materialized
         # localCheckpoint blocks from iterative ops otherwise accumulate
         # in the shared JVM and tax LATER queries' timings (observed as
@@ -147,13 +105,39 @@ def main() -> int:
         spark.catalog.clearCache()
         gc.collect()
         print(
-            f"# {name}: {timings[name]:.2f}s (cold {cold[name]:.2f}s, "
+            f"# {name}: {statistics.median(samples):.2f}s (cold {c:.2f}s, "
             f"warm {'/'.join(f'{s:.2f}' for s in samples)})",
             file=sys.stderr,
         )
+        return c, round(statistics.median(samples), 3)
+
+    for name in queries:
+        cold[name], timings[name] = measure(name)
+
+    # Regression protocol (r4, VERDICT r3 task #3): a query that exceeds the
+    # history threshold is RE-RUN IN ISOLATION (fresh median-of-warm_runs
+    # after the full sweep, when nothing else is contending for the host)
+    # and only reported — and recorded — as a regression if it reproduces.
+    # r3 committed three false regressions that were sweep-phase host
+    # contention; each isolated re-measurement was at or below historical
+    # best. The isolated median replaces the sweep median either way: it is
+    # the truer measurement of the plan.
+    candidates = _regressions_vs_history(timings, sf)
+    for name in candidates:
+        _, iso = measure(name)
+        print(
+            f"# isolation re-run {name}: sweep {timings[name]:.2f}s -> "
+            f"isolated {iso:.2f}s",
+            file=sys.stderr,
+        )
+        timings[name] = iso
 
     total = round(sum(timings.values()), 3)
-    regressions = _append_history(timings, total, sf)
+    if only:
+        # subset runs are local iteration aids — never recorded as history
+        regressions = _regressions_vs_history(timings, sf)
+    else:
+        regressions = _append_history(timings, total, sf)
     print(
         json.dumps(
             {
@@ -177,25 +161,42 @@ def main() -> int:
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json")
 
 
-def _append_history(
-    timings: dict[str, float], total: float, sf: float
-) -> dict[str, list[float]]:
-    """Append this run to BENCH_HISTORY.json and return {query: [prev, cur]}
-    for queries slower than the previous entry by >25% and >0.3s (both
-    thresholds so sub-second noise never flags)."""
+def _load_history() -> dict:
     try:
         with open(HISTORY_PATH) as f:
-            history = json.load(f)
+            return json.load(f)
     except (OSError, ValueError):
-        history = {"runs": []}
-    prev = history["runs"][-1] if history["runs"] else None
-    regressions: dict[str, list[float]] = {}
-    if prev is not None and prev.get("sf") == sf:
+        return {"runs": []}
+
+
+def _regressions_vs_history(
+    timings: dict[str, float], sf: float
+) -> dict[str, list[float]]:
+    """{query: [prev, cur]} for queries slower than the previous same-sf
+    history entry by >25% and >0.3s (both thresholds so sub-second noise
+    never flags)."""
+    history = _load_history()
+    prev = next(
+        (r for r in reversed(history["runs"]) if r.get("sf") == sf), None
+    )
+    out: dict[str, list[float]] = {}
+    if prev is not None:
         for name, cur in timings.items():
             old = prev.get("queries", {}).get(name)
             if old is not None and cur > old * 1.25 and cur - old > 0.3:
-                regressions[name] = [old, cur]
-                print(f"# REGRESSION {name}: {old:.2f}s -> {cur:.2f}s", file=sys.stderr)
+                out[name] = [old, cur]
+    return out
+
+
+def _append_history(
+    timings: dict[str, float], total: float, sf: float
+) -> dict[str, list[float]]:
+    """Append this run to BENCH_HISTORY.json and return the surviving
+    (isolation-confirmed) regressions vs the previous entry."""
+    history = _load_history()
+    regressions = _regressions_vs_history(timings, sf)
+    for name, (old, cur) in regressions.items():
+        print(f"# REGRESSION {name}: {old:.2f}s -> {cur:.2f}s", file=sys.stderr)
     history["runs"].append(
         {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
