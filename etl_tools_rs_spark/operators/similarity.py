@@ -690,6 +690,7 @@ def semdedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     iterations: int = 5,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     the embeddings, then WITHIN each cluster mark every vector whose
@@ -706,7 +707,15 @@ def semdedup(
     (SemDeDup used 50k clusters for LAION-440M; cluster on a sample via
     ``kmeans_centroids`` and reuse). Skewed clusters are the residual
     risk — AQE splits the shuffle, but a mega-cluster's matmul is one
-    task; cap it by raising ``n_clusters``.
+    task. ``max_cluster_size`` bounds it (r4, same policy shape as
+    ``dedup_minhash_lsh``'s ``max_bucket_size``): clusters over the cap
+    are split into ``ceil(n/cap)`` id-hashed shards and the pairwise
+    pass runs per shard. Trade-off is explicit and identical to the LSH
+    salt-split — cross-shard pairs inside an oversize cluster are not
+    compared, so a boilerplate mega-cluster keeps one representative
+    PER SHARD instead of one overall (recall loss only on clusters that
+    breached the cap; verdicts on capped-size clusters are unchanged,
+    and each shard's verdicts are still exact within the shard).
 
     Output: ``(id, cluster int, max_prior_sim double, is_dup boolean)``
     — ``max_prior_sim`` is the rounded (6 dp) max cosine to lower-id
@@ -714,6 +723,10 @@ def semdedup(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size!r}"
+        )
     centroids = kmeans_centroids(
         df, n_clusters, vec_col=vec_col, id_col=id_col, iterations=iterations
     )
@@ -723,6 +736,19 @@ def semdedup(
         F.col(vec_col).alias("_v"),
         F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
     )
+    if max_cluster_size is not None:
+        # sizes is ≤ n_clusters rows — a broadcast-sized side (AQE picks
+        # BroadcastHashJoin); the shard id is a pure function of _id so
+        # the split is deterministic on any partitioning
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+        shards = F.ceil(F.col("_n") / F.lit(max_cluster_size)).cast("long")
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster")
+            .withColumn("_shard", F.pmod(F.xxhash64(F.col("_id")), shards))
+            .drop("_n")
+        )
+    else:
+        assigned = assigned.withColumn("_shard", F.lit(0).cast("long"))
     thr = float(threshold)
 
     def _cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -752,7 +778,7 @@ def semdedup(
         f"_id long, cluster int, max_prior_sim double, is_dup boolean"
     )
     return (
-        assigned.groupBy("cluster")
+        assigned.groupBy("cluster", "_shard")
         .applyInPandas(_cluster_dedup, schema=schema)
         .select(
             F.col("_id").alias(id_col),

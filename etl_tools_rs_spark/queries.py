@@ -5228,12 +5228,17 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Abbas et al. 2023): k-means clusters + within-cluster lower-id
     cosine rule. Rows-only gate — k-means is iterative (not
     SQL-expressible); pairwise semantics are pinned against a naive
-    within-cluster check in tests/test_fuzzy.py::TestSemdedup."""
+    within-cluster check in tests/test_fuzzy.py::TestSemdedup.
+    ``max_cluster_size`` (r4) bounds the per-task matmul: at gate scales
+    no cluster reaches the cap so verdicts are unchanged; at larger SFs
+    a boilerplate mega-cluster salt-splits instead of becoming one
+    straggler task."""
     from etl_tools_rs_spark.operators.similarity import semdedup
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     return semdedup(
-        t["embeddings"], "embedding", "vec_id", n_clusters=8, threshold=0.9
+        t["embeddings"], "embedding", "vec_id", n_clusters=8, threshold=0.9,
+        max_cluster_size=4096,
     )
 
 

@@ -190,3 +190,73 @@ class TestSemdedup:
         df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
         with pytest.raises(ValueError):
             semdedup(df, threshold=0.0)
+
+    def test_max_cluster_size_validation(self, spark):
+        from etl_tools_rs_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError):
+            semdedup(df, max_cluster_size=0)
+
+    def test_max_cluster_size_bounds_tasks_on_mega_cluster(self, spark):
+        """VERDICT r3 task #2: 10k near-identical embeddings collapse into
+        one k-means cell; with max_cluster_size=500 the cell salt-splits
+        into ceil(10000/500)=20 id-hashed shards, so no single task's
+        matmul sees the whole cluster. Each shard keeps exactly one
+        representative (its id-minimum) — everything else is near-identical
+        so it must be marked dup."""
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.similarity import semdedup
+
+        n, cap = 10_000, 500
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.lit(1.0),
+                (F.col("id") % 97).cast("double") / 1e7,  # tiny jitter
+                F.lit(0.0),
+            ).alias("embedding"),
+        )
+        out = semdedup(
+            base, "embedding", "vec_id", n_clusters=1, threshold=0.99,
+            iterations=1, max_cluster_size=cap,
+        ).collect()
+        assert len(out) == n
+        n_shards = -(-n // cap)  # 20
+        keepers = [r for r in out if not r.is_dup]
+        # one keeper per NON-EMPTY shard: > 1 proves the split happened,
+        # <= n_shards proves within-shard dedup is still exact
+        assert 1 < len(keepers) <= n_shards
+        # the per-task bound itself: recompute the shard assignment with
+        # the same expression and pin the max group size well under n
+        sizes = (
+            base.select(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards)).alias("s")
+            )
+            .groupBy("s")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert sizes <= 2 * cap  # hash variance, never the whole cluster
+
+    def test_max_cluster_size_noop_under_cap(self, spark):
+        """A cap no cluster reaches must not change any verdict (the gate
+        corpus runs with a high cap — this pins the equivalence)."""
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+        ]
+        uncapped = self._run(spark, rows, n_clusters=3, threshold=0.9)
+        capped = self._run(
+            spark, rows, n_clusters=3, threshold=0.9, max_cluster_size=10**6
+        )
+        assert set(uncapped) == set(capped)
+        for k in uncapped:
+            a, b = uncapped[k], capped[k]
+            assert (a.cluster, a.max_prior_sim, a.is_dup) == (
+                b.cluster, b.max_prior_sim, b.is_dup
+            ), k
