@@ -46,6 +46,36 @@ def test_funnel_counts_non_increasing(spark, events):
     ns = [r["n_users"] for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert ns[0] == 4  # u1, u2, u3, u5 viewed
+    # counts must agree with funnel_users depths (funnel is sugar over it)
+    depths = [r["depth"] for r in
+              ev_ops.funnel_users(events, ["view", "click", "purchase"]).collect()]
+    assert ns == [sum(1 for d in depths if d >= i + 1) for i in range(3)]
+
+
+def test_funnel_construction_is_lazy(spark, events):
+    """r4 plan pin (VERDICT r3 task #8): building the funnel frame runs
+    ZERO driver jobs — the per-step counts ride one lazy plan. The old
+    implementation ran a count() + localCheckpoint per step at
+    construction time."""
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    df = ev_ops.funnel(events, ["view", "click", "purchase"])
+    assert set(st.getJobIdsForGroup()) == before  # no jobs yet
+    assert [f.name for f in df.schema.fields] == ["step", "event", "n_users"]
+    assert df.count() == 3  # materializes only now
+
+
+def test_funnel_empty_input_zero_counts(spark):
+    df = spark.createDataFrame(
+        [], "user_id int, event_type string, ts timestamp"
+    )
+    rows = sorted(
+        ev_ops.funnel(df, ["a", "b"]).collect(), key=lambda r: r["step"]
+    )
+    assert [(r["step"], r["event"], r["n_users"]) for r in rows] == [
+        (0, "a", 0),
+        (1, "b", 0),
+    ]
 
 
 def test_funnel_strictly_after_semantics(spark):
