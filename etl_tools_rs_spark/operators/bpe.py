@@ -24,6 +24,10 @@ independent pure-Python reference implementation.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,8 +131,9 @@ def bpe_tokenize(
     """Apply a learned merge table: lowercased whitespace words → char
     symbols (+ EOW) → the merge folds in training order → flattened
     token array. Pure column expressions; expression depth grows with
-    ``len(merges)``, so for production-sized merge tables segment inside
-    a pandas UDF instead (same greedy semantics)."""
+    ``len(merges)``, so for production-sized merge tables use
+    :func:`bpe_tokenize_pandas` (same greedy semantics, constant plan
+    depth — property-tested equal)."""
     per_word = F.transform(
         tokens(F.lower(F.col(text_col))),
         lambda w: _apply_merges(_chars_with_eow(w), merges),
@@ -140,3 +145,70 @@ def _apply_merges(syms: Column, merges) -> Column:
     for m in merges:
         syms = _merge_fold(syms, m[0], m[1])
     return syms
+
+
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Python twin of :func:`_merge_fold` — same greedy left-to-right
+    non-overlapping pass ('aaa' + (a,a) → ['aa','a'])."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python \s is
+# Unicode-aware. The segmenter must tokenize EXACTLY like functions.tokens
+# (split on \s+, drop empties) or word boundaries drift from the trainer.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def bpe_tokenize_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Production-sized merge tables: the same greedy segmentation as
+    :func:`bpe_tokenize`, but applied inside ONE Arrow-batched pandas UDF
+    instead of ``len(merges)`` nested column folds — Catalyst expression
+    depth stays constant regardless of vocabulary size (the column-fold
+    form's tree grows linearly and stops analyzing around ~1k merges).
+
+    The merge table rides the UDF closure (kilobytes per executor, the
+    same ship-small-metadata pattern as k-means centroids); per-batch
+    word→tokens memoization makes the cost per batch proportional to its
+    UNIQUE words (Zipf: a few thousand entries cover a corpus batch), and
+    each unique word costs one pass per merge rule — identical semantics,
+    property-tested equal to the column-fold form at 10/100/1000 merges
+    in tests/test_bpe.py.
+    """
+    merge_pairs = [(str(m[0]), str(m[1])) for m in merges]
+
+    @F.pandas_udf("array<string>")
+    def _segment(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w) + [EOW]
+                for left, right in merge_pairs:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_word(syms, left, right)
+                got = cache[w] = syms
+            return got
+
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in _JAVA_WS.split((t or "").lower()):
+                if w:
+                    toks.extend(word_tokens(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _segment(F.col(text_col)))

@@ -5344,6 +5344,30 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef("bpe_tokenize_documents", None)
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained merge table with the Arrow-batched segmenter
+    (operators/bpe.py::bpe_tokenize_pandas, r4): constant Catalyst plan
+    depth regardless of vocabulary size — the production path for real
+    merge tables (the column-fold twin stops analyzing ~100 merges).
+    Rows-only gate — greedy merge replay is iterative; the segmenter is
+    property-tested equal to the column-fold form and to an independent
+    pure-Python replay at 10/90/100/1000 merges in tests/test_bpe.py."""
+    from etl_tools_rs_spark.operators.bpe import bpe_tokenize_pandas, bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    merges = bpe_train(t["documents"], "text", num_merges=8)
+    return (
+        bpe_tokenize_pandas(t["documents"], merges, "text")
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_tokens"),
+            F.size(F.array_distinct("bpe_tokens")).alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @qdef(
     "remove_duplicate_spans_documents",
     """
