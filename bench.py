@@ -48,6 +48,8 @@ BENCH_ROWS_ONLY = [
     "dedup_minhash_lsh",
     "multimodal_wav_pipeline",
     "multimodal_bmp_pipeline",
+    "multimodal_png_pipeline",
+    "bpe_tokenize_documents",
     "semdedup_embeddings",
     "bpe_merges_documents",
     "image_ahash_near_dup",

@@ -5,9 +5,12 @@ plumbing here — schemas, binaryFile ingestion, Arrow-batched decode UDFs,
 partition sizing — is real and tested. Decoders are import-gated (same
 pattern as the SFTP/SQS environment stubs): AUDIO decode is REAL (stdlib
 ``wave`` PCM parser — RMS envelope features + header metadata); IMAGE
-decode is real via PIL when importable, else the loudly-marked
-deterministic fake (``_fake_decode``, derives features from the payload
-hash) stands in so the pipeline shape stays testable in this container.
+decode is REAL for uncompressed BMP (stdlib ``struct``) and 8-bit
+non-interlaced PNG (stdlib ``struct`` + ``zlib``, full scanline
+unfiltering — r4), via PIL for everything else when importable; only
+then does the loudly-marked deterministic fake (``_fake_decode``,
+derives features from the payload hash) stand in so lossy-format
+pipeline shapes stay testable in this container.
 
 Scale notes: binary payloads dominate partition size — size partitions by
 bytes not rows (maxPartitionBytes), keep metadata in separate narrow
@@ -218,6 +221,144 @@ def decode_bmp_real(content: bytes, dim: int) -> list[float]:
     return vals
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_gray_rows(content: bytes) -> list[list[float]]:
+    """Parse an 8-bit grayscale / gray+alpha / truecolor / RGBA PNG with
+    ONLY the stdlib (``struct`` + ``zlib``): walk the chunk stream, inflate
+    the concatenated IDAT payload, undo the per-scanline filter
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6), and return per-pixel gray
+    values in [0, 1] (channel mean, alpha ignored). Raises ValueError on
+    anything that isn't a well-formed 8-bit non-interlaced PNG of those
+    color types (palette/16-bit/Adam7 → error-as-record upstream) — the
+    same contract as :func:`decode_bmp_real`. CRCs are not verified
+    (decode cost, parity with common fast decoders); truncated or
+    length-inconsistent pixel data still fails loudly."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        clen, ctype = struct.unpack_from(">I4s", content, pos)
+        pos += 8
+        if pos + clen + 4 > len(content):
+            raise ValueError("truncated PNG chunk")
+        data = content[pos : pos + clen]
+        pos += clen + 4  # payload + CRC
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("malformed PNG IHDR")
+            (width, height, bit_depth, color_type, comp, filt, interlace) = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    n_color = 1 if color_type in (0, 4) else 3
+    prev = bytearray(stride)
+    rows: list[list[float]] = []
+    p = 0
+    for _ in range(height):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                est = a + b - c
+                pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev = line
+        rows.append(
+            [
+                sum(line[x * channels : x * channels + n_color])
+                / (255.0 * n_color)
+                for x in range(width)
+            ]
+        )
+    return rows
+
+
+def decode_png_real(content: bytes, dim: int) -> list[float]:
+    """REAL image decode for 8-bit non-interlaced PNG using ONLY the
+    stdlib (:func:`_png_gray_rows`): same ``dim``-band mean-brightness
+    profile as :func:`decode_bmp_real`, so PNG and BMP renditions of the
+    same image produce comparable features. PNG is the most common
+    training-corpus lossless format — with this the honest-real set is
+    WAV + BMP + PNG; only lossy formats (JPEG) still need PIL."""
+    rows = _png_gray_rows(content)
+    row_means = [sum(r) / len(r) for r in rows]
+    bucket = max(1, len(row_means) // dim)
+    vals = []
+    for b in range(dim):
+        chunk = row_means[b * bucket : (b + 1) * bucket]
+        vals.append(sum(chunk) / len(chunk) if chunk else 0.0)
+    return vals
+
+
+def _png_gray_grid(content: bytes, n: int) -> list[list[float]]:
+    """n×n block-mean grayscale grid from a PNG (for perceptual
+    hashing) — same cell geometry as :func:`_bmp_gray_grid`."""
+    rows = _png_gray_rows(content)
+    height, width = len(rows), len(rows[0])
+    grid = [[0.0] * n for _ in range(n)]
+    cnt = [[0] * n for _ in range(n)]
+    for r in range(height):
+        gr = min(n - 1, r * n // height)
+        row = rows[r]
+        for c in range(width):
+            gc = min(n - 1, c * n // width)
+            grid[gr][gc] += row[c]
+            cnt[gr][gc] += 1
+    return [
+        [grid[r][c] / cnt[r][c] if cnt[r][c] else 0.0 for c in range(n)]
+        for r in range(n)
+    ]
+
+
 def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
     """Dispatch to the best available decoder: real WAV parser for audio,
     PIL (when importable) for images, deterministic fake otherwise. The
@@ -232,6 +373,8 @@ def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
             return decode_image_real(content, dim)
         if content[:2] == b"BM":
             return decode_bmp_real(content, dim)  # stdlib — always real
+        if content[:8] == _PNG_SIG:
+            return decode_png_real(content, dim)  # stdlib — always real
     return _fake_decode(content, dim)
 
 
@@ -385,15 +528,18 @@ def ahash_bytes(content: bytes, hash_size: int = 8) -> str:
     string (``hash_size²`` bits): block-mean grayscale grid, threshold
     each cell at the global mean. Identical images hash identically;
     small edits flip few bits — Hamming distance ≈ visual difference.
-    Dispatch: PIL when importable (any format), else the stdlib BMP
-    parser (this container's real path)."""
+    Dispatch: PIL when importable (any format), else the stdlib BMP or
+    PNG parser by signature (this container's real paths)."""
     pil = _pil_image()
     if pil is not None:
         img = pil.open(__import__("io").BytesIO(content)).convert("L")
         img = img.resize((hash_size, hash_size))
         cells = [p / 255.0 for p in img.getdata()]
     else:
-        grid = _bmp_gray_grid(content, hash_size)
+        if content[:8] == _PNG_SIG:
+            grid = _png_gray_grid(content, hash_size)
+        else:
+            grid = _bmp_gray_grid(content, hash_size)
         cells = [v for row in grid for v in row]
     mean = sum(cells) / len(cells)
     bits = 0

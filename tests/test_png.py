@@ -1,0 +1,272 @@
+"""Pure-stdlib PNG decoder (operators/multimodal.py::_png_gray_rows)
+pinned against hand-packed fixtures: the test-side encoder below forward-
+filters scanlines with a CHOSEN filter type per row, so every unfilter arm
+(None/Sub/Up/Average/Paeth) is exercised against known pixel values. No
+shared code with the decoder — the encoder packs chunks and applies the
+RFC 2083 §6 filter equations forward; the decoder must invert them."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from etl_tools_rs_spark.operators import multimodal as mm
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def make_png(
+    rows: list[list[tuple[int, ...]]],
+    color_type: int,
+    filters: list[int] | None = None,
+    bit_depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Encode pixel rows (tuples per pixel) as a PNG, forward-filtering
+    each scanline with the requested filter type."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    height = len(rows)
+    width = len(rows[0])
+    filters = filters or [0] * height
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, f in zip(rows, filters):
+        line = bytes(v for px in r for v in px)
+        assert len(line) == stride
+        out = bytearray(line)
+        if f == 1:  # Sub
+            for i in range(stride - 1, -1, -1):
+                a = line[i - channels] if i >= channels else 0
+                out[i] = (line[i] - a) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                out[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                out[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                out[i] = (line[i] - _paeth(a, prev[i], c)) & 0xFF
+        raw += bytes([f]) + bytes(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
+    return (
+        mm._PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestPngGrayRows:
+    def test_gray_all_filter_types(self):
+        # 5 rows, one per filter type; values chosen to exercise carries
+        rows = [
+            [(0,), (64,), (128,), (255,)],
+            [(10,), (20,), (30,), (40,)],
+            [(10,), (21,), (33,), (46,)],
+            [(200,), (100,), (50,), (25,)],
+            [(1,), (2,), (3,), (4,)],
+        ]
+        png = make_png(rows, color_type=0, filters=[0, 1, 2, 3, 4])
+        got = mm._png_gray_rows(png)
+        want = [[px[0] / 255.0 for px in r] for r in rows]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w)
+
+    def test_truecolor_paeth(self):
+        rows = [
+            [(255, 0, 0), (0, 255, 0)],
+            [(0, 0, 255), (255, 255, 255)],
+        ]
+        png = make_png(rows, color_type=2, filters=[1, 4])
+        got = mm._png_gray_rows(png)
+        assert got[0] == pytest.approx([1 / 3, 1 / 3])
+        assert got[1] == pytest.approx([1 / 3, 1.0])
+
+    def test_rgba_alpha_ignored(self):
+        rows = [[(90, 90, 90, 0), (90, 90, 90, 255)]]
+        png = make_png(rows, color_type=6, filters=[2])
+        (row,) = mm._png_gray_rows(png)
+        assert row == pytest.approx([90 / 255.0, 90 / 255.0])
+
+    def test_gray_alpha(self):
+        rows = [[(100, 7), (200, 99)]]
+        png = make_png(rows, color_type=4, filters=[1])
+        (row,) = mm._png_gray_rows(png)
+        assert row == pytest.approx([100 / 255.0, 200 / 255.0])
+
+    def test_multiple_idat_chunks_concatenate(self):
+        rows = [[(10,), (20,)], [(30,), (40,)]]
+        png = make_png(rows, color_type=0)
+        # resplit the IDAT payload into two chunks
+        body = zlib.compress(
+            bytes(b"\x00" + bytes([10, 20]) + b"\x00" + bytes([30, 40]))
+        )
+        split = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", body[:5])
+            + _chunk(b"IDAT", body[5:])
+            + _chunk(b"IEND", b"")
+        )
+        assert mm._png_gray_rows(split) == mm._png_gray_rows(png)
+
+
+class TestPngRejection:
+    def _valid(self):
+        return make_png([[(10,), (20,)]], color_type=0)
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            b"",
+            b"not a png at all",
+            b"\x89PNG\r\n\x1a\n",  # signature only: no IHDR
+            b"\x89PNG\r\n\x1a\nxxxxxxx",  # truncated chunk header
+        ],
+    )
+    def test_garbage(self, payload):
+        with pytest.raises(ValueError):
+            mm._png_gray_rows(payload)
+
+    def test_palette_rejected(self):
+        png = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="color type"):
+            mm._png_gray_rows(png)
+
+    def test_16bit_rejected(self):
+        png = make_png([[(10,), (20,)]], color_type=0, bit_depth=16)
+        with pytest.raises(ValueError, match="bit depth"):
+            mm._png_gray_rows(png)
+
+    def test_interlace_rejected(self):
+        png = make_png([[(10,), (20,)]], color_type=0, interlace=1)
+        with pytest.raises(ValueError, match="Adam7"):
+            mm._png_gray_rows(png)
+
+    def test_unknown_filter_type(self):
+        body = zlib.compress(b"\x05\x0a\x14")  # filter byte 5
+        png = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", body)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="filter type"):
+            mm._png_gray_rows(png)
+
+    def test_pixel_length_mismatch(self):
+        body = zlib.compress(b"\x00\x0a")  # one byte short for width 2
+        png = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", body)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="length mismatch"):
+            mm._png_gray_rows(png)
+
+    def test_corrupt_idat_stream(self):
+        png = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT"):
+            mm._png_gray_rows(png)
+
+
+class TestPngDecodeAndHash:
+    def test_band_profile_follows_gradient(self):
+        # 16 rows, vertical dark→light ramp: band means must increase
+        rows = [[(r * 17,)] * 4 for r in range(16)]
+        png = make_png(rows, color_type=0)
+        vals = mm.decode_png_real(png, dim=4)
+        assert len(vals) == 4
+        assert vals == sorted(vals)
+        assert vals[0] < 0.2 and vals[3] > 0.75
+
+    def test_decode_media_dispatches_png(self):
+        png = make_png([[(255,), (255,)], [(255,), (255,)]], color_type=0)
+        got = mm.decode_media(png, "image/png", 2)
+        assert got == pytest.approx([1.0, 1.0])
+
+    def test_ahash_cross_format_bmp_png_equal(self):
+        """The SAME image serialized as BMP and as PNG must produce the
+        SAME perceptual hash — the gray-grid geometry is shared, so the
+        hash depends on pixels, not container format."""
+        w = h = 16
+        gray = [[((r * 13 + c * 7) % 256) for c in range(w)] for r in range(h)]
+        png = make_png(
+            [[(v, v, v) for v in row] for row in gray], color_type=2
+        )
+        # 24-bit BMP, bottom-up rows
+        stride = ((w * 3 + 3) // 4) * 4
+        px = bytearray()
+        for r in range(h - 1, -1, -1):
+            for c in range(w):
+                v = gray[r][c]
+                px += bytes([v, v, v])
+            px += b"\x00" * (stride - w * 3)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+        )
+        head = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        bmp = head + info + bytes(px)
+        assert mm.ahash_bytes(png) == mm.ahash_bytes(bmp)
+
+    def test_png_roundtrip_through_arrow_pipeline(self, spark):
+        """The decoder must run end-to-end through the mapInPandas stage:
+        2 good PNGs + 1 garbage payload → 2 decode_ok rows and 1
+        error-as-record row."""
+        from pyspark.sql import functions as F
+
+        # the corrupt payload carries a REAL PNG signature so it reaches
+        # decode_png_real (signature-less bytes fall to the documented
+        # fake-decode fallback instead of erroring)
+        rows = [
+            (0, make_png([[(0,)] * 4] * 4, 0), "image/png"),
+            (1, make_png([[(255,)] * 4] * 4, 0), "image/png"),
+            (2, mm._PNG_SIG + b"garbage not an image", "image/png"),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, content binary, modality string"
+        )
+        out = {
+            r["media_id"]: r
+            for r in mm.extract_features(df, dim=2, modality_col="modality")
+            .select("media_id", "decode_ok", "feature")
+            .collect()
+        }
+        assert out[0]["decode_ok"] == "ok" and out[1]["decode_ok"] == "ok"
+        assert out[0]["feature"] == pytest.approx([0.0, 0.0])
+        assert out[1]["feature"] == pytest.approx([1.0, 1.0])
+        assert out[2]["decode_ok"].startswith("error:")
+        assert out[2]["feature"] is None
