@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_tools_rs_spark.session import is_connect
+
 from etl_tools_rs_spark.jobs.state import (
     RUN_COMPLETED,
     RUN_FATAL,
@@ -257,13 +259,38 @@ class JobRunner:
             self.num_errors += n_err
             step.num_errors = n_err
             self._check_budget(step)
-            use_executor = (
+            partition_mode = (
                 handler.has_partition_path()
                 and init.action == "start"
                 and order_by is None
             )
-            if use_executor:
+            if partition_mode and not is_connect(ok.sparkSession):
                 n_ok = self._run_partition_handler(ok, handler, step)
+            elif partition_mode:
+                # Spark Connect (r4 audit): no sparkContext / classic
+                # accumulators for the executor path — run the SAME
+                # process_partition contract driver-side as one pseudo-
+                # partition over toLocalIterator, with a loud warning
+                # (ordered-loop handlers are unaffected; partition-only
+                # handlers keep working instead of dying on sparkContext)
+                import warnings
+
+                warnings.warn(
+                    "Spark Connect session: process_partition runs "
+                    "driver-side as a single pseudo-partition (no "
+                    "foreachPartition accumulators on Connect)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                res = handler.process_partition(ok.toLocalIterator())
+                if res is not None:
+                    n_ok, extra_err = int(res[0]), int(res[1])
+                    if extra_err:
+                        self.num_errors += extra_err
+                        step.num_errors += extra_err
+                        self._check_budget(step)
+                else:
+                    n_ok = ok.count()
             else:
                 rows = (
                     ok.toLocalIterator()

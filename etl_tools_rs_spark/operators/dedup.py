@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_tools_rs_spark.session import default_parallelism
+
 from etl_tools_rs_spark.functions import fingerprint, ngrams, tokens
 
 
@@ -559,7 +561,7 @@ def remove_common_lines(
        preserves that clustering, so the reassembly groupBy(id) is
        partition-local — the per-line rows never shuffle.
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    n_part = default_parallelism(df.sparkSession)
     lines = (
         df.repartition(n_part, F.col(id_col))
         .select(

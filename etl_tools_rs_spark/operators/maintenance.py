@@ -17,6 +17,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_tools_rs_spark.session import default_parallelism
+
 
 def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -102,7 +104,7 @@ def cluster_by(
     on skewed keys) + partition-local sort; pair with ``compact_files``
     sizing via ``num_partitions``.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = num_partitions or default_parallelism(df.sparkSession)
     key_cols = [F.col(c) for c in cols]
     return df.repartitionByRange(parts, *key_cols).sortWithinPartitions(*key_cols)
 
@@ -131,7 +133,7 @@ def zorder_by(
     if not (1 <= bits_per_col and bits_per_col * len(cols) <= 63):
         raise ValueError("need 1 <= bits_per_col * len(cols) <= 63")
     spark = df.sparkSession
-    parts = num_partitions or spark.sparkContext.defaultParallelism
+    parts = num_partitions or default_parallelism(spark)
 
     def numeric(c: str) -> F.Column:
         dt = df.schema[c].dataType.simpleString()

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_tools_rs_spark.session import default_parallelism
+
 
 def _bucket_of(order: Column, bounds: list) -> Column:
     """Deterministic range-bucket id: number of boundaries <= order.
@@ -63,7 +65,7 @@ def scalable_cumsum(
     same contract as the reference's resume index, SURVEY §2.6 O4).
     """
     spark = df.sparkSession
-    n = num_buckets or spark.sparkContext.defaultParallelism
+    n = num_buckets or default_parallelism(spark)
     order = F.col(order_col)
     probs = [i / n for i in range(1, n)]
     bounds = df.stat.approxQuantile(order_col, probs, 0.001) if probs else []
@@ -152,7 +154,7 @@ def pack_first_fit(
     if budget <= 0:
         raise ValueError("budget must be positive")
     spark = df.sparkSession
-    n_shards = num_shards or spark.sparkContext.defaultParallelism
+    n_shards = num_shards or default_parallelism(spark)
     shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
     sharded = df.withColumn("__shard", shard.cast("int"))
     from pyspark.sql.types import StringType, StructField, StructType

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 from pyspark.sql.window import Window
 
+from etl_tools_rs_spark.session import default_parallelism
+
 
 def _numeric_cols(df: DataFrame, cols: list[str]) -> set[str]:
     return {
@@ -621,7 +623,7 @@ def _two_phase_global_rank(
     from etl_tools_rs_spark.operators.packing import _bucket_of
 
     spark = df.sparkSession
-    nb = spark.sparkContext.defaultParallelism
+    nb = default_parallelism(spark)
     probs = [i / nb for i in range(1, nb)]
     bounds = (
         sorted(set(df.stat.approxQuantile(val_col, probs, 0.001)))

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_tools_rs_spark.session import default_parallelism
+
 from etl_tools_rs_spark.operators.sketch import TWO_POW_60, kmv_hash
 
 
@@ -142,7 +144,7 @@ def epoch_shuffle_rank(
         10,
     ).cast("bigint")
     spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
+    n = default_parallelism(spark)
     hashed = df.withColumn("__eh", h)
     probs = [i / n for i in range(1, n)]
     bounds = sorted(set(hashed.stat.approxQuantile("__eh", probs, 0.001))) if probs else []

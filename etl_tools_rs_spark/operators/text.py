@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_tools_rs_spark.session import default_parallelism
+
 from etl_tools_rs_spark.functions import fingerprint, ngrams, token_count, tokens
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -210,7 +212,7 @@ def winnow_fingerprints(
     from pyspark.sql.window import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    n_part = default_parallelism(df.sparkSession)
     base = (
         df.select(F.col(id_col), norm.alias("_t"))
         .filter(F.length("_t") >= k + w - 1)

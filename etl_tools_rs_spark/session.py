@@ -71,6 +71,24 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def is_connect(spark) -> bool:
+    """True when ``spark`` is a Spark Connect client session (no
+    ``sparkContext``, no RDD API, no classic accumulators). Connect
+    sessions live under the ``pyspark.sql.connect`` package — a module
+    check avoids touching attributes that raise on either side."""
+    return type(spark).__module__.startswith("pyspark.sql.connect")
+
+
+def default_parallelism(spark) -> int:
+    """Cluster-width default usable on BOTH session kinds (r4 Connect
+    audit): classic reads ``sparkContext.defaultParallelism``; Connect
+    has no sparkContext, so the shuffle-partition conf — which the
+    engine sizes to the cluster anyway — is the width proxy."""
+    if is_connect(spark):
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return spark.sparkContext.defaultParallelism
+
+
 def ensure_min_partitions(df, min_partitions: int | None = None):
     """Round-robin repartition ONLY when the input has fewer partitions than
     the cluster has cores — a small-file guard.
@@ -79,8 +97,27 @@ def ensure_min_partitions(df, min_partitions: int | None = None):
     so the condition is false and no shuffle is added. Locally (and for
     dimension-sized inputs) it stops a single tiny parquet file from
     serializing CPU-heavy narrow stages onto one core.
+
+    Under Spark Connect (r4 audit) there is no RDD API to read the
+    partition count, so the guard uses the scan's file count as the
+    proxy (``inputFiles`` IS in the Connect API) and the shuffle-
+    partition conf as the width target; non-file-backed frames pass
+    through unchanged — the guard is a local small-file aid, and at
+    scale it is a no-op by design on both session kinds.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    if is_connect(spark):
+        target = min_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            return df
+        if 0 < n_files < target:
+            return df.repartition(target)
+        return df
+    sc = spark.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
