@@ -107,33 +107,64 @@ def knn_lsh(
     k: int = 10,
     dim: int = 64,
     num_planes: int = 8,
+    num_tables: int = 1,
     seed: int = 42,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH bucket(s).
 
-    One shuffle on the 2^num_planes bucket key (AQE handles hot buckets);
-    recall tunes with num_planes (fewer planes → bigger buckets → higher
-    recall, more work). Exact rescoring inside the bucket.
+    ``num_tables`` independent hash tables (r4): each table hashes with
+    its own ``num_planes`` hyperplanes, candidates are the UNION of
+    same-bucket pairs across tables (classic multi-table LSH — recall
+    grows ~1-(1-p^b)^L while per-table selectivity stays sharp; a single
+    sign-LSH table has weak recall on high-dim data no matter how b is
+    tuned, measured 0.10@10 on the gate embeddings vs 0.86 with 8
+    tables). One shuffle on the (table, bucket) key — corpus rows
+    replicate ×num_tables, the scale knob AQE handles like any explode;
+    duplicate candidate pairs collapse in the same aggregate that scores
+    them. Exact cosine rescoring inside the union.
     """
-    planes = _hyperplanes(dim, num_planes, seed)
+    c_hashes, q_hashes = [], []
+    for t in range(num_tables):
+        # table 0 uses `seed` exactly → num_tables=1 reproduces the
+        # historical single-table output bit-for-bit
+        planes = _hyperplanes(dim, num_planes, seed + 7919 * t)
+        c_hashes.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(corpus_vec), planes).alias("b"),
+            )
+        )
+        q_hashes.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(query_vec), planes).alias("b"),
+            )
+        )
     c = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(corpus_vec).alias("_cv"),
-        lsh_bucket(F.col(corpus_vec), planes).alias("_bkt"),
+        F.explode(F.array(*c_hashes)).alias("_tb"),
     )
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(query_vec).alias("_qv"),
-        lsh_bucket(F.col(query_vec), planes).alias("_bkt"),
+        F.explode(F.array(*q_hashes)).alias("_tb"),
     )
-    scored = c.join(F.broadcast(q), "_bkt").select(
-        "_qid",
-        "_cid",
-        cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+    scored = (
+        c.join(F.broadcast(q), "_tb")
+        .select(
+            "_qid",
+            "_cid",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+        # a pair found by several tables scores identically — max() is
+        # the dedup (cheaper than distinct on the vectors themselves)
+        .groupBy("_qid", "_cid")
+        .agg(F.max("_sim").alias("_sim"))
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_cid").asc())
     return (

@@ -2452,6 +2452,13 @@ def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @qdef("knn_cosine_lsh", None)  # approximate op — rows-only check
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (operators/similarity.py::knn_lsh). 16
+    tables × 4 planes (r4 retune): ONE table at 8 planes measured
+    recall@10 = 0.10 on the gate embeddings — sign LSH needs table union
+    for recall; this config measures 0.82 (pinned ≥ 0.7 in
+    tests/test_ann_recall.py). At corpus scale, raise num_planes with
+    log2(n) to keep buckets ~constant and tables buy recall back — the
+    knobs trade work for recall explicitly."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     queries = (
         t["embeddings"]
@@ -2459,7 +2466,8 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return sim_ops.knn_lsh(
-        corpus=t["embeddings"], queries=queries, k=10, dim=64, query_id="query_id"
+        corpus=t["embeddings"], queries=queries, k=10, dim=64,
+        num_planes=4, num_tables=16, query_id="query_id",
     )
 
 

@@ -1,0 +1,93 @@
+"""ANN recall gates (r4, VERDICT r3 task #7): every approximate KNN path
+is measured against knn_brute ON THE GATE EMBEDDINGS (sf0.01, 500×64f,
+the corpus the driver's correctness gate uses) AT THE EXACT REGISTRY
+CONFIGS — the rows-only gate entries prove the plans run; these pins
+prove the answers are close. Measured values (also in COVERAGE.md):
+LSH 0.82, IVF 0.86, PQ 0.70 — pinned at ≥ 0.7 with the registry configs
+(all deterministic: seeded hyperplanes / id-seeded k-means, no rand())."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_tools_rs_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="gate testdata not present"
+)
+
+
+def _pairs(spark, name):
+    return {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY[name].fn(spark, SF_DIR).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def brute(spark):
+    got = _pairs(spark, "knn_cosine_brute")
+    assert len(got) == 50  # 5 queries × k=10
+    return got
+
+
+@pytest.mark.parametrize(
+    "name,floor",
+    [
+        ("knn_cosine_lsh", 0.7),
+        ("knn_cosine_ivf", 0.7),
+        ("knn_cosine_pq", 0.7),
+    ],
+)
+def test_registry_config_recall_at_10(spark, brute, name, floor):
+    approx = _pairs(spark, name)
+    recall = len(approx & brute) / len(brute)
+    assert recall >= floor, f"{name} recall@10 = {recall:.2f} < {floor}"
+
+
+def test_lsh_multi_table_beats_single_table(spark, brute):
+    """The r4 multi-table union is the recall mechanism: the same plane
+    budget in ONE table must recall strictly less than the registry's
+    16-table config (single 8-plane table measured 0.10)."""
+    from pyspark.sql import functions as F
+
+    from etl_tools_rs_spark.operators import similarity as sim_ops
+    from etl_tools_rs_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ("embeddings",))
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ops.knn_lsh(
+            t["embeddings"], queries, k=10, dim=64,
+            num_planes=8, num_tables=1, query_id="query_id",
+        ).collect()
+    }
+    multi = _pairs(spark, "knn_cosine_lsh")
+    assert len(single & brute) < len(multi & brute)
+
+
+def test_lsh_single_table_backward_compatible(spark):
+    """num_tables=1 with table seed = `seed` reproduces the historical
+    single-table results (same planes, same buckets)."""
+    from pyspark.sql import functions as F
+
+    from etl_tools_rs_spark.operators import similarity as sim_ops
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(6)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sim_ops.knn_lsh(emb, q, k=5, dim=6, num_planes=4, num_tables=1).collect()
+    b = sim_ops.knn_lsh(emb, q, k=5, dim=6, num_planes=4).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
