@@ -564,3 +564,51 @@ def transition_matrix(
     return counts.join(F.broadcast(totals), "from_event").select(
         "from_event", "to_event", "n", prob.alias("p")
     )
+
+def attribute_last_touch(
+    df: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_hours: int = 168,
+) -> DataFrame:
+    """Last-touch attribution (r4): for every conversion event, the most
+    recent touch event by the same user at-or-before the conversion
+    (ties broken by event id), attributed only when the gap is within
+    ``max_gap_hours``.
+
+    Plan: ONE running conditional max over a rows-frame window keyed by
+    user — no self-join, no per-conversion scan; hot users cost one
+    sorted pass. Window order is (ts, id) so results are deterministic
+    on any partitioning, and the SQL twin uses the identical frame so
+    the oracle matches timestamp-for-timestamp.
+
+    Output: ``(event_id, user_id, ts, touch_ts timestamp?, attributed
+    boolean)`` — one row per conversion; ``touch_ts`` NULL when the user
+    never touched before converting.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(time_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_touch = F.max(
+        F.when(F.col(event_col) == touch_type, F.col(time_col))
+    ).over(w)
+    out = df.select(
+        F.col(id_col), F.col(user_col), F.col(time_col), F.col(event_col),
+        last_touch.alias("touch_ts"),
+    ).filter(F.col(event_col) == convert_type)
+    within = F.col("touch_ts") >= (
+        F.col(time_col) - F.expr(f"INTERVAL {int(max_gap_hours)} HOURS")
+    )
+    return out.select(
+        id_col,
+        user_col,
+        time_col,
+        F.when(within, F.col("touch_ts")).alias("touch_ts"),
+        F.coalesce(within, F.lit(False)).alias("attributed"),
+    )

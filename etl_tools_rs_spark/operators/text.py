@@ -587,3 +587,119 @@ def char_stats(col: str | Column) -> dict[str, Column]:
             F.size(F.array_distinct(tri)).cast("double") / F.size(tri),
         ),
     }
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty (r4): the fraction of a document's
+    DISTINCT word n-grams whose first corpus occurrence (minimum doc id)
+    is this document — 1.0 means every shingle is new to the corpus,
+    0.0 means pure recombination of earlier content. The streaming-
+    corpus diagnostic behind "is this crawl snapshot adding anything":
+    dedup says what to drop, novelty says what the keep-rate will be.
+
+    Plan shape: docs explode to distinct grams once; gram → min(id) is
+    one gram-keyed aggregate (map-side combined); novelty is a second
+    gram-keyed join + doc-keyed aggregate. Text shuffles never — only
+    grams and ids move. Docs with fewer than ``n`` tokens are excluded
+    (no shingles → undefined ratio), same contract as the shingle ops.
+
+    Output: ``(id_col, n_grams bigint, n_novel bigint, novelty double)``
+    with novelty floor-rounded to ``scale`` (division policy).
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("_g"),
+        )
+    )
+    first = grams.groupBy("_g").agg(F.min("_id").alias("_first_id"))
+    per_doc = (
+        grams.join(first, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first_id") == F.col("_id")).cast("bigint")).alias("n_novel"),
+        )
+    )
+    p = 10 ** scale
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        (F.floor(F.lit(p) * F.col("n_novel") / F.col("n_grams")) / F.lit(p)).alias(
+            "novelty"
+        ),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+    scale: int = 6,
+) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution (r4):
+    OLS slope/intercept of ln(freq) on ln(rank) for the ``top_k`` most
+    frequent lowercased tokens. Natural text fits slope ≈ -1; a corpus
+    whose slope drifts far from that (template spam → much steeper,
+    shuffled/synthetic text → flatter) fails the sanity check. A
+    single-number corpus-quality diagnostic to trend across snapshots.
+
+    Plan shape: ONE corpus-sized token aggregate (map-side combined,
+    vocab-sized output), then orderBy().limit(top_k) — a TakeOrdered,
+    never a global sort — and the regression runs on the k-row frame
+    (rank window + sums are driver-trivial but stay in-plan). The OLS
+    moments accumulate as exact DECIMAL(28,12) so float add order never
+    leaks into the oracle comparison; slope/intercept are floor-rounded
+    at ``scale`` (division policy).
+
+    Output: one row ``(n_ranked int, slope double, intercept double)``.
+    """
+    from pyspark.sql.window import Window
+
+    freq = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .orderBy(F.col("_f").desc(), F.col("_t").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("_f").desc(), F.col("_t").asc())
+    # ln() implementations differ by an ulp across engines (libm vs Java
+    # Math.log); round to 6dp BEFORE the exact-decimal cast so the moment
+    # sums are bit-identical (same move as char_entropy's p·ln(p) terms)
+    pts = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("_x"),
+        F.round(F.log(F.col("_f").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("_y"),
+    )
+    # exact-decimal sums make the MOMENTS partition-order-proof; the final
+    # OLS arithmetic then runs in double with an identical expression shape
+    # on both engines (identical inputs + identical IEEE ops → identical
+    # bits; pure-decimal slope math overflows DuckDB's 38-digit widening)
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+    )
+    p = 10 ** scale
+    nn = F.col("_n").cast("double")
+    slope = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / nn
+    return agg.select(
+        F.col("_n").cast("int").alias("n_ranked"),
+        (F.floor(F.lit(p) * slope) / F.lit(p)).cast("double").alias("slope"),
+        (F.floor(F.lit(p) * intercept) / F.lit(p)).cast("double").alias("intercept"),
+    )

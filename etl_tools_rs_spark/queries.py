@@ -6147,6 +6147,160 @@ def heavy_hitters_users_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(t["events"], "user_id", k=130, by=["event_type"])
 
 
+@qdef(
+    "attribution_last_touch_events",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS touch_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN touch_ts >= ts - INTERVAL 168 HOURS THEN touch_ts END
+             AS touch_ts,
+           COALESCE(touch_ts >= ts - INTERVAL 168 HOURS, FALSE) AS attributed
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/events.py::attribute_last_touch,
+    r4): each purchase attributed to the user's most recent click within
+    7 days — one running conditional-max window keyed by user, no
+    self-join, deterministic (ts, id) frame order on both engines."""
+    from etl_tools_rs_spark.operators.events import attribute_last_touch
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return attribute_last_touch(
+        t["events"], convert_type="purchase", touch_type="click",
+        max_gap_hours=168,
+    )
+
+
+@qdef(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(regexp_extract_all(text,
+                 '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'), t -> t <> '')) AS n_bpe,
+             len({TOKS_SQL}) AS n_ws
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_bpe) AS total_bpe, SUM(n_ws) AS total_ws,
+           FLOOR(1e6 * SUM(n_bpe) / SUM(n_ws)) / 1e6 AS fertility
+    FROM d WHERE n_ws > 0 GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (r4): subword-ish tokens per whitespace word,
+    aggregated per language — THE cost metric for multilingual training
+    mixes (a lang with fertility 2× pays 2× the sequence length for the
+    same text). Corpus-level ratio = sum/sum (not mean-of-ratios), one
+    narrow scan, codegen only."""
+    from etl_tools_rs_spark.operators.text import bpe_ish_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "lang",
+        bpe_ish_token_count("text").alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    ).filter(F.col("n_ws") > 0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe"),
+        F.sum("n_ws").alias("total_ws"),
+        (F.floor(F.lit(1e6) * F.sum("n_bpe") / F.sum("n_ws")) / F.lit(1e6)).alias(
+            "fertility"
+        ),
+    )
+
+
+@qdef(
+    "ngram_novelty_documents",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    ), first AS (
+      SELECT g, MIN(doc_id) AS first_id FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           FLOOR(1e6 * SUM(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END)
+                 / COUNT(*)) / 1e6 AS novelty
+    FROM grams JOIN first ON grams.g = first.g
+    GROUP BY grams.doc_id
+    """,
+)
+def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/text.py::ngram_novelty,
+    r4): share of each doc's distinct shingles first seen in that doc
+    (by min doc_id). Gram-keyed aggregate + join — text never shuffles."""
+    from etl_tools_rs_spark.operators.text import ngram_novelty
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return ngram_novelty(t["documents"], n=3)
+
+
+@qdef(
+    "zipf_slope_documents",
+    """
+    WITH freq AS (
+      SELECT lower(unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      t -> t <> ''))) AS t
+      FROM documents
+    ), counted AS (
+      SELECT t, COUNT(*) AS f FROM freq GROUP BY t
+      ORDER BY f DESC, t ASC LIMIT 500
+    ), pts AS (
+      SELECT CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, t ASC)
+                  AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM counted
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts
+    ), s AS (
+      -- slope/intercept as PARENTHESIZED subexpressions so the double
+      -- op order matches the Spark expression shape exactly (1e6*(a/b),
+      -- never (1e6*a)/b — the difference is a floor-boundary ulp)
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_raw,
+             sx, sy
+      FROM m
+    )
+    SELECT CAST(n AS INT) AS n_ranked,
+           FLOOR(1e6 * slope_raw) / 1e6 AS slope,
+           FLOOR(1e6 * ((sy - slope_raw * sx) / CAST(n AS DOUBLE))) / 1e6
+             AS intercept
+    FROM s
+    """,
+)
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-500 corpus tokens
+    (operators/text.py::zipf_slope, r4): one vocab aggregate +
+    TakeOrdered + exact-decimal regression moments."""
+    from etl_tools_rs_spark.operators.text import zipf_slope
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return zipf_slope(t["documents"], top_k=500)
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

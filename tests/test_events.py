@@ -377,3 +377,32 @@ class TestTransitionMatrix:
             by_src[r.from_event] += r.p
         # floor-scaling may lose <= 1e-6 per cell
         assert all(0.999 < s <= 1.0 for s in by_src.values())
+
+
+def test_attribute_last_touch_semantics(spark):
+    rows = [
+        # u1: click at t1, purchase at t3 -> attributed to t1
+        (1, 1, "click", _ts(1)), (2, 1, "purchase", _ts(3)),
+        # u1 second purchase at t5: still last click t1 (within window)
+        (3, 1, "purchase", _ts(5)),
+        # u2: purchase BEFORE any click -> not attributed
+        (4, 2, "purchase", _ts(1)), (5, 2, "click", _ts(2)),
+        # u3: click long before purchase (216h > 168h window) -> not attributed
+        (6, 3, "click", _ts(1)), (7, 3, "purchase", _ts(10)),
+        # u4: two clicks -> the LATEST one wins
+        (8, 4, "click", _ts(1)), (9, 4, "click", _ts(2)),
+        (10, 4, "purchase", _ts(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, event_type string, ts timestamp"
+    )
+    out = {
+        r["event_id"]: r
+        for r in ev_ops.attribute_last_touch(df, max_gap_hours=168).collect()
+    }
+    assert set(out) == {2, 3, 4, 7, 10}  # one row per purchase
+    assert out[2].attributed and out[2].touch_ts == _ts(1)
+    assert out[3].attributed and out[3].touch_ts == _ts(1)
+    assert not out[4].attributed and out[4].touch_ts is None
+    assert not out[7].attributed and out[7].touch_ts is None
+    assert out[10].attributed and out[10].touch_ts == _ts(2)

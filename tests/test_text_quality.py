@@ -295,3 +295,56 @@ class TestCharStats:
             for c in Counter(text).values()
         )
         assert abs(r["char_entropy"] - expect) < 1e-9
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel(self, spark):
+        from etl_tools_rs_spark.operators.text import ngram_novelty
+
+        rows = [
+            (1, "a b c d"),          # grams: "a b c","b c d" — all novel
+            (2, "a b c d"),          # exact repeat — zero novel
+            (3, "a b c x y z"),      # "a b c" seen; "b c x","c x y","x y z" new
+            (4, "a b"),              # < n tokens: excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+        assert set(got) == {1, 2, 3}
+        assert (got[1].n_grams, got[1].n_novel, got[1].novelty) == (2, 2, 1.0)
+        assert (got[2].n_grams, got[2].n_novel, got[2].novelty) == (2, 0, 0.0)
+        assert (got[3].n_grams, got[3].n_novel) == (4, 3)
+        assert got[3].novelty == 0.75
+
+    def test_duplicate_gram_within_doc_counts_once(self, spark):
+        from etl_tools_rs_spark.operators.text import ngram_novelty
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        (r,) = ngram_novelty(df, n=3).collect()
+        # distinct grams: "a b c","b c a","c a b" — each once
+        assert r.n_grams == 3 and r.n_novel == 3
+
+
+class TestZipfSlope:
+    def test_known_powerlaw(self, spark):
+        from etl_tools_rs_spark.operators.text import zipf_slope
+
+        # construct exact Zipf-1: token k appears floor(120/k) times
+        toks = []
+        for k in range(1, 13):
+            toks += [f"t{k:02d}"] * (120 // k)
+        df = spark.createDataFrame([(" ".join(toks),)], "text string")
+        (r,) = zipf_slope(df, top_k=12).collect()
+        assert r.n_ranked == 12
+        assert -1.15 < r.slope < -0.85  # ~ -1 for true Zipf
+        assert r.intercept > 0
+
+    def test_uniform_corpus_flat_slope(self, spark):
+        from etl_tools_rs_spark.operators.text import zipf_slope
+
+        df = spark.createDataFrame(
+            [("x1 x2 x3 x4 x5 " * 10,)], "text string"
+        )
+        (r,) = zipf_slope(df, top_k=5).collect()
+        assert r.slope == 0.0  # every token same freq -> flat fit

@@ -1,0 +1,154 @@
+"""Scale-up generator: expand the driver's sf0.1 testdata K× with
+foreign-key-consistent key remapping (VERDICT r3 task #1 — produce a
+>=sf1 empirical datapoint; /root/testdata is read-only, so derived data
+lands under the repo in a gitignored dir).
+
+Method: each fact/entity table is replicated K times; replica ``r``
+shifts every key column by ``r * (max_key + 1)`` OF ITS OWN DOMAIN, so
+referential integrity, per-key cardinalities (orders per customer,
+lineitems per order, events per user), and all value distributions are
+preserved exactly — the result is K independent, structurally identical
+shards of the original, which is precisely the "same data, more of it"
+shape a scale test wants. Dimension tables (region, nation) stay fixed,
+as TPC-H itself scales them. To avoid a degenerate 10×-exact-duplicate
+corpus for the dedup/similarity operators, replica>0 document text gets
+a 3-token suffix (n_chars recomputed) and embeddings get a deterministic
+±0.005 per-element jitter (xxhash64-derived — no rand(), reproducible on
+any partitioning).
+
+Usage:
+    python tools/gen_scale_data.py [K] [SRC_DIR] [OUT_DIR]
+defaults: K=10, SRC=/root/testdata/sf0.1, OUT=<repo>/.scaledata/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from etl_tools_rs_spark.session import get_spark  # noqa: E402
+
+COPY_TABLES = ("region", "nation")
+
+# table -> {column: key_domain} ; every column in the same domain shifts
+# by the same per-replica offset so joins keep lining up
+KEYED_TABLES: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
+}
+
+# domain -> (table, column) to measure the key range from
+DOMAIN_SOURCE = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
+}
+
+
+def _replicate(df: DataFrame, k: int, key_cols: dict[str, str], offsets: dict[str, int]) -> DataFrame:
+    reps = df.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(reps)
+    for col, domain in key_cols.items():
+        dtype = dict(out.dtypes)[col]
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_rep") * F.lit(offsets[domain])).cast(dtype)
+        )
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else os.path.join(repo, ".scaledata", "sf1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("gen-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tables = {
+        name: spark.read.parquet(f"{src}/{name}.parquet")
+        for name in COPY_TABLES + tuple(KEYED_TABLES)
+    }
+    offsets = {
+        dom: tables[tbl].agg(F.max(col)).collect()[0][0] + 1
+        for dom, (tbl, col) in DOMAIN_SOURCE.items()
+    }
+    print(f"# domains: {offsets}", file=sys.stderr)
+
+    for name in COPY_TABLES:
+        tables[name].write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        print(f"# {name}: copied", file=sys.stderr)
+
+    for name, key_cols in KEYED_TABLES.items():
+        df = _replicate(tables[name], k, key_cols, offsets)
+        if name == "documents":
+            # suffix replica>0 text so the corpus isn't K× exact dups;
+            # n_chars stays consistent with text
+            df = df.withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" rep "), F.col("_rep").cast("string"))
+                ),
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+        if name == "embeddings":
+            # deterministic tiny jitter for replica>0 (xxhash64 per
+            # element): near-dup structure survives, exact dups don't
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            + (
+                                F.pmod(
+                                    F.xxhash64(F.col("vec_id"), i, F.col("_rep")),
+                                    F.lit(1000),
+                                )
+                                - 500
+                            ).cast("float")
+                            / F.lit(100000.0)
+                        ).cast("float"),
+                    )
+                ),
+            )
+        n_files = 32 if name in ("lineitem", "orders", "events") else 8
+        df = df.drop("_rep").repartition(n_files)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        print(f"# {name}: x{k} written", file=sys.stderr)
+
+    # verification: row counts exactly K x source, FK integrity on samples
+    for name in KEYED_TABLES:
+        n_src = tables[name].count()
+        n_out = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
+        assert n_out == k * n_src, (name, n_src, n_out)
+    li = spark.read.parquet(f"{out_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{out_dir}/orders.parquet")
+    dangling = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").count()
+    assert dangling == 0, f"{dangling} dangling lineitem FK rows"
+    print(f"# verified: counts x{k}, lineitem->orders FK intact", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
