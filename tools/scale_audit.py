@@ -55,6 +55,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "budget_allocate_sources": {
         "single_partition_window": "water-level prefix sums run over the DOMAIN table (one row per source — group-count-sized by the op's documented contract; raw rows never enter the window)",
     },
+    "zipf_slope_documents": {
+        "single_partition_window": "rank row_number runs AFTER orderBy().limit(top_k) — a TakeOrdered that bounds the frame to top_k (500) rows regardless of corpus size; raw tokens never enter the window (text.py::zipf_slope)",
+    },
 }
 
 
