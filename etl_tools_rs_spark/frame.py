@@ -292,3 +292,33 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
 
         return EngineFrame(prefix_jaccard_cross_pairs(self.df, right, *a, **kw))
+
+    def bpe_tokenize_pandas(self, merges, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.bpe import bpe_tokenize_pandas
+
+        return EngineFrame(bpe_tokenize_pandas(self.df, merges, *a, **kw))
+
+    def attribute_last_touch(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.events import attribute_last_touch
+
+        return EngineFrame(attribute_last_touch(self.df, *a, **kw))
+
+    def ngram_novelty(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.text import ngram_novelty
+
+        return EngineFrame(ngram_novelty(self.df, *a, **kw))
+
+    def zipf_slope(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.text import zipf_slope
+
+        return EngineFrame(zipf_slope(self.df, *a, **kw))
+
+    def funnel(self, steps, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.events import funnel
+
+        return EngineFrame(funnel(self.df, steps, *a, **kw))
+
+    def knn_lsh_from(self, queries: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.similarity import knn_lsh
+
+        return EngineFrame(knn_lsh(self.df, queries, *a, **kw))
