@@ -88,6 +88,13 @@ def main() -> int:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         queries = [n for n in only.split(",") if n]
+    skip = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if n
+    }
+    if skip:
+        # scale sweeps exclude the labeled quadratic oracle-parity
+        # baselines (their scale-path twins stay in); see SCALE.md
+        queries = [n for n in queries if n not in skip]
 
     def measure(name: str) -> tuple[float, float]:
         """One cold run + warm_runs warm runs; returns (cold, warm median)."""
