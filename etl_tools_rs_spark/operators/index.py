@@ -189,3 +189,55 @@ def bm25_search(
     return contrib.groupBy(id_col).agg(
         F.sum("_c").cast("double").alias("score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    by: tuple[str, ...] = (),
+    k: int = 60,
+    scale: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    pre-ranked retrieval lists — the standard hybrid-search combiner
+    (lexical BM25 + embedding ANN): ``rrf(d) = Σ_lists 1/(k + rank_d)``.
+
+    Each input carries ``by + (id_col, rank_col)`` with rank 1-based;
+    items missing from a list simply contribute nothing (no imputation),
+    matching the canonical formulation. Returns ``by + (id_col, n_lists,
+    rrf_score)`` — callers order by (rrf_score DESC, id) for the fused
+    ranking.
+
+    Determinism/oracle: each reciprocal is floor-scaled to ``scale``
+    decimals and summed as an exact DECIMAL — add-order-proof, so the
+    fused score hash-matches the SQL oracle bit-for-bit.
+
+    Scale: the op itself is union + ONE groupBy on (by, id) — no windows,
+    no joins. Rank assignment is the caller's concern on purpose: result
+    lists are top-k bounded (k×queries rows, not corpus rows), where a
+    rank window is cheap; fusing never touches the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    p = float(10**scale)
+    keys = [*by, id_col]
+    tagged = [
+        r.select(
+            *keys,
+            (
+                F.floor(F.lit(p) / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+                / F.lit(p)
+            )
+            .cast(f"decimal(18,{scale})")
+            .alias("_contrib"),
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    return u.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum("_contrib").cast("double").alias("rrf_score"),
+    )

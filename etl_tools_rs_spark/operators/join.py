@@ -222,3 +222,95 @@ def range_join(
         )
         .drop("__rj_bucket")
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    by: str | None = None,
+    right_by: str | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join: pairs of rows whose half-open intervals
+    ``[left_start, left_end)`` and ``[right_start, right_end)``
+    intersect, optionally under an equality key — sessions × campaigns,
+    downtime × SLA windows; the two-sided sibling of ``range_join``.
+
+    Scale path — bucketized equi-join with a FIRST-SHARED-BUCKET filter
+    instead of a distinct: both sides explode into the fixed-width
+    buckets they cover and hash-join on (key, bucket). An overlapping
+    pair shares every bucket its intersection touches, so the join alone
+    would duplicate it; requiring ``bucket == bucket_of(max(starts))``
+    — the first bucket of the intersection, computable row-locally from
+    the joined pair — keeps exactly one copy WITHOUT a dedup shuffle.
+    Shuffle volume = each side × its buckets-per-interval; pick
+    ``bucket_width`` near the typical interval length.
+
+    Inner join; column names must be disjoint across inputs (usual Spark
+    join hygiene). Exact overlap (``ls < re AND rs < le``) is filtered
+    within buckets, so boundary-touching intervals ([1,2) vs [2,3)) do
+    NOT pair.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    is_ts = isinstance(
+        left.schema[left_start].dataType, (TimestampType, TimestampNTZType)
+    )
+
+    def units(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c
+
+    width = int(bucket_width * 1_000_000) if is_ts else bucket_width
+    if not width or width <= 0:
+        raise ValueError(
+            f"bucket_width must be positive ({'>= 1 microsecond' if is_ts else '> 0'}); "
+            f"got {bucket_width!r}"
+        )
+
+    l2 = (
+        left.withColumn("__oj_ls", units(F.col(left_start)))
+        .withColumn("__oj_le", units(F.col(left_end)))
+        .withColumn(
+            "__oj_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__oj_ls") / F.lit(width)),
+                    F.floor(F.col("__oj_le") / F.lit(width)),
+                )
+            ),
+        )
+    )
+    r2 = (
+        right.withColumn("__oj_rs", units(F.col(right_start)))
+        .withColumn("__oj_re", units(F.col(right_end)))
+        .withColumn(
+            "__oj_rbucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__oj_rs") / F.lit(width)),
+                    F.floor(F.col("__oj_re") / F.lit(width)),
+                )
+            ),
+        )
+    )
+    cond = l2["__oj_bucket"] == r2["__oj_rbucket"]
+    if by is not None:
+        cond = cond & (l2[by] == r2[right_by or by])
+    return (
+        l2.join(r2, cond)
+        .filter(
+            (F.col("__oj_ls") < F.col("__oj_re"))
+            & (F.col("__oj_rs") < F.col("__oj_le"))
+            # first shared bucket: the intersection starts at
+            # max(ls, rs); keep the pair only in that bucket
+            & (
+                F.col("__oj_bucket")
+                == F.floor(F.greatest(F.col("__oj_ls"), F.col("__oj_rs")) / F.lit(width))
+            )
+        )
+        .drop("__oj_ls", "__oj_le", "__oj_rs", "__oj_re", "__oj_bucket", "__oj_rbucket")
+    )

@@ -660,3 +660,77 @@ def ahash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
     )
     return out
+
+
+def phash_bytes(
+    content: bytes, hash_size: int = 8, highfreq_factor: int = 4
+) -> str:
+    """Perceptual DCT-hash of an image payload (the classic pHash
+    construction, as in the public imagehash library): decode to a
+    ``hash_size·highfreq_factor``-square grayscale grid, 2-D orthonormal
+    DCT-II, keep the top-left ``hash_size²`` low-frequency coefficients,
+    threshold each at their median. Robust to brightness/contrast shifts
+    and mild blur where aHash is not (aHash thresholds raw pixels, so a
+    global brightness ramp flips half its bits; the DCT isolates that
+    ramp into a handful of coefficients). Same hex-string contract as
+    ``ahash_bytes`` — ``ahash_hamming`` / ``ahash_near_dup`` compose
+    unchanged."""
+    import numpy as np
+
+    n = hash_size * highfreq_factor
+    pil = _pil_image()
+    if pil is not None:
+        img = pil.open(__import__("io").BytesIO(content)).convert("L")
+        img = img.resize((n, n))
+        grid = np.asarray(img, dtype=np.float64) / 255.0
+    else:
+        if content[:8] == _PNG_SIG:
+            grid = np.asarray(_png_gray_grid(content, n), dtype=np.float64)
+        else:
+            grid = np.asarray(_bmp_gray_grid(content, n), dtype=np.float64)
+    # orthonormal DCT-II basis: D[k, i] = s_k * cos(pi*(2i+1)*k / (2n))
+    i = np.arange(n)
+    k = i.reshape(-1, 1)
+    basis = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    basis[0] *= np.sqrt(1.0 / n)
+    basis[1:] *= np.sqrt(2.0 / n)
+    dct = basis @ grid @ basis.T
+    low = dct[:hash_size, :hash_size]
+    med = np.median(low)
+    bits = 0
+    for v in low.ravel():
+        bits = (bits << 1) | (1 if v > med else 0)
+    return format(bits, f"0{hash_size * hash_size // 4}x")
+
+
+def image_phash(
+    df: DataFrame,
+    hash_size: int = 8,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched DCT perceptual hashing: ``(id, phash hex-string,
+    decode_ok)`` — drop-in sibling of ``image_ahash`` (same batch shape,
+    same error-as-record contract); pass ``hash_col='phash'`` to
+    ``ahash_near_dup`` for banded Hamming pairs."""
+    import pandas as pd
+
+    src = df.select(id_col, content_col)
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            hs, oks = [], []
+            for content in pdf[content_col]:
+                try:
+                    hs.append(phash_bytes(bytes(content), hash_size))
+                    oks.append("ok")
+                except Exception as e:  # noqa: BLE001 — error-as-record
+                    hs.append(None)
+                    oks.append(f"error: {e}")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": hs, "decode_ok": oks}
+            )
+
+    return src.mapInPandas(
+        _batches, schema=f"{id_col} long, phash string, decode_ok string"
+    )

@@ -756,3 +756,43 @@ def concentration_profile(
         label = f"top_{str(p).replace('.', '_')}_share"
         sel.append(share.cast("double").alias(label))
     return agg.select(*sel)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: the ``top`` heaviest key values
+    with their row counts and share of the table — the numbers that
+    decide between a plain shuffle join, AQE skew handling, and explicit
+    salting (``operators/join`` docstrings reference exactly this
+    threshold call). A key holding >1/parallelism of the rows is one
+    straggler task at 100 TB.
+
+    Exact form: one map-side-combined groupBy(keys) count (shuffle =
+    #distinct keys), a 1-row total broadcast back, deterministic top-N
+    via TakeOrderedAndProject (count DESC, keys ASC) — no global-order
+    window anywhere. For key domains too large even for the count
+    shuffle, use ``sketch.heavy_hitters`` (Misra-Gries) — same output
+    shape, bounded state.
+
+    Returns ``keys + (cnt bigint, share double)``, share floor-scaled to
+    ``scale`` decimals.
+    """
+    p = float(10**scale)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "cnt",
+            (F.floor(F.lit(p) * F.col("cnt") / F.col("_t")) / F.lit(p))
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in keys])
+        .limit(top)
+    )

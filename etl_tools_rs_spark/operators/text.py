@@ -703,3 +703,50 @@ def zipf_slope(
         (F.floor(F.lit(p) * slope) / F.lit(p)).cast("double").alias("slope"),
         (F.floor(F.lit(p) * intercept) / F.lit(p)).cast("double").alias("intercept"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    drop_phrases: tuple[str, ...] = ("lorem ipsum", "javascript", "cookie policy"),
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): drop
+    individual lines that are too short, lack terminal punctuation, or
+    contain boilerplate phrases, then reassemble the document from the
+    surviving lines.
+
+    Distinct from the doc-level ``gopher_filter``: C4 edits documents
+    (a nav-bar line dies, the article around it survives) instead of
+    dropping them whole. Adds ``n_lines``, ``n_kept_lines``,
+    ``clean_text`` (kept lines re-joined with newlines) and ``keep``
+    (>= ``min_kept_lines`` survived).
+
+    Scale: entirely row-local array HOFs (split -> filter -> array_join)
+    — one narrow projection, no explode, no shuffle; fuses into the
+    scan's codegen stage like the rest of the text suite.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, "\n")
+
+    def line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        ok = F.size(words) >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            ok = ok & t.rlike('[.!?"]$')
+        low = F.lower(l)
+        for phrase in drop_phrases:
+            ok = ok & ~low.contains(phrase.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    return df.select(
+        "*",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size(kept) >= F.lit(min_kept_lines)).alias("keep"),
+    )

@@ -6301,6 +6301,294 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(t["documents"], top_k=500)
 
 
+from etl_tools_rs_spark.operators import lm as lm_ops  # noqa: E402
+
+
+@qdef("lm_bigram_self_score", lm_ops.bigram_self_score_oracle_sql())
+def lm_bigram_self_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM fluency scoring (operators/lm.py::
+    bigram_fit + bigram_score, r4): fit add-alpha bigram transitions on
+    the corpus, score every doc's average NLL — one order above
+    lm_self_score (word-salad with in-vocab unigrams still scores high
+    because its transitions are unseen). Two vocab-bounded count tables,
+    three shuffles on the score stream."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    model = lm_ops.bigram_fit(t["documents"])
+    return lm_ops.bigram_score(t["documents"], model)
+
+
+@qdef(
+    "c4_line_filter_documents",
+    r"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){7})', '\1' || chr(10), 'g') AS t2
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             string_split(t2, chr(10)) AS ls,
+             list_filter(
+               string_split(t2, chr(10)),
+               l -> len(list_filter(string_split_regex(trim(l), '\s+'),
+                                    w -> w <> '')) >= 7
+                    AND NOT contains(lower(l), 'slow')) AS kept
+      FROM lined
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           len(kept) >= 2 AS keep
+    FROM f
+    """,
+)
+def c4_line_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/text.py::c4_line_filter,
+    r4). The corpus is single-line, so the gate first inserts a newline
+    after every 7th token (same regexp_replace on both engines), then
+    drops lines that are short (<7 words — the tail fragment of most
+    docs) or contain the phrase 'slow' (standing in for C4's boilerplate
+    phrase list), and reassembles clean_text. Entirely row-local HOFs —
+    no explode, no shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    lined = t["documents"].select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){7})", "$1\n").alias("t2"),
+    )
+    out = text_ops.c4_line_filter(
+        lined,
+        text_col="t2",
+        min_words_per_line=7,
+        require_terminal_punct=False,
+        drop_phrases=("slow",),
+        min_kept_lines=2,
+    )
+    return out.select("doc_id", "n_lines", "n_kept_lines", "clean_text", "keep")
+
+
+_RRF_BM25_CTES = """
+    toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+    corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+    tf AS (SELECT doc_id, t.tok AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks, UNNEST(ts) AS t(tok)
+           WHERE t.tok IN ('vector', 'hash', 'stream')
+           GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfv FROM tf GROUP BY 1),
+    idf AS (SELECT tok,
+              FLOOR(1000000.0 * LN(1.0 + (CAST(n AS DOUBLE) - dfv + 0.5)
+                                          / (dfv + 0.5))) / 1000000.0 AS idf,
+              FLOOR(1000000.0 * (CAST(sumdl AS DOUBLE) / n)) / 1000000.0
+                AS avgdl
+            FROM dft, corpus),
+    contrib AS (SELECT tf.doc_id,
+        CAST(FLOOR(1000000.0 * (idf * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))
+             / 1000000.0 AS DECIMAL(18,6)) AS c
+        FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)),
+    bm AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+           FROM contrib GROUP BY doc_id)
+"""
+
+
+@qdef(
+    "rrf_fuse_documents",
+    f"""
+    WITH {_RRF_BM25_CTES.format(toks=TOKS_SQL)},
+    ra AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+           FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20),
+    rb AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+           FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20),
+    u AS (
+      SELECT doc_id,
+             CAST(FLOOR(1000000.0 / (60.0 + CAST(r AS DOUBLE))) / 1000000.0
+                  AS DECIMAL(18,6)) AS c
+      FROM ra
+      UNION ALL
+      SELECT doc_id,
+             CAST(FLOOR(1000000.0 / (60.0 + CAST(r AS DOUBLE))) / 1000000.0
+                  AS DECIMAL(18,6)) AS c
+      FROM rb
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
+           CAST(SUM(c) AS DOUBLE) AS rrf_score
+    FROM u GROUP BY doc_id
+    """,
+)
+def rrf_fuse_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (operators/index.py::
+    rrf_fuse, r4): BM25 top-20 fused with a doc-length-prior top-20,
+    k=60. Rank windows run over the 20-row TakeOrdered results (top-k
+    bounded, the allowlisted pattern); the fuse itself is union + one
+    groupBy — no windows, no joins."""
+    from etl_tools_rs_spark.operators.index import bm25_search, rrf_fuse
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    bm = bm25_search(t["documents"], ["vector", "hash", "stream"])
+    ra = (
+        bm.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+    )
+    rb = (
+        t["documents"]
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return rrf_fuse([ra, rb], id_col="doc_id", rank_col="rank", k=60)
+
+
+@qdef(
+    "skew_report_lineitem",
+    """
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT COUNT(*) AS t FROM lineitem)
+    SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(1000000.0 * cnt / t) / 1000000.0 AS DOUBLE) AS share
+    FROM counts, tot
+    ORDER BY cnt DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators/profile.py::skew_report,
+    r4): the 10 heaviest l_partkey values with row counts and corpus
+    share — the pre-flight check before choosing plain vs salted vs
+    AQE-skew joins. One map-side-combined count shuffle + 1-row total
+    broadcast + TakeOrderedAndProject."""
+    from etl_tools_rs_spark.operators.profile import skew_report
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return skew_report(t["lineitem"], ["l_partkey"], top=10)
+
+
+@qdef(
+    "overlap_join_orders",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS l_key, o_custkey AS l_cust,
+             o_orderdate AS ls, o_orderdate + INTERVAL 10 DAY AS le
+      FROM orders WHERE o_orderstatus = 'F'
+    ), r AS (
+      SELECT o_orderkey AS r_key, o_custkey AS r_cust,
+             o_orderdate AS rs, o_orderdate + INTERVAL 10 DAY AS re
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT l_key, r_key,
+           CAST(FLOOR(CAST(epoch_us(least(le, re)) - epoch_us(greatest(ls, rs))
+                AS DOUBLE) / 86400000000.0) AS INT) AS overlap_days
+    FROM l JOIN r ON l_cust = r_cust AND ls < re AND rs < le
+    """,
+)
+def overlap_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/join.py::overlap_join, r4):
+    10-day windows after each customer's 'F' orders overlapped against
+    the same customer's 'O' order windows — bucketized equi-join on
+    (custkey, 10-day bucket) with the first-shared-bucket filter, never
+    an inequality nested loop. The oracle is the naive theta join."""
+    from etl_tools_rs_spark.operators.join import overlap_join
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    left = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_key"),
+        F.col("o_custkey").alias("l_cust"),
+        F.col("o_orderdate").alias("l_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("l_end"),
+    )
+    right = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("r_key"),
+        F.col("o_custkey").alias("r_cust"),
+        F.col("o_orderdate").alias("r_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("r_end"),
+    )
+    pairs = overlap_join(
+        left,
+        right,
+        "l_start",
+        "l_end",
+        "r_start",
+        "r_end",
+        bucket_width=10 * 86400,
+        by="l_cust",
+        right_by="r_cust",
+    )
+    od = F.floor(
+        (
+            F.unix_micros(F.least("l_end", "r_end").cast("timestamp"))
+            - F.unix_micros(F.greatest("l_start", "r_start").cast("timestamp"))
+        ).cast("double")
+        / F.lit(86400000000.0)
+    ).cast("int")
+    return pairs.select("l_key", "r_key", od.alias("overlap_days"))
+
+
+@qdef("image_phash_near_dup", None)  # real stdlib decode — rows-only
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash image dedup (operators/multimodal.py::
+    image_phash + ahash_near_dup, r4): 32 synthesized BMPs in 4 pattern
+    groups × 8 global-brightness variants → stdlib decode → 64-bit
+    pHash → banded Hamming pairs. Brightness shifts land in the DC
+    coefficient only, so variants of one pattern must pair (hamming ~0)
+    while distinct patterns must not — the case aHash gets wrong
+    (unit-pinned in tests/test_multimodal.py)."""
+    base = spark.range(32).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import struct
+
+        import pandas as pd
+
+        def make_bmp(mid: int, w: int = 16, h: int = 16) -> bytes:
+            pattern = int(mid) % 4  # 4 structural groups
+            bright = (int(mid) // 4) * 12  # 8 brightness variants each
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = bytearray()
+            for r in range(h - 1, -1, -1):
+                for c in range(w):
+                    if pattern == 0:
+                        v = (r * 255) // max(1, h - 1)
+                    elif pattern == 1:
+                        v = (c * 255) // max(1, w - 1)
+                    elif pattern == 2:
+                        v = 255 if (r // 4 + c // 4) % 2 == 0 else 0
+                    else:
+                        v = ((r + c) * 255) // max(1, h + w - 2)
+                    v = min(255, v // 2 + bright)
+                    rows += bytes([v, v, v])
+                rows += b"\x00" * (stride - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                               len(rows), 2835, 2835, 0, 0)
+            head = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            return head + info + bytes(rows)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_bmp(m) for m in pdf["media_id"]],
+                }
+            )
+
+    media = base.mapInPandas(_gen, "media_id long, content binary")
+    hashes = mm_ops.image_phash(media)
+    return mm_ops.ahash_near_dup(hashes, max_hamming=4, hash_col="phash")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
