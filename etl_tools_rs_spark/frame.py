@@ -322,3 +322,33 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.similarity import knn_lsh
 
         return EngineFrame(knn_lsh(self.df, queries, *a, **kw))
+
+    def c4_line_filter(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.text import c4_line_filter
+
+        return EngineFrame(c4_line_filter(self.df, *a, **kw))
+
+    def bigram_score(self, model, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.lm import bigram_score
+
+        return EngineFrame(bigram_score(self.df, model, *a, **kw))
+
+    def rrf_fuse_with(self, others: list[DataFrame], *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.index import rrf_fuse
+
+        return EngineFrame(rrf_fuse([self.df, *others], *a, **kw))
+
+    def skew_report(self, keys, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import skew_report
+
+        return EngineFrame(skew_report(self.df, keys, *a, **kw))
+
+    def overlap_join(self, right: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.join import overlap_join
+
+        return EngineFrame(overlap_join(self.df, right, *a, **kw))
+
+    def image_phash(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.multimodal import image_phash
+
+        return EngineFrame(image_phash(self.df, *a, **kw))
