@@ -109,12 +109,25 @@ def _probe_keys(col: Column, d: int) -> Column:
     return F.array_distinct(F.filter(arr, lambda s: s.isNotNull()))
 
 
+def _lcp_len(mn: Column, mx: Column) -> Column:
+    """Length of the common prefix of two strings, as a column. Applied
+    to the lexicographic MIN and MAX of a corpus this is the corpus-wide
+    longest common prefix (every string sorts between them, so it shares
+    at least their agreement; they bound the divergence)."""
+    eq = F.zip_with(F.split(mn, ""), F.split(mx, ""), lambda x, y: x == y)
+    pos = F.array_position(eq, False)  # 0 when no mismatch found
+    return F.when(pos == 0, F.least(F.length(mn), F.length(mx))).otherwise(
+        (pos - 1).cast("int")
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
     max_distance: int = 2,
+    strip_common_prefix: bool = True,
 ) -> DataFrame:
     """Inner join of ``left`` × ``right`` on
     ``levenshtein(left_col, right_col) <= max_distance``, plus a
@@ -125,6 +138,17 @@ def fuzzy_join(
     requires; the exact distance runs only on candidates, with Spark's
     threshold form (early exit, -1 past the budget).
 
+    ``strip_common_prefix`` (default on) keys segments on the suffix
+    beyond the corpus-wide longest common prefix. ID-like corpora
+    ("Customer#000000042", URLs, SKUs) otherwise degenerate: a shared
+    prefix longer than a segment makes that segment IDENTICAL across all
+    rows — one mega-bucket, ~n² candidates (observed at bench scale on
+    TPC-H customer names). Edit distance is invariant under a shared
+    prefix (``lev(Pa, Pb) = lev(a, b)``), so suffix keys are exactly as
+    complete; the LCP comes from a 1-row min/max aggregate folded back
+    by broadcast — no driver collect, ~zero cost when there is no common
+    prefix. Verification always compares the FULL strings.
+
     Cardinality matches the theta-join definition: duplicate input rows
     each produce their own output pairs (pairs are deduped per input-row
     tag, not by value).
@@ -132,21 +156,36 @@ def fuzzy_join(
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
     d = max_distance
+    lkey, rkey = F.col(left_col), F.col(right_col)
+    if strip_common_prefix:
+        vals = left.select(lkey.alias("_v")).unionAll(
+            right.select(rkey.alias("_v"))
+        )
+        st = vals.agg(
+            F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+        ).select(_lcp_len(F.col("_mn"), F.col("_mx")).alias("_lcp"))
+        # 1-row broadcast attach (scalar BNLJ — the engine's standard
+        # stats-fold pattern, explicitly scalar-allowlisted by the scale
+        # audit and the plan pin; the CANDIDATE join below stays equi)
+        left = left.crossJoin(F.broadcast(st))
+        right = right.crossJoin(F.broadcast(st))
+        lkey = lkey.substr(F.col("_lcp") + 1, F.length(lkey))
+        rkey = rkey.substr(F.col("_lcp") + 1, F.length(rkey))
     # a pair can meet through several segment keys — dedupe to ONE row per
     # input-row pair via per-side row tags, so fully-identical duplicate
     # input rows keep their multiplicity (theta-join cardinality), unlike
     # a whole-row distinct() which would silently collapse them
     probe = (
         left.withColumn("_lid", F.monotonically_increasing_id())
-        .withColumn("_fk", F.explode(_probe_keys(F.col(left_col), d)))
+        .withColumn("_fk", F.explode(_probe_keys(lkey, d)))
     )
     index = (
         right.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_fk", F.explode(_index_keys(F.col(right_col), d)))
+        .withColumn("_fk", F.explode(_index_keys(rkey, d)))
     )
     cand = (
         probe.join(index, probe["_fk"] == index["_fk"])
-        .drop("_fk")
+        .drop("_fk", "_lcp")
         .dropDuplicates(["_lid", "_rid"])
         .drop("_lid", "_rid")
     )

@@ -158,3 +158,187 @@ def logreg_oracle_sql(
         for j in range(d)
     ]
     return "\n".join(out) + "\n" + "\n".join(final)
+
+
+def binary_metrics(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    threshold: float = 0.5,
+    score_decimals: int = 6,
+    scale: int = 6,
+) -> DataFrame:
+    """Classifier evaluation in ONE pass + one sketch-sized window: exact
+    tie-aware AUC (Mann-Whitney rank-sum identity) and threshold
+    confusion metrics — the evaluate step after ``logreg_fit`` /
+    ``logreg_score`` (fit -> score -> EVALUATE closes the curation-
+    classifier loop).
+
+    AUC uses the average-rank identity: group rows by (rounded) score,
+    rank blocks by cumulative counts, then
+    ``AUC = (Σ_s np_s·(2·cum_before_s + m_s + 1) − n_pos·(n_pos+1))
+    / (2·n_pos·n_neg)`` — everything integer/decimal until the final
+    division, so the value is add-order-proof and oracle-exact.
+
+    Scale: the corpus is touched by exactly two aggregates (confusion
+    counts; per-score counts). The running-count window runs over the
+    DISTINCT-SCORE table, whose size ``score_decimals`` bounds at
+    10^decimals for [0,1] scores (≤1M rows at the default 6) — sketch-
+    sized, never corpus-sized; the single-partition window is justified
+    by that bound (same contract as the histogram-CDF quantile window).
+
+    Returns one row: ``(n, n_pos, n_neg, tp, fp, tn, fn, prec, rec, f1,
+    acc, auc)``; ratio metrics floor-scaled to ``scale`` decimals, NULL
+    when undefined (no positives, empty predicted-positive set, ...).
+    """
+    from pyspark.sql.window import Window
+
+    p = float(10**scale)
+    thr = float(threshold)
+    base = df.select(
+        label.cast("int").alias("_y"),
+        F.round(score.cast("double"), score_decimals).alias("_s"),
+    )
+    conf = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").cast("long").alias("_npos"),
+        F.sum(F.when(F.col("_s") >= thr, F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("_tp"),
+        F.sum(F.when(F.col("_s") >= thr, 1 - F.col("_y")).otherwise(0))
+        .cast("long")
+        .alias("_fp"),
+    )
+    grouped = base.groupBy("_s").agg(
+        F.sum("_y").cast("long").alias("_gp"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    w = (
+        Window.orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = grouped.select(
+        (
+            F.col("_gp").cast("decimal(38,0)")
+            * (
+                F.lit(2) * F.coalesce(F.sum("_m").over(w), F.lit(0))
+                + F.col("_m")
+                + F.lit(1)
+            ).cast("decimal(38,0)")
+        ).alias("_c2")
+    )
+    aucrow = contrib.agg(F.sum("_c2").alias("_sum2"))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.floor(F.lit(p) * (num / den)) / F.lit(p)
+
+    npos_d = F.col("_npos").cast("double")
+    nneg = F.col("_n") - F.col("_npos")
+    nneg_d = nneg.cast("double")
+    tp_d = F.col("_tp").cast("double")
+    fp_d = F.col("_fp").cast("double")
+    prec_raw = tp_d / (tp_d + fp_d)
+    rec_raw = tp_d / npos_d
+    return conf.crossJoin(F.broadcast(aucrow)).select(
+        F.col("_n").alias("n"),
+        F.col("_npos").alias("n_pos"),
+        nneg.cast("long").alias("n_neg"),
+        F.col("_tp").alias("tp"),
+        F.col("_fp").alias("fp"),
+        (nneg - F.col("_fp")).cast("long").alias("tn"),
+        (F.col("_npos") - F.col("_tp")).cast("long").alias("fn"),
+        F.when(F.col("_tp") + F.col("_fp") > 0, ratio(tp_d, tp_d + fp_d))
+        .cast("double")
+        .alias("prec"),
+        F.when(F.col("_npos") > 0, ratio(tp_d, npos_d))
+        .cast("double")
+        .alias("rec"),
+        F.when(
+            (F.col("_tp") + F.col("_fp") > 0)
+            & (F.col("_npos") > 0)
+            & (F.col("_tp") > 0),
+            ratio(
+                F.lit(2.0) * prec_raw * rec_raw, prec_raw + rec_raw
+            ),
+        )
+        .cast("double")
+        .alias("f1"),
+        ratio(
+            (F.col("_tp") + nneg - F.col("_fp")).cast("double"),
+            F.col("_n").cast("double"),
+        )
+        .cast("double")
+        .alias("acc"),
+        F.when(
+            (F.col("_npos") > 0) & (nneg > 0),
+            F.floor(
+                F.lit(p)
+                * (
+                    (
+                        F.col("_sum2").cast("double")
+                        - npos_d * (npos_d + F.lit(1.0))
+                    )
+                    / (F.lit(2.0) * npos_d * nneg_d)
+                )
+            )
+            / F.lit(p),
+        )
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+def binary_metrics_oracle_sql(
+    label_sql: str,
+    score_sql: str,
+    table: str,
+    threshold: float = 0.5,
+    score_decimals: int = 6,
+    scale: int = 6,
+) -> str:
+    """DuckDB oracle mirroring ``binary_metrics`` exactly: identical
+    rounding, identical integer rank-sum arithmetic, identical double
+    expression shapes (``p * (a/b)`` parenthesization) for the final
+    ratios."""
+    p = f"{float(10 ** scale):.1f}"
+    return f"""
+WITH base AS (
+  SELECT CAST(({label_sql}) AS INT) AS y,
+         round(CAST(({score_sql}) AS DOUBLE), {score_decimals}) AS s
+  FROM {table}
+), conf AS (
+  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+         CAST(sum(CASE WHEN s >= {threshold!r} THEN y ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s >= {threshold!r} THEN 1 - y ELSE 0 END) AS BIGINT) AS fp
+  FROM base
+), g AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS gp, count(*) AS m
+  FROM base GROUP BY s
+), r AS (
+  SELECT CAST(gp AS DECIMAL(38,0)) *
+         CAST(2 * COALESCE(sum(m) OVER (ORDER BY s ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + m + 1 AS DECIMAL(38,0)) AS c2
+  FROM g
+), a AS (SELECT sum(c2) AS sum2 FROM r)
+SELECT n, npos AS n_pos, n - npos AS n_neg, tp, fp,
+       (n - npos) - fp AS tn, npos - tp AS fn,
+       CASE WHEN tp + fp > 0 THEN
+         FLOOR({p} * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))) / {p}
+       END AS prec,
+       CASE WHEN npos > 0 THEN
+         FLOOR({p} * (CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE))) / {p}
+       END AS rec,
+       CASE WHEN tp + fp > 0 AND npos > 0 AND tp > 0 THEN
+         FLOOR({p} * (2.0 * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+                          * (CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE))
+                      / ((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+                         + (CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE))))) / {p}
+       END AS f1,
+       FLOOR({p} * (CAST(tp + (n - npos) - fp AS DOUBLE) / CAST(n AS DOUBLE))) / {p} AS acc,
+       CASE WHEN npos > 0 AND n - npos > 0 THEN
+         FLOOR({p} * ((CAST(sum2 AS DOUBLE) - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE) + 1.0))
+                      / (2.0 * CAST(npos AS DOUBLE) * CAST(n - npos AS DOUBLE)))) / {p}
+       END AS auc
+FROM conf, a
+"""

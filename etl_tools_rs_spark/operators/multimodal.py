@@ -341,22 +341,30 @@ def decode_png_real(content: bytes, dim: int) -> list[float]:
 
 def _png_gray_grid(content: bytes, n: int) -> list[list[float]]:
     """n×n block-mean grayscale grid from a PNG (for perceptual
-    hashing) — same cell geometry as :func:`_bmp_gray_grid`."""
+    hashing) — same cell geometry as :func:`_bmp_gray_grid`. Cells are
+    GRID-driven (each cell averages its source block, nearest-neighbor
+    when the image is smaller than the grid) so upsampling never leaves
+    empty cells — a 16×16 image into pHash's 32×32 grid previously
+    interleaved zeros, turning a uniform brightness shift into a
+    high-frequency artifact."""
     rows = _png_gray_rows(content)
     height, width = len(rows), len(rows[0])
-    grid = [[0.0] * n for _ in range(n)]
-    cnt = [[0] * n for _ in range(n)]
-    for r in range(height):
-        gr = min(n - 1, r * n // height)
-        row = rows[r]
-        for c in range(width):
-            gc = min(n - 1, c * n // width)
-            grid[gr][gc] += row[c]
-            cnt[gr][gc] += 1
-    return [
-        [grid[r][c] / cnt[r][c] if cnt[r][c] else 0.0 for c in range(n)]
-        for r in range(n)
-    ]
+    grid = []
+    for gr in range(n):
+        r0 = gr * height // n
+        r1 = max(r0 + 1, (gr + 1) * height // n)
+        out_row = []
+        for gc in range(n):
+            c0 = gc * width // n
+            c1 = max(c0 + 1, (gc + 1) * width // n)
+            acc = 0.0
+            for r in range(r0, r1):
+                row = rows[r]
+                for c in range(c0, c1):
+                    acc += row[c]
+            out_row.append(acc / ((r1 - r0) * (c1 - c0)))
+        grid.append(out_row)
+    return grid
 
 
 def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
@@ -501,26 +509,29 @@ def _bmp_gray_grid(content: bytes, n: int) -> list[list[float]]:
         raise ValueError("degenerate BMP dimensions")
     step = bpp // 8
     stride = ((width * step + 3) // 4) * 4
-    grid = [[0.0] * n for _ in range(n)]
-    cnt = [[0] * n for _ in range(n)]
-    for r in range(height):
-        src = r if not flipped else height - 1 - r
-        base = px_off + src * stride
-        if base + width * step > len(content):
-            raise ValueError("truncated BMP pixel data")
-        gr = min(n - 1, r * n // height)
-        for c in range(width):
-            i = base + c * step
-            gc = min(n - 1, c * n // width)
-            grid[gr][gc] += content[i] + content[i + 1] + content[i + 2]
-            cnt[gr][gc] += 1
-    return [
-        [
-            grid[r][c] / (3.0 * 255.0 * cnt[r][c]) if cnt[r][c] else 0.0
-            for c in range(n)
-        ]
-        for r in range(n)
-    ]
+    if px_off + (height - 1) * stride + width * step > len(content):
+        raise ValueError("truncated BMP pixel data")
+    # grid-driven block means (see _png_gray_grid): each cell averages
+    # its own source block; upsampling degrades to nearest-neighbor
+    # instead of leaving zero-filled cells
+    grid = []
+    for gr in range(n):
+        r0 = gr * height // n
+        r1 = max(r0 + 1, (gr + 1) * height // n)
+        out_row = []
+        for gc in range(n):
+            c0 = gc * width // n
+            c1 = max(c0 + 1, (gc + 1) * width // n)
+            acc = 0.0
+            for r in range(r0, r1):
+                src = r if not flipped else height - 1 - r
+                base = px_off + src * stride
+                for c in range(c0, c1):
+                    i = base + c * step
+                    acc += content[i] + content[i + 1] + content[i + 2]
+            out_row.append(acc / (3.0 * 255.0 * (r1 - r0) * (c1 - c0)))
+        grid.append(out_row)
+    return grid
 
 
 def ahash_bytes(content: bytes, hash_size: int = 8) -> str:
@@ -669,12 +680,13 @@ def phash_bytes(
     construction, as in the public imagehash library): decode to a
     ``hash_size·highfreq_factor``-square grayscale grid, 2-D orthonormal
     DCT-II, keep the top-left ``hash_size²`` low-frequency coefficients,
-    threshold each at their median. Robust to brightness/contrast shifts
-    and mild blur where aHash is not (aHash thresholds raw pixels, so a
-    global brightness ramp flips half its bits; the DCT isolates that
-    ramp into a handful of coefficients). Same hex-string contract as
-    ``ahash_bytes`` — ``ahash_hamming`` / ``ahash_near_dup`` compose
-    unchanged."""
+    threshold each at their median (DC excluded — a uniform brightness
+    shift lands entirely in DC, so the hash is EXACTLY invariant under
+    global shifts, pinned in tests). A frequency-domain complement to
+    the pixel-domain aHash: the two hash families fail differently, so
+    a dedup pipeline bands both and intersects pairs for precision or
+    unions them for recall. Same hex-string contract as ``ahash_bytes``
+    — ``ahash_hamming`` / ``ahash_near_dup`` compose unchanged."""
     import numpy as np
 
     n = hash_size * highfreq_factor
@@ -695,11 +707,26 @@ def phash_bytes(
     basis[0] *= np.sqrt(1.0 / n)
     basis[1:] *= np.sqrt(2.0 / n)
     dct = basis @ grid @ basis.T
-    low = dct[:hash_size, :hash_size]
-    med = np.median(low)
+    low = dct[:hash_size, :hash_size].ravel()
+    # drop the DC coefficient from both the median and the bits: a
+    # uniform brightness shift lands ENTIRELY in DC, and because the AC
+    # coefficients cluster near zero, letting DC drag the median through
+    # that dense cluster flips many bits for a visually-identical image.
+    # Without DC the hash is exactly invariant under global shifts
+    # (hash_size²−1 AC bits; the leading DC bit is pinned to 0 so the
+    # hex width stays hash_size²/4).
+    # quantize to 8 dp before thresholding: on smooth images most ACs
+    # are NUMERICAL zeros (~1e-16) and the median lives in that cluster,
+    # so unquantized > comparisons flip on float noise
+    ac = np.round(low[1:], 8)
+    med = np.median(ac)
+    # >= (ties count as 1): sparse spectra (flat regions, pure ramps)
+    # put MOST coefficients exactly at the median after quantization —
+    # with a strict >, two different ramps both hash to all-zeros; with
+    # >=, the significant coefficients' POSITIONS carry the signal
     bits = 0
-    for v in low.ravel():
-        bits = (bits << 1) | (1 if v > med else 0)
+    for v in ac:
+        bits = (bits << 1) | (1 if v >= med else 0)
     return format(bits, f"0{hash_size * hash_size // 4}x")
 
 

@@ -6542,10 +6542,10 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual-hash image dedup (operators/multimodal.py::
     image_phash + ahash_near_dup, r4): 32 synthesized BMPs in 4 pattern
     groups × 8 global-brightness variants → stdlib decode → 64-bit
-    pHash → banded Hamming pairs. Brightness shifts land in the DC
-    coefficient only, so variants of one pattern must pair (hamming ~0)
-    while distinct patterns must not — the case aHash gets wrong
-    (unit-pinned in tests/test_multimodal.py)."""
+    pHash → banded Hamming pairs. Brightness shifts land in the
+    (excluded) DC coefficient only, so variants of one pattern pair at
+    hamming 0 while distinct patterns never pair (separation pinned in
+    tests/test_r4_ops.py::TestImagePhash)."""
     base = spark.range(32).select(F.col("id").alias("media_id"))
 
     def _gen(it):
@@ -6587,6 +6587,47 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = base.mapInPandas(_gen, "media_id long, content binary")
     hashes = mm_ops.image_phash(media)
     return mm_ops.ahash_near_dup(hashes, max_hamming=4, hash_col="phash")
+
+
+_BM_SCORE_SQL = (
+    "round(1.0 / (1.0 + exp(-(-1.0"
+    f" + 0.5 * ({_LOGREG_FEATURES_SQL[0]})"
+    f" + 0.3 * ({_LOGREG_FEATURES_SQL[1]})"
+    f" + -2.0 * ({_LOGREG_FEATURES_SQL[2]})))), 6)"
+)
+
+
+@qdef(
+    "binary_metrics_documents",
+    ml_ops.binary_metrics_oracle_sql(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _BM_SCORE_SQL,
+        "documents",
+        threshold=0.35,
+    ),
+)
+def binary_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (operators/ml.py::binary_metrics, r4):
+    exact tie-aware AUC + confusion metrics for a fixed-weight linear
+    quality scorer predicting lang='en' (weights pinned so the gate
+    verifies the METRICS — the training trajectory is already verified
+    bit-for-bit by logreg_quality_documents). Two corpus aggregates +
+    one distinct-score-bounded window."""
+    t = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = [
+        F.col("n_chars") / F.lit(1000.0),
+        F.size(tokens("text")).cast("double") / F.lit(100.0),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", ""))
+        .cast("double")
+        / F.col("n_chars"),
+    ]
+    score = ml_ops.logreg_score(t, [-1.0, 0.5, 0.3, -2.0], feats)
+    return ml_ops.binary_metrics(
+        t,
+        label=F.when(F.col("lang") == "en", 1).otherwise(0),
+        score=score,
+        threshold=0.35,
+    )
 
 
 # --------------------------------------------------------------------------

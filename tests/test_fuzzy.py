@@ -76,8 +76,14 @@ def test_short_string_bucket(spark):
 
 
 def test_no_cartesian_in_plan(spark, words_df):
-    """The blocked join must plan as a hash equi-join on segment keys —
-    never a cartesian/broadcast-nested-loop product."""
+    """The CANDIDATE join must plan as a hash equi-join on segment keys —
+    never a cartesian / corpus-sized nested-loop product. With prefix
+    stripping the plan additionally carries exactly two SCALAR
+    BroadcastNestedLoopJoins (the 1-row LCP attach on each side) — the
+    engine's standard stats-fold shape; with stripping off there must be
+    none at all."""
+    import re
+
     left = words_df.select(F.col("wid").alias("lid"), F.col("w").alias("lw"))
     right = words_df.select(F.col("wid").alias("rid"), F.col("w").alias("rw"))
     plan = (
@@ -85,7 +91,14 @@ def test_no_cartesian_in_plan(spark, words_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[?_fk", plan)
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row LCP attaches only
+    plain = (
+        fuzzy.fuzzy_join(left, right, "lw", "rw", 2, strip_common_prefix=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plain
+    assert "BroadcastNestedLoopJoin" not in plain
 
 
 def test_rejects_zero_distance(spark, words_df):

@@ -545,3 +545,77 @@ def test_cap_per_group_is_prefix_of_hash_order(spark, keys, k):
         .collect()
     ]
     assert kept == set(order[:k])
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=50),  # start
+        st.integers(min_value=1, max_value=20),  # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(intervals, intervals, st.sampled_from([1, 4, 13]))
+@settings(**SETTINGS)
+def test_overlap_join_matches_bruteforce(spark, ls, rs, width):
+    from etl_tools_rs_spark.operators.join import overlap_join
+
+    left = [(i, k, float(s), float(s + n)) for i, (k, s, n) in enumerate(ls)]
+    right = [
+        (100 + i, k, float(s), float(s + n)) for i, (k, s, n) in enumerate(rs)
+    ]
+    ldf = spark.createDataFrame(
+        left, "l_key long, l_k long, l_start double, l_end double"
+    )
+    rdf = spark.createDataFrame(
+        right, "r_key long, r_k long, r_start double, r_end double"
+    )
+    got = sorted(
+        (r.l_key, r.r_key)
+        for r in overlap_join(
+            ldf, rdf, "l_start", "l_end", "r_start", "r_end",
+            bucket_width=width, by="l_k", right_by="r_k",
+        ).collect()
+    )
+    want = sorted(
+        (lk, rk)
+        for lk, k1, s1, e1 in left
+        for rk, k2, s2, e2 in right
+        if k1 == k2 and s1 < e2 and s2 < e1
+    )
+    assert got == want  # exact AND exactly-once, any bucket width
+
+
+labeled_scores = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.5, 0.75, 0.9, 1.0]),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(labeled_scores)
+@settings(**SETTINGS)
+def test_binary_metrics_auc_matches_pairwise(spark, rows):
+    """Tie-aware rank-sum AUC ≡ the pairwise definition:
+    (wins + ties/2) / (n_pos * n_neg)."""
+    import math as _math
+
+    from etl_tools_rs_spark.operators.ml import binary_metrics
+
+    df = spark.createDataFrame(rows, "y int, s double")
+    m = binary_metrics(df, F.col("y"), F.col("s")).collect()[0]
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    if not pos or not neg:
+        assert m.auc is None
+        return
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    assert m.auc == _math.floor(1e6 * (u / (len(pos) * len(neg)))) / 1e6

@@ -335,30 +335,22 @@ class TestImagePhash:
         assert phash_bytes(self._img()) == phash_bytes(self._img())
         assert len(phash_bytes(self._img())) == 16
 
-    def test_brightness_invariance_beats_ahash(self):
-        # a global brightness shift lands in the DCT's DC coefficient:
-        # pHash must stay stable where aHash flips many bits
-        from etl_tools_rs_spark.operators.multimodal import (
-            ahash_bytes,
-            phash_bytes,
-        )
+    def test_brightness_shift_exact_invariance(self):
+        # a uniform brightness shift lands ENTIRELY in the (excluded) DC
+        # coefficient; with quantized ACs the hash is bit-identical
+        from etl_tools_rs_spark.operators.multimodal import phash_bytes
 
-        ham = lambda x, y: bin(int(x, 16) ^ int(y, 16)).count("1")  # noqa: E731
-        p = ham(
-            phash_bytes(self._img(0, 0)), phash_bytes(self._img(0, 80))
-        )
-        a = ham(
-            ahash_bytes(self._img(0, 0)), ahash_bytes(self._img(0, 80))
-        )
-        assert p <= 4
-        assert p <= a  # never worse than aHash on this transform
+        base = phash_bytes(self._img(0, 0))
+        for b in (20, 40, 60, 80):  # no saturation at these shifts
+            assert phash_bytes(self._img(0, b)) == base
 
     def test_distinct_patterns_differ(self):
         from etl_tools_rs_spark.operators.multimodal import phash_bytes
 
         ham = lambda x, y: bin(int(x, 16) ^ int(y, 16)).count("1")  # noqa: E731
-        assert ham(phash_bytes(self._img(0)), phash_bytes(self._img(1))) > 10
-        assert ham(phash_bytes(self._img(0)), phash_bytes(self._img(2))) > 10
+        assert ham(phash_bytes(self._img(0)), phash_bytes(self._img(1))) >= 6
+        assert ham(phash_bytes(self._img(0)), phash_bytes(self._img(2))) >= 6
+        assert ham(phash_bytes(self._img(1)), phash_bytes(self._img(2))) >= 6
 
     def test_pipeline_and_error_records(self, spark):
         from etl_tools_rs_spark.operators.multimodal import (
@@ -385,3 +377,117 @@ class TestImagePhash:
         }
         assert (0, 1) in pairs
         assert (0, 2) not in pairs
+
+
+# ------------------------------------------------------------ binary metrics
+class TestBinaryMetrics:
+    def _metrics(self, spark, rows, threshold=0.5):
+        from etl_tools_rs_spark.operators.ml import binary_metrics
+
+        df = spark.createDataFrame(rows, "y int, s double")
+        return binary_metrics(
+            df, F.col("y"), F.col("s"), threshold=threshold
+        ).collect()[0]
+
+    def test_hand_computed_confusion_and_auc(self, spark):
+        # scores: pos at .9/.8/.4, neg at .7/.3/.1 -> pairs won: .9 and .8
+        # beat all 3 negs (6), .4 beats .3/.1 (2) -> AUC = 8/9
+        rows = [(1, 0.9), (1, 0.8), (1, 0.4), (0, 0.7), (0, 0.3), (0, 0.1)]
+        m = self._metrics(spark, rows)
+        assert (m.n, m.n_pos, m.n_neg) == (6, 3, 3)
+        assert (m.tp, m.fp, m.tn, m.fn) == (2, 1, 2, 1)
+        assert m.prec == math.floor(1e6 * (2 / 3)) / 1e6
+        assert m.rec == math.floor(1e6 * (2 / 3)) / 1e6
+        assert m.auc == math.floor(1e6 * (8 / 9)) / 1e6
+
+    def test_tied_scores_average_rank(self, spark):
+        # one pos and one neg share score 0.5 -> that pair counts 1/2:
+        # AUC = (1*1 + 0.5) / (1*2)... pos=.5 beats neg=.1 (1), ties
+        # with neg=.5 (0.5) -> AUC = 1.5/2
+        rows = [(1, 0.5), (0, 0.5), (0, 0.1)]
+        m = self._metrics(spark, rows)
+        assert m.auc == math.floor(1e6 * (1.5 / 2)) / 1e6
+
+    def test_perfect_and_inverted(self, spark):
+        perfect = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+        assert self._metrics(spark, perfect).auc == 1.0
+        inverted = [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)]
+        assert self._metrics(spark, inverted).auc == 0.0
+
+    def test_degenerate_single_class(self, spark):
+        m = self._metrics(spark, [(1, 0.9), (1, 0.2)])
+        assert m.auc is None  # no negatives -> undefined
+        assert m.rec == 0.5  # one of two positives above threshold
+        m2 = self._metrics(spark, [(0, 0.9), (0, 0.2)])
+        assert m2.auc is None and m2.rec is None
+
+    def test_no_predicted_positives(self, spark):
+        m = self._metrics(spark, [(1, 0.1), (0, 0.2)], threshold=0.9)
+        assert m.tp == 0 and m.fp == 0
+        assert m.prec is None and m.f1 is None
+
+
+# ------------------------------------------------- fuzzy LCP prefix stripping
+class TestFuzzyCommonPrefix:
+    def _pairs(self, spark, names, **kw):
+        from etl_tools_rs_spark.operators.fuzzy import fuzzy_self_pairs
+
+        df = spark.createDataFrame(
+            list(enumerate(names)), "nid long, name string"
+        )
+        return {
+            (r.id_a, r.id_b, r.distance)
+            for r in fuzzy_self_pairs(df, "name", "nid", 2, **kw).collect()
+        }
+
+    def test_shared_prefix_corpus_exact(self, spark):
+        # ID-like corpus: every string shares 'Customer#00000' — the
+        # degenerate case the LCP strip exists for. Results must match
+        # the brute-force distances exactly.
+        names = [f"Customer#{i:09d}" for i in (1, 2, 11, 500, 501, 999999)]
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        want = {
+            (i, j, lev(names[i], names[j]))
+            for i, j in itertools.combinations(range(len(names)), 2)
+            if lev(names[i], names[j]) <= 2
+        }
+        assert self._pairs(spark, names) == want
+        assert len(want) >= 2  # the fixture is non-trivial
+
+    def test_strip_matches_unstripped(self, spark):
+        names = ["prefix_alpha", "prefix_alphb", "prefix_beta", "other"]
+        from etl_tools_rs_spark.operators.fuzzy import fuzzy_join
+
+        df = spark.createDataFrame(
+            [(n,) for n in names], "a string"
+        )
+        df2 = spark.createDataFrame([(n,) for n in names], "b string")
+        on = lambda strip: {  # noqa: E731
+            (r.a, r.b, r.distance)
+            for r in fuzzy_join(
+                df, df2, "a", "b", 2, strip_common_prefix=strip
+            ).collect()
+        }
+        assert on(True) == on(False)
+
+    def test_no_common_prefix_noop(self, spark):
+        names = ["apple", "apply", "zebra"]
+        got = self._pairs(spark, names)
+        assert got == {(0, 1, 1)}
+
+    def test_all_identical_strings(self, spark):
+        # full-length LCP -> empty suffixes route through the short
+        # bucket; all pairs are genuine distance-0 duplicates
+        got = self._pairs(spark, ["same", "same", "same"])
+        assert got == {(0, 1, 0), (0, 2, 0), (1, 2, 0)}
