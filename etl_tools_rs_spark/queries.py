@@ -2133,34 +2133,27 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     ), s AS (SELECT doc_id, len(toks) AS n FROM tk)
     SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+           FLOOR(1000000.0 * (CAST(i AS DOUBLE) / (sa.n + sb.n - i)))
+             / 1000000.0 AS jaccard
     FROM inter
     JOIN s sa ON sa.doc_id = id_a
     JOIN s sb ON sb.doc_id = id_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+    WHERE FLOOR(1000000.0 * (CAST(i AS DOUBLE) / (sa.n + sb.n - i)))
+            / 1000000.0 >= 0.6
     """,
 )
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs ≥ 0.6 (single-block correctness
-    config; the scale path blocks by key — see dedup.ngram_jaccard_pairs)."""
+    """Exact token-set Jaccard pairs ≥ 0.6. The Spark side is the
+    BLOCKLESS prefix-filtered self-join (operators/dedup.py::
+    prefix_jaccard_pairs with 1-token shingles — r4; previously the
+    labeled all-pairs theta join, which at sf1 is 1.25G array-intersect
+    pairs and never finished a bench run); the ORACLE stays the naive
+    all-pairs SQL, so the hash match doubles as the no-false-negative
+    proof at gate scale."""
     t = load_tables(spark, sf_dir, ("documents",))
-    tk = (
-        t["documents"]
-        .select(F.col("doc_id"), F.array_distinct(tokens("text")).alias("_toks"))
-        .filter(F.size("_toks") > 0)
-    )
-    a, b = tk.alias("a"), tk.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
-    union = F.size(F.col("a._toks")) + F.size(F.col("b._toks")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.6)
+    return dedup_ops.prefix_jaccard_pairs(
+        t["documents"], text_col="text", id_col="doc_id",
+        threshold=0.6, shingle_n=1,
     )
 
 
