@@ -37,10 +37,16 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "bnl_join": "reference-parity theta join (BNLJ is the only general theta strategy; docstring requires broadcast_right at scale)",
     },
     "fuzzy_name_pairs": {
-        "bnl_join": "short-string bucket fallback (length<=d strings join by length band, bounded rows)",
+        "bnl_join": "short-string bucket fallback (length<=d strings join by length band, bounded rows) + the 1-row LCP stats attach (scalar broadcast)",
     },
     "dedup_token_jaccard": {
         "bnl_join": "labeled single-block EXACT verification path; the scale path is the blocked/prefix-filtered variants",
+    },
+    "rrf_fuse_documents": {
+        "single_partition_window": "rank windows run AFTER TakeOrdered limit(20) — 20-row frames (top-k result lists), never the corpus; the fuse op itself is windowless by contract",
+    },
+    "binary_metrics_documents": {
+        "single_partition_window": "AUC running-count window runs over the DISTINCT-SCORE table, bounded at 10^score_decimals rows (<=1M for [0,1] scores at 6dp) — sketch-sized by construction, same contract as the histogram-CDF quantile window",
     },
     "quantiles_totalprice_hist": {
         "bnl_join": "empty-bin completion joins the broadcast bin-range table (<= n_bins+2 rows) — sketch-sized side",
