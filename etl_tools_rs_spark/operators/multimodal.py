@@ -225,16 +225,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_gray_rows(content: bytes) -> list[list[float]]:
-    """Parse an 8-bit grayscale / gray+alpha / truecolor / RGBA PNG with
-    ONLY the stdlib (``struct`` + ``zlib``): walk the chunk stream, inflate
-    the concatenated IDAT payload, undo the per-scanline filter
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6), and return per-pixel gray
-    values in [0, 1] (channel mean, alpha ignored). Raises ValueError on
-    anything that isn't a well-formed 8-bit non-interlaced PNG of those
-    color types (palette/16-bit/Adam7 → error-as-record upstream) — the
-    same contract as :func:`decode_bmp_real`. CRCs are not verified
-    (decode cost, parity with common fast decoders); truncated or
-    length-inconsistent pixel data still fails loudly."""
+    """Parse a non-interlaced PNG with ONLY the stdlib (``struct`` +
+    ``zlib``): walk the chunk stream, inflate the concatenated IDAT
+    payload, undo the per-scanline filter (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6), and return per-pixel gray values in [0, 1] (channel
+    mean, alpha ignored). Supported (r4 widened): grayscale at depths
+    1/2/4/8/16, palette (PLTE) at depths 1/2/4/8, truecolor / gray+alpha
+    / RGBA at 8/16. Raises ValueError on Adam7 interlacing, invalid
+    depth/type combinations, missing PLTE, out-of-range palette indices,
+    or malformed streams — error-as-record upstream, the same contract
+    as :func:`decode_bmp_real`. CRCs are not verified (decode cost,
+    parity with common fast decoders); truncated or length-inconsistent
+    pixel data still fails loudly."""
     import struct
     import zlib
 
@@ -243,6 +245,7 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte: list[tuple[int, int, int]] | None = None
     while pos + 8 <= len(content):
         clen, ctype = struct.unpack_from(">I4s", content, pos)
         pos += 8
@@ -258,6 +261,12 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
             )
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported PNG compression/filter method")
+        elif ctype == b"PLTE":
+            if clen % 3 != 0 or clen == 0:
+                raise ValueError("malformed PNG PLTE")
+            plte = [
+                (data[i], data[i + 1], data[i + 2]) for i in range(0, clen, 3)
+            ]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -266,11 +275,16 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
         raise ValueError("PNG missing IHDR")
     if not idat:
         raise ValueError("PNG missing IDAT")
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if color_type not in valid_depths:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if bit_depth not in valid_depths[color_type]:
+        raise ValueError(
+            f"invalid PNG bit depth {bit_depth} for color type {color_type}"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG unsupported")
     if width <= 0 or height <= 0:
@@ -279,10 +293,15 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
-    stride = width * channels
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    # filter arithmetic works on BYTES: the "previous pixel" offset is
+    # one byte for sub-byte depths (RFC 2083 §6.2)
+    step = max(1, (channels * bit_depth) // 8)
+    stride = (width * channels * bit_depth + 7) // 8
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     n_color = 1 if color_type in (0, 4) else 3
+    maxv = (1 << bit_depth) - 1
     prev = bytearray(stride)
     rows: list[list[float]] = []
     p = 0
@@ -291,20 +310,20 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
         line = bytearray(raw[p + 1 : p + 1 + stride])
         p += 1 + stride
         if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(step, stride):
+                line[i] = (line[i] + line[i - step]) & 0xFF
         elif f == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - step] if i >= step else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - step] if i >= step else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - step] if i >= step else 0
                 est = a + b - c
                 pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -312,13 +331,48 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
         elif f != 0:
             raise ValueError(f"unknown PNG filter type {f}")
         prev = line
-        rows.append(
-            [
-                sum(line[x * channels : x * channels + n_color])
-                / (255.0 * n_color)
-                for x in range(width)
-            ]
-        )
+        if bit_depth < 8:  # gray or palette indices, MSB-first packed
+            out = []
+            for x in range(width):
+                bitpos = x * bit_depth
+                v = (line[bitpos >> 3] >> (8 - bit_depth - (bitpos & 7))) & maxv
+                if color_type == 3:
+                    if v >= len(plte):
+                        raise ValueError("PNG palette index out of range")
+                    r, g, b = plte[v]
+                    out.append((r + g + b) / (3 * 255.0))
+                else:
+                    out.append(v / maxv)
+            rows.append(out)
+        elif bit_depth == 16:
+            px = channels * 2
+            rows.append(
+                [
+                    sum(
+                        (line[x * px + ch * 2] << 8) | line[x * px + ch * 2 + 1]
+                        for ch in range(n_color)
+                    )
+                    / (65535.0 * n_color)
+                    for x in range(width)
+                ]
+            )
+        elif color_type == 3:  # 8-bit palette
+            out = []
+            for x in range(width):
+                v = line[x]
+                if v >= len(plte):
+                    raise ValueError("PNG palette index out of range")
+                r, g, b = plte[v]
+                out.append((r + g + b) / (3 * 255.0))
+            rows.append(out)
+        else:
+            rows.append(
+                [
+                    sum(line[x * channels : x * channels + n_color])
+                    / (255.0 * n_color)
+                    for x in range(width)
+                ]
+            )
     return rows
 
 

@@ -150,18 +150,35 @@ class TestPngRejection:
         with pytest.raises(ValueError):
             mm._png_gray_rows(payload)
 
-    def test_palette_rejected(self):
+    def test_palette_missing_plte_rejected(self):
         png = (
             mm._PNG_SIG
             + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
             + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="color type"):
+        with pytest.raises(ValueError, match="missing PLTE"):
             mm._png_gray_rows(png)
 
-    def test_16bit_rejected(self):
-        png = make_png([[(10,), (20,)]], color_type=0, bit_depth=16)
+    def test_palette_index_out_of_range(self):
+        png = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+            + _chunk(b"PLTE", bytes([255, 0, 0]))  # 1-entry palette
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x07"))  # index 7
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="palette index"):
+            mm._png_gray_rows(png)
+
+    def test_invalid_depth_for_type_rejected(self):
+        # truecolor at depth 4 is not a legal PNG combination
+        png = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
         with pytest.raises(ValueError, match="bit depth"):
             mm._png_gray_rows(png)
 
@@ -270,3 +287,91 @@ class TestPngDecodeAndHash:
         assert out[1]["feature"] == pytest.approx([1.0, 1.0])
         assert out[2]["decode_ok"].startswith("error:")
         assert out[2]["feature"] is None
+
+
+class TestPngExtendedFormats:
+    """r4 widening: palette (PLTE), sub-8-bit grayscale, 16-bit depths —
+    every fixture hand-packed, expected grays computed by hand."""
+
+    def _png(self, ihdr, *chunks):
+        return (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr))
+            + b"".join(chunks)
+            + _chunk(b"IEND", b"")
+        )
+
+    def test_palette_8bit(self):
+        plte = bytes([255, 255, 255, 0, 0, 0, 30, 60, 90])  # white, black, mix
+        # 3 pixels wide: indices 0,1,2 -> grays 1.0, 0.0, (30+60+90)/765
+        body = zlib.compress(b"\x00\x00\x01\x02")
+        png = self._png(
+            (3, 1, 8, 3, 0, 0, 0),
+            _chunk(b"PLTE", plte),
+            _chunk(b"IDAT", body),
+        )
+        rows = mm._png_gray_rows(png)
+        assert rows == [[1.0, 0.0, (30 + 60 + 90) / (3 * 255.0)]]
+
+    def test_palette_4bit_packed(self):
+        plte = bytes([0, 0, 0, 255, 255, 255])  # black, white
+        # width 3, depth 4: indices 0,1,0 pack as 0x01 0x00
+        body = zlib.compress(b"\x00\x01\x00")
+        png = self._png(
+            (3, 1, 4, 3, 0, 0, 0),
+            _chunk(b"PLTE", plte),
+            _chunk(b"IDAT", body),
+        )
+        assert mm._png_gray_rows(png) == [[0.0, 1.0, 0.0]]
+
+    def test_gray_1bit_packed(self):
+        # width 10, depth 1: bits 1010101010 -> bytes 0xAA 0x80
+        body = zlib.compress(b"\x00\xaa\x80")
+        png = self._png((10, 1, 1, 0, 0, 0, 0), _chunk(b"IDAT", body))
+        assert mm._png_gray_rows(png) == [[1.0, 0.0] * 5]
+
+    def test_gray_2bit_values(self):
+        # width 4, depth 2: values 0,1,2,3 pack as 0b00011011 = 0x1b
+        body = zlib.compress(b"\x00\x1b")
+        png = self._png((4, 1, 2, 0, 0, 0, 0), _chunk(b"IDAT", body))
+        assert mm._png_gray_rows(png) == [[0.0, 1 / 3, 2 / 3, 1.0]]
+
+    def test_gray_16bit_with_up_filter(self):
+        # row0: 0x1234, 0xffff ; row1 = row0 (Up filter with zero deltas)
+        row = b"\x12\x34\xff\xff"
+        body = zlib.compress(b"\x00" + row + b"\x02" + b"\x00" * 4)
+        png = self._png((2, 2, 16, 0, 0, 0, 0), _chunk(b"IDAT", body))
+        rows = mm._png_gray_rows(png)
+        assert rows[0] == [0x1234 / 65535.0, 1.0]
+        assert rows[1] == rows[0]
+
+    def test_truecolor_16bit(self):
+        # one pixel: R=0xffff G=0x0000 B=0x8000 -> mean/65535
+        px = b"\xff\xff\x00\x00\x80\x00"
+        body = zlib.compress(b"\x00" + px)
+        png = self._png((1, 1, 16, 2, 0, 0, 0), _chunk(b"IDAT", body))
+        got = mm._png_gray_rows(png)[0][0]
+        assert abs(got - (0xFFFF + 0 + 0x8000) / (3 * 65535.0)) < 1e-12
+
+    def test_sub_filter_16bit_step_is_pixel_bytes(self):
+        # Sub filter at depth 16 must look back channels*2 bytes: encode
+        # second pixel as delta over the first
+        p0 = (0x10, 0x20)
+        raw = bytes(p0) + bytes(((0x30 - 0x10) & 0xFF, (0x40 - 0x20) & 0xFF))
+        body = zlib.compress(b"\x01" + raw)
+        png = self._png((2, 1, 16, 0, 0, 0, 0), _chunk(b"IDAT", body))
+        rows = mm._png_gray_rows(png)
+        assert rows[0] == [0x1020 / 65535.0, 0x3040 / 65535.0]
+
+    def test_palette_sub_filter_byte_step(self):
+        # palette rows filter on single BYTES (step=1) regardless of the
+        # palette entry width
+        plte = bytes([10, 10, 10, 200, 200, 200])
+        raw = bytes([0x01, 0x00])  # second byte: 1 + 0 delta... Sub: 1,1
+        body = zlib.compress(b"\x01" + raw)
+        png = self._png(
+            (2, 1, 8, 3, 0, 0, 0),
+            _chunk(b"PLTE", plte),
+            _chunk(b"IDAT", body),
+        )
+        assert mm._png_gray_rows(png) == [[200 / 255.0, 200 / 255.0]]
