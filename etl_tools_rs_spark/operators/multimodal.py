@@ -5,9 +5,10 @@ plumbing here — schemas, binaryFile ingestion, Arrow-batched decode UDFs,
 partition sizing — is real and tested. Decoders are import-gated (same
 pattern as the SFTP/SQS environment stubs): AUDIO decode is REAL (stdlib
 ``wave`` PCM parser — RMS envelope features + header metadata); IMAGE
-decode is REAL for uncompressed BMP (stdlib ``struct``) and 8-bit
-non-interlaced PNG (stdlib ``struct`` + ``zlib``, full scanline
-unfiltering — r4), via PIL for everything else when importable; only
+decode is REAL for uncompressed BMP (stdlib ``struct``) and PNG
+(stdlib ``struct`` + ``zlib`` — gray/palette/truecolor/alpha at depths
+1-16, all five scanline filters, Adam7 interlacing — r4), via PIL for
+everything else when importable; only
 then does the loudly-marked deterministic fake (``_fake_decode``,
 derives features from the payload hash) stand in so lossy-format
 pipeline shapes stay testable in this container.
@@ -224,6 +225,13 @@ def decode_bmp_real(content: bytes, dim: int) -> list[float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step), RFC 2083 §8.2
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _png_gray_rows(content: bytes) -> list[list[float]]:
     """Parse a non-interlaced PNG with ONLY the stdlib (``struct`` +
     ``zlib``): walk the chunk stream, inflate the concatenated IDAT
@@ -231,9 +239,10 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
     RFC 2083 §6), and return per-pixel gray values in [0, 1] (channel
     mean, alpha ignored). Supported (r4 widened): grayscale at depths
     1/2/4/8/16, palette (PLTE) at depths 1/2/4/8, truecolor / gray+alpha
-    / RGBA at 8/16. Raises ValueError on Adam7 interlacing, invalid
-    depth/type combinations, missing PLTE, out-of-range palette indices,
-    or malformed streams — error-as-record upstream, the same contract
+    / RGBA at 8/16, and Adam7 interlacing for all of those (each pass
+    unfiltered as its own sub-image, RFC 2083 §8.2). Raises ValueError
+    on invalid depth/type combinations, missing PLTE, out-of-range
+    palette indices, or malformed streams — error-as-record upstream, the same contract
     as :func:`decode_bmp_real`. CRCs are not verified (decode cost,
     parity with common fast decoders); truncated or length-inconsistent
     pixel data still fails loudly."""
@@ -285,8 +294,8 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ValueError("degenerate PNG dimensions")
     try:
@@ -297,43 +306,14 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
     # filter arithmetic works on BYTES: the "previous pixel" offset is
     # one byte for sub-byte depths (RFC 2083 §6.2)
     step = max(1, (channels * bit_depth) // 8)
-    stride = (width * channels * bit_depth + 7) // 8
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
     n_color = 1 if color_type in (0, 4) else 3
     maxv = (1 << bit_depth) - 1
-    prev = bytearray(stride)
-    rows: list[list[float]] = []
-    p = 0
-    for _ in range(height):
-        f = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if f == 1:  # Sub
-            for i in range(step, stride):
-                line[i] = (line[i] + line[i - step]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - step] if i >= step else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - step] if i >= step else 0
-                b = prev[i]
-                c = prev[i - step] if i >= step else 0
-                est = a + b - c
-                pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
-            raise ValueError(f"unknown PNG filter type {f}")
-        prev = line
+
+    def line_values(line: bytearray, n_px: int) -> list[float]:
+        """Gray values for one unfiltered scanline of n_px pixels."""
         if bit_depth < 8:  # gray or palette indices, MSB-first packed
             out = []
-            for x in range(width):
+            for x in range(n_px):
                 bitpos = x * bit_depth
                 v = (line[bitpos >> 3] >> (8 - bit_depth - (bitpos & 7))) & maxv
                 if color_type == 3:
@@ -343,36 +323,86 @@ def _png_gray_rows(content: bytes) -> list[list[float]]:
                     out.append((r + g + b) / (3 * 255.0))
                 else:
                     out.append(v / maxv)
-            rows.append(out)
-        elif bit_depth == 16:
+            return out
+        if bit_depth == 16:
             px = channels * 2
-            rows.append(
-                [
-                    sum(
-                        (line[x * px + ch * 2] << 8) | line[x * px + ch * 2 + 1]
-                        for ch in range(n_color)
-                    )
-                    / (65535.0 * n_color)
-                    for x in range(width)
-                ]
-            )
-        elif color_type == 3:  # 8-bit palette
+            return [
+                sum(
+                    (line[x * px + ch * 2] << 8) | line[x * px + ch * 2 + 1]
+                    for ch in range(n_color)
+                )
+                / (65535.0 * n_color)
+                for x in range(n_px)
+            ]
+        if color_type == 3:  # 8-bit palette
             out = []
-            for x in range(width):
+            for x in range(n_px):
                 v = line[x]
                 if v >= len(plte):
                     raise ValueError("PNG palette index out of range")
                 r, g, b = plte[v]
                 out.append((r + g + b) / (3 * 255.0))
-            rows.append(out)
-        else:
-            rows.append(
-                [
-                    sum(line[x * channels : x * channels + n_color])
-                    / (255.0 * n_color)
-                    for x in range(width)
-                ]
-            )
+            return out
+        return [
+            sum(line[x * channels : x * channels + n_color]) / (255.0 * n_color)
+            for x in range(n_px)
+        ]
+
+    def decode_sub(p: int, w: int, h: int) -> tuple[list[list[float]], int]:
+        """Unfilter + extract one (sub-)image of w×h starting at raw[p];
+        each Adam7 pass filters as an independent image (RFC 2083 §8.2)."""
+        stride = (w * channels * bit_depth + 7) // 8
+        prev = bytearray(stride)
+        out: list[list[float]] = []
+        for _ in range(h):
+            if p + 1 + stride > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            f = raw[p]
+            line = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            if f == 1:  # Sub
+                for i in range(step, stride):
+                    line[i] = (line[i] + line[i - step]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - step] if i >= step else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - step] if i >= step else 0
+                    b = prev[i]
+                    c = prev[i - step] if i >= step else 0
+                    est = a + b - c
+                    pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif f != 0:
+                raise ValueError(f"unknown PNG filter type {f}")
+            prev = line
+            out.append(line_values(line, w))
+        return out, p
+
+    if interlace == 0:
+        rows, end = decode_sub(0, width, height)
+    else:  # Adam7: 7 passes, each an independently-filtered sub-image
+        grid = [[0.0] * width for _ in range(height)]
+        end = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, end = decode_sub(end, pw, ph)
+            for i in range(ph):
+                row = grid[y0 + i * dy]
+                for j in range(pw):
+                    row[x0 + j * dx] = sub[i][j]
+        rows = grid
+    if end != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
     return rows
 
 

@@ -182,11 +182,6 @@ class TestPngRejection:
         with pytest.raises(ValueError, match="bit depth"):
             mm._png_gray_rows(png)
 
-    def test_interlace_rejected(self):
-        png = make_png([[(10,), (20,)]], color_type=0, interlace=1)
-        with pytest.raises(ValueError, match="Adam7"):
-            mm._png_gray_rows(png)
-
     def test_unknown_filter_type(self):
         body = zlib.compress(b"\x05\x0a\x14")  # filter byte 5
         png = (
@@ -375,3 +370,81 @@ class TestPngExtendedFormats:
             _chunk(b"IDAT", body),
         )
         assert mm._png_gray_rows(png) == [[200 / 255.0, 200 / 255.0]]
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_adam7_png(rows, color_type, bit_depth=8):
+    """Encode pixel rows as an ADAM7-INTERLACED PNG (filter 0 per line):
+    extract the 7 passes in order, each serialized as its own sub-image —
+    an independent forward implementation of RFC 2083 §8.2 that the
+    decoder must invert."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    height, width = len(rows), len(rows[0])
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for i in range(ph):
+            line = bytes(
+                v
+                for j in range(pw)
+                for v in rows[y0 + i * dy][x0 + j * dx]
+            )
+            assert len(line) == pw * channels
+            raw += b"\x00" + line
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 1
+    )
+    return (
+        mm._PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestPngAdam7:
+    def _grid(self, h, w):
+        return [[((r * 31 + c * 7) % 256,) for c in range(w)] for r in range(h)]
+
+    @pytest.mark.parametrize("h,w", [(8, 8), (5, 3), (3, 5), (1, 1), (2, 9), (16, 16)])
+    def test_interlaced_equals_progressive(self, h, w):
+        rows = self._grid(h, w)
+        straight = mm._png_gray_rows(make_png(rows, color_type=0))
+        inter = mm._png_gray_rows(make_adam7_png(rows, color_type=0))
+        assert inter == straight
+
+    def test_interlaced_truecolor(self):
+        rows = [
+            [((r * 50) % 256, (c * 40) % 256, (r + c) % 256) for c in range(6)]
+            for r in range(7)
+        ]
+        straight = mm._png_gray_rows(make_png(rows, color_type=2))
+        inter = mm._png_gray_rows(make_adam7_png(rows, color_type=2))
+        assert inter == straight
+
+    def test_truncated_interlaced_rejected(self):
+        png = make_adam7_png(self._grid(8, 8), color_type=0)
+        # re-deflate a truncated pass stream: drop the last scanline byte
+        body = zlib.compress(b"\x00\x01")  # way too short for 8x8 passes
+        bad = (
+            mm._PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+            + _chunk(b"IDAT", body)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="length mismatch"):
+            mm._png_gray_rows(bad)
+        assert mm._png_gray_rows(png)  # the well-formed twin still decodes
+
+    def test_unknown_interlace_method_rejected(self):
+        png = make_png([[(1,), (2,)]], color_type=0, interlace=7)
+        with pytest.raises(ValueError, match="interlace"):
+            mm._png_gray_rows(png)
