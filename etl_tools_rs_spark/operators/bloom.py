@@ -107,18 +107,22 @@ def build_bloom(
         .groupBy("_w")
         .agg(F.bit_or("_b").alias("_word"))
     )
-    # dense array: scatter the sparse (idx, word) pairs into n_words slots
-    # via one transform-over-sequence lambda — O(1) plan size regardless of
-    # bitmap width (a per-slot expression list would be n_words AST nodes)
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m")
+    # dense array: left-join the sparse words onto a range of all slots,
+    # then collect SORTED and project the word field — O(n_words log
+    # n_words), O(1) plan size. (The earlier map_from_entries +
+    # per-slot element_at form was quadratic: Catalyst map lookups are
+    # LINEAR scans, so n_words slots × n_words-entry map = O(n_words²)
+    # inside one task — measured 1.8s→122s from sf0.1 to sf1, the 68×
+    # blowup that motivated this shape.)
+    spark = keys.sparkSession
+    slots = spark.range(n_words).select(F.col("id").cast("int").alias("_w"))
+    dense = slots.join(words, "_w", "left").select(
+        "_w", F.coalesce("_word", F.lit(0).cast("bigint")).alias("_word")
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("_w", "_word"))).alias("_e")
     ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")
-            ),
-        ).alias("bm"),
+        F.transform(F.col("_e"), lambda e: e["_word"]).alias("bm"),
         F.lit(spec.num_bits).cast("bigint").alias("num_bits"),
         F.lit(spec.num_hashes).alias("num_hashes"),
     )

@@ -183,16 +183,18 @@ def fuzzy_join(
         right.withColumn("_rid", F.monotonically_increasing_id())
         .withColumn("_fk", F.explode(_index_keys(rkey, d)))
     )
-    cand = (
-        probe.join(index, probe["_fk"] == index["_fk"])
-        .drop("_fk", "_lcp")
-        .dropDuplicates(["_lid", "_rid"])
-        .drop("_lid", "_rid")
-    )
+    cand = probe.join(index, probe["_fk"] == index["_fk"]).drop("_fk", "_lcp")
+    # verify BEFORE deduping (r4): the threshold levenshtein is a cheap
+    # row-local filter, the pair-dedup is a shuffle — running the filter
+    # first means the shuffle moves only SURVIVING pairs (matches),
+    # never the raw candidate stream, which on heavy-collision corpora
+    # (ID-like strings) is orders of magnitude larger than the answer.
     dist = F.levenshtein(F.col(left_col), F.col(right_col), d)
     return (
         cand.withColumn("distance", dist.cast("bigint"))
         .filter(F.col("distance") >= 0)
+        .dropDuplicates(["_lid", "_rid"])
+        .drop("_lid", "_rid")
     )
 
 
