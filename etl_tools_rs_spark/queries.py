@@ -2143,17 +2143,36 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs ≥ 0.6. The Spark side is the
-    BLOCKLESS prefix-filtered self-join (operators/dedup.py::
-    prefix_jaccard_pairs with 1-token shingles — r4; previously the
-    labeled all-pairs theta join, which at sf1 is 1.25G array-intersect
-    pairs and never finished a bench run); the ORACLE stays the naive
-    all-pairs SQL, so the hash match doubles as the no-false-negative
-    proof at gate scale."""
+    """Exact token-set Jaccard pairs ≥ 0.6 — the LABELED all-pairs
+    verification baseline. The gate corpus is near-dup-dense by
+    construction (57% of pairs clear t=0.6 at sf0.01), which makes the
+    ANSWER ~quadratic: prefix filtering cannot prune dense similarity
+    (measured: the PPJoin form ran 7x SLOWER here — 78s vs 11s at sf0.1
+    — because its candidate set equals the answer set while adding
+    rank/verify shuffles). On realistic sparse-similarity corpora the
+    scale paths are prefix_jaccard_documents (blockless PPJoin) and
+    ngram_jaccard_blocked; this query stays the lean theta-join
+    cross-check of both."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return dedup_ops.prefix_jaccard_pairs(
-        t["documents"], text_col="text", id_col="doc_id",
-        threshold=0.6, shingle_n=1,
+    tk = (
+        t["documents"]
+        .select(F.col("doc_id"), F.array_distinct(tokens("text")).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
+    union = F.size(F.col("a._toks")) + F.size(F.col("b._toks")) - inter
+    jac = F.floor(F.lit(1000000.0) * (inter.cast("double") / union)) / F.lit(
+        1000000.0
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
     )
 
 
