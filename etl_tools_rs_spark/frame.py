@@ -352,3 +352,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.multimodal import image_phash
 
         return EngineFrame(image_phash(self.df, *a, **kw))
+
+    def mmr_rerank(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.similarity import mmr_rerank
+
+        return EngineFrame(mmr_rerank(self.df, *a, **kw))

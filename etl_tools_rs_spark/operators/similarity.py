@@ -914,3 +914,89 @@ def jl_oracle_sql(
            {pivot}
     FROM p GROUP BY {id_col}
     """
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    by: tuple[str, ...] = (),
+    scale: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) of a CANDIDATE POOL: greedily pick the item maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_picked`` — the
+    diversity stage after retrieval (BM25/ANN → rrf_fuse → mmr_rerank),
+    de-duplicating near-identical hits from the final page.
+
+    Contract: ``candidates`` is a top-N retrieval RESULT (pool of
+    hundreds-to-thousands per ``by`` group), never a corpus — the greedy
+    loop is inherently sequential, so each group reranks inside ONE
+    Arrow batch via applyInPandas (pool-bounded memory, parallel across
+    groups/queries). Scores and similarities round to ``scale`` dp with
+    deterministic (mmr, then id) tie-breaks, so the selection is stable
+    across partitionings and row orders.
+
+    Returns ``by + (rank int, id_col, mmr_score double)`` with rank
+    1..k; fewer rows when the pool is smaller than ``k``.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam!r}")
+    p = float(10**scale)
+
+    internal_by = list(by) if by else ["_g"]
+
+    def _rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        keys = pdf.iloc[0][internal_by]
+        # deterministic input order regardless of partitioning
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = np.floor(p * pdf[score_col].to_numpy(dtype=np.float64)) / p
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        out = []
+        avail = np.ones(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            mmr = lam * rel - (1.0 - lam) * (
+                max_sim if picked else np.zeros(n)
+            )
+            mmr = np.floor(p * mmr) / p
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(
+                min(
+                    ((-mmr_masked[i], pdf[id_col].iloc[i], i) for i in range(n) if avail[i])
+                )[2]
+            )
+            out.append((rank, pdf[id_col].iloc[best], mmr_masked[best]))
+            avail[best] = False
+            picked.append(best)
+            sim = np.floor(p * (unit @ unit[best])) / p
+            max_sim = np.maximum(max_sim, sim)
+        res = pd.DataFrame(out, columns=["rank", id_col, "mmr_score"])
+        for b in reversed(internal_by):
+            res.insert(0, b, keys[b])
+        return res
+
+    src = candidates if by else candidates.withColumn("_g", F.lit(1))
+    by_schema = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in src.schema
+        if f.name in internal_by
+    )
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    schema = f"{by_schema}rank int, {id_col} {id_type}, mmr_score double"
+    out = src.groupBy(*internal_by).applyInPandas(_rerank, schema=schema)
+    return out if by else out.drop("_g")

@@ -6642,6 +6642,42 @@ def binary_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef("mmr_rerank_embeddings", None)  # iterative greedy — rows-only check
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse re-ranking (operators/similarity.py::mmr_rerank, r4):
+    the diversity stage completing the retrieval story (BM25/ANN →
+    rrf_fuse → mmr_rerank). Pool = brute-force cosine top-50 per query
+    (3 queries), reranked to k=10 at λ=0.7 inside one Arrow batch per
+    query — pool-bounded memory, parallel across queries; greedy
+    selection is deterministic ((mmr, id) tie-breaks on 6-dp-floored
+    scores). Pure-Python equivalence pinned in
+    tests/test_r4_ops.py::TestMmrRerank."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    pool = sim_ops.knn_brute(
+        corpus=t["embeddings"], queries=queries, k=50, query_id="query_id"
+    )
+    cands = pool.join(
+        t["embeddings"].select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        "neighbor_id",
+    )
+    return sim_ops.mmr_rerank(
+        cands,
+        k=10,
+        lam=0.7,
+        id_col="neighbor_id",
+        score_col="cosine_sim",
+        vec_col="embedding",
+        by=("query_id",),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

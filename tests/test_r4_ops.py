@@ -491,3 +491,115 @@ class TestFuzzyCommonPrefix:
         # bucket; all pairs are genuine distance-0 duplicates
         got = self._pairs(spark, ["same", "same", "same"])
         assert got == {(0, 1, 0), (0, 2, 0), (1, 2, 0)}
+
+
+# ---------------------------------------------------------------- MMR rerank
+class TestMmrRerank:
+    def _df(self, spark, rows, with_q=False):
+        schema = "vec_id long, score double, embedding array<double>"
+        if with_q:
+            schema = "query_id long, " + schema
+        return spark.createDataFrame(rows, schema)
+
+    def test_diversity_beats_redundancy(self, spark):
+        from etl_tools_rs_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (1, 0.99, [1.0, 0.0]),   # best relevance
+            (2, 0.98, [1.0, 0.01]),  # near-duplicate of 1
+            (3, 0.60, [0.0, 1.0]),   # orthogonal, lower relevance
+        ]
+        got = (
+            mmr_rerank(self._df(spark, rows), k=3, lam=0.5)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r.vec_id for r in got] == [1, 3, 2]
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from etl_tools_rs_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (1, 0.9, [1.0, 0.0]),
+            (2, 0.8, [1.0, 0.0]),
+            (3, 0.7, [0.0, 1.0]),
+        ]
+        got = (
+            mmr_rerank(self._df(spark, rows), k=3, lam=1.0)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r.vec_id for r in got] == [1, 2, 3]
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from etl_tools_rs_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (i, ((i * 37) % 11) / 11.0, [((i * 13) % 7) / 7.0, ((i * 5) % 3) / 3.0, 1.0])
+            for i in range(12)
+        ]
+
+        def py_mmr(rows, k, lam, p=1e6):
+            rows = sorted(rows)
+            unit = []
+            for _, _, v in rows:
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                unit.append([x / n for x in v])
+            rel = [math.floor(p * s) / p for _, s, _ in rows]
+            picked, max_sim, out = [], [0.0] * len(rows), []
+            avail = set(range(len(rows)))
+            for rank in range(1, k + 1):
+                best = min(
+                    (
+                        (-(math.floor(p * (lam * rel[i] - (1 - lam) * (max_sim[i] if picked else 0.0))) / p), rows[i][0], i)
+                        for i in avail
+                    )
+                )
+                i = best[2]
+                out.append((rank, rows[i][0], -best[0]))
+                avail.discard(i)
+                picked.append(i)
+                for j in range(len(rows)):
+                    s = math.floor(p * sum(a * b for a, b in zip(unit[j], unit[i]))) / p
+                    max_sim[j] = max(max_sim[j], s)
+            return out
+
+        got = [
+            (r.rank, r.vec_id, r.mmr_score)
+            for r in mmr_rerank(self._df(spark, rows), k=6, lam=0.7)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == py_mmr(rows, 6, 0.7)
+
+    def test_grouped_and_small_pool(self, spark):
+        from etl_tools_rs_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (1, 10, 0.9, [1.0, 0.0]),
+            (1, 11, 0.8, [0.0, 1.0]),
+            (2, 20, 0.7, [1.0, 1.0]),
+        ]
+        got = mmr_rerank(
+            self._df(spark, rows, with_q=True),
+            k=5,
+            by=("query_id",),
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        assert sorted(by_q[1]) == [10, 11]
+        assert by_q[2] == [20]  # pool smaller than k
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from etl_tools_rs_spark.operators.similarity import mmr_rerank
+
+        df = self._df(spark, [(1, 0.5, [1.0])])
+        with _pytest.raises(ValueError):
+            mmr_rerank(df, k=0)
+        with _pytest.raises(ValueError):
+            mmr_rerank(df, lam=1.5)
