@@ -33,6 +33,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "cartesian": "labeled brute-force correctness baseline; scale paths are knn_cosine_lsh / knn_cosine_ivf",
         "bnl_join": "broadcast queries side — the documented baseline shape",
     },
+    "mmr_rerank_embeddings": {
+        "bnl_join": "pool construction reuses knn_brute's broadcast-queries crossJoin (3-row side); the rerank itself is a pool-bounded applyInPandas",
+    },
     "j1_left_theta_join": {
         "bnl_join": "reference-parity theta join (BNLJ is the only general theta strategy; docstring requires broadcast_right at scale)",
     },
