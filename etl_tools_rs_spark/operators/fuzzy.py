@@ -4,28 +4,41 @@ Levenshtein budget.
 The record-linkage primitive (name/title/address matching) the reference
 has no analogue for; its only join is an arbitrary-predicate block-nested
 loop (etl-core/src/joins.rs:15-185), which for string similarity means a
-full cross product. This operator uses segment blocking (the PassJoin
-pigeonhole scheme, Li et al., ICDE 2012 — public literature): if
-``ed(a, b) <= d`` then, splitting ``b`` into ``d+1`` contiguous segments,
-``a`` must contain at least one segment verbatim (d edits cannot touch all
-d+1 segments). So:
+full cross product. Two candidate-generation schemes, both from the
+public literature, chosen by the ``method`` parameter:
 
-- index side: each string emits its ``d+1`` segments keyed by
-  (segment index, string length, segment text);
-- probe side: each string emits the substrings that could equal segment
-  ``i`` of a partner of length ``L`` for every feasible ``L`` within ±d of
-  its own length and start shift within ±d — O((d+1)·(2d+1)²) short keys
-  per row, independent of data size;
-- candidates meet in a plain hash equi-join on the key (content-based, so
-  even same-length corpora spread across the cluster — no length hot key);
-- only candidates pay the exact ``levenshtein(a, b, threshold)``
-  verification (early-exit JVM implementation).
+**Deletion neighborhoods** (FastSS, Bocek et al. 2007 / SymSpell — the
+``d <= 2`` default): ``ed(a, b) <= d`` implies ``a`` and ``b`` share a
+common variant reachable by at most ``d`` character deletions from each
+(delete the substituted+deleted positions from ``a`` and the
+substituted+inserted positions from ``b`` of an optimal edit script —
+both land on the aligned subsequence). Each side emits its ≤d-deletion
+variant set (``1 + L`` keys for d=1, ``+ C(L,2)`` for d=2) and
+candidates meet in a hash equi-join on the variant string. Because
+every key is a near-full-length substring of the row's own value, key
+entropy tracks the corpus's total entropy — low-entropy REGIONS
+(zero-padded ID prefixes, shared domains in URLs) never form
+mega-buckets the way positional segment keys do.
 
-Shuffle volume is O(n·d²) short strings, never O(n²); the pair explosion
-of a naive theta-join never materializes. Strings shorter than ``d+1``
-cannot be segmented (a segment would be empty) and are routed through a
-dedicated short-string bucket both sides — all-pairs there, but strings
-that short are a bounded sliver of any real corpus.
+**Segment blocking** (the PassJoin pigeonhole scheme, Li et al., ICDE
+2012 — the ``d >= 3`` default, and the right choice for long strings
+where the d=2 deletion set's O(L²) keys would dominate shuffle): if
+``ed(a, b) <= d`` then, splitting ``b`` into ``d+1`` contiguous
+segments, ``a`` must contain at least one segment verbatim (d edits
+cannot touch all d+1 segments). Index side emits its ``d+1`` segments
+keyed by (segment index, string length, segment text); probe side emits
+the substrings that could equal segment ``i`` of a partner of length
+``L`` for every feasible ``L`` within ±d and start shift within ±d —
+O((d+1)·(2d+1)²) short keys per row. Strings shorter than ``d+1``
+cannot be segmented and are routed through a dedicated short-string
+bucket.
+
+Either way candidates meet in a plain hash equi-join (content-keyed, so
+even same-length corpora spread across the cluster — no length hot
+key), and only candidates pay the exact ``levenshtein(a, b, threshold)``
+verification (early-exit JVM implementation). Shuffle volume is
+O(n·keys-per-row), never O(n²); the pair explosion of a naive
+theta-join never materializes.
 """
 
 from __future__ import annotations
@@ -109,6 +122,49 @@ def _probe_keys(col: Column, d: int) -> Column:
     return F.array_distinct(F.filter(arr, lambda s: s.isNotNull()))
 
 
+def _deletion_keys(col: Column, d: int) -> Column:
+    """Array of the distinct strings reachable from ``col`` by deleting
+    at most ``d`` characters (the FastSS/SymSpell variant set), the
+    string itself included. Only d in {1, 2} is supported — beyond that
+    the O(L^d) set loses to segment blocking."""
+    L = F.length(col)
+    empty = F.array().cast("array<string>")
+    one = F.when(
+        L >= 1,
+        F.transform(
+            # i = 1-based position to delete
+            F.sequence(F.lit(1), L),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - 1), col.substr(i + 1, L)
+            ),
+        ),
+    ).otherwise(empty)
+    parts = [F.array(col), one]
+    if d >= 2:
+        two = F.when(
+            L >= 2,
+            F.flatten(
+                F.transform(
+                    # delete positions i < j (both 1-based); the outer
+                    # range stops at L-1 so the inner sequence is never
+                    # descending (Spark's sequence(a, b) counts DOWN when
+                    # a > b — an empty range needs the guard, not the API)
+                    F.sequence(F.lit(1), L - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, L),
+                        lambda j: F.concat(
+                            col.substr(F.lit(1), i - 1),
+                            col.substr(i + 1, j - i - 1),
+                            col.substr(j + 1, L),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(empty)
+        parts.append(two)
+    return F.array_distinct(F.concat(*parts))
+
+
 def _lcp_len(mn: Column, mx: Column) -> Column:
     """Length of the common prefix of two strings, as a column. Applied
     to the lexicographic MIN and MAX of a corpus this is the corpus-wide
@@ -128,13 +184,22 @@ def fuzzy_join(
     right_col: str,
     max_distance: int = 2,
     strip_common_prefix: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """Inner join of ``left`` × ``right`` on
     ``levenshtein(left_col, right_col) <= max_distance``, plus a
     ``distance`` column. Output columns: all of ``left``'s, all of
     ``right``'s (names must be disjoint), ``distance`` (bigint).
 
-    Candidate generation never compares more than the pigeonhole theorem
+    ``method``: ``"deletion"`` (FastSS variant keys), ``"segment"``
+    (PassJoin pigeonhole keys), or ``"auto"`` (default) — deletion for
+    ``max_distance <= 2``, segment otherwise. Deletion keys are robust
+    to low-entropy string REGIONS (zero-padded IDs, shared URL domains)
+    that collapse positional segment keys into mega-buckets, at the
+    price of O(L) (d=1) / O(L²) (d=2) keys per row — for long-document
+    strings at d=2, pass ``method="segment"`` explicitly.
+
+    Candidate generation never compares more than the scheme's theorem
     requires; the exact distance runs only on candidates, with Spark's
     threshold form (early exit, -1 past the budget).
 
@@ -155,7 +220,13 @@ def fuzzy_join(
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
+    if method not in ("auto", "deletion", "segment"):
+        raise ValueError(f"unknown method {method!r}")
     d = max_distance
+    if method == "auto":
+        method = "deletion" if d <= 2 else "segment"
+    if method == "deletion" and d > 2:
+        raise ValueError("method='deletion' supports max_distance <= 2")
     lkey, rkey = F.col(left_col), F.col(right_col)
     if strip_common_prefix:
         vals = left.select(lkey.alias("_v")).unionAll(
@@ -175,13 +246,19 @@ def fuzzy_join(
     # input-row pair via per-side row tags, so fully-identical duplicate
     # input rows keep their multiplicity (theta-join cardinality), unlike
     # a whole-row distinct() which would silently collapse them
+    if method == "deletion":
+        lkeys = _deletion_keys(lkey, d)
+        rkeys = _deletion_keys(rkey, d)
+    else:
+        lkeys = _probe_keys(lkey, d)
+        rkeys = _index_keys(rkey, d)
     probe = (
         left.withColumn("_lid", F.monotonically_increasing_id())
-        .withColumn("_fk", F.explode(_probe_keys(lkey, d)))
+        .withColumn("_fk", F.explode(lkeys))
     )
     index = (
         right.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_fk", F.explode(_index_keys(rkey, d)))
+        .withColumn("_fk", F.explode(rkeys))
     )
     cand = probe.join(index, probe["_fk"] == index["_fk"]).drop("_fk", "_lcp")
     # verify BEFORE deduping (r4): the threshold levenshtein is a cheap
@@ -199,14 +276,15 @@ def fuzzy_join(
 
 
 def fuzzy_self_pairs(
-    df: DataFrame, col: str, id_col: str, max_distance: int = 2
+    df: DataFrame, col: str, id_col: str, max_distance: int = 2,
+    method: str = "auto",
 ) -> DataFrame:
     """All (id_a < id_b) pairs within ``max_distance`` edits — the
     near-duplicate-string view of one table. Returns
     ``(id_a, id_b, distance)``."""
     a = df.select(F.col(id_col).alias("_ida"), F.col(col).alias("_sa"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(col).alias("_sb"))
-    joined = fuzzy_join(a, b, "_sa", "_sb", max_distance)
+    joined = fuzzy_join(a, b, "_sa", "_sb", max_distance, method=method)
     return (
         joined.filter(F.col("_ida") < F.col("id_b"))
         .select(

@@ -27,15 +27,21 @@ def pairs_of(df, a="id_a", b="id_b"):
     return {(r[a], r[b], r["distance"]) for r in df.collect()}
 
 
-@pytest.mark.parametrize("d", [1, 2, 3])
-def test_blocked_matches_naive_exactly(spark, words_df, d):
-    """The pigeonhole blocking must lose nothing: blocked results ==
-    cross-join results for every distance budget."""
+@pytest.mark.parametrize(
+    "d,method",
+    [(1, "deletion"), (2, "deletion"), (1, "segment"), (2, "segment"),
+     (3, "segment"), (1, "auto"), (3, "auto")],
+)
+def test_blocked_matches_naive_exactly(spark, words_df, d, method):
+    """The blocking must lose nothing: blocked results == cross-join
+    results for every distance budget, under BOTH candidate schemes."""
     left = words_df.select(F.col("wid").alias("lid"), F.col("w").alias("lw"))
     right = words_df.select(F.col("wid").alias("rid"), F.col("w").alias("rw"))
     blocked = {
         (r["lid"], r["rid"], r["distance"])
-        for r in fuzzy.fuzzy_join(left, right, "lw", "rw", d).collect()
+        for r in fuzzy.fuzzy_join(
+            left, right, "lw", "rw", d, method=method
+        ).collect()
     }
     naive = {
         (r["lid"], r["rid"], r["distance"])
@@ -43,6 +49,11 @@ def test_blocked_matches_naive_exactly(spark, words_df, d):
     }
     assert blocked == naive
     assert len(blocked) > len(WORDS)  # non-trivial: off-diagonal matches exist
+
+
+def test_deletion_rejects_large_distance(spark, words_df):
+    with pytest.raises(ValueError, match="deletion"):
+        fuzzy.fuzzy_join(words_df, words_df, "w", "w", 3, method="deletion")
 
 
 def test_self_pairs_ordered_unique(spark, words_df):
