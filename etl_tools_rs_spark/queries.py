@@ -3165,10 +3165,12 @@ def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance self-join (operators/fuzzy.py): customer-name pairs
-    within 1 edit via PassJoin segment blocking — candidates meet on
-    pigeonhole segment keys in a hash equi-join (content-keyed, so the
-    uniform name length creates no hot partition), verified with
-    threshold levenshtein. Oracle is the naive cross-join filter."""
+    within 1 edit via deletion-neighborhood blocking (FastSS) — each name
+    emits its <=1-deletion variant set and candidates meet on the variant
+    string in a hash equi-join (near-full-length keys, so the zero-padded
+    numeric suffixes don't collapse into positional mega-buckets the way
+    segment keys do), verified with threshold levenshtein. Oracle is the
+    naive cross-join filter."""
     from etl_tools_rs_spark.operators.fuzzy import fuzzy_self_pairs
 
     t = load_tables(spark, sf_dir, ("customer",))
@@ -3515,7 +3517,7 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @qdef("dedup_fuzzy_customers", None)  # iterative connected components — rows-only
 def dedup_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end edit-distance dedup (operators/fuzzy.py::dedup_fuzzy):
-    segment-blocked pairs → connected components → one canonical row per
+    deletion-blocked pairs → connected components → one canonical row per
     cluster with its absorption count. Rows-only check (label
     propagation is iterative); the pair stage itself is oracle-checked
     by fuzzy_name_pairs."""
