@@ -1,0 +1,118 @@
+"""Composed corpus-curation pipeline — the filter funnel a training-data
+run actually executes, as ONE lazy plan.
+
+The reference pipelines chain independent per-record transformers
+(etl-core/src/transformer.rs:18-94 feeding job steps,
+etl-job/src/job.rs:141-210); this operator is the corpus-level analogue
+for LLM data curation: language ID -> Gopher-style quality band -> exact
+near-dup canonicalization, each stage reported as its own flag so the
+funnel is auditable (which stage killed a document), with the final
+``keep`` the conjunction.
+
+Spark shape: the two filter stages are pure column expressions fused
+into one codegen projection over a single scan (lang markers + quality
+signals share the tokenization subtree); only the dedup stage shuffles —
+a groupBy(min id) on the md5 fingerprint of the stage-survivor subset,
+joined back on the fingerprint. Two narrow shuffles of (16-byte key,
+id) pairs end to end, text never shuffles, no stage materializes an
+intermediate corpus. At 100 TB the funnel costs one scan plus two
+key-sized exchanges — the same plan a hand-written chain of the three
+standalone operators would only reach if every intermediate were
+carefully NOT cached/written out; composing them lazily here makes that
+the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.functions import fingerprint
+from etl_tools_rs_spark.operators.text import gopher_filter, lang_id
+
+
+def curation_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.12,
+) -> DataFrame:
+    """Per-document curation funnel flags.
+
+    Returns one row per input row: ``(id_col, lang_pred, pass_lang,
+    n_tokens, mean_token_len, dup_word_frac, top_word_frac,
+    pass_quality, keep)`` where ``keep`` additionally requires the
+    document to be the canonical (minimum-id) representative of its
+    exact-content group *among stage survivors* — duplicates of a kept
+    document, and documents whose only twin failed an earlier stage,
+    both drop out exactly as a sequential filter chain would have it.
+    """
+    flagged = gopher_filter(
+        df.select(id_col, text_col),
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_word_frac=max_top_word_frac,
+    ).select(
+        id_col,
+        lang_id(text_col).alias("lang_pred"),
+        "n_tokens",
+        "mean_token_len",
+        "dup_word_frac",
+        "top_word_frac",
+        F.col("keep").alias("pass_quality"),
+        fingerprint(text_col).alias("_fp"),
+    )
+    flagged = flagged.withColumn(
+        "pass_lang", F.col("lang_pred").isin(*allowed_langs)
+    )
+    # canonical representative per exact-content group, computed over the
+    # SURVIVOR subset only (dedup runs after the cheap filters, as in a
+    # real pipeline) — survivor-sized groupBy on the 16-byte fingerprint
+    canon = (
+        flagged.filter(F.col("pass_lang") & F.col("pass_quality"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias("_canon_id"))
+    )
+    out = flagged.join(canon, "_fp", "left")
+    keep = (
+        F.col("pass_lang")
+        & F.col("pass_quality")
+        & (F.col(id_col) == F.col("_canon_id"))
+    )
+    return out.select(
+        id_col,
+        "lang_pred",
+        "pass_lang",
+        "n_tokens",
+        "mean_token_len",
+        "dup_word_frac",
+        "top_word_frac",
+        "pass_quality",
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """One-row funnel summary: survivor counts after each stage
+    (``n_total >= n_lang >= n_quality >= n_kept``). Derived from
+    :func:`curation_flags` by a single aggregate — the flags plan runs
+    once, the counts are conditional sums over it."""
+    flags = curation_flags(df, text_col, id_col, **kwargs)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        cnt(F.col("pass_lang")).alias("n_lang"),
+        cnt(F.col("pass_lang") & F.col("pass_quality")).alias("n_quality"),
+        cnt(F.col("keep")).alias("n_kept"),
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -517,6 +518,120 @@ def extract_features(
             )
 
     return src.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def wav_features(content: bytes) -> dict[str, float | int]:
+    """REAL per-clip audio features from a WAV payload, stdlib parse +
+    numpy DSP (both always available): sample rate, duration, RMS level,
+    peak level, zero-crossing rate, and spectral centroid via rFFT —
+    the standard cheap signals for corpus-level audio quality filtering
+    (silence / clipping / bandwidth screens). Raises on non-WAV payloads
+    (callers treat that as a decode error-as-record)."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        step = sw
+        full = float(1 << (8 * sw - 1))
+        x = np.array(
+            [
+                int.from_bytes(raw[i : i + step], "little", signed=True)
+                for i in range(0, len(raw) - step + 1, step)
+            ],
+            dtype=np.float64,
+        ) / full
+    if ch > 1:
+        usable = (x.size // ch) * ch
+        x = x[:usable].reshape(-1, ch).mean(axis=1)
+    duration_ms = int(x.size * 1000 / rate) if rate else 0
+    if x.size == 0:
+        return {
+            "sample_rate": rate, "duration_ms": 0, "rms": 0.0, "peak": 0.0,
+            "zero_crossing_rate": 0.0, "spectral_centroid_hz": 0.0,
+        }
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = (
+        float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
+        if x.size > 1
+        else 0.0
+    )
+    mag = np.abs(np.fft.rfft(x))
+    denom = float(mag.sum())
+    if denom > 0.0 and rate:
+        freqs = np.fft.rfftfreq(x.size, 1.0 / rate)
+        centroid = float((freqs * mag).sum() / denom)
+    else:
+        centroid = 0.0
+    return {
+        "sample_rate": rate,
+        "duration_ms": duration_ms,
+        "rms": rms,
+        "peak": peak,
+        "zero_crossing_rate": zcr,
+        "spectral_centroid_hz": centroid,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_crossing_rate", DoubleType(), True),
+        StructField("spectral_centroid_hz", DoubleType(), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched REAL audio feature extraction (:func:`wav_features`
+    per clip) — the audio twin of :func:`extract_features`: decoding and
+    DSP run executor-side per Arrow batch, decode failures are
+    error-as-record, never job failures. Row-local, zero shuffle; at
+    100 TB the cost is one scan of the binary column."""
+    import pandas as pd
+
+    if "media_id" not in df.columns:
+        df = df.withColumn("media_id", F.monotonically_increasing_id())
+    src = df.select("media_id", content_col)
+    feat_cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields[1:-1]]
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows, oks = [], []
+            for content in pdf[content_col]:
+                try:
+                    f = wav_features(
+                        bytes(content) if content is not None else b""
+                    )
+                    rows.append([f[c] for c in feat_cols])
+                    oks.append("ok")
+                except Exception as e:  # noqa: BLE001 — error-as-record
+                    rows.append([None] * len(feat_cols))
+                    oks.append(f"error: {e}")
+            out = pd.DataFrame(rows, columns=feat_cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out["decode_ok"] = oks
+            yield out
+
+    return src.mapInPandas(_batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -6680,6 +6680,185 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_STAGE_SQL = f"""
+    r AS ({_REPETITION_SQL}),
+    mq AS (
+      SELECT doc_id,
+             CAST(FLOOR(10000.0 * LENGTH(regexp_replace(text, '\\s', '', 'g'))
+                  / GREATEST(len({TOKS_SQL}), 1)) / 10000.0 AS DOUBLE)
+               AS mean_token_len,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    lh AS (
+      SELECT doc_id,
+             len(list_filter({TOKS_SQL}, x -> lower(x) IN ({{de}}))) AS h_de,
+             len(list_filter({TOKS_SQL}, x -> lower(x) IN ({{en}}))) AS h_en,
+             len(list_filter({TOKS_SQL}, x -> lower(x) IN ({{es}}))) AS h_es,
+             len(list_filter({TOKS_SQL}, x -> lower(x) IN ({{fr}}))) AS h_fr,
+             len(list_filter({TOKS_SQL}, x -> lower(x) IN ({{zh}}))) AS h_zh
+      FROM documents
+    ),
+    lp AS (
+      SELECT doc_id,
+             CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                  WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                  WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                  WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                  WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM lh
+    ),
+    s AS (
+      SELECT r.doc_id, lp.lang_pred,
+             lp.lang_pred IN ('en') AS pass_lang,
+             r.n_tokens, mq.mean_token_len, r.dup_word_frac, r.top_word_frac,
+             (r.n_tokens >= 30 AND r.n_tokens <= 100000
+              AND mq.mean_token_len >= 2.0 AND mq.mean_token_len <= 10.0
+              AND r.dup_word_frac <= 0.6 AND r.top_word_frac <= 0.12)
+               AS pass_quality,
+             mq.fp
+      FROM r
+      JOIN mq ON r.doc_id = mq.doc_id
+      JOIN lp ON r.doc_id = lp.doc_id
+    ),
+    canon AS (
+      SELECT fp, MIN(doc_id) AS canon_id FROM s
+      WHERE pass_lang AND pass_quality GROUP BY fp
+    ),
+    flags AS (
+      SELECT s.doc_id, s.lang_pred, s.pass_lang, s.n_tokens,
+             s.mean_token_len, s.dup_word_frac, s.top_word_frac,
+             s.pass_quality,
+             COALESCE(s.pass_lang AND s.pass_quality
+                      AND s.doc_id = canon.canon_id, FALSE) AS keep
+      FROM s LEFT JOIN canon ON s.fp = canon.fp
+    )
+""".format(**_MARKER_SQL)
+
+# the gate corpus has no exact duplicates and predicts only en/und, which
+# would leave two funnel stages trivially-passing — so the curation queries
+# run over the corpus UNION a case-mangled copy: the copies fingerprint
+# identically (normalization lowercases), making the dedup stage prove it
+# keeps exactly the minimum-id representative of every duplicated group
+_CURATION_DOCS_SQL = """docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) AS text FROM documents
+    )"""
+_CURATION_STAGE_AUG = _CURATION_STAGE_SQL.replace("FROM documents", "FROM docs")
+
+
+def _curation_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "text")
+    mangled = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    return base.unionByName(mangled)
+
+
+@qdef(
+    "curation_flags_documents",
+    f"""
+    WITH {_CURATION_DOCS_SQL},
+    {_CURATION_STAGE_AUG}
+    SELECT * FROM flags
+    """,
+)
+def curation_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel (operators/curation.py::curation_flags):
+    lang-ID -> Gopher quality band -> exact-dedup canonicalization as ONE
+    lazy plan — the two filters fuse into a single codegen projection
+    over one scan, only the dedup stage shuffles (survivor-subset
+    fingerprint groupBy + join-back). Per-stage flags make the funnel
+    auditable; ``keep`` is the conjunction. Runs over the corpus plus a
+    case-mangled copy so every stage filters non-trivially (the copies
+    are exact dups under fingerprint normalization)."""
+    from etl_tools_rs_spark.operators.curation import curation_flags
+
+    return curation_flags(
+        _curation_input(spark, sf_dir), allowed_langs=("en",)
+    )
+
+
+@qdef(
+    "curation_funnel_documents",
+    f"""
+    WITH {_CURATION_DOCS_SQL},
+    {_CURATION_STAGE_AUG}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang,
+           CAST(SUM(CASE WHEN pass_lang AND pass_quality THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flags
+    """,
+)
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row survivor-count summary of the curation funnel
+    (operators/curation.py::curation_funnel): n_total >= n_lang >=
+    n_quality >= n_kept, from a single aggregate over the flags plan."""
+    from etl_tools_rs_spark.operators.curation import curation_funnel
+
+    return curation_funnel(
+        _curation_input(spark, sf_dir), allowed_langs=("en",)
+    )
+
+
+@qdef("multimodal_audio_features", None)  # real DSP over binary — rows-only
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (operators/multimodal.py::
+    audio_features): 64 deterministic sine WAVs synthesized
+    executor-side, then stdlib-parsed and numpy-DSP'd through the Arrow
+    mapInPandas stage — per-clip sample rate, duration, RMS, peak,
+    zero-crossing rate and rFFT spectral centroid. The centroid must
+    track each clip's synthesized frequency (unit-tested); every row
+    must decode ok."""
+    from etl_tools_rs_spark.operators.multimodal import audio_features
+
+    base = spark.range(64).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for mid in pdf["media_id"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    freq = 100.0 + float(mid) * 25.0
+                    w.writeframes(
+                        b"".join(
+                            struct.pack(
+                                "<h",
+                                int(
+                                    12000
+                                    * math.sin(2 * math.pi * freq * i / 8000.0)
+                                ),
+                            )
+                            for i in range(800)
+                        )
+                    )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": blobs}
+            )
+
+    media = base.mapInPandas(_gen, schema="media_id long, content binary")
+    return audio_features(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

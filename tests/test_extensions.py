@@ -516,6 +516,44 @@ def test_extract_features_audio_real_path(spark):
     assert out[3].decode_ok == "ok" and len(out[3].feature) == 4
 
 
+def test_wav_features_sine_physics():
+    """wav_features: on a pure sine the DSP signals hit their closed-form
+    values — RMS = amp/sqrt(2), peak = amp, ZCR = 2f/rate, spectral
+    centroid = f (within FFT-leakage tolerance)."""
+    from etl_tools_rs_spark.operators.multimodal import wav_features
+
+    f = wav_features(_make_wav(freq=1000.0, seconds=0.5, rate=8000, amp=0.5))
+    assert f["sample_rate"] == 8000 and f["duration_ms"] == 500
+    assert abs(f["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(f["peak"] - 0.5) < 0.01
+    assert abs(f["zero_crossing_rate"] - 2 * 1000.0 / 8000) < 0.01
+    assert abs(f["spectral_centroid_hz"] - 1000.0) < 30.0
+    # centroid tracks frequency
+    g = wav_features(_make_wav(freq=2000.0, seconds=0.5, rate=8000, amp=0.5))
+    assert g["spectral_centroid_hz"] > f["spectral_centroid_hz"] + 500
+    s = wav_features(_make_wav(amp=0.0))
+    assert s["rms"] == 0.0 and s["spectral_centroid_hz"] == 0.0
+
+
+def test_audio_features_operator(spark):
+    """audio_features mapInPandas stage: real clips decode with correct
+    per-clip DSP, garbage is error-as-record."""
+    rows = [
+        (1, _make_wav(freq=500.0, amp=0.4)),
+        (2, _make_wav(freq=1500.0, amp=0.8)),
+        (3, b"not audio"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r.media_id: r for r in multimodal.audio_features(media).collect()
+    }
+    assert out[1].decode_ok == "ok" and out[2].decode_ok == "ok"
+    assert out[3].decode_ok.startswith("error:") and out[3].rms is None
+    assert out[2].spectral_centroid_hz > out[1].spectral_centroid_hz + 500
+    assert out[2].peak > out[1].peak
+    assert abs(out[1].zero_crossing_rate - 2 * 500.0 / 8000) < 0.01
+
+
 def test_image_decode_gated():
     """PIL path: real when importable, ImportError otherwise (the gate)."""
     from etl_tools_rs_spark.operators.multimodal import (
