@@ -357,3 +357,18 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.similarity import mmr_rerank
 
         return EngineFrame(mmr_rerank(self.df, *a, **kw))
+
+    def curation_flags(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.curation import curation_flags
+
+        return EngineFrame(curation_flags(self.df, *a, **kw))
+
+    def curation_funnel(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.curation import curation_funnel
+
+        return EngineFrame(curation_funnel(self.df, *a, **kw))
+
+    def audio_features(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.multimodal import audio_features
+
+        return EngineFrame(audio_features(self.df, *a, **kw))

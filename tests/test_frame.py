@@ -156,3 +156,36 @@ def test_round3_late_ops_chain(spark):
     assert isinstance(hh, EngineFrame)
     qs = EngineFrame(df).quantile_sketch("v", "k", k=32)
     assert qs.count() == 32
+
+
+def test_round4_curation_audio_chainable(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog and many other "
+                "animals wander through green fields while birds sing "
+                "quietly above distant hills during early morning light "
+                "bringing fresh air for everyone around here today"),
+            (2, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = EngineFrame(docs).curation_flags().collect()
+    assert {r.doc_id for r in flags} == {1, 2}
+    assert next(r for r in flags if r.doc_id == 1).keep
+    funnel = EngineFrame(docs).curation_funnel().collect()[0]
+    assert funnel.n_total == 2 and funnel.n_kept == 1
+
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 100)
+    media = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id long, content binary"
+    )
+    af = EngineFrame(media).audio_features().collect()
+    assert af[0].decode_ok == "ok" and af[0].rms == 0.0
