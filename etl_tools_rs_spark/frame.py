@@ -372,3 +372,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.multimodal import audio_features
 
         return EngineFrame(audio_features(self.df, *a, **kw))
+
+    def image_resize(self, width: int, height: int) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.multimodal import image_resize
+
+        return EngineFrame(image_resize(self.df, width, height))

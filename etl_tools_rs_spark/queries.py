@@ -5700,7 +5700,13 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface (§2.7 gap list: the reference has NO scalar
     function library): path extraction, array indexing, array length,
     missing-path NULL semantics — parity-checked value-for-value against
-    DuckDB's json functions on identically-constructed documents."""
+    DuckDB's json functions on identically-constructed documents.
+
+    Typed fields go through ONE ``from_json`` parse into a struct (CSE
+    evaluates it once per row; the previous per-column get_json_object
+    form re-parsed the document five times — r4 fix, the single-parse
+    pattern is the one that matters when the JSON column is 100 TB);
+    ``get_json_object`` remains for the ad-hoc missing-path probe."""
     t = load_tables(spark, sf_dir, ("orders",))
     doc = F.concat(
         F.lit('{"k":'),
@@ -5709,14 +5715,13 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
         F.lit('","tags":["x","y"]}'),
     )
+    parsed = F.from_json(doc, "k bigint, p string, tags array<string>")
     return t["orders"].select(
         "o_orderkey",
-        F.get_json_object(doc, "$.k").cast("bigint").alias("k_val"),
-        F.get_json_object(doc, "$.p").alias("p_val"),
-        F.get_json_object(doc, "$.tags[1]").alias("tag2"),
-        F.json_array_length(F.get_json_object(doc, "$.tags"))
-        .cast("int")
-        .alias("n_tags"),
+        parsed["k"].alias("k_val"),
+        parsed["p"].alias("p_val"),
+        parsed["tags"][1].alias("tag2"),
+        F.size(parsed["tags"]).cast("int").alias("n_tags"),
         F.get_json_object(doc, "$.missing").alias("absent"),
     )
 
@@ -6857,6 +6862,57 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = base.mapInPandas(_gen, schema="media_id long, content binary")
     return audio_features(media).orderBy("media_id")
+
+
+@qdef("multimodal_resize_pipeline", None)  # real stdlib decode — rows-only
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (operators/multimodal.py::image_resize): 32
+    deterministic 16x16 BMP gradients synthesized executor-side, decoded
+    by the stdlib BMP parser and area-average downsampled to a 4x4
+    grayscale matrix through the Arrow mapInPandas stage. Every row must
+    decode ok; each output matrix preserves its source's vertical
+    gradient (unit-tested)."""
+    from etl_tools_rs_spark.operators.multimodal import image_resize
+
+    base = spark.range(32).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import struct
+
+        import pandas as pd
+
+        def make_bmp(mid: int, w: int = 16, h: int = 16) -> bytes:
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = bytearray()
+            for r in range(h - 1, -1, -1):  # stored bottom-up
+                shade = min(255, (r * 255) // max(1, h - 1))
+                shade = (shade + int(mid) * 3) % 256
+                rows += bytes([shade, shade, shade]) * w
+                rows += b"\x00" * (stride - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                               len(rows), 2835, 2835, 0, 0)
+            head = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+            return head + info + bytes(rows)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_bmp(m) for m in pdf["media_id"]],
+                }
+            )
+
+    media = base.mapInPandas(_gen, schema="media_id long, content binary")
+    out = image_resize(media, 4, 4)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "decode_ok",
+        F.round(F.aggregate(
+            F.flatten("pixels"), F.lit(0.0), lambda a, x: a + x
+        ) / 16.0, 6).alias("mean_gray"),
+    ).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------

@@ -820,3 +820,63 @@ class TestImageAhash:
             ahash_near_dup(df, max_hamming=-1)
         with pytest.raises(ValueError):
             ahash_near_dup(df, max_hamming=99, hex_len=16)
+
+
+class TestImageResize:
+    """REAL resize path (operators/multimodal.py::resize_image_real /
+    image_resize): area-average downsample over the stdlib decoders."""
+
+    def _gradient_bmp(self, w=16, h=16):
+        rows = []
+        for r in range(h):
+            shade = (r * 255) // max(1, h - 1)
+            rows.append([(shade, shade, shade)] * w)
+        return _pack_bmp(rows)
+
+    def test_constant_image_resizes_constant(self):
+        from etl_tools_rs_spark.operators.multimodal import resize_image_real
+
+        img = _pack_bmp([[(128, 128, 128)] * 8 for _ in range(8)])
+        px = resize_image_real(img, 4, 4)
+        assert len(px) == 4 and all(len(r) == 4 for r in px)
+        for row in px:
+            for v in row:
+                assert abs(v - 128 / 255.0) < 1e-9
+
+    def test_vertical_gradient_preserved(self):
+        from etl_tools_rs_spark.operators.multimodal import resize_image_real
+
+        px = resize_image_real(self._gradient_bmp(), 4, 4)
+        col = [row[0] for row in px]
+        assert col == sorted(col) and col[-1] > col[0] + 0.5
+
+    def test_block_mean_exact_2x_downsample(self):
+        from etl_tools_rs_spark.operators.multimodal import _block_mean_resize
+
+        rows = [[0.0, 1.0, 0.0, 1.0], [1.0, 0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0, 1.0], [0.0, 0.0, 1.0, 1.0]]
+        out = _block_mean_resize(rows, 2, 2)
+        assert out == [[0.5, 0.5], [0.0, 1.0]]
+
+    def test_png_path_and_upsample(self):
+        from tests.test_png import make_png
+
+        from etl_tools_rs_spark.operators.multimodal import resize_image_real
+
+        png = make_png(
+            [[(0,), (255,)], [(255,), (0,)]], color_type=0
+        )
+        px = resize_image_real(png, 4, 4)  # 2x2 -> 4x4 nearest-ish
+        assert len(px) == 4 and len(px[0]) == 4
+        assert px[0][0] < 0.01 and px[0][3] > 0.99  # corners preserved
+
+    def test_operator_error_as_record(self, spark):
+        from etl_tools_rs_spark.operators.multimodal import image_resize
+
+        rows = [(1, self._gradient_bmp()), (2, b"garbage")]
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        out = {r.media_id: r for r in image_resize(media, 4, 4).collect()}
+        assert out[1].decode_ok == "ok"
+        assert len(out[1].pixels) == 4 and len(out[1].pixels[0]) == 4
+        assert out[1].width == 4 and out[1].height == 4
+        assert out[2].decode_ok.startswith("error:") and out[2].pixels is None

@@ -619,3 +619,39 @@ def test_binary_metrics_auc_matches_pairwise(spark, rows):
         1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
     )
     assert m.auc == _math.floor(1e6 * (u / (len(pos) * len(neg)))) / 1e6
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab1", min_size=0, max_size=6),
+        min_size=2, max_size=12, unique=True,
+    ),
+    d=st.integers(min_value=1, max_value=2),
+)
+@settings(**SETTINGS)
+def test_fuzzy_deletion_blocking_matches_naive(spark, words, d):
+    """Deletion-neighborhood candidate generation loses nothing: on a
+    tiny low-entropy alphabet (maximizing collisions and near-misses)
+    the blocked self-join equals the exhaustive cross-join at d=1 and 2,
+    and agrees with the segment-blocked path."""
+    from etl_tools_rs_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid int, lw string"
+    )
+    right = df.select(
+        df.lid.alias("rid"), df.lw.alias("rw")
+    )
+    left = df
+    def pairs(out):
+        return {(r["lid"], r["rid"], r["distance"]) for r in out.collect()}
+
+    naive = pairs(fuzzy.fuzzy_join_naive(left, right, "lw", "rw", d))
+    deletion = pairs(
+        fuzzy.fuzzy_join(left, right, "lw", "rw", d, method="deletion")
+    )
+    segment = pairs(
+        fuzzy.fuzzy_join(left, right, "lw", "rw", d, method="segment")
+    )
+    assert deletion == naive
+    assert segment == naive
