@@ -12,14 +12,16 @@ funnel is auditable (which stage killed a document), with the final
 Spark shape: the two filter stages are pure column expressions fused
 into one codegen projection over a single scan (lang markers + quality
 signals share the tokenization subtree); only the dedup stage shuffles —
-a groupBy(min id) on the md5 fingerprint of the stage-survivor subset,
-joined back on the fingerprint. Two narrow shuffles of (16-byte key,
-id) pairs end to end, text never shuffles, no stage materializes an
-intermediate corpus. At 100 TB the funnel costs one scan plus two
-key-sized exchanges — the same plan a hand-written chain of the three
-standalone operators would only reach if every intermediate were
-carefully NOT cached/written out; composing them lazily here makes that
-the default.
+ONE exchange of the narrow flag rows keyed by the md5 fingerprint, with
+the canonical id resolved by a min-over-survivors window inside each
+fingerprint group (a groupBy+join-back would consume the filter
+projection twice — a second scan+projection unless exchange reuse
+happens to fire — and pay a second exchange for the join). Text never
+shuffles, no stage materializes an intermediate corpus. Fingerprint
+groups are
+duplicate-sets, so the window's per-group buffering is bounded by the
+corpus's worst duplication factor (and spills, not OOMs, on a
+pathological all-identical corpus).
 """
 
 from __future__ import annotations
@@ -73,19 +75,16 @@ def curation_flags(
     )
     # canonical representative per exact-content group, computed over the
     # SURVIVOR subset only (dedup runs after the cheap filters, as in a
-    # real pipeline) — survivor-sized groupBy on the 16-byte fingerprint
-    canon = (
-        flagged.filter(F.col("pass_lang") & F.col("pass_quality"))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias("_canon_id"))
+    # real pipeline) — min-over-survivors window per fingerprint group so
+    # the filter projection runs ONCE (see module docstring)
+    from pyspark.sql import Window
+
+    surv = F.col("pass_lang") & F.col("pass_quality")
+    canon_id = F.min(F.when(surv, F.col(id_col))).over(
+        Window.partitionBy("_fp")
     )
-    out = flagged.join(canon, "_fp", "left")
-    keep = (
-        F.col("pass_lang")
-        & F.col("pass_quality")
-        & (F.col(id_col) == F.col("_canon_id"))
-    )
-    return out.select(
+    keep = surv & (F.col(id_col) == canon_id)
+    return flagged.select(
         id_col,
         "lang_pred",
         "pass_lang",
