@@ -6864,6 +6864,53 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media).orderBy("media_id")
 
 
+@qdef("streaming_curation_documents", None)  # Structured Streaming — rows-only
+def streaming_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the curation funnel in the gate
+    (streaming/ops.py::curation_stream): documents read as a FILE STREAM,
+    unioned with a case-mangled copy (event-time 1s later, so the dedup
+    stage provably drops it inside the watermark), stage-filtered by the
+    same stateless lang/quality expressions as batch, content-deduped
+    with dropDuplicatesWithinWatermark, drained availableNow. Output ids
+    are normalized mod 1e6 because within-batch arrival order between a
+    doc and its mangled twin is not contractual — either survivor maps
+    to the same id, keeping the result deterministic."""
+    import tempfile
+    import uuid
+
+    from etl_tools_rs_spark.streaming.ops import curation_stream, run_available_now
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    base_ts = 1_704_067_200  # 2024-01-01 UTC
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.[p]arquet")
+        .select("doc_id", "text")
+    )
+    orig = raw.select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(base_ts) + F.col("doc_id") * 2).alias("ts"),
+    )
+    mangled = raw.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        F.timestamp_seconds(
+            F.lit(base_ts) + F.col("doc_id") * 2 + 1
+        ).alias("ts"),
+    )
+    out = curation_stream(
+        orig.unionByName(mangled), watermark="10 minutes"
+    )
+    name = f"gate_curation_{uuid.uuid4().hex[:8]}"
+    run_available_now(out, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name).select(
+        (F.col("doc_id") % 1_000_000).alias("doc_id"),
+        "lang_pred",
+        "n_tokens",
+        "mean_token_len",
+    ).orderBy("doc_id")
+
+
 @qdef("multimodal_resize_pipeline", None)  # real stdlib decode — rows-only
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize (operators/multimodal.py::image_resize): 32

@@ -152,6 +152,51 @@ def dedup_stream(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def curation_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.12,
+) -> DataFrame:
+    """Streaming twin of the batch curation funnel
+    (operators/curation.py::curation_flags): lang-ID and Gopher-quality
+    stages are the SAME stateless column expressions (they compose on
+    streams untouched); the canonical-dedup stage becomes keep-FIRST-
+    ARRIVAL per content fingerprint within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). Streaming trades the batch
+    min-id canonical for arrival-order canonical with bounded state —
+    and the filters run UPSTREAM of the stateful dedup, so state holds
+    one fingerprint per surviving (not raw) document inside the horizon.
+    Emits only kept rows, with the quality signal columns attached."""
+    from etl_tools_rs_spark.functions import fingerprint
+    from etl_tools_rs_spark.operators.text import gopher_filter, lang_id
+
+    flagged = gopher_filter(
+        stream,
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_word_frac=max_top_word_frac,
+    ).withColumn("lang_pred", lang_id(text_col))
+    surv = flagged.filter(
+        F.col("lang_pred").isin(*allowed_langs) & F.col("keep")
+    ).drop("keep")
+    deduped = dedup_stream(
+        surv.withColumn("_fp", fingerprint(text_col)),
+        keys=["_fp"],
+        time_col=time_col,
+        watermark=watermark,
+    )
+    return deduped.drop("_fp")
+
+
 def run_available_now(
     stream: DataFrame,
     checkpoint: str,

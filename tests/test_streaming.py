@@ -476,3 +476,53 @@ def test_ema_stream_validates_alpha(spark):
     df = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError):
         ops.ema_stream(df, ["value"], "value", "timestamp", alpha=0.0)
+
+
+def test_curation_stream_matches_batch_funnel(spark, tmp_path):
+    """Streaming curation twin: stateless stages behave exactly as batch
+    curation_flags; the dedup stage keeps the FIRST arrival per content
+    fingerprint (= batch min-id canonical when ids follow arrival
+    order)."""
+    good = ("the quick brown fox jumps over a lazy dog and many other "
+            "animals wander through green fields while birds sing "
+            "quietly above distant hills during early morning light "
+            "bringing fresh air for everyone around here today")
+    rows = [
+        {"doc_id": 1, "text": good, "ts": "2024-01-01 10:00:00"},
+        # exact dup under fingerprint normalization -> dropped by dedup
+        {"doc_id": 2, "text": good.upper(), "ts": "2024-01-01 10:00:10"},
+        # fails quality (too short)
+        {"doc_id": 3, "text": "tiny doc", "ts": "2024-01-01 10:00:20"},
+        # fails lang (German markers)
+        {"doc_id": 4, "text": "der die das und nicht ist " * 8,
+         "ts": "2024-01-01 10:00:30"},
+        # distinct survivor
+        {"doc_id": 5, "text": good + " extra unique tail",
+         "ts": "2024-01-01 10:00:40"},
+    ]
+    d = tmp_path / "curation_docs"
+    d.mkdir()
+    (d / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    raw = sources.file_stream(
+        spark, str(d), format="json",
+        schema="doc_id long, text string, ts string",
+    )
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ops.curation_stream(stream, watermark="10 minutes")
+    assert out.isStreaming
+    ops.run_append_available_now(out, str(tmp_path / "ck_cur"), "curation_out")
+    kept = sorted(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM curation_out").collect()
+    )
+    assert kept == [1, 5]
+
+    # batch parity: same corpus through the batch funnel keeps the same ids
+    from etl_tools_rs_spark.operators.curation import curation_flags
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    batch_kept = sorted(
+        r.doc_id for r in curation_flags(batch).filter("keep").collect()
+    )
+    assert batch_kept == kept
