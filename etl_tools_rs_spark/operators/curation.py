@@ -97,6 +97,55 @@ def curation_flags(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.12,
+) -> DataFrame:
+    """One-row corpus data card: the summary a curation run reports
+    before anyone commits GPU-hours to the corpus — document/token
+    volume, allowed-language share, quality pass rate, and exact
+    duplicate rate, in ONE aggregate over the same fused stage
+    projection as :func:`curation_flags` (one scan; the only shuffle is
+    the two-phase count-distinct on the 16-byte fingerprint). Ratios are
+    floor-scaled to 4dp (engine convention — no half-way rounding
+    boundary, bit-for-bit reproducible against the SQL oracle)."""
+    flagged = gopher_filter(
+        df.select(id_col, text_col),
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_word_frac=max_top_word_frac,
+    ).select(
+        "n_tokens",
+        F.col("keep").alias("pass_quality"),
+        lang_id(text_col).isin(*allowed_langs).alias("pass_lang"),
+        fingerprint(text_col).alias("_fp"),
+    )
+    n = F.count(F.lit(1))
+    r4 = lambda num, den: (  # noqa: E731 — floor-based 4dp ratio
+        F.floor(F.lit(10000.0) * num / F.greatest(den, F.lit(1))) / 10000.0
+    ).cast("double")
+    return flagged.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        r4(F.sum("n_tokens"), n).alias("avg_doc_tokens"),
+        r4(F.sum(F.when(F.col("pass_lang"), 1).otherwise(0)), n).alias(
+            "lang_share"
+        ),
+        r4(F.sum(F.when(F.col("pass_quality"), 1).otherwise(0)), n).alias(
+            "quality_pass_rate"
+        ),
+        r4(n - F.count_distinct(F.col("_fp")), n).alias("exact_dup_rate"),
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str = "text",

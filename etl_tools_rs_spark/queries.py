@@ -6864,6 +6864,38 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media).orderBy("media_id")
 
 
+@qdef(
+    "corpus_report_documents",
+    f"""
+    WITH {_CURATION_DOCS_SQL},
+    {_CURATION_STAGE_AUG}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(FLOOR(10000.0 * SUM(n_tokens) / GREATEST(COUNT(*), 1))
+                / 10000.0 AS DOUBLE) AS avg_doc_tokens,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END)
+                / GREATEST(COUNT(*), 1)) / 10000.0 AS DOUBLE) AS lang_share,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END)
+                / GREATEST(COUNT(*), 1)) / 10000.0 AS DOUBLE)
+             AS quality_pass_rate,
+           CAST(FLOOR(10000.0 * (COUNT(*) - COUNT(DISTINCT fp))
+                / GREATEST(COUNT(*), 1)) / 10000.0 AS DOUBLE)
+             AS exact_dup_rate
+    FROM s
+    """,
+)
+def corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (operators/curation.py::corpus_report):
+    volume, language share, quality pass rate, exact-dup rate from one
+    aggregate over the fused stage projection. Runs over the corpus plus
+    its case-mangled copy so the dup rate is non-zero."""
+    from etl_tools_rs_spark.operators.curation import corpus_report
+
+    return corpus_report(
+        _curation_input(spark, sf_dir), allowed_langs=("en",)
+    )
+
+
 @qdef("streaming_curation_documents", None)  # Structured Streaming — rows-only
 def streaming_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the curation funnel in the gate

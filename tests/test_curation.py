@@ -78,3 +78,16 @@ def test_one_scan_no_extra_shuffles(spark, docs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_report_values(spark, docs):
+    from etl_tools_rs_spark.operators.curation import corpus_report
+
+    row = corpus_report(docs).collect()[0]
+    assert row["n_docs"] == 6
+    # docs 1 and 2 are exact dups under normalization: 6 docs, 5 distinct
+    assert row["exact_dup_rate"] == int(10000 * 1 / 6) / 10000.0
+    # quality passers: 1, 2, 6
+    assert row["quality_pass_rate"] == 0.5
+    assert row["n_tokens_total"] > 0
+    assert 0.0 <= row["lang_share"] <= 1.0
