@@ -377,3 +377,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.multimodal import image_resize
 
         return EngineFrame(image_resize(self.df, width, height))
+
+    def corpus_report(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.curation import corpus_report
+
+        return EngineFrame(corpus_report(self.df, *a, **kw))
