@@ -382,3 +382,8 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.curation import corpus_report
 
         return EngineFrame(corpus_report(self.df, *a, **kw))
+
+    def video_frame_sample(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.multimodal import video_frame_sample
+
+        return EngineFrame(video_frame_sample(self.df, *a, **kw))

@@ -812,10 +812,146 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(_batches, schema=schema)
 
 
+def avi_frames(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL minimal AVI (RIFF) demux with the stdlib only: returns
+    ``(width, height, us_per_frame, frames)`` where each frame payload is
+    the raw uncompressed DIB data of a ``00db``/``00dc`` chunk (bottom-up
+    BGR24 rows, 4-byte stride padding — the same layout as a BMP body).
+    Only the uncompressed-video arm is supported; compressed codecs
+    raise (error-as-record upstream), the honest boundary without codec
+    libraries in the container."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(buf: bytes, start: int, end: int):
+        """Yield (fourcc, data_start, data_size) for chunks in [start, end)."""
+        pos = start
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    width = height = usec = None
+    frames: list[bytes] = []
+
+    def scan_list(start: int, end: int) -> None:
+        nonlocal width, height, usec
+        for fourcc, dstart, dsize in walk(content, start, end):
+            dend = dstart + dsize
+            if dend > len(content):
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                scan_list(dstart + 4, dend)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                if dsize < 40:
+                    raise ValueError("truncated avih header")
+                usec = struct.unpack_from("<I", content, dstart)[0]
+                width = struct.unpack_from("<I", content, dstart + 32)[0]
+                height = struct.unpack_from("<I", content, dstart + 36)[0]
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(content[dstart:dend])
+
+    scan_list(12, len(content))
+    if width is None or not width or not height:
+        raise ValueError("missing avih header")
+    stride = ((width * 3 + 3) // 4) * 4
+    for f in frames:
+        if len(f) != stride * height:
+            raise ValueError(
+                "frame size mismatch — compressed AVI streams are not "
+                "supported (uncompressed DIB only)"
+            )
+    return int(width), int(height), int(usec or 0), frames
+
+
+def _dib_gray_rows(data: bytes, width: int, height: int) -> list[list[float]]:
+    """Grayscale rows in [0, 1] from raw bottom-up BGR24 DIB data."""
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = []
+    for r in range(height):
+        base = (height - 1 - r) * stride
+        rows.append(
+            [
+                (data[base + c * 3] + data[base + c * 3 + 1]
+                 + data[base + c * 3 + 2]) / (3.0 * 255.0)
+                for c in range(width)
+            ]
+        )
+    return rows
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("pixels", ArrayType(ArrayType(DoubleType())), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    grid: tuple[int, int] = (8, 8),
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL video frame sampling over uncompressed AVI payloads
+    (:func:`avi_frames` demux): emit one row per sampled frame — the
+    first frame at or after each ``every_ms`` boundary — with its
+    event-time and a ``grid``-sized area-average grayscale matrix
+    (:func:`_block_mean_resize`, the resize stage fused into the same
+    pass so full-resolution frames never leave the executor). 1:N
+    explode inside Arrow ``mapInPandas``; undecodable payloads produce
+    ONE error row (error-as-record), never job failures. Supersedes
+    :func:`frame_sample_stub` for the container's decodable format."""
+    import pandas as pd
+
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms!r}")
+    gh, gw = grid
+    if "media_id" not in df.columns:
+        df = df.withColumn("media_id", F.monotonically_increasing_id())
+    src = df.select("media_id", content_col)
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out: list[tuple] = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                try:
+                    w, h, usec, frames = avi_frames(
+                        bytes(content) if content is not None else b""
+                    )
+                    next_target = 0
+                    for idx, fdata in enumerate(frames):
+                        ts_ms = idx * usec // 1000
+                        if ts_ms < next_target:
+                            continue
+                        next_target = ts_ms + every_ms
+                        px = _block_mean_resize(
+                            _dib_gray_rows(fdata, w, h), gh, gw
+                        )
+                        out.append((mid, idx, ts_ms, px, "ok"))
+                except Exception as e:  # noqa: BLE001 — error-as-record
+                    out.append((mid, None, None, None, f"error: {e}"))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "ts_ms", "pixels", "decode_ok"],
+            )
+
+    return src.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: 1:N explode of a payload into frame
     rows (timestamps every ``every_ms``). Frame extraction itself is faked
-    as sliced bytes; the explode/partitioning shape is the real design."""
+    as sliced bytes; the explode/partitioning shape is the real design.
+    Superseded by :func:`video_frame_sample` (REAL demux + decode for
+    uncompressed AVI); kept for formats needing codec libraries."""
     frames = F.transform(
         F.sequence(
             F.lit(0),

@@ -6943,6 +6943,70 @@ def streaming_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@qdef("multimodal_video_pipeline", None)  # real stdlib demux — rows-only
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (operators/multimodal.py::
+    video_frame_sample): 16 deterministic uncompressed AVIs (10 frames
+    each, 25 fps, brightness ramp keyed by id) synthesized
+    executor-side, demuxed by the stdlib RIFF parser and sampled every
+    200 ms with a fused 2x2 area-average decode — one row per kept
+    frame, event-time attached. Every row must decode ok; kept frame
+    indexes follow the 200 ms cadence (unit-tested)."""
+    from etl_tools_rs_spark.operators.multimodal import video_frame_sample
+
+    base = spark.range(16).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import struct
+
+        import pandas as pd
+
+        def make_avi(mid: int, n: int = 10, w: int = 8, h: int = 8) -> bytes:
+            stride = ((w * 3 + 3) // 4) * 4
+
+            def chunk(fourcc, data):
+                pad = b"\x00" if len(data) & 1 else b""
+                return fourcc + struct.pack("<I", len(data)) + data + pad
+
+            frames = []
+            for i in range(n):
+                shade = (int(mid) * 16 + i * 24) % 256
+                row = bytes([shade, shade, shade]) * w + b"\x00" * (stride - w * 3)
+                frames.append(row * h)
+            avih = struct.pack(
+                "<IIIIIIIIII4I", 40000, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            payload = (
+                b"AVI "
+                + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                + chunk(b"LIST", b"movi"
+                        + b"".join(chunk(b"00db", f) for f in frames))
+            )
+            return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_avi(m) for m in pdf["media_id"]],
+                }
+            )
+
+    media = base.mapInPandas(_gen, schema="media_id long, content binary")
+    out = video_frame_sample(media, every_ms=200, grid=(2, 2))
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        "decode_ok",
+        F.round(
+            F.aggregate(F.flatten("pixels"), F.lit(0.0), lambda a, x: a + x)
+            / 4.0,
+            6,
+        ).alias("mean_gray"),
+    ).orderBy("media_id", "frame_idx")
+
+
 @qdef("multimodal_resize_pipeline", None)  # real stdlib decode — rows-only
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize (operators/multimodal.py::image_resize): 32

@@ -880,3 +880,97 @@ class TestImageResize:
         assert len(out[1].pixels) == 4 and len(out[1].pixels[0]) == 4
         assert out[1].width == 4 and out[1].height == 4
         assert out[2].decode_ok.startswith("error:") and out[2].pixels is None
+
+
+def _pack_avi(frame_rows_list, us_per_frame=40000):
+    """Pack top-down rows-of-(b,g,r) frames into a minimal uncompressed
+    AVI (RIFF → hdrl(avih) + movi(00db...)). Independent of the decoder:
+    packs the spec forward, the demux must invert it."""
+    import struct
+
+    h = len(frame_rows_list[0])
+    w = len(frame_rows_list[0][0])
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def dib(rows):
+        body = bytearray()
+        for row in reversed(rows):  # bottom-up
+            for px in row:
+                body += bytes(px)
+            body += b"\x00" * (stride - w * 3)
+        return bytes(body)
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0, len(frame_rows_list), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frame_rows_list)
+    )
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+class TestVideoFrameSample:
+    def _avi(self, n_frames=6, fps_us=40000, w=8, h=8):
+        frames = []
+        for i in range(n_frames):
+            shade = (i * 255) // max(1, n_frames - 1)
+            frames.append([[(shade, shade, shade)] * w for _ in range(h)])
+        return _pack_avi(frames, us_per_frame=fps_us)
+
+    def test_demux_roundtrip(self):
+        from etl_tools_rs_spark.operators.multimodal import avi_frames
+
+        w, h, usec, frames = avi_frames(self._avi())
+        assert (w, h, usec, len(frames)) == (8, 8, 40000, 6)
+
+    def test_rejects_garbage_and_compressed_size(self):
+        import pytest as _pt
+
+        from etl_tools_rs_spark.operators.multimodal import avi_frames
+
+        with _pt.raises(ValueError):
+            avi_frames(b"not an avi")
+        # frame byte-size mismatch = compressed stream -> explicit error
+        avi = bytearray(self._avi(n_frames=1))
+        avi[-10:] = b""  # truncate the single frame
+        with _pt.raises(ValueError):
+            avi_frames(bytes(avi))
+
+    def test_sampling_cadence_and_decode(self, spark):
+        from etl_tools_rs_spark.operators.multimodal import video_frame_sample
+
+        # 6 frames at 25 fps (40 ms): ts = 0,40,80,120,160,200 ms;
+        # every_ms=100 keeps ts 0, 120 (first >= 100), 200 -> wait:
+        # next_target after 120 is 220 > 200, so kept = 0, 120
+        media = spark.createDataFrame(
+            [(1, self._avi()), (2, b"junk")], "media_id long, content binary"
+        )
+        out = video_frame_sample(media, every_ms=100, grid=(2, 2)).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        kept = sorted((r.frame_idx, r.ts_ms) for r in by_id[1])
+        assert kept == [(0, 0), (3, 120)]
+        # frame 0 is black, frame 3 is mid-gray: pixels track the gradient
+        px = {r.frame_idx: r.pixels for r in by_id[1]}
+        assert px[0][0][0] < 0.01 and 0.4 < px[3][0][0] < 0.8
+        assert all(r.decode_ok == "ok" for r in by_id[1])
+        err = by_id[2][0]
+        assert err.decode_ok.startswith("error:") and err.pixels is None
+
+    def test_every_ms_validation(self, spark):
+        import pytest as _pt
+
+        from etl_tools_rs_spark.operators.multimodal import video_frame_sample
+
+        media = spark.createDataFrame([(1, b"")], "media_id long, content binary")
+        with _pt.raises(ValueError):
+            video_frame_sample(media, every_ms=0)
