@@ -54,6 +54,9 @@ BENCH_ROWS_ONLY = [
     "bpe_merges_documents",
     "image_ahash_near_dup",
     "cross_near_dup_documents",
+    "multimodal_audio_features",
+    "multimodal_resize_pipeline",
+    "multimodal_video_pipeline",
 ]
 
 
