@@ -7059,6 +7059,139 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-4 entity resolution: record linkage + golden-record survivorship
+# --------------------------------------------------------------------------
+
+
+_ER_SQL = """
+WITH RECURSIVE
+a AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey,
+         c_acctbal AS acctbal, c_mktsegment AS mktsegment, 'crm' AS source
+  FROM customer
+),
+b AS (
+  SELECT c_custkey + 1000000 AS id,
+         'c' || substr(c_name, 2) AS name,
+         c_nationkey AS nationkey, c_acctbal + 100.0 AS acctbal,
+         'DUPLICATE' AS mktsegment, 'feed' AS source
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000,
+         'c' || substr(c_name, 2, 8) || '9' || substr(c_name, 11),
+         c_nationkey, c_acctbal, c_mktsegment, 'feed'
+  FROM customer WHERE c_custkey % 11 = 3
+),
+recs AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+links AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM a, b WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (SELECT ia AS u, ib AS v FROM links UNION SELECT ib, ia FROM links),
+lbl(node, label) AS (
+  SELECT id, id FROM recs
+  UNION
+  SELECT e.v, l.label FROM lbl l JOIN edges e ON e.u = l.node
+  WHERE l.label < e.v
+),
+comp AS (SELECT node, min(label) AS entity_id FROM lbl GROUP BY node),
+members AS (
+  SELECT r.*, c.entity_id FROM recs r JOIN comp c ON r.id = c.node
+),
+base AS (
+  SELECT entity_id,
+         count(*) AS n_members,
+         min(name) AS name,
+         max(acctbal) AS acctbal,
+         min(nationkey) AS nationkey,
+         count(DISTINCT source) AS n_sources
+  FROM members GROUP BY entity_id
+),
+seg AS (
+  SELECT entity_id, mktsegment FROM (
+    SELECT entity_id, mktsegment,
+           row_number() OVER (
+             PARTITION BY entity_id
+             ORDER BY count(*) DESC, mktsegment DESC) AS rn
+    FROM members GROUP BY entity_id, mktsegment
+  ) WHERE rn = 1
+)
+SELECT base.entity_id, n_members, name, acctbal, nationkey,
+       seg.mktsegment, n_sources
+FROM base JOIN seg ON base.entity_id = seg.entity_id
+ORDER BY base.entity_id
+"""
+
+
+@qdef("entity_resolution_customers", _ER_SQL)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity-resolution pipeline (operators/resolve.py::
+    resolve_entities + golden_records): link a second deterministic
+    "feed" system into the customer master — twins (every 7th customer:
+    lowercased first name char, +100 balance, 'DUPLICATE' segment) must
+    link at edit distance 1, feed-only records (every 11th: lowercase
+    plus a '9' digit, distance ≥2 from every master name) must stay
+    singletons — then collapse each entity to one golden record under
+    per-attribute survivorship (min name = source-system-wins, max
+    acctbal, modal segment with deterministic ties, distinct-source
+    provenance count). Matching is blocked deletion-key fuzzy join
+    (never all-pairs); clustering is star-contraction connected
+    components on the answer-sized link set; survivorship is two hash
+    aggregates. The DuckDB oracle recomputes components independently
+    via a recursive-CTE min-label closure."""
+    from etl_tools_rs_spark.operators.resolve import (
+        golden_records,
+        resolve_entities,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    a = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("crm").alias("source"),
+    )
+    twins = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.concat(F.lit("c"), F.expr("substr(c_name, 2)")).alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        (F.col("c_acctbal") + 100.0).alias("acctbal"),
+        F.lit("DUPLICATE").alias("mktsegment"),
+        F.lit("feed").alias("source"),
+    )
+    bonly = c.filter(F.col("c_custkey") % 11 == 3).select(
+        (F.col("c_custkey") + 2000000).alias("id"),
+        F.concat(
+            F.lit("c"),
+            F.expr("substr(c_name, 2, 8)"),
+            F.lit("9"),
+            F.expr("substr(c_name, 11)"),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("feed").alias("source"),
+    )
+    b = twins.unionByName(bonly)
+    members = resolve_entities(a, b, "id", "name", max_distance=1)
+    g = golden_records(
+        members,
+        "entity_id",
+        {
+            "name": "min",
+            "acctbal": "max",
+            "nationkey": "min",
+            "mktsegment": "most_frequent",
+            "source": "count_distinct",
+        },
+    )
+    return g.withColumnRenamed("source", "n_sources").orderBy("entity_id")
+
+
+# --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
 
