@@ -1239,3 +1239,136 @@ def image_phash(
     return src.mapInPandas(
         _batches, schema=f"{id_col} long, phash string, decode_ok string"
     )
+
+
+def frame_ahash(
+    frames: DataFrame,
+    grid: tuple[int, int] = (8, 8),
+    pixels_col: str = "pixels",
+    out_col: str = "fhash",
+) -> DataFrame:
+    """Per-frame perceptual hash computed IN-PLAN from the sampled
+    grayscale grid (:func:`video_frame_sample`'s ``pixels`` column) —
+    the aHash rule (bit = cell above the frame mean) expressed as pure
+    column functions, so hashing the whole corpus's frames adds zero
+    Python and zero extra decode passes. Output: input columns plus
+    ``out_col`` (lowercase hex, ``grid_h*grid_w/4`` chars).
+
+    Bit packing folds the 0/1 string through ``conv(_, 2, 16)`` in
+    32-bit chunks (conv is 64-bit-bounded), so any ``grid`` whose cell
+    count is a multiple of 4 works."""
+    gh, gw = grid
+    n = gh * gw
+    if n % 4:
+        raise ValueError(f"grid cell count must be a multiple of 4, got {n}")
+    flat = F.flatten(pixels_col)
+    mean = F.aggregate(flat, F.lit(0.0), lambda a, x: a + x) / F.lit(float(n))
+    bits = F.array_join(
+        F.transform(
+            flat, lambda x: F.when(x > mean, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    chunks = []
+    for s in range(0, n, 32):
+        width = min(32, n - s)
+        chunks.append(
+            F.lpad(
+                F.lower(F.conv(F.substring(bits, s + 1, width), 2, 16)),
+                width // 4,
+                "0",
+            )
+        )
+    return frames.withColumn(out_col, F.concat(*chunks))
+
+
+def video_near_dup(
+    df: DataFrame,
+    every_ms: int = 1000,
+    grid: tuple[int, int] = (8, 8),
+    max_hamming: int = 6,
+    min_overlap: float = 0.5,
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: demux + sample frames on a fixed
+    cadence (:func:`video_frame_sample`), hash each sampled frame
+    in-plan (:func:`frame_ahash`), then match videos whose cadence-
+    aligned frames agree — two videos are near-dups when the fraction
+    of frame slots (same ``frame_idx``) within ``max_hamming`` bits is
+    at least ``min_overlap`` of the shorter video's sampled frames.
+
+    Candidate generation is pigeonhole banding *compounded with the
+    frame index*: the equi-join key is (frame_idx, hash band), so a
+    band collision only meets frames from the same slot — candidates
+    stay answer-shaped even when many videos share common frames
+    (intros, black frames). Verify is the exact nibble Hamming; the
+    per-pair rollup is one count aggregate joined to per-video frame
+    counts. No all-pairs stage anywhere; full-resolution frames never
+    leave the decode executor (hashing consumes the sampled grid).
+
+    Output: ``(video_a, video_b, matched_frames, overlap)`` with
+    ``video_a < video_b``, ``overlap`` = matched / min(frames_a,
+    frames_b) rounded to 6 places."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming!r}")
+    gh, gw = grid
+    hex_len = gh * gw // 4
+    n_bands = max_hamming + 1
+    if n_bands > hex_len:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands than {hex_len} "
+            "hex chars can pigeonhole"
+        )
+    frames = video_frame_sample(df, every_ms, grid, content_col).where(
+        F.col("decode_ok") == "ok"
+    )
+    h = frame_ahash(frames, grid).select("media_id", "frame_idx", "fhash")
+    # every band re-references the hash frame; checkpoint the narrow rows
+    # so the demux+decode stage runs once, not 2*bands times
+    h = h.localCheckpoint(eager=False)
+    n_frames = h.groupBy("media_id").agg(F.count(F.lit(1)).alias("_nf"))
+    bounds = [round(i * hex_len / n_bands) for i in range(n_bands + 1)]
+    cands = None
+    for b in range(n_bands):
+        s, e = bounds[b], bounds[b + 1]
+        if e <= s:
+            continue
+        key = F.substring("fhash", s + 1, e - s)
+        a_side = h.select(
+            F.col("media_id").alias("video_a"),
+            "frame_idx",
+            F.col("fhash").alias("_ha"),
+            key.alias("_k"),
+        )
+        b_side = h.select(
+            F.col("media_id").alias("video_b"),
+            "frame_idx",
+            F.col("fhash").alias("_hb"),
+            key.alias("_k"),
+        )
+        pair = a_side.join(b_side, ["frame_idx", "_k"]).where(
+            F.col("video_a") < F.col("video_b")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    matched = (
+        cands.select("video_a", "video_b", "frame_idx", "_ha", "_hb")
+        .distinct()
+        .where(ahash_hamming(F.col("_ha"), F.col("_hb")) <= max_hamming)
+    )
+    m = matched.groupBy("video_a", "video_b").agg(
+        F.count(F.lit(1)).alias("matched_frames")
+    )
+    return (
+        m.join(n_frames.withColumnRenamed("media_id", "video_a"), "video_a")
+        .withColumnRenamed("_nf", "_nfa")
+        .join(n_frames.withColumnRenamed("media_id", "video_b"), "video_b")
+        .withColumnRenamed("_nf", "_nfb")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("matched_frames") / F.least("_nfa", "_nfb"), 6
+            ),
+        )
+        .where(F.col("overlap") >= min_overlap)
+        .select("video_a", "video_b", "matched_frames", "overlap")
+    )

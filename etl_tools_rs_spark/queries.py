@@ -7058,6 +7058,85 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@qdef("video_near_dup_pipeline", None)  # real stdlib demux — rows-only
+def video_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection end-to-end (operators/
+    multimodal.py::video_near_dup): 12 deterministic 8x8 uncompressed
+    AVIs with LCG-noise frame patterns, plus a perturbed twin (two
+    pixels shifted per frame) for every 4th video — demux, cadence
+    sampling, in-plan frame aHash, (frame_idx, band)-keyed candidate
+    join, exact Hamming verify, per-pair overlap rollup. Expected: the
+    three twin pairs at overlap 1.0 and nothing else (unit-tested)."""
+    from etl_tools_rs_spark.operators.multimodal import video_near_dup
+
+    base = spark.range(12).select(F.col("id").alias("media_id"))
+    twin = (
+        base.where(F.col("media_id") % 4 == 0)
+        .select((F.col("media_id") + 100).alias("media_id"))
+    )
+    ids = base.unionByName(twin)
+
+    def _gen(it):
+        import struct
+
+        import pandas as pd
+
+        def shade(mid: int, i: int, p: int) -> int:
+            # splitmix-style avalanche — a plain LCG leaves videos
+            # differing by a near-CONSTANT brightness offset, which
+            # aHash (mean-relative by design) cannot distinguish
+            x = (mid << 16) + (i << 8) + p
+            x = (x * 2654435761) & 0xFFFFFFFF
+            x ^= x >> 15
+            x = (x * 1103515245) & 0xFFFFFFFF
+            return (x >> 16) % 256
+
+        def make_avi(vid: int, n: int = 10, w: int = 8, h: int = 8) -> bytes:
+            pattern_id = vid - 100 if vid >= 100 else vid
+            stride = ((w * 3 + 3) // 4) * 4
+
+            def chunk(fourcc, data):
+                pad = b"\x00" if len(data) & 1 else b""
+                return fourcc + struct.pack("<I", len(data)) + data + pad
+
+            frames = []
+            for i in range(n):
+                rows = bytearray()
+                for r in range(h):
+                    for c in range(w):
+                        p = r * w + c
+                        s = shade(pattern_id, i, p)
+                        if vid >= 100 and p in (5, 42):
+                            s = (s + 32) % 256
+                        rows += bytes([s, s, s])
+                    rows += b"\x00" * (stride - w * 3)
+                frames.append(bytes(rows))
+            avih = struct.pack(
+                "<IIIIIIIIII4I", 40000, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            payload = (
+                b"AVI "
+                + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                + chunk(b"LIST", b"movi"
+                        + b"".join(chunk(b"00db", f) for f in frames))
+            )
+            return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_avi(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(_gen, schema="media_id long, content binary")
+    out = video_near_dup(
+        media, every_ms=120, grid=(8, 8), max_hamming=6, min_overlap=0.5
+    )
+    return out.orderBy("video_a", "video_b")
+
+
 # --------------------------------------------------------------------------
 # round-4 entity resolution: record linkage + golden-record survivorship
 # --------------------------------------------------------------------------
