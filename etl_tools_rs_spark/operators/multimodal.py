@@ -520,15 +520,13 @@ def extract_features(
     return src.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
-def wav_features(content: bytes) -> dict[str, float | int]:
-    """REAL per-clip audio features from a WAV payload, stdlib parse +
-    numpy DSP (both always available): sample rate, duration, RMS level,
-    peak level, zero-crossing rate, and spectral centroid via rFFT —
-    the standard cheap signals for corpus-level audio quality filtering
-    (silence / clipping / bandwidth screens). Raises on non-WAV payloads
-    (callers treat that as a decode error-as-record)."""
+def wav_samples(content: bytes):
+    """Decode a WAV payload to (sample_rate, mono float64 samples in
+    [-1, 1]) — stdlib parse, any sample width, channels averaged.
+    Raises on non-WAV payloads (callers treat that as a decode
+    error-as-record). Shared by :func:`wav_features` and
+    :func:`audio_fingerprint`."""
     import io
-    import struct
     import wave
 
     import numpy as np
@@ -556,6 +554,19 @@ def wav_features(content: bytes) -> dict[str, float | int]:
     if ch > 1:
         usable = (x.size // ch) * ch
         x = x[:usable].reshape(-1, ch).mean(axis=1)
+    return rate, x
+
+
+def wav_features(content: bytes) -> dict[str, float | int]:
+    """REAL per-clip audio features from a WAV payload, stdlib parse +
+    numpy DSP (both always available): sample rate, duration, RMS level,
+    peak level, zero-crossing rate, and spectral centroid via rFFT —
+    the standard cheap signals for corpus-level audio quality filtering
+    (silence / clipping / bandwidth screens). Raises on non-WAV payloads
+    (callers treat that as a decode error-as-record)."""
+    import numpy as np
+
+    rate, x = wav_samples(content)
     duration_ms = int(x.size * 1000 / rate) if rate else 0
     if x.size == 0:
         return {
@@ -1309,59 +1320,91 @@ def video_near_dup(
     Output: ``(video_a, video_b, matched_frames, overlap)`` with
     ``video_a < video_b``, ``overlap`` = matched / min(frames_a,
     frames_b) rounded to 6 places."""
+    gh, gw = grid
+    frames = video_frame_sample(df, every_ms, grid, content_col).where(
+        F.col("decode_ok") == "ok"
+    )
+    h = frame_ahash(frames, grid).select("media_id", "frame_idx", "fhash")
+    return aligned_hash_near_dup(
+        h,
+        hex_len=gh * gw // 4,
+        max_hamming=max_hamming,
+        min_overlap=min_overlap,
+        out_cols=("video_a", "video_b"),
+    )
+
+
+def aligned_hash_near_dup(
+    hashes: DataFrame,
+    hex_len: int,
+    max_hamming: int,
+    min_overlap: float,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "fhash",
+    out_cols: tuple[str, str] = ("media_a", "media_b"),
+) -> DataFrame:
+    """Shared frame-aligned near-dup matcher over per-frame hex hashes
+    — the candidate/verify/rollup engine behind :func:`video_near_dup`
+    and :func:`audio_near_dup`. Pigeonhole bands compounded with the
+    frame index (the equi-join key is ``(idx, band)``) generate
+    candidates; exact nibble Hamming verifies; one count aggregate
+    joined to per-media frame counts computes the overlap ratio vs the
+    shorter side. Output: ``(a, b, matched_frames, overlap)`` with
+    ``a < b`` and overlap rounded to 6 places."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming!r}")
-    gh, gw = grid
-    hex_len = gh * gw // 4
     n_bands = max_hamming + 1
     if n_bands > hex_len:
         raise ValueError(
             f"max_hamming={max_hamming} needs more bands than {hex_len} "
             "hex chars can pigeonhole"
         )
-    frames = video_frame_sample(df, every_ms, grid, content_col).where(
-        F.col("decode_ok") == "ok"
+    a_name, b_name = out_cols
+    h = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(idx_col).alias("_idx"),
+        F.col(hash_col).alias("_h"),
     )
-    h = frame_ahash(frames, grid).select("media_id", "frame_idx", "fhash")
     # every band re-references the hash frame; checkpoint the narrow rows
-    # so the demux+decode stage runs once, not 2*bands times
+    # so the upstream decode/DSP stage runs once, not 2*bands times
     h = h.localCheckpoint(eager=False)
-    n_frames = h.groupBy("media_id").agg(F.count(F.lit(1)).alias("_nf"))
+    n_frames = h.groupBy("_id").agg(F.count(F.lit(1)).alias("_nf"))
     bounds = [round(i * hex_len / n_bands) for i in range(n_bands + 1)]
     cands = None
     for b in range(n_bands):
         s, e = bounds[b], bounds[b + 1]
         if e <= s:
             continue
-        key = F.substring("fhash", s + 1, e - s)
+        key = F.substring("_h", s + 1, e - s)
         a_side = h.select(
-            F.col("media_id").alias("video_a"),
-            "frame_idx",
-            F.col("fhash").alias("_ha"),
+            F.col("_id").alias(a_name),
+            "_idx",
+            F.col("_h").alias("_ha"),
             key.alias("_k"),
         )
         b_side = h.select(
-            F.col("media_id").alias("video_b"),
-            "frame_idx",
-            F.col("fhash").alias("_hb"),
+            F.col("_id").alias(b_name),
+            "_idx",
+            F.col("_h").alias("_hb"),
             key.alias("_k"),
         )
-        pair = a_side.join(b_side, ["frame_idx", "_k"]).where(
-            F.col("video_a") < F.col("video_b")
+        pair = a_side.join(b_side, ["_idx", "_k"]).where(
+            F.col(a_name) < F.col(b_name)
         )
         cands = pair if cands is None else cands.unionByName(pair)
     matched = (
-        cands.select("video_a", "video_b", "frame_idx", "_ha", "_hb")
+        cands.select(a_name, b_name, "_idx", "_ha", "_hb")
         .distinct()
         .where(ahash_hamming(F.col("_ha"), F.col("_hb")) <= max_hamming)
     )
-    m = matched.groupBy("video_a", "video_b").agg(
+    m = matched.groupBy(a_name, b_name).agg(
         F.count(F.lit(1)).alias("matched_frames")
     )
     return (
-        m.join(n_frames.withColumnRenamed("media_id", "video_a"), "video_a")
+        m.join(n_frames.withColumnRenamed("_id", a_name), a_name)
         .withColumnRenamed("_nf", "_nfa")
-        .join(n_frames.withColumnRenamed("media_id", "video_b"), "video_b")
+        .join(n_frames.withColumnRenamed("_id", b_name), b_name)
         .withColumnRenamed("_nf", "_nfb")
         .withColumn(
             "overlap",
@@ -1370,5 +1413,120 @@ def video_near_dup(
             ),
         )
         .where(F.col("overlap") >= min_overlap)
-        .select("video_a", "video_b", "matched_frames", "overlap")
+        .select(a_name, b_name, "matched_frames", "overlap")
+    )
+
+
+def audio_fingerprint_frames(
+    content: bytes, frame_ms: int = 64, n_bands: int = 32
+) -> list[str]:
+    """Per-frame acoustic fingerprint of one WAV payload — the
+    Haitsma-Kalker robust-hash rule (ISMIR'02; chromaprint's ancestor):
+    split into fixed ``frame_ms`` frames, measure energy in ``n_bands``
+    log-spaced frequency bands (rFFT), and emit one bit per band = sign
+    of the band-energy DELTA vs the previous frame. Sign-of-delta is
+    invariant to constant gain and to any per-clip monotone level shift
+    — re-encoded or re-mastered copies keep their bits. Returns one hex
+    word (``n_bands/4`` chars) per frame, first frame dropped (no
+    predecessor). Raises on non-WAV payloads."""
+    import numpy as np
+
+    if n_bands % 4:
+        raise ValueError(f"n_bands must be a multiple of 4, got {n_bands}")
+    rate, x = wav_samples(content)
+    if not rate or x.size == 0:
+        return []
+    frame_len = max(1, rate * frame_ms // 1000)
+    n_frames = x.size // frame_len
+    if n_frames < 2:
+        return []
+    fmin, fmax = 300.0, min(4000.0, rate / 2.0)
+    edges = fmin * (fmax / fmin) ** (np.arange(n_bands + 1) / n_bands)
+    freqs = np.fft.rfftfreq(frame_len, 1.0 / rate)
+    band_of = np.searchsorted(edges, freqs, side="right") - 1
+    in_range = (band_of >= 0) & (band_of < n_bands)
+    prev = None
+    out: list[str] = []
+    for t in range(n_frames):
+        seg = x[t * frame_len : (t + 1) * frame_len]
+        mag2 = np.abs(np.fft.rfft(seg)) ** 2
+        e = np.zeros(n_bands)
+        np.add.at(e, band_of[in_range], mag2[in_range])
+        if prev is not None:
+            bits = (e - prev) > 0.0
+            word = 0
+            for b in bits:
+                word = (word << 1) | int(b)
+            out.append(format(word, f"0{n_bands // 4}x"))
+        prev = e
+    return out
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame_ms: int = 64,
+    n_bands: int = 32,
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched acoustic fingerprinting: one row per (clip, frame)
+    with the frame's :func:`audio_fingerprint_frames` hex word.
+    Error-as-record (undecodable clips yield one null-hash row), never
+    job failures. Row-local 1:N explode inside ``mapInPandas`` — at
+    100 TB the cost is one scan of the binary column; downstream
+    matching only ever sees the narrow (id, idx, hash) rows."""
+    import pandas as pd
+
+    if "media_id" not in df.columns:
+        df = df.withColumn("media_id", F.monotonically_increasing_id())
+    src = df.select("media_id", content_col)
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out: list[tuple] = []
+            for mid, content in zip(pdf["media_id"], pdf[content_col]):
+                try:
+                    words = audio_fingerprint_frames(
+                        bytes(content) if content is not None else b"",
+                        frame_ms,
+                        n_bands,
+                    )
+                    for i, wd in enumerate(words):
+                        out.append((mid, i, wd, "ok"))
+                except Exception as e:  # noqa: BLE001 — error-as-record
+                    out.append((mid, None, None, f"error: {e}"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "fhash", "decode_ok"]
+            )
+
+    return src.mapInPandas(
+        _batches,
+        schema="media_id long, frame_idx int, fhash string, decode_ok string",
+    )
+
+
+def audio_near_dup(
+    df: DataFrame,
+    frame_ms: int = 64,
+    n_bands: int = 32,
+    max_hamming: int = 4,
+    min_overlap: float = 0.6,
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: fingerprint every clip
+    (:func:`audio_fingerprint`), then frame-aligned banded matching
+    (:func:`aligned_hash_near_dup`) — two clips are near-dups when at
+    least ``min_overlap`` of the shorter clip's frames agree within
+    ``max_hamming`` of the ``n_bands`` delta-sign bits. Gain changes
+    and light additive noise survive by construction (sign-of-delta
+    bits); unrelated clips diverge in ~half their bits. Output:
+    ``(clip_a, clip_b, matched_frames, overlap)``."""
+    fp = audio_fingerprint(df, frame_ms, n_bands, content_col).where(
+        F.col("decode_ok") == "ok"
+    )
+    return aligned_hash_near_dup(
+        fp,
+        hex_len=n_bands // 4,
+        max_hamming=max_hamming,
+        min_overlap=min_overlap,
+        out_cols=("clip_a", "clip_b"),
     )

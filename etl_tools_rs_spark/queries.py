@@ -7137,6 +7137,68 @@ def video_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("video_a", "video_b")
 
 
+@qdef("audio_near_dup_pipeline", None)  # real stdlib decode — rows-only
+def audio_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection end-to-end (operators/
+    multimodal.py::audio_near_dup): 12 deterministic 1-second 16-bit
+    WAVs — three amplitude-modulated sines with id-keyed frequencies —
+    plus, for every 4th clip, a "re-mastered" twin (1.3x gain and a
+    faint interference tone). Haitsma-Kalker delta-sign fingerprints
+    are gain-invariant by construction, so exactly the twin pairs must
+    surface near overlap 1.0 while distinct mixtures diverge in ~half
+    their bits (unit-tested)."""
+    from etl_tools_rs_spark.operators.multimodal import audio_near_dup
+
+    base = spark.range(12).select(F.col("id").alias("media_id"))
+    twin = (
+        base.where(F.col("media_id") % 4 == 0)
+        .select((F.col("media_id") + 100).alias("media_id"))
+    )
+    ids = base.unionByName(twin)
+
+    def _gen(it):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def make_wav(cid: int, rate: int = 8000, secs: float = 1.0) -> bytes:
+            pid = cid - 100 if cid >= 100 else cid
+            t = np.arange(int(rate * secs)) / rate
+            x = np.zeros_like(t)
+            for k in range(3):
+                f = 400.0 + ((pid * 37 + k * 53) % 40) * 80.0
+                g = 2.0 + ((pid * 11 + k) % 5)  # envelope rate, Hz
+                env = 1.0 + 0.5 * np.sin(2 * np.pi * g * t)
+                x += env * np.sin(2 * np.pi * f * t) / 3.0
+            if cid >= 100:  # re-mastered twin: gain + faint interference
+                x = 1.3 * x + 0.004 * np.sin(2 * np.pi * 1234.0 * t)
+            x = np.clip(x / 2.0, -1.0, 1.0)
+            pcm = (x * 32767).astype("<i2").tobytes()
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm)
+            return buf.getvalue()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [make_wav(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(_gen, schema="media_id long, content binary")
+    out = audio_near_dup(
+        media, frame_ms=64, n_bands=32, max_hamming=4, min_overlap=0.6
+    )
+    return out.orderBy("clip_a", "clip_b")
+
+
 # --------------------------------------------------------------------------
 # round-4 entity resolution: record linkage + golden-record survivorship
 # --------------------------------------------------------------------------
