@@ -57,6 +57,8 @@ BENCH_ROWS_ONLY = [
     "multimodal_audio_features",
     "multimodal_resize_pipeline",
     "multimodal_video_pipeline",
+    "video_near_dup_pipeline",
+    "audio_near_dup_pipeline",
 ]
 
 
