@@ -796,3 +796,59 @@ def skew_report(
         .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in keys])
         .limit(top)
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    scale: int = 9,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``group_a``
+    rows and everything else: ``KS = max_x |F_a(x) − F_b(x)|`` over the
+    empirical CDFs of ``value_col`` — the nonparametric companion to
+    :func:`psi` (PSI needs a bin grid and misses within-bin shifts; KS
+    is grid-free and reacts to ANY CDF gap, the standard drift test for
+    heavy-tailed features).
+
+    Exact and scalable: per-distinct-value conditional counts (one hash
+    aggregate), cumulative counts via the two-phase distributed prefix
+    sum (``packing.scalable_cumsum`` — range-bucketed windows, NEVER a
+    global-order single-partition window), then the max of the INTEGER
+    cross-product gap ``|cum_a·N_b − cum_b·N_a|`` — division happens
+    once, on the final row, so no float accumulates across rows.
+    Totals fold back as a 1-row broadcast (the engine's scalar-fold
+    idiom). Output: one row ``(ks double, n_a, n_b bigint)``.
+    """
+    from etl_tools_rs_spark.operators.packing import scalable_cumsum
+
+    is_a = F.col(group_col) == F.lit(group_a)
+    per_v = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("_nb"),
+    )
+    c = scalable_cumsum(per_v, "_v", "_na", "_ca")
+    c = scalable_cumsum(c, "_v", "_nb", "_cb")
+    tot = per_v.agg(
+        F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
+    )
+    gap = F.abs(
+        F.col("_ca") * F.col("_tb") - F.col("_cb") * F.col("_ta")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))  # 1-row scalar fold
+        .agg(
+            F.max(gap).alias("_g"),
+            F.first("_ta").alias("n_a"),
+            F.first("_tb").alias("n_b"),
+        )
+        .select(
+            F.round(
+                F.col("_g") / (F.col("n_a") * F.col("n_b")).cast("double"),
+                scale,
+            ).alias("ks"),
+            "n_a",
+            "n_b",
+        )
+    )

@@ -7199,6 +7199,43 @@ def audio_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("clip_a", "clip_b")
 
 
+_KS_SQL = """
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT v,
+         CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM per_v
+),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      FROM per_v)
+SELECT round(max(abs(ca*tb - cb*ta)) / CAST(ta*tb AS DOUBLE), 9) AS ks,
+       ta AS n_a, tb AS n_b
+FROM c, t GROUP BY ta, tb
+"""
+
+
+@qdef("ks_drift_totalprice", _KS_SQL)
+def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic (operators/
+    profile.py::ks_statistic): max CDF gap of o_totalprice between
+    finished ('F') and open orders — the grid-free companion to
+    psi_totalprice_f_vs_o. Cumulative counts ride the two-phase
+    distributed prefix sum (range-bucketed windows, never a
+    global-order single partition); the gap stays an exact integer
+    cross-product until the one final division. The DuckDB oracle uses
+    a plain global-order window — single-node, where that's fine."""
+    from etl_tools_rs_spark.operators.profile import ks_statistic
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return ks_statistic(t["orders"], "o_totalprice", "o_orderstatus", "F")
+
+
 # --------------------------------------------------------------------------
 # round-4 entity resolution: record linkage + golden-record survivorship
 # --------------------------------------------------------------------------

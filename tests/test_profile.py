@@ -514,3 +514,73 @@ def test_concentration_ungrouped_has_no_global_window(spark):
     # and it still computes the right thing on a known distribution
     r = out.first()
     assert r.n == 5_000 and 0.30 < r.gini < 0.36  # uniform-ish: G ~ 1/3
+
+
+class TestKsStatistic:
+    def test_known_distributions(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic
+
+        # a = {1,2,3,4}, b = {3,4,5,6}: max gap at x=2 -> |2/4 - 0/4| = 0.5
+        rows = [("a", v) for v in [1, 2, 3, 4]] + [
+            ("b", v) for v in [3, 4, 5, 6]
+        ]
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = ks_statistic(df, "v", "g", "a").collect()[0]
+        assert out["ks"] == 0.5
+        assert out["n_a"] == 4 and out["n_b"] == 4
+
+    def test_identical_distributions_zero(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic
+
+        rows = [("a", v) for v in range(10)] + [("b", v) for v in range(10)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        assert ks_statistic(df, "v", "g", "a").collect()[0]["ks"] == 0.0
+
+    def test_disjoint_distributions_one(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic
+
+        rows = [("a", v) for v in range(5)] + [
+            ("b", v) for v in range(100, 105)
+        ]
+        df = spark.createDataFrame(rows, "g string, v int")
+        assert ks_statistic(df, "v", "g", "a").collect()[0]["ks"] == 1.0
+
+    def test_matches_scipy_formula(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic
+
+        # hand-computed reference on an asymmetric mix with ties
+        a = [1, 1, 2, 5, 9]
+        b = [1, 3, 3, 7]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v int")
+        got = ks_statistic(df, "v", "g", "a").collect()[0]["ks"]
+        import itertools
+
+        xs = sorted(set(a + b))
+        expect = max(
+            abs(
+                sum(1 for v in a if v <= x) / len(a)
+                - sum(1 for v in b if v <= x) / len(b)
+            )
+            for x in xs
+        )
+        assert got == round(expect, 9)
+
+    def test_no_global_window(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic
+
+        rows = [("a", v) for v in range(20)] + [("b", v) for v in range(20)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        import json as _json
+        import sys
+
+        sys.path.insert(0, ".")
+        from tools.scale_audit import _build_tree, audit_plan
+
+        qe = ks_statistic(df, "v", "g", "a")._jdf.queryExecution()
+        tree = _build_tree(_json.loads(qe.sparkPlan().toJSON()))
+        flags = audit_plan(tree, qe.sparkPlan().toString())
+        # the cumsums must ride bucket-partitioned windows; the scalar
+        # totals fold must read as the allowlisted 1-row broadcast
+        assert not flags["single_partition_window"]
+        assert not flags["bnl_join"] and not flags["cartesian"]
