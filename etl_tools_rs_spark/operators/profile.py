@@ -852,3 +852,60 @@ def ks_statistic(
             "n_b",
         )
     )
+
+
+def ks_statistic_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    split_col: str,
+    split_a,
+    scale: int = 9,
+) -> DataFrame:
+    """Per-segment two-sample KS: within each ``group_col`` segment,
+    the max CDF gap of ``value_col`` between the ``split_col ==
+    split_a`` rows and the rest — the "which slice drifted" companion
+    to the global :func:`ks_statistic`. Output: one row per segment
+    ``(group, ks, n_a, n_b)``, segments missing either side dropped
+    (KS is undefined there).
+
+    Unlike the global form (which needs the two-phase prefix sum), the
+    cumsum here partitions by the segment — one shuffle on the group
+    key, window input bounded by per-segment distinct values, then a
+    segment-keyed aggregate. Same exact-integer gap arithmetic."""
+    from pyspark.sql.window import Window
+
+    is_a = F.col(split_col) == F.lit(split_a)
+    per_v = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("_nb"),
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    c = per_v.withColumn("_ca", F.sum("_na").over(w)).withColumn(
+        "_cb", F.sum("_nb").over(w)
+    )
+    tot = per_v.groupBy("_g").agg(
+        F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
+    )
+    gap = F.abs(F.col("_ca") * F.col("_tb") - F.col("_cb") * F.col("_ta"))
+    return (
+        c.join(tot, "_g")
+        .groupBy("_g")
+        .agg(
+            F.max(gap).alias("_gap"),
+            F.first("_ta").alias("n_a"),
+            F.first("_tb").alias("n_b"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            F.col("_g").alias(group_col),
+            F.round(
+                F.col("_gap") / (F.col("n_a") * F.col("n_b")).cast("double"),
+                scale,
+            ).alias("ks"),
+            "n_a",
+            "n_b",
+        )
+    )

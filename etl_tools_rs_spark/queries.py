@@ -7236,6 +7236,50 @@ def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_statistic(t["orders"], "o_totalprice", "o_orderstatus", "F")
 
 
+_KS_GROUP_SQL = """
+WITH per_v AS (
+  SELECT event_type AS g, value AS v,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT g, v, na, nb,
+         CAST(sum(na) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS ca,
+         CAST(sum(nb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cb
+  FROM per_v
+),
+t AS (
+  SELECT g, CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+  FROM per_v GROUP BY g
+)
+SELECT c.g AS event_type,
+       round(max(abs(ca*tb - cb*ta)) / CAST(ta*tb AS DOUBLE), 9) AS ks,
+       ta AS n_a, tb AS n_b
+FROM c JOIN t ON c.g = t.g
+WHERE ta > 0 AND tb > 0
+GROUP BY c.g, ta, tb
+ORDER BY event_type
+"""
+
+
+@qdef("ks_drift_by_event_type", _KS_GROUP_SQL)
+def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment KS drift (operators/profile.py::ks_statistic_by_group):
+    within each event_type, the max CDF gap of `value` between
+    even-user-id and odd-user-id populations — the which-slice-drifted
+    diagnosis the global statistic can't give. One group-key window
+    shuffle (per-segment distinct values bound the window input), exact
+    integer gap arithmetic, one final division per segment."""
+    from etl_tools_rs_spark.operators.profile import ks_statistic_by_group
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("_even", F.col("user_id") % 2 == 0)
+    return ks_statistic_by_group(
+        ev, "value", "event_type", "_even", True
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # round-4 entity resolution: record linkage + golden-record survivorship
 # --------------------------------------------------------------------------

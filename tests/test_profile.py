@@ -584,3 +584,47 @@ class TestKsStatistic:
         # totals fold must read as the allowlisted 1-row broadcast
         assert not flags["single_partition_window"]
         assert not flags["bnl_join"] and not flags["cartesian"]
+
+    def test_by_group_matches_global_per_slice(self, spark):
+        from etl_tools_rs_spark.operators.profile import (
+            ks_statistic,
+            ks_statistic_by_group,
+        )
+
+        rows = (
+            [("x", "a", v) for v in [1, 1, 2, 5, 9]]
+            + [("x", "b", v) for v in [1, 3, 3, 7]]
+            + [("y", "a", v) for v in range(5)]
+            + [("y", "b", v) for v in range(100, 105)]
+        )
+        df = spark.createDataFrame(rows, "g string, s string, v int")
+        got = {
+            r["g"]: (r["ks"], r["n_a"], r["n_b"])
+            for r in ks_statistic_by_group(df, "v", "g", "s", "a").collect()
+        }
+        for g in ("x", "y"):
+            expect = ks_statistic(
+                df.where(F.col("g") == g), "v", "s", "a"
+            ).collect()[0]
+            assert got[g] == (expect["ks"], expect["n_a"], expect["n_b"])
+
+    def test_by_group_drops_one_sided_segments(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic_by_group
+
+        rows = [("only_a", "a", 1), ("both", "a", 1), ("both", "b", 2)]
+        df = spark.createDataFrame(rows, "g string, s string, v int")
+        out = ks_statistic_by_group(df, "v", "g", "s", "a").collect()
+        assert [r["g"] for r in out] == ["both"]
+
+    def test_by_group_window_partitions_by_segment(self, spark):
+        from etl_tools_rs_spark.operators.profile import ks_statistic_by_group
+
+        rows = [("g1", "a", 1), ("g1", "b", 2)]
+        df = spark.createDataFrame(rows, "g string, s string, v int")
+        plan = (
+            ks_statistic_by_group(df, "v", "g", "s", "a")
+            ._jdf.queryExecution()
+            .sparkPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan
