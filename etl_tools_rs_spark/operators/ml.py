@@ -342,3 +342,106 @@ SELECT n, npos AS n_pos, n - npos AS n_neg, tp, fp,
        END AS auc
 FROM conf, a
 """
+
+
+def calibration_bins(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    n_bins: int = 10,
+    score_decimals: int = 6,
+    scale: int = 6,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier — the
+    calibration companion to :func:`binary_metrics` (AUC ranks, it
+    cannot see that a 0.9 score wins only 60% of the time): bucket
+    scores into ``n_bins`` equal-width bins and report, per bin, the
+    observed positive rate vs the mean claimed score, plus the bin's
+    Expected-Calibration-Error contribution
+    ``(n_b/N)·|frac_pos_b − mean_score_b|`` — sum the ``ece_term``
+    column for ECE.
+
+    One corpus aggregate (bin-keyed, map-side combined; shuffle =
+    n_bins rows) + a 1-row total broadcast. Scores are quantized to
+    ``score_decimals`` and summed as exact decimals, so bin means are
+    add-order-proof; ratios floor-scale to ``scale`` decimals at the
+    very end. Output: ``(bin, n, frac_pos, mean_score, ece_term)``,
+    empty bins absent (their ECE term is zero).
+    """
+    p = float(10**scale)
+    base = df.select(
+        label.cast("int").alias("_y"),
+        F.round(score.cast("double"), score_decimals).alias("_s"),
+    )
+    binned = base.withColumn(
+        "_b",
+        F.greatest(
+            F.least(
+                F.floor(F.col("_s") * n_bins).cast("int"), F.lit(n_bins - 1)
+            ),
+            F.lit(0),
+        ),
+    )
+    per = binned.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("long").alias("_pos"),
+        F.sum(F.col("_s").cast(f"decimal(18,{score_decimals})")).alias("_ss"),
+    )
+    tot = per.agg(F.sum("n").alias("_N"))
+
+    def fs(c: Column) -> Column:
+        return F.floor(F.lit(p) * c) / F.lit(p)
+
+    frac = F.col("_pos").cast("double") / F.col("n").cast("double")
+    mean = F.col("_ss").cast("double") / F.col("n").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row scalar fold
+        .select(
+            F.col("_b").alias("bin"),
+            "n",
+            fs(frac).alias("frac_pos"),
+            fs(mean).alias("mean_score"),
+            fs(
+                (F.col("n").cast("double") / F.col("_N").cast("double"))
+                * F.abs(frac - mean)
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def calibration_oracle_sql(
+    label_sql: str,
+    score_sql: str,
+    table: str,
+    n_bins: int = 10,
+    score_decimals: int = 6,
+    scale: int = 6,
+) -> str:
+    """DuckDB oracle mirroring ``calibration_bins`` exactly — identical
+    quantization, identical decimal bin sums, identical double
+    expression shapes before the one floor-scale per output column."""
+    p = f"{float(10 ** scale):.1f}"
+    return f"""
+WITH base AS (
+  SELECT CAST(({label_sql}) AS INT) AS y,
+         round(CAST(({score_sql}) AS DOUBLE), {score_decimals}) AS s
+  FROM {table}
+), binned AS (
+  SELECT y, s,
+         GREATEST(LEAST(CAST(FLOOR(s * {n_bins}) AS INT), {n_bins - 1}), 0) AS b
+  FROM base
+), per AS (
+  SELECT b, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+         sum(CAST(s AS DECIMAL(18,{score_decimals}))) AS ss
+  FROM binned GROUP BY b
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM per)
+SELECT b AS bin, n,
+       FLOOR({p} * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))) / {p} AS frac_pos,
+       FLOOR({p} * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))) / {p} AS mean_score,
+       FLOOR({p} * ((CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE))
+              * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)))) / {p} AS ece_term
+FROM per, t
+ORDER BY bin
+"""

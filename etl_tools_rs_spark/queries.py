@@ -7280,6 +7280,39 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@qdef(
+    "calibration_documents",
+    ml_ops.calibration_oracle_sql(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        _BM_SCORE_SQL,
+        "documents",
+        n_bins=10,
+    ),
+)
+def calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE terms (operators/ml.py::
+    calibration_bins): the calibration view of the same pinned-weight
+    lang='en' scorer binary_metrics_documents evaluates — AUC ranks,
+    calibration checks whether a 0.9 score actually wins 90% of the
+    time. One bin-keyed aggregate (shuffle = n_bins rows) + a 1-row
+    total broadcast; bin sums are exact decimals."""
+    t = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = [
+        F.col("n_chars") / F.lit(1000.0),
+        F.size(tokens("text")).cast("double") / F.lit(100.0),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", ""))
+        .cast("double")
+        / F.col("n_chars"),
+    ]
+    score = ml_ops.logreg_score(t, [-1.0, 0.5, 0.3, -2.0], feats)
+    return ml_ops.calibration_bins(
+        t,
+        label=F.when(F.col("lang") == "en", 1).otherwise(0),
+        score=score,
+        n_bins=10,
+    )
+
+
 # --------------------------------------------------------------------------
 # round-4 entity resolution: record linkage + golden-record survivorship
 # --------------------------------------------------------------------------

@@ -95,3 +95,52 @@ class TestLogreg:
         got = dict(con.execute(sql).fetchall())
         assert got["intercept"] == w[0]  # bit-for-bit
         assert got["x1"] == w[1]
+
+
+class TestCalibrationBins:
+    def test_hand_computed_bins(self, spark):
+        from etl_tools_rs_spark.operators.ml import calibration_bins
+
+        # bin 1 ([0.2,0.4) at 5 bins): scores .25/.35, 1 positive of 2
+        # bin 4 ([0.8,1.0]): scores .85/.95/1.0, 3 positives of 3
+        rows = [
+            (0, 0.25), (1, 0.35),
+            (1, 0.85), (1, 0.95), (1, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "y int, s double")
+        out = calibration_bins(
+            df, F.col("y"), F.col("s"), n_bins=5
+        ).collect()
+        got = {r["bin"]: r for r in out}
+        assert set(got) == {1, 4}
+        b1 = got[1]
+        assert b1["n"] == 2 and b1["frac_pos"] == 0.5
+        assert b1["mean_score"] == 0.3
+        # (2/5) * |0.5 - 0.3| = 0.08
+        assert b1["ece_term"] == 0.08
+        b4 = got[4]  # score 1.0 clamps into the top bin
+        assert b4["n"] == 3 and b4["frac_pos"] == 1.0
+        assert round(b4["ece_term"], 6) == round(3 / 5 * abs(1.0 - (0.85 + 0.95 + 1.0) / 3), 6)
+
+    def test_perfectly_calibrated_scores(self, spark):
+        from etl_tools_rs_spark.operators.ml import calibration_bins
+
+        # within each bin the positive rate equals the mean score
+        rows = []
+        for _ in range(10):
+            rows += [(1, 0.8), (1, 0.8), (1, 0.8), (1, 0.8), (0, 0.8)]
+            rows += [(0, 0.2), (0, 0.2), (0, 0.2), (0, 0.2), (1, 0.2)]
+        df = spark.createDataFrame(rows, "y int, s double")
+        out = calibration_bins(df, F.col("y"), F.col("s"), n_bins=5)
+        assert sum(r["ece_term"] for r in out.collect()) == 0.0
+
+    def test_out_of_range_scores_clamp(self, spark):
+        from etl_tools_rs_spark.operators.ml import calibration_bins
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (0, 0.0)], "y int, s double"
+        )
+        bins = {r["bin"] for r in calibration_bins(
+            df, F.col("y"), F.col("s"), n_bins=10
+        ).collect()}
+        assert bins == {0, 9}
