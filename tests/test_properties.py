@@ -655,3 +655,39 @@ def test_fuzzy_deletion_blocking_matches_naive(spark, words, d):
     )
     assert deletion == naive
     assert segment == naive
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # entity
+            st.sampled_from(["p", "q", "r", "s"]),  # tag (mode target)
+            st.integers(min_value=-50, max_value=50),  # bal
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_golden_records_match_brute_force(spark, rows):
+    from collections import Counter, defaultdict
+
+    from etl_tools_rs_spark.operators.resolve import golden_records
+
+    df = spark.createDataFrame(rows, "e int, tag string, bal int")
+    got = {
+        r["e"]: (r["n_members"], r["tag"], r["bal"])
+        for r in golden_records(
+            df, "e", {"tag": "most_frequent", "bal": "max"}
+        ).collect()
+    }
+    by_e = defaultdict(list)
+    for e, tag, bal in rows:
+        by_e[e].append((tag, bal))
+    expected = {}
+    for e, members in by_e.items():
+        counts = Counter(t for t, _ in members)
+        # engine tie-break contract: count desc, then value desc
+        mode = max(counts, key=lambda t: (counts[t], t))
+        expected[e] = (len(members), mode, max(b for _, b in members))
+    assert got == expected
