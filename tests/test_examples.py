@@ -80,3 +80,19 @@ def test_mixture_pipeline_end_to_end(spark, tmp_path, capsys):
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["drawn"] is None  # skipped step returns None
     assert set(again["steps"].values()) == {"Complete"}
+
+
+def test_multimodal_dedup_pipeline_end_to_end(spark, tmp_path, capsys):
+    mod = _load("examples/multimodal_dedup_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every 4th asset in each of 3 modalities has one twin -> 6 clusters
+    # of size 2, one drop each
+    assert out["dropped"] == 6
+    assert set(out["steps"].values()) == {"Complete"}
+
+    # resumability: second run skips all steps
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["dropped"] is None
+    assert set(again["steps"].values()) == {"Complete"}
