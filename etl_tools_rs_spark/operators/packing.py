@@ -64,6 +64,31 @@ def scalable_cumsum(
     the order key itself; equal keys would make "running" ambiguous —
     same contract as the reference's resume index, SURVEY §2.6 O4).
     """
+    return scalable_cumsum_multi(
+        df, order_col, [(value_col, out_col)], num_buckets
+    )
+
+
+def scalable_cumsum_multi(
+    df: DataFrame,
+    order_col: str,
+    cols: list[tuple[str, str]],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Two-phase distributed prefix sum over SEVERAL value columns in one
+    pass (r4): ``cols`` is ``[(value_col, out_col), ...]``. The bucket
+    boundaries (one approxQuantile round-trip) and the per-bucket offset
+    totals (one tiny collect) are shared across all columns — callers that
+    need k running totals over the same order key (e.g. the two-sided
+    cumulative counts of ``profile.ks_statistic``) pay ONE boundary
+    sample + ONE totals action instead of k of each, and the upstream
+    frame is recomputed once per action instead of k times.
+
+    Same contract as :func:`scalable_cumsum`: ``order_col`` numeric/
+    timestamp and unique; never a global-order single-partition window.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
     spark = df.sparkSession
     n = num_buckets or default_parallelism(spark)
     order = F.col(order_col)
@@ -73,25 +98,38 @@ def scalable_cumsum(
     bounds = sorted(set(bounds))
     bucketed = df.withColumn("__b", _bucket_of(order, bounds))
     w = Window.partitionBy("__b").orderBy(order_col)
-    local = bucketed.withColumn("__local", F.sum(value_col).over(w))
+    local = bucketed
+    for i, (value_col, _out) in enumerate(cols):
+        local = local.withColumn(f"__local{i}", F.sum(value_col).over(w))
     totals = {
-        r["__b"]: r["__t"]
+        r["__b"]: tuple(r[f"__t{i}"] for i in range(len(cols)))
         for r in bucketed.groupBy("__b")
-        .agg(F.sum(value_col).alias("__t"))
+        .agg(
+            *[
+                F.sum(vc).alias(f"__t{i}")
+                for i, (vc, _o) in enumerate(cols)
+            ]
+        )
         .collect()
     }
-    offsets, acc = [], 0
-    for b in range(len(bounds) + 1):
-        offsets.append(acc)
-        acc += totals.get(b, 0) or 0
-    # type the offset literals from the sum column itself so exact-decimal
-    # value columns stay exact (mixed int/Decimal literals won't coerce)
-    sum_type = local.schema["__local"].dataType
-    offs = F.array(*[F.lit(o).cast(sum_type) for o in offsets])
-    return local.withColumn(
-        out_col,
-        F.col("__local") + F.element_at(offs, F.col("__b").cast("int") + F.lit(1)),
-    ).drop("__b", "__local")
+    zero = tuple(0 for _ in cols)
+    out = local
+    for i, (_vc, out_col) in enumerate(cols):
+        offsets, acc = [], 0
+        for b in range(len(bounds) + 1):
+            offsets.append(acc)
+            acc += (totals.get(b, zero)[i]) or 0
+        # type the offset literals from the sum column itself so
+        # exact-decimal value columns stay exact (mixed int/Decimal
+        # literals won't coerce)
+        sum_type = local.schema[f"__local{i}"].dataType
+        offs = F.array(*[F.lit(o).cast(sum_type) for o in offsets])
+        out = out.withColumn(
+            out_col,
+            F.col(f"__local{i}")
+            + F.element_at(offs, F.col("__b").cast("int") + F.lit(1)),
+        )
+    return out.drop("__b", *[f"__local{i}" for i in range(len(cols))])
 
 
 def pack_concat(

@@ -821,15 +821,15 @@ def ks_statistic(
     Totals fold back as a 1-row broadcast (the engine's scalar-fold
     idiom). Output: one row ``(ks double, n_a, n_b bigint)``.
     """
-    from etl_tools_rs_spark.operators.packing import scalable_cumsum
+    from etl_tools_rs_spark.operators.packing import scalable_cumsum_multi
 
     is_a = F.col(group_col) == F.lit(group_a)
     per_v = df.groupBy(F.col(value_col).alias("_v")).agg(
         F.sum(F.when(is_a, 1).otherwise(0)).alias("_na"),
         F.sum(F.when(is_a, 0).otherwise(1)).alias("_nb"),
     )
-    c = scalable_cumsum(per_v, "_v", "_na", "_ca")
-    c = scalable_cumsum(c, "_v", "_nb", "_cb")
+    # both running counts share one boundary sample + one offsets pass
+    c = scalable_cumsum_multi(per_v, "_v", [("_na", "_ca"), ("_nb", "_cb")])
     tot = per_v.agg(
         F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
     )
