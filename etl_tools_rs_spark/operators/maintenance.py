@@ -130,10 +130,28 @@ def zorder_by(
     ZORDER carries. Timestamp/date columns are quantized via their
     microsecond epoch. All bit math is JVM expressions (no UDF).
     """
+    parts = num_partitions or default_parallelism(df.sparkSession)
+    zed = df.withColumn("__z", zorder_key(df, cols, bits_per_col))
+    return (
+        zed.repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits_per_col: int = 16
+) -> F.Column:
+    """The Morton z-value COLUMN used by :func:`zorder_by` (r4: factored
+    out so layout-quality audits can group/aggregate on it directly):
+    quantize each column to ``bits_per_col`` bits over its global
+    [min, max] (one scalar agg to the driver, folded back as literals),
+    then bit-interleave — output bit ``b*n_cols + j`` is bit ``b`` of
+    column ``j``'s quantum. Pure JVM bit expressions, no UDF; the
+    quantization is the same linear map Delta/Iceberg OPTIMIZE ZORDER
+    uses, with the same skew caveat."""
     if not (1 <= bits_per_col and bits_per_col * len(cols) <= 63):
         raise ValueError("need 1 <= bits_per_col * len(cols) <= 63")
-    spark = df.sparkSession
-    parts = num_partitions or default_parallelism(spark)
 
     def numeric(c: str) -> F.Column:
         dt = df.schema[c].dataType.simpleString()
@@ -168,12 +186,7 @@ def zorder_by(
             z = z.bitwiseOR(
                 F.call_function("shiftleft", bit, F.lit(b * n + j))
             )
-    zed = df.withColumn("__z", z)
-    return (
-        zed.repartitionByRange(parts, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
+    return z
 
 
 def write_bucketed(

@@ -7446,6 +7446,75 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumnRenamed("source", "n_sources").orderBy("entity_id")
 
 
+def _zorder_oracle_sql(bits: int = 8, bucket_shift: int = 10) -> str:
+    """DuckDB mirror of maintenance.zorder_key over (l_orderkey,
+    l_suppkey): identical quantization expression shape (cast-to-double
+    min/max, (x-lo)/(hi-lo) then *qmax then floor — floor has no
+    half-way boundary, so the doubles agree bit-for-bit), interleave as
+    a sum of disjoint-bit terms (equals OR)."""
+    qmax = (1 << bits) - 1
+    quant = lambda col, lo, hi: (
+        f"GREATEST(0, LEAST({qmax}, CAST(FLOOR(((CAST({col} AS DOUBLE) - {lo})"
+        f" / ({hi} - {lo})) * {qmax}) AS BIGINT)))"
+    )
+    terms = " + ".join(
+        f"((q{j} // {1 << b}) % 2) * {1 << (b * 2 + j)}"
+        for b in range(bits)
+        for j in range(2)
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(min(l_orderkey) AS DOUBLE) AS lo0,
+             CAST(max(l_orderkey) AS DOUBLE) AS hi0,
+             CAST(min(l_suppkey) AS DOUBLE) AS lo1,
+             CAST(max(l_suppkey) AS DOUBLE) AS hi1
+      FROM lineitem
+    ), q AS (
+      SELECT l_orderkey, l_suppkey,
+             {quant('l_orderkey', 'lo0', 'hi0')} AS q0,
+             {quant('l_suppkey', 'lo1', 'hi1')} AS q1
+      FROM lineitem CROSS JOIN s
+    )
+    SELECT CAST(({terms}) // {1 << bucket_shift} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_orderkey) AS BIGINT) AS ok_min,
+           CAST(max(l_orderkey) AS BIGINT) AS ok_max,
+           CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(max(l_suppkey) AS BIGINT) AS sk_max
+    FROM q GROUP BY 1 ORDER BY 1
+    """
+
+
+@qdef("zorder_locality_lineitem", _zorder_oracle_sql())
+def zorder_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/maintenance.py::zorder_key): the
+    Morton key over (l_orderkey, l_suppkey) at 8 bits/column, folded to
+    64 top-bit buckets — each bucket's (min, max) per column is the
+    hyper-rectangle a z-ordered file would expose to parquet min/max
+    pruning, the multi-column data-skipping story Delta/Iceberg OPTIMIZE
+    ZORDER sells. Two passes total: one scalar min/max agg (driver
+    literals), one bucket-keyed aggregate; all bit math is JVM
+    expressions. The DuckDB oracle rebuilds the identical quantization
+    + interleave arithmetic, so the key itself is value-checked, not
+    just the layout shape."""
+    from etl_tools_rs_spark.operators.maintenance import zorder_key
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    z = zorder_key(li, ["l_orderkey", "l_suppkey"], bits_per_col=8)
+    zbucket = F.call_function("shiftright", z, F.lit(10))
+    return (
+        li.groupBy(zbucket.cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").cast("bigint").alias("ok_min"),
+            F.max("l_orderkey").cast("bigint").alias("ok_max"),
+            F.min("l_suppkey").cast("bigint").alias("sk_min"),
+            F.max("l_suppkey").cast("bigint").alias("sk_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -147,6 +147,36 @@ class TestZorder:
         # and nothing was lost
         assert spark.read.parquet(path).count() == n
 
+    def test_zorder_key_bucket_rectangles(self, spark):
+        """zorder_key's top-bit buckets confine each bucket to a small
+        hyper-rectangle: mean normalized (x-extent * y-extent) over 64
+        buckets is far below the full domain's area of 1.0."""
+        from etl_tools_rs_spark.operators.maintenance import zorder_key
+
+        n = 40_000
+        df = spark.range(n).select(
+            (F.col("id") % 997).alias("x"),
+            ((F.col("id") * 7919) % 997).alias("y"),
+        )
+        z = zorder_key(df, ["x", "y"], bits_per_col=8)
+        rows = (
+            df.groupBy(
+                F.call_function("shiftright", z, F.lit(10)).alias("b")
+            )
+            .agg(
+                F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+                F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert sum(r["n"] for r in rows) == n
+        areas = [
+            ((r["xhi"] - r["xlo"]) / 996.0) * ((r["yhi"] - r["ylo"]) / 996.0)
+            for r in rows
+        ]
+        assert sum(areas) / len(areas) < 0.1, sum(areas) / len(areas)
+
     def test_rejects_too_many_bits(self, spark):
         from etl_tools_rs_spark.operators.maintenance import zorder_by
 
