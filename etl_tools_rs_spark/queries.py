@@ -7515,6 +7515,120 @@ def zorder_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "k_anonymity_customers",
+    """
+    WITH audit AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(sum(CASE WHEN k < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+             CAST(sum(CASE WHEN k < 20 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST(sum(CASE WHEN l < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+             CAST(sum(CASE WHEN l < 10 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_below_l
+      FROM audit
+    )
+    SELECT *, CAST(FLOOR(1000000.0 * rows_below_k / n_rows) / 1000000.0
+                   AS DOUBLE) AS at_risk_share
+    FROM s
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity corpus verdict (operators/privacy.py::
+    k_anonymity_summary): treating (c_nationkey, c_mktsegment) as the
+    quasi-identifier and c_acctbal as the sensitive attribute, report
+    the dataset's achieved k (min equivalence-class size), the classes/
+    rows below k=20 and l=10, and the at-risk row share — the
+    re-identification audit (Sweeney 2002) a corpus ships with. Two
+    chained aggregates: one hash agg on the quasi key, one scalar fold;
+    shuffle = one row per equivalence class."""
+    from etl_tools_rs_spark.operators.privacy import k_anonymity_summary
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    return k_anonymity_summary(
+        t["customer"],
+        ["c_nationkey", "c_mktsegment"],
+        k_min=20,
+        sensitive_col="c_acctbal",
+        l_min=10,
+    )
+
+
+@qdef(
+    "forget_customers_cascade",
+    """
+    WITH seed AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < -900
+    ), doomed_o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM seed)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_custkey IN (SELECT c_custkey FROM seed))
+                AS BIGINT) AS purged,
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM seed))
+                AS BIGINT) AS kept
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed_o))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey IN (SELECT o_orderkey FROM doomed_o))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed_o))
+                AS BIGINT)
+    ORDER BY tbl
+    """,
+)
+def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade (operators/privacy.py::
+    propagate_deletes): erase every customer with c_acctbal < -900 and
+    walk the FK chain customer → orders → lineitem, reporting per-table
+    (purged, kept) counts. Each hop is a BROADCAST semi join of the
+    tiny deleted-key set against the fact table and survivors come from
+    the matching broadcast anti join — the GDPR Art. 17 deletion path
+    with zero fact-table shuffles, at 100 TB the only shape that
+    works."""
+    from etl_tools_rs_spark.operators.privacy import propagate_deletes
+
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    seed = t["customer"].filter(F.col("c_acctbal") < -900).select("c_custkey")
+    cascade = propagate_deletes(
+        tables=t,
+        keys={
+            "customer": "c_custkey",
+            "orders": "o_orderkey",
+            "lineitem": "l_orderkey",
+        },
+        seed_table="customer",
+        seed_keys=seed,
+        edges=[
+            ("orders", "o_custkey", "customer"),
+            ("lineitem", "l_orderkey", "orders"),
+        ],
+    )
+    return cascade.report.withColumnRenamed("table", "tbl").orderBy("tbl")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
