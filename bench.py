@@ -59,6 +59,7 @@ BENCH_ROWS_ONLY = [
     "multimodal_video_pipeline",
     "video_near_dup_pipeline",
     "audio_near_dup_pipeline",
+    "unigram_tokenize_documents",
 ]
 
 

@@ -7629,6 +7629,51 @@ def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade.report.withColumnRenamed("table", "tbl").orderBy("tbl")
 
 
+_UNIGRAM_CFG = dict(
+    vocab_size=150, n_iters=2, max_piece_len=4, seed_size=400
+)
+
+
+@qdef("unigram_vocab_documents", None)  # EM over floats — not SQL-expressible
+def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM vocabulary (operators/unigram.py::
+    unigram_train, Kudo 2018): substring seed over the word histogram,
+    Viterbi-EM rounds in an Arrow-batched UDF (vocabulary rides the
+    closure), usage-count pruning to the target size. One corpus-sized
+    aggregate; every round after runs on the Heaps-bounded histogram.
+    Deterministic on any partitioning (longest-piece Viterbi tie-break,
+    (usage desc, piece) ordering) — property-pinned against a pure-
+    Python reference in tests/test_unigram.py."""
+    from etl_tools_rs_spark.operators.unigram import unigram_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab = unigram_train(t["documents"], "text", **_UNIGRAM_CFG)
+    return spark.createDataFrame(
+        vocab, "piece string, logprob double, usage bigint"
+    )
+
+
+@qdef("unigram_tokenize_documents", None)
+def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram LM then Viterbi-segment every document
+    (operators/unigram.py::unigram_tokenize): one Arrow-batched UDF with
+    per-batch word memoization — constant Catalyst expression depth at
+    any vocabulary size, the production-scale property the BPE
+    column-fold form lacks (its tree grows with the merge table)."""
+    from etl_tools_rs_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab = unigram_train(t["documents"], "text", **_UNIGRAM_CFG)
+    return (
+        unigram_tokenize(t["documents"], vocab, "text")
+        .select("doc_id", "pieces", F.size("pieces").alias("n_pieces"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------
