@@ -232,3 +232,59 @@ def pack_first_fit(
         .applyInPandas(pack, schema=out_schema)
         .drop("__shard")
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    len_col: str,
+    n_buckets: int = 8,
+    scale: int = 6,
+) -> DataFrame:
+    """Length-bucketed batching audit for padded inference/training:
+    split the corpus into ``n_buckets`` equal-count rank buckets of
+    ``len_col`` (at length-group granularity — equal lengths always
+    share a bucket, which is exactly right since they pad identically)
+    and report each bucket's padding economics when batched together:
+    ``padded_tokens = len_max · n_docs`` vs real tokens, and the waste
+    share. The decision table for "how many length buckets until
+    padding waste is acceptable".
+
+    Scalable shape: one length-histogram aggregate (output ≈ distinct
+    lengths), ranks via the two-phase distributed prefix sum — never a
+    global-order window — then a bucket-keyed aggregate. All integer
+    arithmetic until the one waste-share division (floor-scaled).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets!r}")
+    p10 = float(10**scale)
+    hist = df.groupBy(F.col(len_col).alias("_len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    cum = scalable_cumsum(hist, "_len", "_c", out_col="_endr")
+    total = hist.agg(F.sum("_c").cast("bigint").alias("_tot"))
+    bucket = F.floor(
+        (F.col("_endr") - 1) * F.lit(n_buckets) / F.col("_tot")
+    ).cast("bigint")
+    per = (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_docs"),
+            F.min("_len").cast("bigint").alias("len_min"),
+            F.max("_len").cast("bigint").alias("len_max"),
+            F.sum(F.col("_len") * F.col("_c")).cast("bigint").alias("tokens"),
+        )
+    )
+    padded = F.col("len_max") * F.col("n_docs")
+    return per.select(
+        "bucket",
+        "n_docs",
+        "len_min",
+        "len_max",
+        "tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        F.when(padded > 0,
+            F.floor(F.lit(p10) * (padded - F.col("tokens")) / padded)
+            / F.lit(p10)
+        ).otherwise(F.lit(0.0)).cast("double").alias("waste_share"),
+    )

@@ -126,3 +126,61 @@ def key_skew_profile(
     return top.crossJoin(F.broadcast(totals)).select(
         *key_cols, "n", share.alias("share"), ratio.alias("skew_ratio")
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    left_keys: list[str],
+    right: DataFrame,
+    right_keys: list[str],
+    top_n: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """EXACT inner-equi-join output size — computed WITHOUT running the
+    join: per-key counts on each side (two map-side-combined aggregates,
+    each output ≈ distinct keys, never a fact-row shuffle), an equi-join
+    of the two count tables, then ``Σ n_left·n_right``. The pre-flight
+    for any big join: a 10^13-row answer means reconsider (pre-filter,
+    semi-join, or aggregate first), and the top contributing keys are
+    exactly the ones to salt (feed ``salted_join``) or let AQE split.
+
+    One row out: ``(est_rows, matched_keys, max_key_rows,
+    top{top_n}_share)`` — share of the output owed to the ``top_n``
+    heaviest keys (floor-scaled; 1.0 ≈ the join IS its hot keys).
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n!r}")
+    p10 = float(10**scale)
+    lc = left.groupBy(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(left_keys)]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_nl"))
+    rc = right.groupBy(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(right_keys)]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_nr"))
+    per_key = lc.join(rc, [f"_k{i}" for i in range(len(left_keys))]).select(
+        (F.col("_nl") * F.col("_nr")).alias("_rows")
+    )
+    # top-k contribution via TakeOrdered (per-partition top-k, no global
+    # sort) folded back as a 1-row broadcast
+    topk = per_key.orderBy(F.col("_rows").desc()).limit(top_n).agg(
+        F.sum("_rows").cast("bigint").alias("_top_rows")
+    )
+    return (
+        per_key.agg(
+            F.sum("_rows").cast("bigint").alias("est_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+            F.max("_rows").cast("bigint").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(topk))
+        .select(
+            "est_rows",
+            "matched_keys",
+            "max_key_rows",
+            (
+                F.floor(F.lit(p10) * F.col("_top_rows") / F.col("est_rows"))
+                / F.lit(p10)
+            )
+            .cast("double")
+            .alias(f"top{top_n}_share"),
+        )
+    )

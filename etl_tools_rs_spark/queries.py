@@ -7674,6 +7674,90 @@ def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "join_size_events_self",
+    """
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), per AS (
+      SELECT a.n * b.n AS rows_ FROM k a JOIN k b ON a.user_id = b.user_id
+    ), topk AS (
+      SELECT CAST(sum(rows_) AS BIGINT) AS top_rows
+      FROM (SELECT rows_ FROM per ORDER BY rows_ DESC LIMIT 10)
+    )
+    SELECT CAST(sum(rows_) AS BIGINT) AS est_rows,
+           CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(max(rows_) AS BIGINT) AS max_key_rows,
+           CAST(FLOOR(1000000.0 * (SELECT top_rows FROM topk) / sum(rows_))
+                / 1000000.0 AS DOUBLE) AS top10_share
+    FROM per
+    """,
+)
+def join_size_events_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size pre-flight (operators/skew.py::
+    join_size_estimate): the output cardinality of the events×events
+    self-join on user_id, computed WITHOUT running the join — per-key
+    counts on each side (distinct-key-sized shuffles, never a fact-row
+    shuffle), Σ n_l·n_r, plus the top-10 keys' share of the output (the
+    keys you'd salt or let AQE split). The 'will this join explode'
+    check that costs two aggregates instead of a 10^13-row shuffle."""
+    from etl_tools_rs_spark.operators.skew import join_size_estimate
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return join_size_estimate(
+        t["events"], ["user_id"], t["events"], ["user_id"], top_n=10
+    )
+
+
+@qdef(
+    "length_buckets_documents",
+    f"""
+    WITH d AS (
+      SELECT CAST(len({TOKS_SQL}) AS BIGINT) AS l FROM documents
+    ), h AS (
+      SELECT l, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1
+    ), cum AS (
+      SELECT l, c,
+             CAST(sum(c) OVER (ORDER BY l) AS BIGINT) AS endr,
+             CAST((SELECT sum(c) FROM h) AS BIGINT) AS tot
+      FROM h
+    ), b AS (
+      SELECT CAST(FLOOR((endr - 1) * 4.0 / tot) AS BIGINT) AS bucket, l, c
+      FROM cum
+    ), agg AS (
+      SELECT bucket,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(min(l) AS BIGINT) AS len_min,
+             CAST(max(l) AS BIGINT) AS len_max,
+             CAST(sum(l * c) AS BIGINT) AS tokens
+      FROM b GROUP BY 1
+    )
+    SELECT *,
+           CAST(len_max * n_docs AS BIGINT) AS padded_tokens,
+           CAST(CASE WHEN len_max * n_docs > 0 THEN
+             FLOOR(1000000.0 * (len_max * n_docs - tokens)
+                   / (len_max * n_docs)) / 1000000.0
+           ELSE 0.0 END AS DOUBLE) AS waste_share
+    FROM agg ORDER BY bucket
+    """,
+)
+def length_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed padding audit (operators/packing.py::
+    length_bucket_stats): 4 equal-count rank buckets of whitespace token
+    length over documents, each with its padded-batch economics
+    (len_max·n_docs vs real tokens, waste share) — the decision table
+    for inference/training batch bucketing. Ranks ride the two-phase
+    distributed prefix sum over the length HISTOGRAM (output ≈ distinct
+    lengths), never a global-order window; the oracle uses DuckDB's
+    plain global window, where single-node is fine."""
+    from etl_tools_rs_spark.operators.packing import length_bucket_stats
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(token_count(F.col("text")).alias("_n"))
+    return length_bucket_stats(d, "_n", n_buckets=4).orderBy("bucket")
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

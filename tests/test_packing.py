@@ -104,3 +104,43 @@ class TestPackFirstFit:
         a = {(r["doc_id"], r["bin_id"]) for r in pack_first_fit(docs, "doc_id", "n_tok", 128, num_shards=8).collect()}
         b = {(r["doc_id"], r["bin_id"]) for r in pack_first_fit(docs, "doc_id", "n_tok", 128, num_shards=8).collect()}
         assert a == b
+
+
+class TestLengthBucketStats:
+    def test_padding_math(self, spark):
+        from etl_tools_rs_spark.operators.packing import length_bucket_stats
+
+        # lengths: 1,1,2,3,10 → 2 buckets at group granularity:
+        # endr: len1→2, len2→3, len3→4, len10→5 (tot 5)
+        # bucket = floor((endr-1)*2/5): len1→0, len2→0, len3→1, len10→1
+        df = spark.createDataFrame([(1,), (1,), (2,), (3,), (10,)], "n int")
+        rows = {
+            r["bucket"]: r
+            for r in length_bucket_stats(df, "n", n_buckets=2).collect()
+        }
+        b0, b1 = rows[0], rows[1]
+        assert (b0["n_docs"], b0["len_min"], b0["len_max"]) == (3, 1, 2)
+        assert b0["tokens"] == 4 and b0["padded_tokens"] == 6
+        assert b0["waste_share"] == int(1e6 * 2 / 6) / 1e6
+        assert (b1["n_docs"], b1["len_max"], b1["tokens"]) == (2, 10, 13)
+        assert b1["padded_tokens"] == 20
+
+    def test_equal_lengths_share_bucket(self, spark):
+        from etl_tools_rs_spark.operators.packing import length_bucket_stats
+
+        df = spark.createDataFrame([(5,)] * 100, "n int")
+        rows = length_bucket_stats(df, "n", n_buckets=8).collect()
+        assert len(rows) == 1 and rows[0]["n_docs"] == 100
+        assert rows[0]["waste_share"] == 0.0
+
+    def test_more_buckets_less_waste(self, spark):
+        from etl_tools_rs_spark.operators.packing import length_bucket_stats
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select((F.col("id") % 97 + 1).alias("n"))
+
+        def waste(k):
+            rows = length_bucket_stats(df, "n", n_buckets=k).collect()
+            return sum(r["padded_tokens"] - r["tokens"] for r in rows)
+
+        assert waste(8) < waste(2) < waste(1)
