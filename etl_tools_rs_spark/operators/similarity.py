@@ -1000,3 +1000,191 @@ def mmr_rerank(
     schema = f"{by_schema}rank int, {id_col} {id_type}, mmr_score double"
     out = src.groupBy(*internal_by).applyInPandas(_rerank, schema=schema)
     return out if by else out.drop("_g")
+
+
+# --------------------------------------------------------------------------
+# PCA over embedding columns (r4)
+# --------------------------------------------------------------------------
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str,
+    dims: list[int],
+    input_scale: int = 6,
+    scale: int = 9,
+) -> DataFrame:
+    """Exact population covariance over a SELECTED block of embedding
+    dimensions — the value-checkable audit companion to :func:`pca_fit`
+    (which uses float partial Gram matmuls for the full matrix). Each
+    component is floor-quantized to ``input_scale`` decimals and summed
+    as an exact DECIMAL(38,0) scaled integer (partition/AQE-proof, the
+    ``corr_matrix`` policy); the final ``floor(cov * 10^scale)`` is also
+    EXACT — integer floor-division of ``n*Σxy − Σx*Σy`` by
+    ``n² * 10^(2*input_scale − scale)`` (a positive offset makes the
+    dividend non-negative so truncating ``div`` == floor), so the
+    emitted double is bit-identical across engines, partitionings and
+    evaluation orders — no double-rounding cliff at quantization
+    boundaries. ONE wide map-side-combined aggregate —
+    ``|dims| + C(|dims|+1, 2)`` sum slots, so keep the block ≤ ~16 dims
+    (the full-matrix path is ``pca_fit``). Output: one row per ordered
+    pair ``(i, j, n, cov)`` with ``i <= j``, both taken from ``dims``.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if len(dims) > 16:
+        raise ValueError("covariance block capped at 16 dims — use pca_fit")
+    p_in = 10**input_scale
+    p10 = float(10**scale)
+
+    def q(d: int) -> Column:
+        # 1-based element_at; scaled-integer quantization
+        return F.floor(
+            F.lit(float(p_in)) * F.element_at(F.col(vec_col), d + 1)
+        ).cast("decimal(38,0)")
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for d in dims:
+        aggs.append(F.sum(q(d)).alias(f"_s{d}"))
+    pairs = [(a, b) for idx, a in enumerate(dims) for b in dims[idx:]]
+    for a, b in pairs:
+        aggs.append(F.sum(q(a) * q(b)).alias(f"_p{a}_{b}"))
+    wide = df.agg(*aggs)
+    # cov * 10^scale = (n*Σxy − Σx*Σy) / (n² * 10^(2*input_scale − scale))
+    # — exact integers throughout. `div` truncates toward zero, so shift
+    # the dividend positive by K·den (K bounds |cov|·10^scale) to get
+    # true floor; K=1e15 allows |cov| up to 1e6 at scale 9.
+    shift = 2 * input_scale - scale
+    if shift < 0:
+        raise ValueError("embedding_covariance needs scale <= 2*input_scale")
+    K = 10**15
+    outs = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(_n AS DECIMAL(38,0)) * _p{a}_{b} - _s{a} * _s{b})"
+        )
+        den = (
+            f"(CAST(_n AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0))"
+            f" * {10**shift})"
+        )
+        covq = F.expr(
+            f"CAST(({num} + {K} * {den}) div {den} AS BIGINT) - {K}"
+        )
+        outs.append(
+            F.struct(
+                F.lit(a).cast("int").alias("i"),
+                F.lit(b).cast("int").alias("j"),
+                F.col("_n").alias("n"),
+                (covq / F.lit(p10)).cast("double").alias("cov"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*outs)).alias("_o"))
+        .select("_o.i", "_o.j", "_o.n", "_o.cov")
+        .orderBy("i", "j")
+    )
+
+
+class PcaModel:
+    """Driver-side PCA fit result: ``mean`` (d), ``components`` (k×d,
+    rows orthonormal, deterministic sign: each row's max-|x| entry is
+    positive), ``explained_ratio`` (k)."""
+
+    def __init__(self, mean, components, explained_ratio):
+        self.mean = mean
+        self.components = components
+        self.explained_ratio = explained_ratio
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> PcaModel:
+    """Principal components of an embedding column at any corpus size:
+    each Arrow batch contributes ``(count, Σx, XᵀX)`` via ONE numpy
+    matmul (mapInPandas — full vectors never shuffle, the partial rows
+    are (d + d²)-sized metadata), partials sum in a tiny aggregate, and
+    the d×d eigendecomposition runs on the driver (d is hundreds at
+    most; the corpus never is). The classic two-phase moment pattern —
+    same shape as the k-means/centroid collects.
+
+    Float partial sums are not bit-stable across repartitioning (unlike
+    :func:`embedding_covariance`'s exact decimal block, which is the
+    auditable twin); eigenvector signs are normalized (max-|x| entry
+    positive) so downstream projections are reproducible given the same
+    partials."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+
+    def _partials(it):
+        for pdf in it:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [int(X.shape[0])],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, schema="n long, s array<double>, g array<double>"
+    )
+    # gram/sum/count are separate tiny aggregates over the same partials
+    # frame — checkpoint it so the corpus matmul pass runs exactly once
+    parts = parts.localCheckpoint(eager=True)
+    sums = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i").agg(F.sum("v").alias("s")).orderBy("i").collect()
+    )
+    gram = (
+        parts.select(F.posexplode("g").alias("i", "v"))
+        .groupBy("i").agg(F.sum("v").alias("g")).orderBy("i").collect()
+    )
+    n = parts.agg(F.sum("n")).first()[0]
+    if not n:
+        raise ValueError("pca_fit on an empty frame")
+    s = np.asarray([r["s"] for r in sums])
+    d = s.shape[0]
+    G = np.asarray([r["g"] for r in gram]).reshape(d, d)
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # deterministic sign: max-|x| entry of each component positive
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    total = float(evals.sum()) or 1.0
+    ratios = [float(evals[i]) / total for i in order]
+    return PcaModel(mean.tolist(), comps.tolist(), ratios)
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    model: PcaModel,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project onto the fitted components with pure JVM expressions:
+    center once (``zip_with`` against the mean literal), then one
+    ``aggregate``-fold dot product per component — k codegen
+    expressions, no Python in the projection path, model ships as
+    literals exactly like the JL sign matrix."""
+    mean_lit = F.array(*[F.lit(float(m)) for m in model.mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
+    )
+    outs = []
+    for comp in model.components:
+        comp_lit = F.array(*[F.lit(float(c)) for c in comp])
+        dot = F.aggregate(
+            F.zip_with(centered, comp_lit, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append(dot)
+    return df.withColumn(out_col, F.array(*outs))

@@ -7758,6 +7758,86 @@ def length_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_stats(d, "_n", n_buckets=4).orderBy("bucket")
 
 
+def _emb_cov_oracle_sql(dims: tuple[int, ...] = tuple(range(8))) -> str:
+    """DuckDB mirror of similarity.embedding_covariance: identical
+    scaled-integer quantization (floor to 6dp, exact integer sums) and
+    the identical EXACT integer floor-division for the final
+    ``floor(cov * 1e9)`` — HUGEINT ``//`` with the same positive offset
+    the Spark side uses, so both engines emit the same integer and the
+    final double is bit-identical (no double-rounding cliff)."""
+    # CAST both operands to DOUBLE: DuckDB's bare `1000000.0 * FLOAT`
+    # multiplies in FLOAT (decimal literal narrows!), Spark in DOUBLE —
+    # a 1-ULP floor cliff without the casts.
+    q = lambda d: (
+        f"CAST(FLOOR(CAST(1000000.0 AS DOUBLE)"
+        f" * CAST(embedding[{d + 1}] AS DOUBLE)) AS HUGEINT)"
+    )
+    pairs = [(a, b) for i, a in enumerate(dims) for b in dims[i:]]
+    aggs = (
+        ["CAST(count(*) AS BIGINT) AS n"]
+        + [f"sum({q(d)}) AS s{d}" for d in dims]
+        + [f"sum({q(a)} * {q(b)}) AS p{a}_{b}" for a, b in pairs]
+    )
+    K = 10**15
+    arms = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(n AS HUGEINT) * CAST(p{a}_{b} AS HUGEINT)"
+            f" - CAST(s{a} AS HUGEINT) * CAST(s{b} AS HUGEINT))"
+        )
+        den = f"(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * 1000)"
+        arms.append(
+            f"""SELECT {a} AS i, {b} AS j, n,
+        CAST(CAST(({num} + {K} * {den}) // {den} AS BIGINT) - {K}
+             AS DOUBLE) / 1000000000.0 AS cov
+        FROM w"""
+        )
+    return (
+        "WITH w AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM embeddings)\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY i, j"
+    )
+
+
+@qdef("embedding_covariance_block", _emb_cov_oracle_sql())
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance of the first 8 embedding dimensions (operators/
+    similarity.py::embedding_covariance): floor-quantized scaled-integer
+    moments summed as DECIMAL(38,0) — partition/AQE-proof, the
+    corr_matrix numeric policy — in ONE wide map-side-combined
+    aggregate. The value-checkable audit twin of pca_fit's float
+    partial-Gram path: the block proves the moment arithmetic the
+    full-matrix fit relies on."""
+    from etl_tools_rs_spark.operators.similarity import embedding_covariance
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return embedding_covariance(t["embeddings"], "embedding", list(range(8)))
+
+
+@qdef("pca_project_embeddings", None)  # float eigendecomposition — rows-only
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction (operators/similarity.py::pca_fit/
+    pca_project): per-Arrow-batch (count, Σx, XᵀX) partials via ONE
+    numpy matmul each — full vectors never shuffle — tiny elementwise
+    reduce, d×d driver eigendecomposition (deterministic max-|x|
+    positive signs), then k pure-JVM aggregate-fold dot products for
+    the projection (model ships as literals, like the JL sign
+    matrix). The embedding pre-step before ANN/semdedup when 64 dims
+    still cost too much."""
+    from etl_tools_rs_spark.operators.similarity import pca_fit, pca_project
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    model = pca_fit(emb, "embedding", k=4)
+    return (
+        pca_project(emb, "embedding", model)
+        .select("vec_id", "label", "pca")
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -96,3 +96,20 @@ def test_multimodal_dedup_pipeline_end_to_end(spark, tmp_path, capsys):
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["dropped"] is None
     assert set(again["steps"].values()) == {"Complete"}
+
+
+def test_governance_pipeline_end_to_end(spark, tmp_path, capsys):
+    mod = _load("examples/governance_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["steps"].values()) == {"Complete"}
+    rep = out["purge_report"]
+    assert set(rep) == {"customer", "orders", "lineitem"}
+    # the cascade purged someone, and kept+purged is conserved per table
+    assert rep["customer"]["purged"] >= 1
+    assert rep["orders"]["purged"] >= 1
+
+    # resumability: second run skips all steps
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(again["steps"].values()) == {"Complete"}

@@ -1,0 +1,134 @@
+"""PCA over embedding columns (operators/similarity.py::pca_fit/
+pca_project/embedding_covariance)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tools_rs_spark.operators.similarity import (
+    PcaModel,
+    embedding_covariance,
+    pca_fit,
+    pca_project,
+)
+
+
+def _aniso(n=400, seed=7):
+    """Synthetic data with a known dominant axis (3, 1)/√10 in dims
+    (0, 1), noise elsewhere."""
+    rng = np.random.RandomState(seed)
+    t = rng.randn(n) * 5.0
+    X = np.zeros((n, 4))
+    X[:, 0] = 3.0 * t + rng.randn(n) * 0.1
+    X[:, 1] = 1.0 * t + rng.randn(n) * 0.1
+    X[:, 2] = rng.randn(n) * 0.5
+    X[:, 3] = rng.randn(n) * 0.2 + 2.0
+    return X
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, embedding array<float>",
+    )
+
+
+class TestPcaFit:
+    def test_recovers_dominant_axis_and_ordering(self, spark):
+        X = _aniso()
+        model = pca_fit(_df(spark, X), "embedding", k=3)
+        c0 = np.asarray(model.components[0])
+        want = np.array([3.0, 1.0, 0.0, 0.0]) / math.sqrt(10.0)
+        assert abs(abs(np.dot(c0, want)) - 1.0) < 1e-3
+        assert model.explained_ratio[0] > 0.99 * sum(model.explained_ratio)
+        assert (
+            model.explained_ratio[0]
+            >= model.explained_ratio[1]
+            >= model.explained_ratio[2]
+        )
+
+    def test_matches_numpy_pca(self, spark):
+        X = _aniso(n=200, seed=11)
+        # float32 round-trip: numpy reference sees exactly what Spark sees
+        X = X.astype(np.float32).astype(np.float64)
+        model = pca_fit(_df(spark, X), "embedding", k=4)
+        cov = np.cov(X, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1]
+        for ki in range(4):
+            ref = evecs[:, order[ki]]
+            got = np.asarray(model.components[ki])
+            assert abs(abs(np.dot(ref, got)) - 1.0) < 1e-6, ki
+        assert np.allclose(model.mean, X.mean(axis=0), atol=1e-9)
+
+    def test_sign_determinism(self, spark):
+        X = _aniso(n=150, seed=3)
+        model = pca_fit(_df(spark, X), "embedding", k=4)
+        for comp in model.components:
+            j = int(np.argmax(np.abs(comp)))
+            assert comp[j] > 0
+
+    def test_validation(self, spark):
+        df = _df(spark, _aniso(n=10))
+        with pytest.raises(ValueError):
+            pca_fit(df, "embedding", k=0)
+        with pytest.raises(ValueError):
+            pca_fit(df.limit(0), "embedding", k=2)
+
+
+class TestPcaProject:
+    def test_jvm_projection_equals_numpy(self, spark):
+        X = _aniso(n=100, seed=5).astype(np.float32).astype(np.float64)
+        df = _df(spark, X)
+        model = pca_fit(df, "embedding", k=2)
+        got = {
+            r["id"]: r["pca"]
+            for r in pca_project(df, "embedding", model).collect()
+        }
+        C = np.asarray(model.components)
+        want = (X - np.asarray(model.mean)) @ C.T
+        for i in range(len(X)):
+            assert np.allclose(got[i], want[i], atol=1e-9), i
+
+    def test_projection_is_pure_jvm(self, spark):
+        """No Python stage in the projection plan (BatchEvalPython /
+        ArrowEvalPython absent)."""
+        df = _df(spark, _aniso(n=20))
+        model = PcaModel(
+            mean=[0.0] * 4,
+            components=[[1.0, 0.0, 0.0, 0.0]],
+            explained_ratio=[1.0],
+        )
+        plan = (
+            pca_project(df, "embedding", model)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_on_quantized_values(self, spark):
+        X = _aniso(n=120, seed=9).astype(np.float32).astype(np.float64)
+        df = _df(spark, X)
+        rows = embedding_covariance(df, "embedding", [0, 1, 2, 3]).collect()
+        Q = np.floor(1e6 * X)  # the operator's quantization
+        n = len(X)
+        for r in rows:
+            a, b = r["i"], r["j"]
+            sxy = float((Q[:, a] * Q[:, b]).sum())
+            sx, sy = float(Q[:, a].sum()), float(Q[:, b].sum())
+            want = (sxy / n - (sx / n) * (sy / n)) / 1e12
+            want = math.floor(1e9 * want) / 1e9
+            assert r["cov"] == pytest.approx(want, abs=2e-9), (a, b)
+            assert r["n"] == n
+
+    def test_validation(self, spark):
+        df = _df(spark, _aniso(n=10))
+        with pytest.raises(ValueError):
+            embedding_covariance(df, "embedding", [])
+        with pytest.raises(ValueError):
+            embedding_covariance(df, "embedding", list(range(17)))
