@@ -60,6 +60,7 @@ BENCH_ROWS_ONLY = [
     "video_near_dup_pipeline",
     "audio_near_dup_pipeline",
     "unigram_tokenize_documents",
+    "pca_project_embeddings",
 ]
 
 
