@@ -145,6 +145,11 @@ class EngineFrame:
 
         return EngineFrame(cat_association(self.df, *a, **kw))
 
+    def rater_agreement(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.profile import rater_agreement
+
+        return EngineFrame(rater_agreement(self.df, *a, **kw))
+
     def scd2_history(self, *a, **kw) -> "EngineFrame":
         from etl_tools_rs_spark.operators.merge import scd2_history
 

@@ -492,6 +492,81 @@ def cat_association(
     )
 
 
+def rater_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns over the same rows —
+    agreement beyond chance between two raters/classifiers (a heuristic
+    labeler vs. a reference label, two annotation passes, model vs.
+    model). The companion of :func:`cat_association`: that one asks "are
+    these related", this one asks "do they *agree*" — association is
+    high for a classifier that's systematically wrong in a consistent
+    way; kappa is not. NULLs in either column are excluded.
+
+    ``kappa = (po − pe) / (1 − pe)`` with observed agreement
+    ``po = agree/n`` and chance agreement ``pe = Σ_k na_k·nb_k / n²``.
+    All three are ratios of exact integers, so the floor-quantization to
+    ``scale`` decimals is EXACT integer floor-division (the
+    positive-offset ``div`` pattern from ``embedding_covariance``) —
+    bit-identical across engines, partitionings and evaluation orders.
+
+    One corpus scan: a single ``groupBy(a, b)`` contingency aggregate;
+    marginals, totals and the chance-agreement cross term are
+    category-sized second-level aggregates over the (checkpointed) cell
+    table. Output (1 row): ``(n, agree, po, pe, kappa)``; kappa is NULL
+    when ``pe = 1`` (both raters constant — agreement beyond chance is
+    undefined) or ``n = 0``.
+    """
+    P = 10**scale
+    K = 10**12  # |kappa| <= 1, so any K >= 10**scale makes dividends positive
+    dec = "decimal(38,0)"
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    if checkpoint:
+        cells = cells.localCheckpoint(eager=False)
+    marg_a = cells.groupBy("_a").agg(F.sum("_o").cast(dec).alias("_na"))
+    marg_b = cells.groupBy("_b").agg(F.sum("_o").cast(dec).alias("_nb"))
+    # Σ_k na_k·nb_k: categories absent from either rater contribute a
+    # zero product, so the inner equi-join IS the full sum
+    cross = (
+        marg_a.join(F.broadcast(marg_b), marg_a["_a"] == marg_b["_b"])
+        .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0)).cast(dec).alias("_s"))
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("_o"), F.lit(0)).cast(dec).alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_o")).otherwise(F.lit(0)))
+            , F.lit(0)
+        ).cast(dec).alias("_agree"),
+    )
+    one = tot.crossJoin(F.broadcast(cross))
+    po = F.expr(f"CAST((_agree * {P}) div _n AS BIGINT)") / F.lit(float(P))
+    pe = F.expr(f"CAST((_s * {P}) div (_n * _n) AS BIGINT)") / F.lit(float(P))
+    kappa = (
+        F.expr(
+            f"CAST(((_agree * _n - _s) * {P} + {K} * (_n * _n - _s))"
+            f" div (_n * _n - _s) AS BIGINT) - {K}"
+        )
+        / F.lit(float(P))
+    )
+    n_pos = F.col("_n") > 0
+    den_pos = (F.col("_n") * F.col("_n") - F.col("_s")) > 0
+    return one.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_agree").cast("bigint").alias("agree"),
+        F.when(n_pos, po).cast("double").alias("po"),
+        F.when(n_pos, pe).cast("double").alias("pe"),
+        F.when(n_pos & den_pos, kappa).cast("double").alias("kappa"),
+    )
+
+
 def linreg(
     df: DataFrame,
     x_col: str,

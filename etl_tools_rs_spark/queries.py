@@ -4381,6 +4381,72 @@ def cat_assoc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat_association(t["orders"], "o_orderstatus", "o_orderpriority")
 
 
+def _lang_kappa_oracle_sql() -> str:
+    """DuckDB mirror of profile.rater_agreement over (stored lang,
+    heuristic lang_id): the text_analyze CASE reproduces the classifier,
+    then po/pe/kappa use the identical exact HUGEINT floor-divisions
+    (positive-offset ``//`` for the sign-carrying kappa)."""
+    g = "GREATEST(h_de, h_en, h_es, h_fr, h_zh)"
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL[lg]}))) AS h_{lg}"
+        for lg in ("de", "en", "es", "fr", "zh")
+    )
+    P, K = 10**9, 10**12
+    return f"""
+    WITH t AS (
+      SELECT lang, {TOKS_SQL} AS toks FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL
+    ), h AS (
+      SELECT lang,
+         {hits}
+      FROM t
+    ), p AS (
+      SELECT lang AS a,
+             CASE WHEN {g} = 0 THEN 'und'
+                  WHEN h_de = {g} THEN 'de'
+                  WHEN h_en = {g} THEN 'en'
+                  WHEN h_es = {g} THEN 'es'
+                  WHEN h_fr = {g} THEN 'fr'
+                  ELSE 'zh' END AS b
+      FROM h
+    ), cells AS (
+      SELECT a, b, count(*) AS c FROM p GROUP BY a, b
+    ), ma AS (SELECT a, CAST(sum(c) AS HUGEINT) AS na FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(sum(c) AS HUGEINT) AS nb FROM cells GROUP BY b),
+    cx AS (SELECT CAST(coalesce(sum(na * nb), 0) AS HUGEINT) AS s
+           FROM ma JOIN mb ON ma.a = mb.b),
+    tot AS (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT) AS n,
+                   CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0)
+                        AS HUGEINT) AS agree
+            FROM cells)
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+      CAST(CAST((agree * {P}) // n AS BIGINT) AS DOUBLE) / {P}.0 AS po,
+      CAST(CAST((s * {P}) // (n * n) AS BIGINT) AS DOUBLE) / {P}.0 AS pe,
+      CASE WHEN n * n - s > 0 THEN
+        CAST(CAST(((agree * n - s) * {P} + {K} * (n * n - s))
+             // (n * n - s) AS BIGINT) - {K} AS DOUBLE) / {P}.0
+      END AS kappa
+    FROM tot CROSS JOIN cx
+    """
+
+
+@qdef("lang_kappa_documents", _lang_kappa_oracle_sql())
+def lang_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (operators/profile.py::rater_agreement):
+    Cohen's kappa between the heuristic lang_id classifier and the
+    stored language label — the labeler-quality gate (association can
+    be high for a systematically-wrong classifier; kappa cannot). One
+    contingency aggregate; po/pe/kappa are exact integer floor-divisions
+    so the oracle matches bit-for-bit."""
+    from etl_tools_rs_spark.operators.profile import rater_agreement
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    pred = t["documents"].filter(F.col("text").isNotNull()).select(
+        "lang", text_ops.lang_id("text").alias("lang_pred")
+    )
+    return rater_agreement(pred, "lang", "lang_pred")
+
+
 @qdef(
     "quantize_embeddings_int8",
     """

@@ -628,3 +628,49 @@ class TestKsStatistic:
             .toString()
         )
         assert "SinglePartition" not in plan
+
+
+class TestRaterAgreement:
+    def _run(self, spark, rows):
+        from etl_tools_rs_spark.operators.profile import rater_agreement
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        return rater_agreement(df, "a", "b").collect()[0]
+
+    def test_hand_computed_kappa(self, spark):
+        # classic 2x2: a=(y,y,y,n,n,n,y,n,y,n), b agrees on 7 of 10
+        rows = [("y", "y")] * 4 + [("n", "n")] * 3 + [("y", "n")] * 1 + [("n", "y")] * 2
+        r = self._run(spark, rows)
+        n, agree = 10, 7
+        na = {"y": 5, "n": 5}
+        nb = {"y": 6, "n": 4}
+        s = na["y"] * nb["y"] + na["n"] * nb["n"]  # 50
+        po, pe = agree / n, s / n**2
+        want = (po - pe) / (1 - pe)
+        assert r["n"] == n and r["agree"] == agree
+        assert r["po"] == po and r["pe"] == pe
+        assert abs(r["kappa"] - want) < 1e-9
+
+    def test_perfect_agreement_is_one(self, spark):
+        rows = [("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")]
+        r = self._run(spark, rows)
+        assert r["po"] == 1.0 and r["kappa"] == 1.0
+
+    def test_constant_raters_null_kappa(self, spark):
+        # pe = 1: agreement beyond chance is undefined
+        r = self._run(spark, [("x", "x")] * 5)
+        assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+    def test_negative_kappa_systematic_disagreement(self, spark):
+        r = self._run(spark, [("a", "b"), ("b", "a")] * 3)
+        assert r["agree"] == 0 and r["kappa"] < 0
+
+    def test_nulls_excluded(self, spark):
+        rows = [("a", "a"), ("a", None), (None, "a"), ("b", "b")]
+        r = self._run(spark, rows)
+        assert r["n"] == 2 and r["agree"] == 2
+
+    def test_disjoint_label_spaces(self, spark):
+        # no category shared: pe = 0, kappa = po = 0
+        r = self._run(spark, [("a", "x"), ("b", "y")])
+        assert r["pe"] == 0.0 and r["kappa"] == 0.0
