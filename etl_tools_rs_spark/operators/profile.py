@@ -496,6 +496,7 @@ def rater_agreement(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    by: list[str] | None = None,
     scale: int = 9,
     checkpoint: bool = True,
 ) -> DataFrame:
@@ -514,39 +515,52 @@ def rater_agreement(
     positive-offset ``div`` pattern from ``embedding_covariance``) —
     bit-identical across engines, partitionings and evaluation orders.
 
-    One corpus scan: a single ``groupBy(a, b)`` contingency aggregate;
-    marginals, totals and the chance-agreement cross term are
+    One corpus scan: a single ``groupBy(by, a, b)`` contingency
+    aggregate; marginals, totals and the chance-agreement cross term are
     category-sized second-level aggregates over the (checkpointed) cell
-    table. Output (1 row): ``(n, agree, po, pe, kappa)``; kappa is NULL
-    when ``pe = 1`` (both raters constant — agreement beyond chance is
+    table. Output: ``(*by, n, agree, po, pe, kappa)`` — one row total,
+    or one per ``by`` group (the which-slice-fails diagnostic, same
+    pattern as ``ks_statistic_by_group``); kappa is NULL when ``pe = 1``
+    (both raters constant in the slice — agreement beyond chance is
     undefined) or ``n = 0``.
     """
+    by = list(by or [])
     P = 10**scale
     K = 10**12  # |kappa| <= 1, so any K >= 10**scale makes dividends positive
     dec = "decimal(38,0)"
     cells = (
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .groupBy(*by, F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
         .agg(F.count(F.lit(1)).alias("_o"))
     )
     if checkpoint:
         cells = cells.localCheckpoint(eager=False)
-    marg_a = cells.groupBy("_a").agg(F.sum("_o").cast(dec).alias("_na"))
-    marg_b = cells.groupBy("_b").agg(F.sum("_o").cast(dec).alias("_nb"))
+    marg_a = cells.groupBy(*by, "_a").agg(F.sum("_o").cast(dec).alias("_na"))
+    marg_b = cells.groupBy(*by, "_b").agg(F.sum("_o").cast(dec).alias("_nb"))
     # Σ_k na_k·nb_k: categories absent from either rater contribute a
     # zero product, so the inner equi-join IS the full sum
+    cond = marg_a["_a"] == marg_b["_b"]
+    for c in by:
+        cond = cond & (marg_a[c].eqNullSafe(marg_b[c]))
     cross = (
-        marg_a.join(F.broadcast(marg_b), marg_a["_a"] == marg_b["_b"])
+        marg_a.join(marg_b, cond)
+        .groupBy(*[marg_a[c] for c in by])
         .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0)).cast(dec).alias("_s"))
     )
-    tot = cells.agg(
+    tot = cells.groupBy(*by).agg(
         F.coalesce(F.sum("_o"), F.lit(0)).cast(dec).alias("_n"),
         F.coalesce(
             F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_o")).otherwise(F.lit(0)))
             , F.lit(0)
         ).cast(dec).alias("_agree"),
     )
-    one = tot.crossJoin(F.broadcast(cross))
+    if by:
+        # a slice where the raters share NO category has _s = 0 exactly
+        one = tot.join(cross, by, "left").withColumn(
+            "_s", F.coalesce(F.col("_s"), F.lit(0).cast(dec))
+        )
+    else:
+        one = tot.crossJoin(F.broadcast(cross))
     po = F.expr(f"CAST((_agree * {P}) div _n AS BIGINT)") / F.lit(float(P))
     pe = F.expr(f"CAST((_s * {P}) div (_n * _n) AS BIGINT)") / F.lit(float(P))
     kappa = (
@@ -559,6 +573,7 @@ def rater_agreement(
     n_pos = F.col("_n") > 0
     den_pos = (F.col("_n") * F.col("_n") - F.col("_s")) > 0
     return one.select(
+        *by,
         F.col("_n").cast("bigint").alias("n"),
         F.col("_agree").cast("bigint").alias("agree"),
         F.when(n_pos, po).cast("double").alias("po"),

@@ -4381,27 +4381,36 @@ def cat_assoc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat_association(t["orders"], "o_orderstatus", "o_orderpriority")
 
 
-def _lang_kappa_oracle_sql() -> str:
+def _lang_kappa_oracle_sql(by: str | None = None) -> str:
     """DuckDB mirror of profile.rater_agreement over (stored lang,
     heuristic lang_id): the text_analyze CASE reproduces the classifier,
     then po/pe/kappa use the identical exact HUGEINT floor-divisions
-    (positive-offset ``//`` for the sign-carrying kappa)."""
+    (positive-offset ``//`` for the sign-carrying kappa). ``by`` adds
+    the per-slice variant (one row per group, slices with no shared
+    category get s = 0 via the left join, exactly like the operator)."""
     g = "GREATEST(h_de, h_en, h_es, h_fr, h_zh)"
     hits = ",\n         ".join(
         f"len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL[lg]}))) AS h_{lg}"
         for lg in ("de", "en", "es", "fr", "zh")
     )
     P, K = 10**9, 10**12
+    bysel = f"{by}, " if by else ""
+    byg = f"GROUP BY {by}" if by else ""
+    byjoin = f"ma.{by} = mb.{by} AND " if by else ""
+    final_from = (
+        f"FROM tot LEFT JOIN cx USING ({by})" if by else "FROM tot CROSS JOIN cx"
+    )
+    s_expr = f"CAST(coalesce(s, 0) AS HUGEINT)" if by else "s"
     return f"""
     WITH t AS (
-      SELECT lang, {TOKS_SQL} AS toks FROM documents
+      SELECT {bysel}lang, {TOKS_SQL} AS toks FROM documents
       WHERE lang IS NOT NULL AND text IS NOT NULL
     ), h AS (
-      SELECT lang,
+      SELECT {bysel}lang,
          {hits}
       FROM t
     ), p AS (
-      SELECT lang AS a,
+      SELECT {bysel}lang AS a,
              CASE WHEN {g} = 0 THEN 'und'
                   WHEN h_de = {g} THEN 'de'
                   WHEN h_en = {g} THEN 'en'
@@ -4410,23 +4419,27 @@ def _lang_kappa_oracle_sql() -> str:
                   ELSE 'zh' END AS b
       FROM h
     ), cells AS (
-      SELECT a, b, count(*) AS c FROM p GROUP BY a, b
-    ), ma AS (SELECT a, CAST(sum(c) AS HUGEINT) AS na FROM cells GROUP BY a),
-    mb AS (SELECT b, CAST(sum(c) AS HUGEINT) AS nb FROM cells GROUP BY b),
-    cx AS (SELECT CAST(coalesce(sum(na * nb), 0) AS HUGEINT) AS s
-           FROM ma JOIN mb ON ma.a = mb.b),
-    tot AS (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT) AS n,
+      SELECT {bysel}a, b, count(*) AS c FROM p GROUP BY {bysel}a, b
+    ), ma AS (SELECT {bysel}a, CAST(sum(c) AS HUGEINT) AS na
+              FROM cells GROUP BY {bysel}a),
+    mb AS (SELECT {bysel}b, CAST(sum(c) AS HUGEINT) AS nb
+           FROM cells GROUP BY {bysel}b),
+    cx AS (SELECT {('ma.' + by + ' AS ' + by + ', ') if by else ''}
+                  CAST(coalesce(sum(na * nb), 0) AS HUGEINT) AS s
+           FROM ma JOIN mb ON {byjoin}ma.a = mb.b {('GROUP BY ma.' + by) if by else ''}),
+    tot AS (SELECT {bysel}CAST(coalesce(sum(c), 0) AS HUGEINT) AS n,
                    CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0)
                         AS HUGEINT) AS agree
-            FROM cells)
-    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+            FROM cells {byg})
+    SELECT {bysel}CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
       CAST(CAST((agree * {P}) // n AS BIGINT) AS DOUBLE) / {P}.0 AS po,
-      CAST(CAST((s * {P}) // (n * n) AS BIGINT) AS DOUBLE) / {P}.0 AS pe,
-      CASE WHEN n * n - s > 0 THEN
-        CAST(CAST(((agree * n - s) * {P} + {K} * (n * n - s))
-             // (n * n - s) AS BIGINT) - {K} AS DOUBLE) / {P}.0
+      CAST(CAST(({s_expr} * {P}) // (n * n) AS BIGINT) AS DOUBLE) / {P}.0 AS pe,
+      CASE WHEN n * n - {s_expr} > 0 THEN
+        CAST(CAST(((agree * n - {s_expr}) * {P} + {K} * (n * n - {s_expr}))
+             // (n * n - {s_expr}) AS BIGINT) - {K} AS DOUBLE) / {P}.0
       END AS kappa
-    FROM tot CROSS JOIN cx
+    {final_from}
+    {('ORDER BY ' + by) if by else ''}
     """
 
 
@@ -4445,6 +4458,25 @@ def lang_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", text_ops.lang_id("text").alias("lang_pred")
     )
     return rater_agreement(pred, "lang", "lang_pred")
+
+
+@qdef("lang_kappa_by_source", _lang_kappa_oracle_sql(by="source"))
+def lang_kappa_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice rater agreement (operators/profile.py::rater_agreement
+    with ``by``): Cohen's kappa of lang_id vs the stored label PER
+    SOURCE — the which-slice-does-the-labeler-fail diagnosis, same
+    pattern as ks_statistic_by_group for drift. Still one corpus
+    contingency aggregate; everything after is (source × category)-
+    sized; exact integer quantization, value-for-value oracle."""
+    from etl_tools_rs_spark.operators.profile import rater_agreement
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    pred = t["documents"].filter(F.col("text").isNotNull()).select(
+        "source", "lang", text_ops.lang_id("text").alias("lang_pred")
+    )
+    return rater_agreement(pred, "lang", "lang_pred", by=["source"]).orderBy(
+        "source"
+    )
 
 
 @qdef(

@@ -674,3 +674,33 @@ class TestRaterAgreement:
         # no category shared: pe = 0, kappa = po = 0
         r = self._run(spark, [("a", "x"), ("b", "y")])
         assert r["pe"] == 0.0 and r["kappa"] == 0.0
+
+    def test_by_group_matches_per_group_global(self, spark):
+        from etl_tools_rs_spark.operators.profile import rater_agreement
+
+        rows = (
+            [("g1", "y", "y")] * 4 + [("g1", "n", "y")] * 2
+            + [("g2", "a", "b"), ("g2", "b", "a"), ("g2", "c", "c")]
+        )
+        df = spark.createDataFrame(rows, "g string, a string, b string")
+        by = {
+            r["g"]: r
+            for r in rater_agreement(df, "a", "b", by=["g"]).collect()
+        }
+        for g in ("g1", "g2"):
+            solo = rater_agreement(
+                df.filter(F.col("g") == g), "a", "b"
+            ).collect()[0]
+            got = by[g]
+            assert (got["n"], got["agree"]) == (solo["n"], solo["agree"])
+            assert got["po"] == solo["po"] and got["pe"] == solo["pe"]
+            assert got["kappa"] == solo["kappa"]
+
+    def test_by_group_disjoint_slice_gets_zero_pe(self, spark):
+        from etl_tools_rs_spark.operators.profile import rater_agreement
+
+        rows = [("s1", "a", "a"), ("s2", "x", "y"), ("s2", "w", "z")]
+        df = spark.createDataFrame(rows, "g string, a string, b string")
+        out = {r["g"]: r for r in rater_agreement(df, "a", "b", by=["g"]).collect()}
+        assert out["s2"]["pe"] == 0.0 and out["s2"]["kappa"] == 0.0
+        assert out["s1"]["kappa"] is None  # constant slice: pe = 1
