@@ -937,6 +937,14 @@ def video_frame_sample(
                     w, h, usec, frames = avi_frames(
                         bytes(content) if content is not None else b""
                     )
+                    if usec <= 0:
+                        # unknown frame rate: every frame would get
+                        # ts_ms = 0 and only frame 0 would sample —
+                        # surface it instead of silently collapsing
+                        # near-dup overlap denominators
+                        raise ValueError(
+                            "AVI frame rate unknown (dwMicroSecPerFrame=0)"
+                        )
                     next_target = 0
                     for idx, fdata in enumerate(frames):
                         ts_ms = idx * usec // 1000

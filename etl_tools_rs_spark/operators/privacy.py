@@ -138,6 +138,14 @@ def propagate_deletes(
     its OWN primary key (``keys[table]``), which is what the next hop
     and the final anti join both need.
 
+    Edges are re-ordered TOPOLOGICALLY over the implied parent→child
+    DAG before processing, so every table's deletion set is complete
+    (all of its incoming edges applied) before any of its outgoing
+    edges runs — a diamond like ``A→B, A→C, B→D, C→D`` given in an
+    unlucky list order would otherwise consume ``D``'s set before a
+    later edge enlarged it and silently under-delete downstream (a
+    compliance hazard in an RTBF path). Cyclic FK graphs are rejected.
+
     Deletion lists are tiny vs the corpus, so with ``broadcast_keys``
     every hop is a broadcast semi/anti join against the fact table: no
     fact-table shuffle anywhere in the cascade. The report frame is a
@@ -148,19 +156,49 @@ def propagate_deletes(
     for t in tables:
         if t not in keys:
             raise ValueError(f"no primary key given for table {t!r}")
+    # Kahn's algorithm over tables (edge = parent→child): every edge
+    # INTO a node is emitted before any edge OUT of it, so deletion
+    # sets are complete when consumed (diamond-safe).
+    import heapq
+
+    nodes = {seed_table} | {c for c, _, p in edges} | {p for _, _, p in edges}
+    out_edges: dict[str, list[tuple[str, str, str]]] = {n: [] for n in nodes}
+    indeg = {n: 0 for n in nodes}
+    for e in edges:
+        out_edges[e[2]].append(e)
+        indeg[e[0]] += 1
+    ready = sorted(n for n in nodes if indeg[n] == 0)
+    heapq.heapify(ready)
+    topo_edges: list[tuple[str, str, str]] = []
+    popped = 0
+    while ready:
+        n = heapq.heappop(ready)
+        popped += 1
+        for e in out_edges[n]:
+            topo_edges.append(e)
+            indeg[e[0]] -= 1
+            if indeg[e[0]] == 0:
+                heapq.heappush(ready, e[0])
+    if popped != len(nodes):
+        cyclic = sorted(n for n, d in indeg.items() if d > 0)
+        raise ValueError(
+            f"cyclic FK graph (tables {cyclic}) — a delete cascade "
+            "needs a DAG of foreign keys"
+        )
     DELC = "__del_key"
     del_keys: dict[str, DataFrame] = {
         seed_table: seed_keys.select(
             F.col(seed_keys.columns[0]).alias(DELC)
         ).distinct()
     }
-    for child, child_fk, parent in edges:
+    for child, child_fk, parent in topo_edges:
         if child not in tables:
             raise ValueError(f"unknown child table {child!r}")
         if parent not in del_keys:
             raise ValueError(
-                f"edge {child!r} references {parent!r} before any "
-                "deletion set exists for it — order edges parent-first"
+                f"edge {child!r} references {parent!r}, which has no "
+                "deletion set — it is not the seed table and no FK "
+                "path connects it to the seed"
             )
         pk = del_keys[parent]
         pk = F.broadcast(pk) if broadcast_keys else pk

@@ -555,9 +555,18 @@ def rater_agreement(
         ).cast(dec).alias("_agree"),
     )
     if by:
-        # a slice where the raters share NO category has _s = 0 exactly
-        one = tot.join(cross, by, "left").withColumn(
-            "_s", F.coalesce(F.col("_s"), F.lit(0).cast(dec))
+        # a slice where the raters share NO category has _s = 0 exactly;
+        # join null-safely (like the marginal join above) so a NULL
+        # by-key slice still meets its own cross term instead of
+        # silently getting _s = 0 / pe = 0
+        cond2 = tot[by[0]].eqNullSafe(cross[by[0]])
+        for c in by[1:]:
+            cond2 = cond2 & tot[c].eqNullSafe(cross[c])
+        one = tot.join(cross, cond2, "left").select(
+            *[tot[c] for c in by],
+            tot["_n"],
+            tot["_agree"],
+            F.coalesce(cross["_s"], F.lit(0).cast(dec)).alias("_s"),
         )
     else:
         one = tot.crossJoin(F.broadcast(cross))
@@ -923,8 +932,12 @@ def ks_statistic(
     tot = per_v.agg(
         F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
     )
+    # exact-arithmetic convention: the cross product overflows BIGINT
+    # once n_a*n_b > 2^63 (~3e9 rows/side), so widen to decimal(38,0)
+    dec = "decimal(38,0)"
     gap = F.abs(
-        F.col("_ca") * F.col("_tb") - F.col("_cb") * F.col("_ta")
+        F.col("_ca").cast(dec) * F.col("_tb").cast(dec)
+        - F.col("_cb").cast(dec) * F.col("_ta").cast(dec)
     )
     return (
         c.crossJoin(F.broadcast(tot))  # 1-row scalar fold
@@ -979,7 +992,11 @@ def ks_statistic_by_group(
     tot = per_v.groupBy("_g").agg(
         F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
     )
-    gap = F.abs(F.col("_ca") * F.col("_tb") - F.col("_cb") * F.col("_ta"))
+    dec = "decimal(38,0)"  # same >2^63 overflow guard as ks_statistic
+    gap = F.abs(
+        F.col("_ca").cast(dec) * F.col("_tb").cast(dec)
+        - F.col("_cb").cast(dec) * F.col("_ta").cast(dec)
+    )
     return (
         c.join(tot, "_g")
         .groupBy("_g")

@@ -4396,10 +4396,13 @@ def _lang_kappa_oracle_sql(by: str | None = None) -> str:
     P, K = 10**9, 10**12
     bysel = f"{by}, " if by else ""
     byg = f"GROUP BY {by}" if by else ""
-    byjoin = f"ma.{by} = mb.{by} AND " if by else ""
+    byjoin = f"ma.{by} IS NOT DISTINCT FROM mb.{by} AND " if by else ""
     final_from = (
-        f"FROM tot LEFT JOIN cx USING ({by})" if by else "FROM tot CROSS JOIN cx"
+        f"FROM tot LEFT JOIN cx ON tot.{by} IS NOT DISTINCT FROM cx.{by}"
+        if by
+        else "FROM tot CROSS JOIN cx"
     )
+    fsel = f"tot.{by} AS {by}, " if by else ""
     s_expr = f"CAST(coalesce(s, 0) AS HUGEINT)" if by else "s"
     return f"""
     WITH t AS (
@@ -4431,7 +4434,7 @@ def _lang_kappa_oracle_sql(by: str | None = None) -> str:
                    CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0)
                         AS HUGEINT) AS agree
             FROM cells {byg})
-    SELECT {bysel}CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+    SELECT {fsel}CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
       CAST(CAST((agree * {P}) // n AS BIGINT) AS DOUBLE) / {P}.0 AS po,
       CAST(CAST(({s_expr} * {P}) // (n * n) AS BIGINT) AS DOUBLE) / {P}.0 AS pe,
       CASE WHEN n * n - {s_expr} > 0 THEN

@@ -974,3 +974,21 @@ class TestVideoFrameSample:
         media = spark.createDataFrame([(1, b"")], "media_id long, content binary")
         with _pt.raises(ValueError):
             video_frame_sample(media, every_ms=0)
+
+    def test_zero_frame_rate_is_error_record(self, spark):
+        # dwMicroSecPerFrame=0 would give every frame ts_ms=0 and
+        # silently sample only frame 0 — must surface as an error row
+        from etl_tools_rs_spark.operators.multimodal import video_frame_sample
+
+        media = spark.createDataFrame(
+            [(1, self._avi(fps_us=0)), (2, self._avi())],
+            "media_id long, content binary",
+        )
+        out = video_frame_sample(media, every_ms=100).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        assert len(by_id[1]) == 1
+        assert by_id[1][0].decode_ok.startswith("error:")
+        assert "frame rate" in by_id[1][0].decode_ok
+        assert all(r.decode_ok == "ok" for r in by_id[2])

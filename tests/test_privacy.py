@@ -122,19 +122,81 @@ class TestPropagateDeletes:
         assert rep["region"] == (0, 1)
         assert rep["lineitem"] == (0, 6)
 
-    def test_edge_order_enforced(self, spark):
+    def test_edge_list_order_is_irrelevant(self, spark):
+        # edges are topologically re-ordered, so child-first input
+        # gives the same cascade as parent-first
         t = _three_tables(spark)
+        seed = t["customer"].filter(F.col("tag") == "erase").select("cid")
+        out = propagate_deletes(
+            tables=t,
+            keys={"customer": "cid", "orders": "oid", "lineitem": "oid"},
+            seed_table="customer",
+            seed_keys=seed,
+            edges=[
+                ("lineitem", "oid", "orders"),
+                ("orders", "cid", "customer"),
+            ],
+        )
+        rep = {r["table"]: (r["purged"], r["kept"]) for r in out.report.collect()}
+        assert rep == {
+            "customer": (1, 2),
+            "orders": (2, 2),
+            "lineitem": (3, 3),
+        }
+
+    def test_diamond_graph_fully_deletes(self, spark):
+        # A→B, A→C, B→D, C→D given in an order that used to consume
+        # D's set before the C→D edge enlarged it (silent under-delete)
+        a = spark.createDataFrame([(1,), (2,)], ["aid"])
+        b = spark.createDataFrame([(10, 1), (20, 2)], ["bid", "aid"])
+        c = spark.createDataFrame([(100, 1), (200, 2)], ["cid", "aid"])
+        d = spark.createDataFrame(
+            [(7, 10, None), (8, None, 200), (9, 20, 100)],
+            "did int, bid int, cid int",
+        )
+        out = propagate_deletes(
+            tables={"a": a, "b": b, "c": c, "d": d},
+            keys={"a": "aid", "b": "bid", "c": "cid", "d": "did"},
+            seed_table="a",
+            seed_keys=spark.createDataFrame([(2,)], ["aid"]),
+            edges=[
+                ("b", "aid", "a"),
+                ("d", "bid", "b"),  # consumes B's set...
+                ("c", "aid", "a"),
+                ("d", "cid", "c"),  # ...then C's edge must STILL apply
+            ],
+        )
+        # erasing aid=2 dooms bid=20, cid=200 → d rows 8 (via c) AND 9 (via b)
+        assert {r["did"] for r in out.survivors["d"].collect()} == {7}
+
+    def test_cyclic_graph_rejected(self, spark):
+        a = spark.createDataFrame([(1, 10)], ["aid", "bid"])
+        b = spark.createDataFrame([(10, 1)], ["bid", "aid"])
+        with pytest.raises(ValueError, match="cyclic"):
+            propagate_deletes(
+                tables={"a": a, "b": b},
+                keys={"a": "aid", "b": "bid"},
+                seed_table="a",
+                seed_keys=a.select("aid").limit(1),
+                edges=[("b", "aid", "a"), ("a", "bid", "b")],
+            )
+
+    def test_unreachable_parent_rejected(self, spark):
+        t = _three_tables(spark)
+        t["island"] = spark.createDataFrame([(5,)], ["iid"])
         seed = t["customer"].limit(1).select("cid")
-        with pytest.raises(ValueError, match="parent-first"):
+        with pytest.raises(ValueError, match="no FK path"):
             propagate_deletes(
                 tables=t,
-                keys={"customer": "cid", "orders": "oid", "lineitem": "oid"},
+                keys={
+                    "customer": "cid",
+                    "orders": "oid",
+                    "lineitem": "oid",
+                    "island": "iid",
+                },
                 seed_table="customer",
                 seed_keys=seed,
-                edges=[
-                    ("lineitem", "oid", "orders"),
-                    ("orders", "cid", "customer"),
-                ],
+                edges=[("orders", "iid", "island")],
             )
 
     def test_broadcast_joins_pinned(self, spark):

@@ -704,3 +704,19 @@ class TestRaterAgreement:
         out = {r["g"]: r for r in rater_agreement(df, "a", "b", by=["g"]).collect()}
         assert out["s2"]["pe"] == 0.0 and out["s2"]["kappa"] == 0.0
         assert out["s1"]["kappa"] is None  # constant slice: pe = 1
+
+    def test_by_group_null_key_slice_joins_its_cross_term(self, spark):
+        # a NULL by-key must meet its OWN cross term (null-safe join),
+        # not fall through to _s = 0 / pe = 0 / kappa = po
+        from etl_tools_rs_spark.operators.profile import rater_agreement
+
+        slice_rows = [("a", "b"), ("b", "a")] * 3  # po=0, pe=0.5, kappa=-1
+        df = spark.createDataFrame(
+            [(None, a, b) for a, b in slice_rows]
+            + [("g2", a, b) for a, b in slice_rows],
+            "g string, a string, b string",
+        )
+        out = {r["g"]: r for r in rater_agreement(df, "a", "b", by=["g"]).collect()}
+        assert out["g2"]["kappa"] == -1.0
+        assert out[None]["pe"] == out["g2"]["pe"] == 0.5
+        assert out[None]["kappa"] == -1.0  # identical slice -> identical kappa
