@@ -733,6 +733,7 @@ def prefix_jaccard_pairs(
     scale: int = 6,
     checkpoint: bool = True,
     hash_grams: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Blockless exact-Jaccard self-join via prefix filtering (the
     AllPairs/PPJoin principle, Bayardo et al. WWW'07; cf. the blocked
@@ -763,11 +764,29 @@ def prefix_jaccard_pairs(
     ≈ ``G²/2⁶⁵`` for G distinct shingles — negligible below ~10⁹
     shingles, but it breaks md5-oracle parity, so the oracle-checked
     registry query keeps the default off; the scale path turns it on.
+
+    ``max_df`` is the DENSE-CORPUS SAFETY VALVE: grams whose corpus
+    document frequency exceeds it never enter candidate generation
+    (they are dropped BEFORE the per-doc prefix ranking, so prefixes
+    refill with the next-rarest grams). Candidate volume per gram is
+    then ≤ ``max_df²`` by construction — the join cannot go
+    super-linear on boilerplate/template-heavy corpora where gram
+    frequencies follow no Heaps'-law sparsity. This is a DOCUMENTED
+    BOUNDED-RECALL mode: a qualifying pair is missed only when EVERY
+    shared gram in both refilled prefixes is hot (df > max_df); every
+    pair that IS emitted still carries its exact full-set Jaccard
+    (verification is untouched), so capped pairs ⊆ exact pairs with
+    exact scores. ``None`` (default) keeps the exact no-false-negative
+    AllPairs bound. Size the cap with :func:`prefix_candidate_estimate`
+    (the pre-flight) — or route dense corpora to
+    :func:`dedup_minhash_lsh`, whose banded buckets are capped anyway.
     """
     from etl_tools_rs_spark.functions import ngrams
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (pairs need df 2), got {max_df!r}")
     p10 = float(10**scale)
     grams = df.select(
         F.col(id_col).alias("_id"),
@@ -779,9 +798,12 @@ def prefix_jaccard_pairs(
         grams = grams.localCheckpoint(eager=False)
     dfc = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_dfn"))
     sz = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = grams.join(dfc, "_g")
+    if max_df is not None:
+        ranked = ranked.filter(F.col("_dfn") <= max_df)
     w = Window.partitionBy("_id").orderBy(F.col("_dfn").asc(), F.col("_g").asc())
     pfx = (
-        grams.join(dfc, "_g")
+        ranked
         .withColumn("_rn", F.row_number().over(w))
         .join(sz, "_id")
         .filter(
@@ -832,6 +854,103 @@ def prefix_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_candidate_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Pre-flight density estimate for :func:`prefix_jaccard_pairs` —
+    the EXACT candidate-pair count the prefix self-join would generate,
+    computed WITHOUT running it (the :func:`~etl_tools_rs_spark.
+    operators.skew.join_size_estimate` idea applied to the prefix
+    join): build the per-doc prefixes (the cheap, linear part), count
+    prefix occupancy per gram, and fold ``Σ_g c·(c−1)/2``. The blowup
+    in the full operator is the candidate join + verify — everything
+    here stays linear in corpus grams, so this is safe to run on a
+    corpus you would NOT run the exact join on.
+
+    One row out: ``(docs, prefix_grams, est_candidates,
+    max_gram_bucket, hot_gram_share)`` — ``est_candidates`` ≥ the
+    distinct candidate count (a pair sharing k prefix grams is counted
+    k times: a deliberate upper bound, the join's actual probe volume);
+    ``hot_gram_share`` is the fraction of est_candidates owed to the
+    top-10 heaviest grams (≈1.0 means a handful of boilerplate shingles
+    ARE the blowup — exactly when ``max_df`` or
+    :func:`dedup_minhash_lsh` is the right route). Pass the same
+    ``max_df`` you would give the join to preview the capped volume.
+    Rule of thumb: ``est_candidates`` beyond ~100× ``docs`` means set a
+    cap or go probabilistic.
+    """
+    from etl_tools_rs_spark.functions import ngrams
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
+    p10 = float(10**scale)
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(ngrams(text_col, shingle_n))).alias("_g"),
+    ).localCheckpoint(eager=False)
+    dfc = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_dfn"))
+    sz = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = grams.join(dfc, "_g")
+    if max_df is not None:
+        ranked = ranked.filter(F.col("_dfn") <= max_df)
+    w = Window.partitionBy("_id").orderBy(F.col("_dfn").asc(), F.col("_g").asc())
+    pfx = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select("_id", "_g")
+    )
+    occ = pfx.groupBy("_g").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    # c·(c−1) is even, so integer div is exact (never float-rounded)
+    per_gram = occ.select(
+        "_c", F.expr("_c * (_c - 1) div 2").cast("bigint").alias("_cand")
+    )
+    topk = (
+        per_gram.orderBy(F.col("_cand").desc())
+        .limit(10)
+        .agg(F.sum("_cand").cast("bigint").alias("_top"))
+    )
+    docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+    return (
+        per_gram.agg(
+            F.count(F.lit(1)).cast("bigint").alias("prefix_grams"),
+            F.coalesce(F.sum("_cand"), F.lit(0)).cast("bigint").alias(
+                "est_candidates"
+            ),
+            F.coalesce(F.max("_c"), F.lit(0)).cast("bigint").alias(
+                "max_gram_bucket"
+            ),
+        )
+        .crossJoin(F.broadcast(topk))
+        .crossJoin(F.broadcast(docs))
+        .select(
+            "docs",
+            "prefix_grams",
+            "est_candidates",
+            "max_gram_bucket",
+            F.when(
+                F.col("est_candidates") > 0,
+                F.floor(
+                    F.lit(p10) * F.col("_top") / F.col("est_candidates")
+                )
+                / F.lit(p10),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("hot_gram_share"),
+        )
     )
 
 
@@ -1108,6 +1227,7 @@ def prefix_jaccard_cross_pairs(
     shingle_n: int = 3,
     scale: int = 6,
     hash_grams: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT cross-corpus Jaccard pairs via prefix filtering:
     ``(id_a, id_b, jaccard)`` with ``id_a`` from ``left`` and ``id_b``
@@ -1128,7 +1248,11 @@ def prefix_jaccard_cross_pairs(
     bound already excludes hot shingles) — the cross filter drops
     within-side candidates after the equi-join; candidate volume is the
     self-join's, so prefer :func:`minhash_cross_pairs` when the corpora
-    are both huge and recall may be probabilistic.
+    are both huge and recall may be probabilistic. ``max_df`` passes
+    through to the underlying self-join: the same dense-corpus safety
+    valve (grams with combined-corpus df above the cap skip candidate
+    generation; bounded-recall, exact scores — see
+    :func:`prefix_jaccard_pairs`).
     """
     lid = left.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
@@ -1163,6 +1287,7 @@ def prefix_jaccard_cross_pairs(
         shingle_n=shingle_n,
         scale=scale,
         hash_grams=hash_grams,
+        max_df=max_df,
     )
     sa = sides.select(F.col("_id").alias("id_a"), F.col("_side").alias("_sa"))
     sb = sides.select(F.col("_id").alias("id_b"), F.col("_side").alias("_sb"))

