@@ -185,6 +185,8 @@ def fuzzy_join(
     max_distance: int = 2,
     strip_common_prefix: bool = True,
     method: str = "auto",
+    max_key_candidates: int | None = None,
+    oversize_policy: str = "salt",
 ) -> DataFrame:
     """Inner join of ``left`` × ``right`` on
     ``levenshtein(left_col, right_col) <= max_distance``, plus a
@@ -217,11 +219,40 @@ def fuzzy_join(
     Cardinality matches the theta-join definition: duplicate input rows
     each produce their own output pairs (pairs are deduped per input-row
     tag, not by value).
+
+    ``max_key_candidates`` is the adversarial-corpus safety valve (the
+    ``max_bucket_size`` analogue from ``dedup_minhash_lsh``): without
+    it, a dense near-identical corpus (150k zero-padded IDs) grows
+    per-variant-key occupancy with n and the candidate stream goes
+    super-linear. With it, any join key whose probe×index occupancy
+    product exceeds the cap is either ``"salt"``-split — both sides
+    shard by a DETERMINISTIC content hash into ``⌈√(product/cap)⌉``
+    shards, so that key's candidates are bounded by ~cap. Salt is a
+    SAMPLING degrade: a true pair meets with probability ``Σ_k 1/s_k``
+    (capped at 1) over its shared variant keys — a pair differing by
+    one substitution at distance budget d shares ``1`` key at d=1 but
+    ``O(L)`` keys at d=2, so recall degrades roughly as cap/occupancy
+    on mega-buckets and is exactly 1 for keys under the cap. Capped
+    pairs ⊆ exact pairs and every emitted distance is exact. The
+    alternative is ``"drop"`` (hot keys generate nothing; keep only
+    provably-cold-key pairs).
+    Content-hash salting cannot split EXACT duplicates (identical
+    strings share a shard by construction): run exact dedup first, or
+    use ``"drop"``. Default ``None`` keeps the exact no-false-negative
+    theorem. Costs two narrow count aggregates on the key stream.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
     if method not in ("auto", "deletion", "segment"):
         raise ValueError(f"unknown method {method!r}")
+    if max_key_candidates is not None and max_key_candidates < 1:
+        raise ValueError(
+            f"max_key_candidates must be >= 1, got {max_key_candidates!r}"
+        )
+    if oversize_policy not in ("salt", "drop"):
+        raise ValueError(
+            f"oversize_policy must be salt|drop, got {oversize_policy!r}"
+        )
     d = max_distance
     if method == "auto":
         method = "deletion" if d <= 2 else "segment"
@@ -260,6 +291,51 @@ def fuzzy_join(
         right.withColumn("_rid", F.monotonically_increasing_id())
         .withColumn("_fk", F.explode(rkeys))
     )
+    if max_key_candidates is not None:
+        lsz = probe.groupBy("_fk").agg(F.count(F.lit(1)).alias("_nl"))
+        rsz = index.groupBy("_fk").agg(F.count(F.lit(1)).alias("_nr"))
+        # inner: a key on only one side never generates a candidate, so
+        # its rows can keep shard 1 via the left join's null arm below
+        kk = lsz.join(rsz, "_fk").select(
+            "_fk", (F.col("_nl") * F.col("_nr")).alias("_prod")
+        )
+        if oversize_policy == "drop":
+            hot = kk.filter(F.col("_prod") > max_key_candidates).select("_fk")
+            probe = probe.join(hot, "_fk", "left_anti")
+            index = index.join(hot, "_fk", "left_anti")
+        else:
+            # shards = ceil(sqrt(product/cap)) per side bounds that
+            # key's candidate product at ~cap; salt is a DETERMINISTIC
+            # content hash (never the row tag), so results don't depend
+            # on partitioning
+            shards = kk.select(
+                "_fk",
+                F.ceil(
+                    F.sqrt(F.col("_prod") / F.lit(max_key_candidates))
+                )
+                .cast("long")
+                .alias("_sh"),
+            )
+            probe = probe.join(shards, "_fk", "left").withColumn(
+                "_fk",
+                F.struct(
+                    F.col("_fk").alias("k"),
+                    F.pmod(
+                        F.xxhash64(F.col(left_col)),
+                        F.greatest(F.coalesce(F.col("_sh"), F.lit(1)), F.lit(1)),
+                    ).alias("s"),
+                ),
+            ).drop("_sh")
+            index = index.join(shards, "_fk", "left").withColumn(
+                "_fk",
+                F.struct(
+                    F.col("_fk").alias("k"),
+                    F.pmod(
+                        F.xxhash64(F.col(right_col)),
+                        F.greatest(F.coalesce(F.col("_sh"), F.lit(1)), F.lit(1)),
+                    ).alias("s"),
+                ),
+            ).drop("_sh")
     cand = probe.join(index, probe["_fk"] == index["_fk"]).drop("_fk", "_lcp")
     # verify BEFORE deduping (r4): the threshold levenshtein is a cheap
     # row-local filter, the pair-dedup is a shuffle — running the filter
@@ -278,13 +354,21 @@ def fuzzy_join(
 def fuzzy_self_pairs(
     df: DataFrame, col: str, id_col: str, max_distance: int = 2,
     method: str = "auto",
+    max_key_candidates: int | None = None,
+    oversize_policy: str = "salt",
 ) -> DataFrame:
     """All (id_a < id_b) pairs within ``max_distance`` edits — the
     near-duplicate-string view of one table. Returns
-    ``(id_a, id_b, distance)``."""
+    ``(id_a, id_b, distance)``. ``max_key_candidates`` /
+    ``oversize_policy`` pass through to :func:`fuzzy_join` (the
+    adversarial-corpus candidate cap)."""
     a = df.select(F.col(id_col).alias("_ida"), F.col(col).alias("_sa"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(col).alias("_sb"))
-    joined = fuzzy_join(a, b, "_sa", "_sb", max_distance, method=method)
+    joined = fuzzy_join(
+        a, b, "_sa", "_sb", max_distance, method=method,
+        max_key_candidates=max_key_candidates,
+        oversize_policy=oversize_policy,
+    )
     return (
         joined.filter(F.col("_ida") < F.col("id_b"))
         .select(
@@ -318,6 +402,7 @@ def dedup_fuzzy(
     id_col: str,
     max_distance: int = 2,
     max_iterations: int = 20,
+    max_key_candidates: int | None = None,
 ) -> DataFrame:
     """Edit-distance dedup end to end: segment-blocked pair generation
     (:func:`fuzzy_self_pairs`) → connected components → keep one
@@ -332,7 +417,10 @@ def dedup_fuzzy(
     """
     from etl_tools_rs_spark.operators.dedup import connected_components
 
-    pairs = fuzzy_self_pairs(df, col, id_col, max_distance)
+    pairs = fuzzy_self_pairs(
+        df, col, id_col, max_distance,
+        max_key_candidates=max_key_candidates,
+    )
     comp = connected_components(pairs, "id_a", "id_b", max_iterations)
     # component sizes → n_merged for the representative (min id = group id)
     sizes = comp.groupBy("group_id").agg(

@@ -142,6 +142,138 @@ def test_fuzzy_join_preserves_duplicate_rows(spark):
     assert out.count() == 2
 
 
+class TestKeyCandidateCap:
+    """max_key_candidates — the adversarial-corpus safety valve
+    (VERDICT r4 #2: FastSS deletion-key buckets grow with n on dense
+    near-identical corpora; LSH-style cap policy bounds them)."""
+
+    def test_validation(self, spark, words_df):
+        with pytest.raises(ValueError, match="max_key_candidates"):
+            fuzzy.fuzzy_join(words_df, words_df, "w", "w", 1,
+                             max_key_candidates=0)
+        with pytest.raises(ValueError, match="oversize_policy"):
+            fuzzy.fuzzy_join(words_df, words_df, "w", "w", 1,
+                             max_key_candidates=10, oversize_policy="xx")
+
+    def test_high_cap_equals_uncapped(self, spark, words_df):
+        """A cap no key reaches must be a no-op, pair for pair, under
+        both policies."""
+        left = words_df.select(F.col("wid").alias("lid"), F.col("w").alias("lw"))
+        right = words_df.select(F.col("wid").alias("rid"), F.col("w").alias("rw"))
+
+        def run(**kw):
+            return {
+                (r["lid"], r["rid"], r["distance"])
+                for r in fuzzy.fuzzy_join(
+                    left, right, "lw", "rw", 2, **kw
+                ).collect()
+            }
+
+        exact = run()
+        assert run(max_key_candidates=10**9) == exact
+        assert run(max_key_candidates=10**9, oversize_policy="drop") == exact
+
+    def test_capped_subset_exact_distances(self, spark):
+        """Salted pairs ⊆ exact pairs with identical distances on an
+        ultra-dense corpus (6-digit IDs at d=2: ~11% of ALL pairs
+        match — the answer itself is quadratic, the cap samples it).
+        Measured sampling recall at cap=64 is ~0.10; pin a floor
+        well under it and the subset/exactness contract hard."""
+        n = 3000
+        rows = [(i, f"{i:06d}") for i in range(n)]
+        df = spark.createDataFrame(rows, "wid long, w string")
+        exact = {
+            (r.id_a, r.id_b): r.distance
+            for r in fuzzy.fuzzy_self_pairs(
+                df, "w", "wid", max_distance=2
+            ).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.distance
+            for r in fuzzy.fuzzy_self_pairs(
+                df, "w", "wid", max_distance=2, max_key_candidates=64
+            ).collect()
+        }
+        assert set(capped) <= set(exact)
+        assert all(exact[k] == v for k, v in capped.items())
+        assert len(exact) > 100_000  # the corpus really is dense
+        recall = len(capped) / len(exact)
+        assert recall >= 0.05, f"recall {recall:.3f}"
+
+    def test_drop_policy_keeps_cold_key_pairs(self, spark):
+        """drop removes every pair meeting only through hot keys, but a
+        pair whose variant keys are cold survives untouched."""
+        boiler = [(i, f"{i % 10}0000000") for i in range(200)]  # 10 hot values
+        rare = [(900, "zqxjkwvbn"), (901, "zqxjkwvbp")]
+        df = spark.createDataFrame(boiler + rare, "wid long, w string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in fuzzy.fuzzy_self_pairs(
+                df, "w", "wid", max_distance=1,
+                max_key_candidates=50, oversize_policy="drop",
+                # corpus min/max share no prefix -> strip is a no-op
+            ).collect()
+        }
+        assert (900, 901) in got
+        assert all(a >= 900 for a, b in got), sorted(got)[:5]
+
+    def test_adversarial_100k_mega_bucket_bounded(self, spark):
+        """The r4 sf1 residue reproduced as a unit, in its WORST form:
+        100k near-identical strings in 5 groups of 20k, each group
+        differing only in its final character — deleting that character
+        collapses the whole group onto ONE variant key (occupancy 20k,
+        candidate product 4·10⁸ per group; uncapped this is a 2·10⁹-
+        candidate join). Capped mode must (a) bound every salted key's
+        candidate product near the cap — asserted by recomputing the
+        operator's own shard formula on the real occupancies — and
+        (b) complete quickly, returning a nonempty sample of exact-
+        distance-1 pairs."""
+        n_groups, g = 5, 20_000
+        cap = 256
+        # final char from the CJK block: 20k distinct non-surrogate
+        # codepoints, one varying position per group (built Python-side:
+        # Spark's chr() is mod-256 ASCII and would collapse the corpus
+        # into exact duplicates)
+        rows = [
+            (i, f"t{i % n_groups}{'x' * 16}{chr(0x4E00 + i // n_groups)}")
+            for i in range(n_groups * g)
+        ]
+        df = spark.createDataFrame(rows, "wid long, w string").repartition(16)
+        # (a) occupancy really is adversarial, and the shard formula
+        # bounds the per-(key, shard-pair) product near the cap
+        keys = df.select(
+            F.explode(fuzzy._deletion_keys(F.col("w"), 1)).alias("k")
+        )
+        occ = keys.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        mx = occ.agg(F.max("c")).collect()[0][0]
+        assert mx >= g  # the mega bucket exists
+        shard_prod = occ.select(
+            (
+                F.ceil(
+                    F.col("c")
+                    / F.ceil(F.sqrt(F.col("c") * F.col("c") / F.lit(cap)))
+                )
+                ** 2
+            ).alias("p")
+        ).agg(F.max("p").alias("mx")).collect()[0]["mx"]
+        assert shard_prod <= 4 * cap
+        # (b) the capped join completes (uncapped would probe ~2e9
+        # candidates) and returns sound pairs
+        out = fuzzy.fuzzy_self_pairs(
+            df, "w", "wid", max_distance=1, max_key_candidates=cap
+        )
+        sample = out.limit(2000).collect()
+        assert len(sample) == 2000
+        for r in sample:
+            assert r.distance == 1
+            # distance-1 pairs here are same-group (differ in the final
+            # char) or same-char (differ in the template digit) — never
+            # both-different
+            assert (r.id_a % n_groups == r.id_b % n_groups) or (
+                r.id_a // n_groups == r.id_b // n_groups
+            )
+
+
 class TestSemdedup:
     def _run(self, spark, rows, **kw):
         from etl_tools_rs_spark.operators.similarity import semdedup
