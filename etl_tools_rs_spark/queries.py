@@ -2514,14 +2514,26 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@qdef("streaming_windowed_counts", None)  # Structured Streaming — rows-only
+@qdef(
+    "streaming_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the gate: hourly watermarked event-time
     windows over the events table read as a FILE STREAM (glob path so the
     file source accepts the single-file layout), drained with an
     availableNow trigger into a memory sink — the same windowed_agg code a
-    live stream would run (streaming/ops.py). Rows-only check: streaming
-    queries have no lazy batch-plan equivalent for the oracle."""
+    live stream would run (streaming/ops.py). VALUE-checked against the
+    batch twin (VERDICT r4 #5): a single-file availableNow drain is one
+    micro-batch, nothing is watermark-dropped, and update mode emits each
+    window's final aggregate exactly once — so the streaming output must
+    equal the batch hourly aggregate bit-for-bit."""
     import tempfile
     import uuid
 
@@ -2557,13 +2569,18 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("streaming_stateful_counts", None)  # custom stateful op — rows-only
+@qdef(
+    "streaming_stateful_counts",
+    "SELECT event_type, COUNT(*) AS total FROM events GROUP BY event_type",
+)
 def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator in the gate: per-event-type
     running totals held in executor-side state via applyInPandasWithState
     (streaming/ops.py::stateful_counts), drained availableNow. The
     user-state-machine escape hatch the reference's StreamHandler hook
-    (etl-job/src/job/handler.rs:14-31) maps to under Spark."""
+    (etl-job/src/job/handler.rs:14-31) maps to under Spark. VALUE-checked
+    (VERDICT r4 #5): one micro-batch means one state update and one
+    emission per key, so the running totals equal the batch counts."""
     import tempfile
     import uuid
 
@@ -2578,19 +2595,57 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_type", "total")
 
 
-@qdef("udaf_weighted_mean", None)  # pandas UDAF — float merge order differs
+@qdef(
+    "udaf_weighted_mean",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS vc,
+             CAST(l_quantity AS HUGEINT) AS w,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), wm AS (
+      SELECT l_returnflag,
+             CAST(CAST((SUM(vc * w) * 1000000) // (SUM(w) * 100)
+                  AS BIGINT) AS DOUBLE) / 1000000.0 AS wavg_price
+      FROM q GROUP BY l_returnflag
+    ), tm AS (
+      SELECT l_returnflag,
+             CAST(CAST((SUM(vc) * 1000000) // (COUNT(*) * 100)
+                  AS BIGINT) AS DOUBLE) / 1000000.0 AS tmean_price
+      FROM q
+      WHERE rn > (n * 100000) // 1000000
+        AND rn <= n - (n * 100000) // 1000000
+      GROUP BY l_returnflag
+    )
+    SELECT wm.l_returnflag, wavg_price, tmean_price
+    FROM wm JOIN tm USING (l_returnflag)
+    """,
+)
 def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized pandas UDAF surface (operators/udaf.py): per-flag
-    quantity-weighted mean price + 10% trimmed mean. Rows-only: pandas
-    float accumulation order is partition-dependent, so values aren't
-    bit-stable against an oracle (the algebraic aggregates that ARE stable
-    use exact-decimal built-ins instead — see functions.dsum/davg)."""
-    from etl_tools_rs_spark.operators.udaf import trimmed_mean, weighted_mean
+    quantity-weighted mean price + 10% trimmed mean, in the EXACT
+    integer-quantized form (weighted_mean_exact / trimmed_mean_exact):
+    int64 accumulation is order-independent and the single floor-scaled
+    division matches DuckDB bit-for-bit — converting this from a
+    rows-only entry to a value-checked one (VERDICT r4 #3). The float
+    forms remain for genuinely-float pipelines and are unit-tested."""
+    from etl_tools_rs_spark.operators.udaf import (
+        trimmed_mean_exact,
+        weighted_mean_exact,
+    )
 
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return t["lineitem"].groupBy("l_returnflag").agg(
-        weighted_mean("l_extendedprice", "l_quantity").alias("wavg_price"),
-        trimmed_mean("l_extendedprice", 0.1).alias("tmean_price"),
+    cents = t["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_vc"),
+        F.col("l_quantity").cast("long").alias("_w"),
+    )
+    return cents.groupBy("l_returnflag").agg(
+        weighted_mean_exact("_vc", "_w").alias("wavg_price"),
+        trimmed_mean_exact("_vc", 0.1).alias("tmean_price"),
     )
 
 
@@ -4971,15 +5026,38 @@ def event_paths_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("streaming_session_windows", None)  # Structured Streaming — rows-only
+@qdef(
+    "streaming_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows on a live stream
     (streaming/ops.py::sessionize — ``session_window`` + watermark, the
     streaming twin of the batch ``events_sessionize`` query): per-user
     sessions close when 30 minutes pass with no event AND the watermark
     moves on, so state stays bounded. File-stream source drained with
-    availableNow into a memory sink. Rows-only check (streaming plans
-    have no lazy batch oracle)."""
+    availableNow into a memory sink, complete mode. VALUE-checked
+    (VERDICT r4 #5) against a gaps-and-islands batch mirror: Spark's
+    ``session_window`` starts a NEW session when the inter-event gap
+    reaches the gap duration (interval end is exclusive, so >= not >),
+    session end = last event + gap."""
     import tempfile
     import uuid
 
@@ -7130,7 +7208,17 @@ def corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("streaming_curation_documents", None)  # Structured Streaming — rows-only
+@qdef(
+    "streaming_curation_documents",
+    f"""
+    WITH {_CURATION_DOCS_SQL},
+    {_CURATION_STAGE_AUG}
+    SELECT doc_id % 1000000 AS doc_id, lang_pred, n_tokens, mean_token_len
+    FROM flags
+    WHERE doc_id < 1000000 AND pass_lang AND pass_quality
+    ORDER BY doc_id
+    """,
+)
 def streaming_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the curation funnel in the gate
     (streaming/ops.py::curation_stream): documents read as a FILE STREAM,
@@ -7140,7 +7228,14 @@ def streaming_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dropDuplicatesWithinWatermark, drained availableNow. Output ids
     are normalized mod 1e6 because within-batch arrival order between a
     doc and its mangled twin is not contractual — either survivor maps
-    to the same id, keeping the result deterministic."""
+    to the same id, keeping the result deterministic. VALUE-checked
+    (VERDICT r4 #5) against the batch funnel oracle restricted to
+    original-side survivors: the gate corpus has no cross-document
+    exact dups, so the only fingerprint groups are orig↔mangled pairs
+    whose output columns are case-invariant (lang-ID lowercases; token
+    counts/lengths are unchanged by upper() on this corpus), and
+    case-merging can only LOWER a mangled copy's quality verdict —
+    either survivor yields the original's row."""
     import tempfile
     import uuid
 

@@ -61,3 +61,87 @@ def test_udafs_compose_with_each_other_not_builtins(spark):
         df.groupBy("k").agg(
             weighted_mean("v", "w").alias("wm"), F.count(F.lit(1)).alias("n")
         ).collect()
+
+
+class TestExactUdafs:
+    """weighted_mean_exact / trimmed_mean_exact — the order-independent
+    integer-quantized forms that back the value-checked registry entry."""
+
+    def test_weighted_mean_exact_matches_manual(self, spark):
+        from etl_tools_rs_spark.operators.udaf import weighted_mean_exact
+
+        # cents inputs: values 1.25, 3.75 with weights 1, 3
+        df = spark.createDataFrame(
+            [("a", 125, 1), ("a", 375, 3)], "k string, vc long, w long"
+        )
+        [r] = df.groupBy("k").agg(
+            weighted_mean_exact("vc", "w").alias("wm")
+        ).collect()
+        # (125*1 + 375*3) / 4 = 312.5 cents = 3.125
+        assert r["wm"] == 3.125
+
+    def test_weighted_mean_exact_partition_invariant(self, spark):
+        from etl_tools_rs_spark.operators.udaf import weighted_mean_exact
+
+        import random
+
+        rng = random.Random(3)
+        rows = [("g", rng.randrange(1, 10**7), rng.randrange(1, 50))
+                for _ in range(5000)]
+        df = spark.createDataFrame(rows, "k string, vc long, w long")
+
+        def run(d):
+            [r] = d.groupBy("k").agg(
+                weighted_mean_exact("vc", "w").alias("wm")
+            ).collect()
+            return r["wm"]
+
+        a = run(df.repartition(1))
+        b = run(df.repartition(32, "vc"))
+        c = run(df.orderBy(F.col("vc").desc()))
+        assert a == b == c  # bit-identical, not approx
+
+    def test_trimmed_mean_exact_drops_tails(self, spark):
+        from etl_tools_rs_spark.operators.udaf import trimmed_mean_exact
+
+        # 10 values; 10% trim drops min and max
+        vals = [100, 200, 300, 400, 500, 600, 700, 800, 900, 10**6]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "k string, vc long"
+        )
+        [r] = df.groupBy("k").agg(
+            trimmed_mean_exact("vc", 0.1).alias("tm")
+        ).collect()
+        # kept = 200..900, mean = 550 cents = 5.5
+        assert r["tm"] == 5.5
+
+    def test_trimmed_mean_exact_tie_at_cut_is_stable(self, spark):
+        from etl_tools_rs_spark.operators.udaf import trimmed_mean_exact
+
+        # ties straddle the cut position: result must not depend on
+        # which tied instance is dropped
+        vals = [100] * 5 + [300] * 5
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "k string, vc long"
+        )
+        [r] = df.groupBy("k").agg(
+            trimmed_mean_exact("vc", 0.1).alias("tm")
+        ).collect()
+        # k=1: kept = 4x100 + 4x300 = 1600/8 = 200 cents
+        assert r["tm"] == 2.0
+
+    def test_exact_tracks_float_form(self, spark):
+        from etl_tools_rs_spark.operators.udaf import (
+            weighted_mean,
+            weighted_mean_exact,
+        )
+
+        rows = [("g", 1234, 2), ("g", 567, 5), ("g", 89, 1)]
+        df = spark.createDataFrame(rows, "k string, vc long, w long")
+        [e] = df.groupBy("k").agg(
+            weighted_mean_exact("vc", "w").alias("m")
+        ).collect()
+        [f] = df.select(
+            "k", (F.col("vc") / 100.0).alias("v"), "w"
+        ).groupBy("k").agg(weighted_mean("v", "w").alias("m")).collect()
+        assert abs(e["m"] - f["m"]) < 1e-6
