@@ -45,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # is derived from the registry at runtime, r4 — VERDICT r3 task #9), so
 # the headline number covers the full relational surface.
 BENCH_ROWS_ONLY = [
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "multimodal_wav_pipeline",
     "multimodal_bmp_pipeline",
     "multimodal_png_pipeline",

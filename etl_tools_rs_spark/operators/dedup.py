@@ -311,13 +311,22 @@ def simhash_table(
 
 
 def dedup_simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup groups: docs sharing an identical 64-bit simhash.
+    """SimHash near-dup groups: docs sharing an identical simhash.
     One shuffle on the simhash; for hamming-distance ≤ k matching, band the
-    64 bits into k+1 chunks and bucket-join per chunk (same LSH shape as
-    minhash)."""
-    h = simhash_table(df, text_col, id_col, shingle_n)
+    bits into k+1 chunks and bucket-join per chunk (same LSH shape as
+    minhash). ``hash_family="md5"`` uses the oracle-portable 60-bit
+    signature (:func:`simhash_table_md5`; note it drops zero-shingle
+    docs, so no spurious simhash-0 group forms from empty texts)."""
+    if hash_family == "md5":
+        h = simhash_table_md5(df, text_col, id_col, shingle_n)
+    else:
+        h = simhash_table(df, text_col, id_col, shingle_n)
     return (
         h.groupBy("simhash")
         .agg(

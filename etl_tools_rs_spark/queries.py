@@ -2291,8 +2291,88 @@ def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.remove_common_lines(docs2, min_docs=20)
 
 
-@qdef("dedup_minhash_lsh", None)  # approximate op — rows-only check
+def _minhash_lsh_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB mirror of dedup_minhash_lsh with the md5 hash family: the
+    signature MINs, the per-band md5-of-joined-slice buckets, the bucket
+    self-join, and the exact distinct-shingle Jaccard verify are all
+    bit-portable, so the APPROXIMATE op is value-checked end to end —
+    both engines must surface the identical candidate set and scores."""
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(num_hashes)
+    )
+    glue = " || '|' || "
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b, cat=glue.join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ), bnd AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), gs AS (
+      SELECT DISTINCT doc_id, g FROM sh
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN gs ta ON ta.doc_id = c.id_a
+      JOIN gs tb ON tb.doc_id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b
+    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
+@qdef("dedup_minhash_lsh", _minhash_lsh_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs in the PORTABLE md5 family — converted
+    from rows-only to value-checked (VERDICT r4 #3): every stage of the
+    banded pipeline (signatures, band buckets, candidate join, exact
+    verify) is deterministic and engine-portable, so the oracle mirrors
+    it end to end. The xxhash64 family (~10× cheaper hashing, the
+    100 TB default) stays benched as dedup_minhash_lsh_fast."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup_ops.dedup_minhash_lsh(
+        t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+        hash_family="md5",
+    )
+
+
+@qdef("dedup_minhash_lsh_fast", None)  # xxhash64 family — not SQL-portable
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64-family scale path of dedup_minhash_lsh (native long
+    hashes, no string signatures through the shuffle). Rows-only by
+    nature (no xxhash64 in DuckDB); the md5 twin above value-checks the
+    identical plan shape, and tests pin that both families verify the
+    same pairs on collision-free corpora."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup_ops.dedup_minhash_lsh(
         t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5
@@ -2423,10 +2503,37 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-@qdef("dedup_simhash", None)  # xxhash64-based — no portable oracle
+@qdef(
+    "dedup_simhash",
+    f"""
+    WITH s AS ({_SIMHASH_SQL.replace(
+        "FROM documents",
+        '''FROM (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents)''',
+    )})
+    SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+    FROM s GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-simhash near-dup groups in the PORTABLE md5 family —
+    converted from rows-only to value-checked (VERDICT r4 #3): the
+    60-bit signature is already signature-verified
+    (simhash_signature_md5); this gates the GROUPING on top of it, over
+    the corpus union an exact shifted-id copy so every document forms a
+    verified (simhash, keeper=min-id, size) group — the corpus alone
+    has no identical texts, which would leave the gate trivially empty.
+    The xxhash64 production family computes the identical plan with a
+    cheaper hash."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return dedup_ops.dedup_simhash(t["documents"], shingle_n=2).drop("member_ids")
+    docs = t["documents"].select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return dedup_ops.dedup_simhash(
+        both, shingle_n=2, hash_family="md5"
+    ).drop("member_ids")
 
 
 # --------------------------------------------------------------------------
@@ -3716,13 +3823,46 @@ def standardize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @qdef(
     "bucketize_totalprice",
-    None,  # cut points come from the quantile op already oracle-gated
+    """
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0) / 585.9375) AS INT), 0),
+                       1023) AS bin FROM v),
+    c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    cdf AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
+                   SUM(n) OVER () AS total FROM c),
+    p AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                      AS DOUBLE) AS prob),
+    j AS (SELECT prob, bin, n, cum, total,
+                 ROW_NUMBER() OVER (PARTITION BY prob ORDER BY bin) AS rn
+          FROM p JOIN cdf ON cum >= GREATEST(CEIL(prob * total), 1)),
+    cuts AS (
+      SELECT CAST(FLOOR(1000000.0 * (0 + (bin +
+                  (CAST(GREATEST(CEIL(prob * total), 1) AS DOUBLE)
+                   - (cum - n)) / CAST(n AS DOUBLE)) * 585.9375))
+                  / 1000000.0 AS DOUBLE) AS cut
+      FROM j WHERE rn = 1
+    ),
+    rows_b AS (
+      SELECT o.o_orderkey,
+             COALESCE(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > c.cut
+                               THEN 1 ELSE 0 END), 0) AS bucket
+      FROM orders o CROSS JOIN cuts c
+      GROUP BY o.o_orderkey
+    )
+    SELECT CAST(bucket AS INT) AS o_totalprice_bucket, COUNT(*) AS n
+    FROM rows_b GROUP BY bucket
+    """,
 )
 def bucketize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency bucketing (operators/features.py::
-    bucketize_quantiles, 10 buckets): deterministic histogram-CDF cut
-    points compiled into a narrow projection. Rows-only check here; the
-    cut-point machinery is oracle-gated by quantiles_totalprice_hist."""
+    bucketize_quantiles, 10 buckets over [0, 600k), 1024 histogram
+    bins): deterministic histogram-CDF cut points compiled into a
+    narrow projection. VALUE-checked (VERDICT r4 #3): the oracle
+    recomputes the same fixed-grid CDF interpolation (bin width
+    585.9375 is exact in binary, the floor-scaled cuts are bit-stable —
+    the quantiles_totalprice_hist gate proves the machinery) and
+    re-buckets every order with the same strict-greater comparison."""
     from etl_tools_rs_spark.operators.features import bucketize_quantiles
 
     t = load_tables(spark, sf_dir, ("orders",))
