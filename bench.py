@@ -84,6 +84,25 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Host-load marker (VERDICT r4 #6): same-code sweep totals swung
+    # ±10-15% across r4 runs from host contention. Record loadavg at
+    # sweep start so cross-round total comparisons can discount runs
+    # taken under load (per-query regressions are isolation-confirmed
+    # separately and unaffected).
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    ncpu = os.cpu_count() or 1
+    host_load = {
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "cpus": ncpu,
+        # >0.5 means the sweep started on a busy host; treat the TOTAL
+        # as soft when comparing rounds
+        "busy_frac_1m": round(load1 / ncpu, 3),
+    }
+
     # warmup: JVM/codegen/parquet-footer costs land here, not on q1
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -153,7 +172,7 @@ def main() -> int:
         # subset runs are local iteration aids — never recorded as history
         regressions = _regressions_vs_history(timings, sf)
     else:
-        regressions = _append_history(timings, total, sf)
+        regressions = _append_history(timings, total, sf, host_load)
     print(
         json.dumps(
             {
@@ -167,6 +186,7 @@ def main() -> int:
                 # r3+ reports the median of `warm_runs` warm runs. Compare
                 # rounds on the same protocol or via BENCH_HISTORY.json.
                 "protocol": f"warm-median-of-{warm_runs}",
+                "host_load": host_load,
                 "regressions": regressions,
             }
         )
@@ -205,7 +225,8 @@ def _regressions_vs_history(
 
 
 def _append_history(
-    timings: dict[str, float], total: float, sf: float
+    timings: dict[str, float], total: float, sf: float,
+    host_load: dict | None = None,
 ) -> dict[str, list[float]]:
     """Append this run to BENCH_HISTORY.json and return the surviving
     (isolation-confirmed) regressions vs the previous entry."""
@@ -219,6 +240,7 @@ def _append_history(
             "sf": sf,
             "total": total,
             "queries": timings,
+            "host_load": host_load,
         }
     )
     try:
