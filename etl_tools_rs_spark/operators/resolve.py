@@ -28,7 +28,16 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-RULES = ("min", "max", "sum", "longest", "most_frequent", "count_distinct")
+RULES = (
+    "min",
+    "max",
+    "sum",
+    "longest",
+    "most_frequent",
+    "count_distinct",
+    "source_precedence",
+    "most_recent",
+)
 
 
 def _direct_rule(col: str, rule: str) -> Column:
@@ -57,6 +66,9 @@ def golden_records(
     entity_col: str,
     rules: Mapping[str, str],
     count_col: str = "n_members",
+    source_col: str | None = None,
+    precedence: list[str] | None = None,
+    recency_col: str | None = None,
 ) -> DataFrame:
     """One canonical row per ``entity_col`` group, each attribute
     collapsed by its survivorship rule. ``rules`` maps column → one of:
@@ -68,16 +80,27 @@ def golden_records(
       GREATER value (count desc, value desc) so results are
       deterministic and oracle-reproducible (Spark's own ``mode()`` and
       DuckDB's are tie-arbitrary — unusable for a value-hash gate);
-    - ``count_distinct`` — distinct member values (provenance width).
+    - ``count_distinct`` — distinct member values (provenance width);
+    - ``source_precedence`` — the value from the most-trusted source
+      system: ``precedence`` lists sources best-first, ``source_col``
+      names the column carrying the source tag (both required; sources
+      absent from the list rank LAST). NULL values never donate; among
+      equal-precedence members ties break toward the GREATER value.
+      The classic MDM source-of-truth policy;
+    - ``most_recent`` — the value from the member with the greatest
+      ``recency_col`` (required; any orderable type). Rows with a NULL
+      timestamp or value never donate; timestamp ties break toward the
+      GREATER value. The classic last-write-wins policy.
 
     Output: ``entity_col``, ``count_col`` (member count), then one
     column per rule entry, same names as the input columns.
 
-    Every ``min``/``max``/``sum``/``longest``/``count_distinct`` rule
-    rides ONE hash aggregate; each ``most_frequent`` column adds one
-    (entity, value) pre-aggregate whose second stage carries a single
-    (count, value) struct per entity — mode without ever materializing
-    a per-entity value list.
+    Every rule EXCEPT ``most_frequent`` rides ONE hash aggregate
+    (``source_precedence``/``most_recent`` are max-of-struct aggregates
+    — argmax without a window or a per-entity list); each
+    ``most_frequent`` column adds one (entity, value) pre-aggregate
+    whose second stage carries a single (count, value) struct per
+    entity — mode without ever materializing a per-entity value list.
     """
     for c, rule in rules.items():
         if rule not in RULES:
@@ -87,11 +110,54 @@ def golden_records(
             )
         if c not in df.columns:
             raise ValueError(f"rule column {c!r} not in DataFrame")
+    needs_prec = [c for c, r in rules.items() if r == "source_precedence"]
+    if needs_prec and (source_col is None or not precedence):
+        raise ValueError(
+            "source_precedence rule needs source_col= and a non-empty "
+            f"precedence= list (columns: {needs_prec})"
+        )
+    needs_rec = [c for c, r in rules.items() if r == "most_recent"]
+    if needs_rec and recency_col is None:
+        raise ValueError(
+            f"most_recent rule needs recency_col= (columns: {needs_rec})"
+        )
     aggs = [F.count(F.lit(1)).alias(count_col)]
     mode_cols = []
     for c, rule in rules.items():
         if rule == "most_frequent":
             mode_cols.append(c)
+        elif rule == "source_precedence":
+            # rank best source = highest number so ONE max-of-struct
+            # aggregate is the argmax; unknown sources rank 0 (last)
+            rank = F.lit(0)
+            for i, s in enumerate(reversed(precedence)):
+                rank = F.when(F.col(source_col) == s, F.lit(i + 1)).otherwise(
+                    rank
+                )
+            aggs.append(
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(rank.alias("r"), F.col(c).alias("v")),
+                    )
+                )
+                .getField("v")
+                .alias(c)
+            )
+        elif rule == "most_recent":
+            aggs.append(
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & F.col(recency_col).isNotNull(),
+                        F.struct(
+                            F.col(recency_col).alias("t"), F.col(c).alias("v")
+                        ),
+                    )
+                )
+                .getField("v")
+                .alias(c)
+            )
         else:
             aggs.append(_direct_rule(c, rule))
     out = df.groupBy(entity_col).agg(*aggs)

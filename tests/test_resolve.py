@@ -89,3 +89,117 @@ def test_golden_records_one_aggregate_plan(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Aggregate") == 1
+
+
+class TestPrecedenceAndRecency:
+    """r5 survivorship rules: source_precedence and most_recent
+    (VERDICT r4 #7), property-tested against a brute-force fold."""
+
+    def _brute(self, rows, precedence):
+        """rows: (e, source, ts, name, seg). Returns per-entity expected
+        (prec_name, recent_seg) under the documented tie rules."""
+        out = {}
+        rank = {s: len(precedence) - i for i, s in enumerate(precedence)}
+        by_e = {}
+        for e, src, ts, name, seg in rows:
+            by_e.setdefault(e, []).append((src, ts, name, seg))
+        for e, ms in by_e.items():
+            named = [(rank.get(s, 0), n) for s, t, n, g in ms if n is not None]
+            prec = max(named)[1] if named else None
+            segd = [(t, g) for s, t, n, g in ms
+                    if g is not None and t is not None]
+            rec = max(segd)[1] if segd else None
+            out[e] = (prec, rec)
+        return out
+
+    def _run(self, spark, rows, precedence):
+        df = spark.createDataFrame(
+            rows, "e int, source string, ts int, name string, seg string"
+        )
+        return {
+            r["e"]: (r["name"], r["seg"])
+            for r in golden_records(
+                df,
+                "e",
+                {"name": "source_precedence", "seg": "most_recent"},
+                source_col="source",
+                precedence=precedence,
+                recency_col="ts",
+            ).collect()
+        }
+
+    def test_matches_brute_force_randomized(self, spark):
+        import random
+
+        rng = random.Random(42)
+        prec = ["crm", "feed", "web"]
+        rows = [
+            (
+                rng.randrange(40),
+                rng.choice(["crm", "feed", "web", "legacy"]),
+                rng.choice([None] + list(range(100))),
+                rng.choice([None, "a", "b", "m", "z"]),
+                rng.choice([None, "s1", "s2", "s9"]),
+            )
+            for _ in range(600)
+        ]
+        assert self._run(spark, rows, prec) == self._brute(rows, prec)
+
+    def test_precedence_order_and_unknown_source_last(self, spark):
+        rows = [
+            (1, "web", 1, "from_web", None),
+            (1, "crm", 2, "from_crm", None),
+            (1, "legacy", 3, "from_legacy", None),  # not in the list
+        ]
+        out = self._run(spark, rows, ["crm", "feed", "web"])
+        assert out[1][0] == "from_crm"
+        # only the unknown source carries a value -> it still donates
+        rows2 = [(2, "legacy", 1, "only_value", None)]
+        assert self._run(spark, rows2, ["crm"])[2][0] == "only_value"
+
+    def test_nulls_never_donate(self, spark):
+        # best source has NULL name -> next source's value survives;
+        # newest member has NULL seg -> older value survives
+        rows = [
+            (1, "crm", 9, None, None),
+            (1, "web", 1, "web_name", "old_seg"),
+        ]
+        out = self._run(spark, rows, ["crm", "web"])
+        assert out[1] == ("web_name", "old_seg")
+
+    def test_ties_break_toward_greater_value(self, spark):
+        rows = [
+            (1, "crm", 5, "aaa", "s_a"),
+            (1, "crm", 5, "zzz", "s_z"),
+        ]
+        assert self._run(spark, rows, ["crm"])[1] == ("zzz", "s_z")
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "e int, name string")
+        with pytest.raises(ValueError, match="source_precedence"):
+            golden_records(df, "e", {"name": "source_precedence"})
+        with pytest.raises(ValueError, match="most_recent"):
+            golden_records(df, "e", {"name": "most_recent"})
+
+    def test_single_aggregate_plan(self, spark):
+        """Both new rules ride the one hash aggregate — no window, no
+        extra shuffle beyond the entity groupBy."""
+        df = spark.createDataFrame(
+            [(1, "crm", 1, "a", "s")],
+            "e int, source string, ts int, name string, seg string",
+        )
+        plan = (
+            golden_records(
+                df,
+                "e",
+                {"name": "source_precedence", "seg": "most_recent"},
+                source_col="source",
+                precedence=["crm"],
+                recency_col="ts",
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert plan.count("Aggregate") == 1
