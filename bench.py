@@ -49,6 +49,7 @@ BENCH_ROWS_ONLY = [
     "multimodal_wav_pipeline",
     "multimodal_bmp_pipeline",
     "multimodal_png_pipeline",
+    "multimodal_jpeg_pipeline",
     "bpe_tokenize_documents",
     "semdedup_embeddings",
     "bpe_merges_documents",

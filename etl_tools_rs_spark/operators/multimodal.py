@@ -468,6 +468,10 @@ def decode_media(content: bytes, modality: str, dim: int) -> list[float]:
             return decode_bmp_real(content, dim)  # stdlib — always real
         if content[:8] == _PNG_SIG:
             return decode_png_real(content, dim)  # stdlib — always real
+        if content[:2] == b"\xff\xd8":
+            from etl_tools_rs_spark.operators.jpeg import decode_jpeg_real
+
+            return decode_jpeg_real(content, dim)  # stdlib+numpy — real
     return _fake_decode(content, dim)
 
 
@@ -1046,6 +1050,10 @@ def ahash_bytes(content: bytes, hash_size: int = 8) -> str:
     else:
         if content[:8] == _PNG_SIG:
             grid = _png_gray_grid(content, hash_size)
+        elif content[:2] == b"\xff\xd8":
+            from etl_tools_rs_spark.operators.jpeg import _jpeg_gray_grid
+
+            grid = _jpeg_gray_grid(content, hash_size)
         else:
             grid = _bmp_gray_grid(content, hash_size)
         cells = [v for row in grid for v in row]
@@ -1195,6 +1203,10 @@ def phash_bytes(
     else:
         if content[:8] == _PNG_SIG:
             grid = np.asarray(_png_gray_grid(content, n), dtype=np.float64)
+        elif content[:2] == b"\xff\xd8":
+            from etl_tools_rs_spark.operators.jpeg import _jpeg_gray_grid
+
+            grid = np.asarray(_jpeg_gray_grid(content, n), dtype=np.float64)
         else:
             grid = np.asarray(_bmp_gray_grid(content, n), dtype=np.float64)
     # orthonormal DCT-II basis: D[k, i] = s_k * cos(pi*(2i+1)*k / (2n))
