@@ -3342,6 +3342,38 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "fuzzy_name_pairs_capped",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_name_pairs with the r5 adversarial-corpus safety valve ON
+    (operators/fuzzy.py::fuzzy_join max_key_candidates — VERDICT r4 #2):
+    any deletion-variant key whose probe×index occupancy product exceeds
+    the cap is salt-split by a deterministic content hash, bounding that
+    key's candidate volume at ~cap. At gate scale no key is hot, salting
+    never triggers and the SAME naive cross-join oracle value-checks the
+    capped path end to end (capped pairs ⊆ exact pairs by construction —
+    the bounded-recall degrade only engages on mega-buckets, which is the
+    point: the uncapped form is super-linear on 450k near-identical
+    zero-padded IDs at sf3 while this one stays bounded)."""
+    from etl_tools_rs_spark.operators.fuzzy import fuzzy_self_pairs
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    return fuzzy_self_pairs(
+        t["customer"].select("c_custkey", "c_name"),
+        "c_name",
+        "c_custkey",
+        1,
+        max_key_candidates=250_000,
+    ).select("id_a", "id_b", F.col("distance").alias("dist"))
+
+
+@qdef(
     "histogram_totalprice",
     """
     WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
