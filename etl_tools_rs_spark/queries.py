@@ -2299,6 +2299,18 @@ def _minhash_lsh_oracle_sql(
     self-join, and the exact distinct-shingle Jaccard verify are all
     bit-portable, so the APPROXIMATE op is value-checked end to end —
     both engines must surface the identical candidate set and scores."""
+    return f"""
+    WITH {_minhash_lsh_pair_ctes(num_hashes, bands, threshold)}
+    SELECT id_a, id_b, jaccard FROM pairs
+    """
+
+
+def _minhash_lsh_pair_ctes(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """The shared CTE chain ending in ``pairs(id_a, id_b, jaccard)`` —
+    used verbatim by the pair oracle above and wrapped in a recursive
+    min-label closure by the `dedup_groups_lsh` oracle below."""
     rpb = num_hashes // bands
     mins = ",\n             ".join(
         f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(num_hashes)
@@ -2310,8 +2322,7 @@ def _minhash_lsh_oracle_sql(
         )
         for b in range(bands)
     )
-    return f"""
-    WITH tk AS (
+    return f"""tk AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
                AS toks
@@ -2341,14 +2352,15 @@ def _minhash_lsh_oracle_sql(
       JOIN gs ta ON ta.doc_id = c.id_a
       JOIN gs tb ON tb.doc_id = c.id_b AND tb.g = ta.g
       GROUP BY c.id_a, c.id_b
-    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id)
-    SELECT id_a, id_b,
-           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = id_a
-    JOIN sz sb ON sb.doc_id = id_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
-    """
+    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    )"""
 
 
 @qdef("dedup_minhash_lsh", _minhash_lsh_oracle_sql())
@@ -2379,14 +2391,45 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("dedup_groups_lsh", None)  # iterative label propagation — rows-only
+def _lsh_groups_oracle_sql() -> str:
+    """dedup_groups_lsh oracle: the md5-family LSH pair CTEs wrapped in
+    a recursive min-label closure (the `entity_resolution_customers`
+    pattern) — DuckDB recomputes the candidate pairs AND the connected
+    components independently, value-checking the iterative fixpoint."""
+    return f"""
+    WITH RECURSIVE {_minhash_lsh_pair_ctes()},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    lbl(node, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, l.label FROM lbl l JOIN edges e ON e.u = l.node
+      WHERE l.label < e.v
+    )
+    SELECT node AS member_id, MIN(label) AS group_id
+    FROM lbl GROUP BY node
+    """
+
+
+@qdef("dedup_groups_lsh", _lsh_groups_oracle_sql())
 def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup grouping: MinHash-LSH candidate pairs →
     connected components → (member_id, group_id). The full training-data
-    dedup pipeline in one plan (non-SQL: iterative fixpoint)."""
+    dedup pipeline in one plan. Converted from rows-only to value-checked
+    (r5): in the portable md5 family the candidate pairs are
+    engine-reproducible (the `dedup_minhash_lsh` oracle), and the
+    large-star/small-star fixpoint's OUTPUT is declarative — min member
+    id per component — so a DuckDB recursive-CTE min-label closure over
+    the same pairs must agree label-for-label even though the iteration
+    strategies differ. The xxhash64 end-to-end scale path stays benched
+    as dedup_minhash_lsh_fast."""
     t = load_tables(spark, sf_dir, ("documents",))
     pairs = dedup_ops.dedup_minhash_lsh(
-        t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+        t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+        hash_family="md5",
     )
     return dedup_ops.connected_components(pairs)
 
@@ -2569,7 +2612,58 @@ def knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("knn_cosine_lsh", None)  # approximate op — rows-only check
+def _knn_lsh_oracle_sql(
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+) -> str:
+    """knn_cosine_lsh oracle (r5): every table's hyperplanes are seeded
+    driver-side literals, so the oracle embeds all 16×4 of them, computes
+    the 16 bucket columns per vector, takes candidates as any-table
+    bucket equality, and reranks with exact cosine — the full multi-table
+    approximate retrieval path under the value gate."""
+    from etl_tools_rs_spark.operators.similarity import _hyperplanes
+
+    cols = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + 7919 * t)
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+            "THEN {bit} ELSE 0 END)".format(
+                lits=", ".join(repr(float(x)) for x in p), bit=1 << i
+            )
+            for i, p in enumerate(planes)
+        )
+        cols.append(f"{terms} AS b{t}")
+    bucket_cols = ",\n             ".join(cols)
+    any_tb = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             {bucket_cols}
+      FROM e
+    ), qb AS (SELECT * FROM b WHERE vec_id < 5),
+    s AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM qb q JOIN b c ON ({any_tb})
+    ), r AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+      FROM s
+    )
+    SELECT qid AS query_id, cid AS neighbor_id,
+           CAST(ROUND(sim, 6) AS DOUBLE) AS cosine_sim, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@qdef("knn_cosine_lsh", _knn_lsh_oracle_sql())
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH ANN (operators/similarity.py::knn_lsh). 16
     tables × 4 planes (r4 retune): ONE table at 8 planes measured
@@ -2577,7 +2671,10 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for recall; this config measures 0.82 (pinned ≥ 0.7 in
     tests/test_ann_recall.py). At corpus scale, raise num_planes with
     log2(n) to keep buckets ~constant and tables buy recall back — the
-    knobs trade work for recall explicitly."""
+    knobs trade work for recall explicitly. Converted from rows-only to
+    value-checked (r5): seeded hyperplanes are plan literals, so the
+    oracle embeds all 64 of them and replays bucket → multi-table
+    candidate union → exact rerank end to end."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     queries = (
         t["embeddings"]
@@ -2609,10 +2706,59 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("embedding_near_dup", None)  # approximate op — rows-only check
+def _embedding_near_dup_oracle_sql(
+    threshold: float = 0.95, num_planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """embedding_near_dup oracle (r5): the hyperplanes are DETERMINISTIC
+    driver-side literals (seeded numpy, tiny), so the oracle embeds the
+    same 6×64 floats (repr round-trips exactly to the same double bits)
+    and replays the whole approximate pipeline — sign-bit bucket, bucket
+    self-join, 6dp-rounded cosine verify. Sign portability: both engines
+    fold the dot left-to-right in double over identical bits, and plane
+    dots on this data sit far from 0 relative to 1-ulp noise."""
+    from etl_tools_rs_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            lits=", ".join(repr(float(x)) for x in p), bit=1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bucket_terms} AS bkt FROM e
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           CAST(ROUND(list_cosine_similarity(a.v, b2.v), 6) AS DOUBLE)
+             AS cosine_sim
+    FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b2.v), 6) >= {threshold}
+    """
+
+
+@qdef("embedding_near_dup", _embedding_near_dup_oracle_sql())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH embedding near-dup pairs, converted from rows-only to
+    value-checked (r5): the seeded hyperplanes are plan literals, so a
+    DuckDB mirror with the same floats embedded must reproduce buckets,
+    candidate pairs, and 6dp cosines end to end — the approximate path
+    itself is under the value gate, same policy as dedup_minhash_lsh.
+    The corpus alone has no pairs at 0.95 (random embeddings), so the
+    input unions a shifted-id exact copy: every vector must surface its
+    twin (cosine 1.0, same bucket) — a non-trivial pairs check of
+    bucketing, join, and verify."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    return sim_ops.embedding_near_dup(t["embeddings"], threshold=0.95, dim=64)
+    e = t["embeddings"].select("vec_id", "embedding")
+    doubled = e.unionAll(
+        e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return sim_ops.embedding_near_dup(doubled, threshold=0.95, dim=64)
 
 
 # --------------------------------------------------------------------------
@@ -3708,13 +3854,47 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(base, changed.unionByName(added), keys=["o_orderkey"])
 
 
-@qdef("dedup_fuzzy_customers", None)  # iterative connected components — rows-only
+@qdef(
+    "dedup_fuzzy_customers",
+    """
+    WITH RECURSIVE
+    prs AS (
+      SELECT a.c_custkey AS ia, b.c_custkey AS ib
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT ia AS u, ib AS v FROM prs UNION SELECT ib, ia FROM prs
+    ),
+    lbl(node, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, l.label FROM lbl l JOIN edges e ON e.u = l.node
+      WHERE l.label < e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS group_id FROM lbl GROUP BY node),
+    sizes AS (
+      SELECT group_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_merged
+      FROM comp GROUP BY group_id
+    ),
+    losers AS (SELECT node FROM comp WHERE node <> group_id)
+    SELECT c.c_custkey, c.c_name,
+           CAST(COALESCE(s.n_merged, 0) AS BIGINT) AS n_merged
+    FROM customer c
+    LEFT JOIN losers l ON c.c_custkey = l.node
+    LEFT JOIN sizes s ON c.c_custkey = s.group_id
+    WHERE l.node IS NULL
+    """,
+)
 def dedup_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end edit-distance dedup (operators/fuzzy.py::dedup_fuzzy):
     deletion-blocked pairs → connected components → one canonical row per
-    cluster with its absorption count. Rows-only check (label
-    propagation is iterative); the pair stage itself is oracle-checked
-    by fuzzy_name_pairs."""
+    cluster with its absorption count. Converted from rows-only to
+    value-checked (r5): the pair predicate is pure SQL (naive levenshtein
+    cross-join — the fuzzy_name_pairs oracle) and the CC fixpoint's
+    output is declarative (min member id per component), so the DuckDB
+    recursive-CTE closure reproduces survivors AND absorption counts
+    value-for-value."""
     from etl_tools_rs_spark.operators.fuzzy import dedup_fuzzy
 
     t = load_tables(spark, sf_dir, ("customer",))
@@ -6393,7 +6573,86 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(t["events"], "user_id", k=150)
 
 
-@qdef("cross_near_dup_documents", None)  # LSH candidates aren't SQL-expressible
+def _cross_near_dup_oracle_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    fraction: float = 0.1,
+    offset: int = 10_000_000,
+) -> str:
+    """cross_near_dup_documents oracle (r5): in the md5 family every
+    stage is engine-portable — the 60-bit hash sample (kmv_hash's
+    documented DuckDB equivalence), signatures, band buckets, the
+    BETWEEN-sides candidate join, and the exact distinct-shingle Jaccard
+    verify (integer counts, one division — bit-identical)."""
+    rpb = num_hashes // bands
+    cut = int(fraction * (1 << 60))  # == sample.hash_sample's threshold
+    mins = ",\n             ".join(
+        f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(num_hashes)
+    )
+    glue = " || '|' || "
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT _id, {b} AS band, md5({cat}) AS bucket FROM {src}".format(
+            b=b,
+            cat=glue.join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb)),
+            src="sig_{side}",
+        )
+        for b in range(bands)
+    )
+    band_l = band_rows.format(side="l")
+    band_r = band_rows.format(side="r")
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, text,
+             doc_id + {offset} AS bench_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) < {cut} AS in_bench
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, bench_id, in_bench,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM ids
+    ), sh0 AS (
+      SELECT doc_id, bench_id, in_bench, toks,
+             unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id, bench_id, in_bench,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    ), sig_l AS (
+      SELECT doc_id AS _id, {mins} FROM sh GROUP BY doc_id
+    ), sig_r AS (
+      SELECT bench_id AS _id, {mins} FROM sh WHERE in_bench GROUP BY bench_id
+    ), bnd_l AS (
+      {band_l}
+    ), bnd_r AS (
+      {band_r}
+    ), cand AS (
+      SELECT DISTINCT l._id AS id_a, r._id AS id_b
+      FROM bnd_l l JOIN bnd_r r ON l.band = r.band AND l.bucket = r.bucket
+    ), gs_l AS (SELECT DISTINCT doc_id, g FROM sh
+    ), gs_r AS (SELECT DISTINCT bench_id, g FROM sh WHERE in_bench
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN gs_l ta ON ta.doc_id = c.id_a
+      JOIN gs_r tb ON tb.bench_id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b
+    ), sz_l AS (SELECT doc_id, COUNT(*) AS n FROM gs_l GROUP BY doc_id
+    ), sz_r AS (SELECT bench_id, COUNT(*) AS n FROM gs_r GROUP BY bench_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz_l sa ON sa.doc_id = id_a
+    JOIN sz_r sb ON sb.bench_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@qdef("cross_near_dup_documents", _cross_near_dup_oracle_sql())
 def cross_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup decontamination (operators/dedup.py::
     minhash_cross_pairs): a deterministic 10% hash-sample of documents
@@ -6401,8 +6660,11 @@ def cross_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     table plays the training corpus — every benchmark doc's exact twin
     must be flagged, plus any true near-dups. Banded equi-join BETWEEN
     the sides only (within-side dups never pair); with a benchmark-sized
-    right side the banding frame broadcasts. Rows-gated: the xxhash64
-    candidate stage has no SQL oracle (the verify is exact Jaccard)."""
+    right side the banding frame broadcasts. Converted from rows-only to
+    value-checked (r5) by running the gate in the portable md5 family —
+    sample cut, signatures, buckets, and the exact-Jaccard verify all
+    replay in DuckDB. The xxhash64 family stays the 100 TB default in
+    the operator."""
     from etl_tools_rs_spark.operators.dedup import minhash_cross_pairs
     from etl_tools_rs_spark.operators.sample import hash_sample
 
@@ -6412,7 +6674,7 @@ def cross_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     return minhash_cross_pairs(
-        docs, bench, threshold=0.8, num_hashes=16, bands=8
+        docs, bench, threshold=0.8, num_hashes=16, bands=8, hash_family="md5"
     ).orderBy("id_a", "id_b")
 
 
