@@ -336,7 +336,18 @@ def fuzzy_join(
                     ).alias("s"),
                 ),
             ).drop("_sh")
-    cand = probe.join(index, probe["_fk"] == index["_fk"]).drop("_fk", "_lcp")
+    # SHUFFLE_HASH, never broadcast (r5): Catalyst's size estimate for
+    # the index side predates the key Generate, so it happily broadcasts
+    # an exploded frame O(L)× bigger than the table (observed at sf3:
+    # an 8.5M-row broadcast, with ALL probe+verify work then riding the
+    # file-count-parallel scan stage — 8 tasks on 32 cores). A shuffled
+    # hash join costs one narrow key shuffle per side, runs the verify
+    # at full shuffle parallelism, and is the only shape that survives a
+    # 100 TB left side; no sort (keys are hash-joinable, output unsorted
+    # anyway), and AQE's skew split applies to hot keys.
+    cand = probe.join(
+        index.hint("shuffle_hash"), probe["_fk"] == index["_fk"]
+    ).drop("_fk", "_lcp")
     # verify BEFORE deduping (r4): the threshold levenshtein is a cheap
     # row-local filter, the pair-dedup is a shuffle — running the filter
     # first means the shuffle moves only SURVIVING pairs (matches),

@@ -112,6 +112,25 @@ def test_no_cartesian_in_plan(spark, words_df):
     assert "BroadcastNestedLoopJoin" not in plain
 
 
+def test_candidate_join_never_broadcast(spark, words_df):
+    """r5 pin: the candidate join must be a SHUFFLED hash join, never a
+    broadcast of the exploded key frame. Catalyst's size estimate
+    predates the key Generate (it can't see the O(L)-per-row explosion),
+    so without the hint it broadcast an 8.5M-row frame at sf3 and ran
+    the whole verify on the file-count-parallel scan stage — the
+    shuffled form is the only shape that survives a large corpus."""
+    left = words_df.select(F.col("wid").alias("lid"), F.col("w").alias("lw"))
+    right = words_df.select(F.col("wid").alias("rid"), F.col("w").alias("rw"))
+    for kwargs in ({"method": "deletion", "max_distance": 1},
+                   {"method": "segment", "max_distance": 3}):
+        plan = (
+            fuzzy.fuzzy_join(left, right, "lw", "rw", **kwargs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ShuffledHashJoin" in plan, kwargs
+        assert "BroadcastHashJoin" not in plan, kwargs
+
+
 def test_rejects_zero_distance(spark, words_df):
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy.fuzzy_join(words_df, words_df, "w", "w", 0)
