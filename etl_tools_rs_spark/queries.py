@@ -4270,6 +4270,135 @@ def token_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_divergence(a, b)
 
 
+def _dsir_ctes(
+    num_buckets: int = 1024, smoothing: float = 0.5, scale: int = 6
+) -> str:
+    """Shared DuckDB CTE chain for the DSIR oracles, ending in
+    ``lw(doc_id, n_feats, lwm)`` — hashed uni+bigram buckets (the
+    portable 60-bit md5 hash), add-λ smoothed bucket log-ratios
+    quantized to integer micro-units, exact-integer per-doc sums.
+    Mirrors operators/dsir.py expression for expression."""
+    lam = smoothing
+    lamB = repr(float(smoothing * num_buckets))
+    p10 = repr(float(10**scale))
+    return f"""tk AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, lang, unnest(toks) AS g FROM tk
+    ), bi0 AS (
+      SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+      FROM tk WHERE len(toks) >= 2
+    ), bi AS (
+      SELECT doc_id, lang,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS g
+      FROM bi0
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+               % {num_buckets} AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), domain AS (
+      SELECT CAST(unnest(range({num_buckets})) AS BIGINT) AS bucket
+    ), ct AS (
+      SELECT bucket, COUNT(*) AS n_t FROM feats WHERE lang = 'en'
+      GROUP BY bucket
+    ), cr AS (
+      SELECT bucket, COUNT(*) AS n_r FROM feats GROUP BY bucket
+    ), tab AS (
+      SELECT domain.bucket,
+             CAST(COALESCE(ct.n_t, 0) AS BIGINT) AS n_t,
+             CAST(COALESCE(cr.n_r, 0) AS BIGINT) AS n_r
+      FROM domain LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
+    ), tot AS (
+      SELECT CAST(SUM(n_t) AS DOUBLE) AS nt, CAST(SUM(n_r) AS DOUBLE) AS nr
+      FROM tab
+    ), w AS (
+      SELECT bucket,
+             CAST(FLOOR({p10} * (
+               ln((CAST(n_t AS DOUBLE) + {lam}) / (nt + {lamB}))
+               - ln((CAST(n_r AS DOUBLE) + {lam}) / (nr + {lamB}))
+             )) AS BIGINT) AS lr
+      FROM tab, tot
+    ), db AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM feats GROUP BY doc_id, bucket
+    ), lw AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(db.c), 0) AS BIGINT) AS n_feats,
+             CAST(COALESCE(SUM(db.c * w.lr), 0) AS BIGINT) AS lwm
+      FROM documents d
+      LEFT JOIN db ON d.doc_id = db.doc_id
+      LEFT JOIN w ON db.bucket = w.bucket
+      GROUP BY d.doc_id
+    )"""
+
+
+@qdef(
+    "dsir_logweights_documents",
+    f"""
+    WITH {_dsir_ctes()}
+    SELECT doc_id, n_feats,
+           CAST(lwm / 1000000.0 AS DOUBLE) AS log_weight
+    FROM lw
+    """,
+)
+def dsir_logweights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023 —
+    r5): every document scored by how English-slice-like its hashed
+    uni+bigram distribution is (target = lang='en' docs, raw = full
+    corpus). Fixed 1024-bucket hashed feature space (the 100 TB trick —
+    the model is a broadcast, never a vocabulary); per-doc sums are
+    exact integer micro-units, value-checked bucket-for-bucket and
+    doc-for-doc."""
+    from etl_tools_rs_spark.operators.dsir import dsir_log_weights
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), num_buckets=1024
+    )
+
+
+@qdef(
+    "dsir_sample_documents",
+    f"""
+    WITH {_dsir_ctes()},
+    keyed AS (
+      SELECT doc_id, n_feats, lwm,
+             lwm + CAST(FLOOR(1000000.0 * -ln(-ln(
+               (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) + 1)
+               / {repr(float((1 << 60) + 1))}
+             ))) AS BIGINT) AS key_micro
+      FROM lw
+    )
+    SELECT doc_id, n_feats,
+           CAST(lwm / 1000000.0 AS DOUBLE) AS log_weight,
+           CAST(key_micro / 1000000.0 AS DOUBLE) AS gumbel_key
+    FROM keyed
+    ORDER BY key_micro DESC, doc_id ASC
+    LIMIT 64
+    """,
+)
+def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (operators/dsir.py::dsir_sample — r5):
+    64 documents drawn without replacement with probability ∝
+    exp(log_weight) via the Gumbel-top-k identity, the Gumbel uniform
+    coming from the portable 60-bit content hash of the doc id — the
+    whole weighted sample is deterministic and value-checked, selection
+    and keys both."""
+    from etl_tools_rs_spark.operators.dsir import dsir_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), k=64, num_buckets=1024
+    )
+
+
 @qdef(
     "containment_pairs_blocked",
     """
