@@ -7581,7 +7581,82 @@ def binary_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("mmr_rerank_embeddings", None)  # iterative greedy — rows-only check
+def _mmr_oracle_sql(k: int = 10, lam: float = 0.7, pool_k: int = 50) -> str:
+    """mmr_rerank_embeddings oracle (r5): the greedy MMR loop has a
+    FIXED public step count, so it unrolls into k chained CTEs — each
+    step an argmax (ROW_NUMBER over floored scores with id tie-break)
+    against the max-similarity-to-selected computed so far. Mirrors the
+    operator's float pipeline: 6dp-floored relevance/sims/mmr,
+    ``(1.0 - lam)`` embedded as the exact Python double, unit vectors
+    normalized first (zero norms -> 1) like the numpy path."""
+    lam_r, one_minus_lam_r = repr(float(lam)), repr(float(1.0 - lam))
+    steps = []
+    prev_sel = "sel0"
+    for t in range(1, k + 1):
+        steps.append(f"""
+    cand{t} AS (
+      SELECT p.qid, p.cid, p.rel, p.u,
+             COALESCE((
+               SELECT MAX(FLOOR(1000000.0 * list_dot_product(p.u, s.u))
+                          / 1000000.0)
+               FROM {prev_sel} s WHERE s.qid = p.qid
+             ), 0.0) AS ms
+      FROM pool p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev_sel} s WHERE s.qid = p.qid AND s.cid = p.cid
+      )
+    ), scored{t} AS (
+      SELECT qid, cid, u,
+             FLOOR(1000000.0 * ({lam_r} * rel - {one_minus_lam_r} * ms))
+               / 1000000.0 AS mmr,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY FLOOR(1000000.0 * ({lam_r} * rel
+                              - {one_minus_lam_r} * ms)) / 1000000.0 DESC,
+                        cid ASC) AS rn
+      FROM cand{t}
+    ), pick{t} AS (
+      SELECT qid, cid, u, {t} AS rank, mmr FROM scored{t} WHERE rn = 1
+    ), sel{t} AS MATERIALIZED (
+      SELECT qid, cid, u, rank, mmr FROM {prev_sel}
+      UNION ALL
+      SELECT qid, cid, u, rank, mmr FROM pick{t}
+    )""")
+        prev_sel = f"sel{t}"
+    chain = ",".join(steps)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    s AS (
+      SELECT qid, e.vec_id AS cid, e.v AS cv,
+             list_cosine_similarity(qv, e.v) AS sim
+      FROM q CROSS JOIN e
+    ), r AS (
+      SELECT qid, cid, cv, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+               AS rnk
+      FROM s
+    ), pool AS MATERIALIZED (
+      SELECT qid, cid,
+             FLOOR(1000000.0 * ROUND(sim, 6)) / 1000000.0 AS rel,
+             list_transform(
+               cv,
+               x -> x / (CASE WHEN sqrt(list_dot_product(cv, cv)) = 0
+                              THEN 1.0
+                              ELSE sqrt(list_dot_product(cv, cv)) END)
+             ) AS u
+      FROM r WHERE rnk <= {pool_k}
+    ), sel0 AS (
+      SELECT qid, cid, u, 0 AS rank, 0.0 AS mmr FROM pool WHERE FALSE
+    ),{chain}
+    SELECT qid AS query_id, CAST(rank AS INT) AS rank,
+           cid AS neighbor_id, CAST(mmr AS DOUBLE) AS mmr_score
+    FROM {prev_sel} WHERE rank >= 1
+    """
+
+
+@qdef("mmr_rerank_embeddings", _mmr_oracle_sql())
 def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse re-ranking (operators/similarity.py::mmr_rerank, r4):
     the diversity stage completing the retrieval story (BM25/ANN →
