@@ -6781,6 +6781,123 @@ def _cross_near_dup_oracle_sql(
     """
 
 
+def _incremental_near_dup_oracle_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    fraction: float = 0.1,
+    offset: int = 20_000_000,
+) -> str:
+    """incremental_near_dup_documents oracle (r5): the md5-family replay
+    of the delta-vs-index pipeline — new-vs-old band candidates PLUS the
+    new-vs-new self-join arm, one exact-Jaccard verify. Same portable
+    pieces as the cross-corpus oracle."""
+    rpb = num_hashes // bands
+    cut = int(fraction * (1 << 60))
+    mins = ",\n             ".join(
+        f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(num_hashes)
+    )
+    glue = " || '|' || "
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT _id, {b} AS band, md5({cat}) AS bucket FROM {src}".format(
+            b=b,
+            cat=glue.join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb)),
+            src="sig_{side}",
+        )
+        for b in range(bands)
+    )
+    band_o = band_rows.format(side="o")
+    band_n = band_rows.format(side="n")
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, text,
+             doc_id + {offset} AS new_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) < {cut} AS is_new
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, new_id, is_new,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM ids
+    ), sh0 AS (
+      SELECT doc_id, new_id, is_new, toks,
+             unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id, new_id, is_new,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    ), sig_o AS (
+      SELECT doc_id AS _id, {mins} FROM sh GROUP BY doc_id
+    ), sig_n AS (
+      SELECT new_id AS _id, {mins} FROM sh WHERE is_new GROUP BY new_id
+    ), bnd_o AS (
+      {band_o}
+    ), bnd_n AS (
+      {band_n}
+    ), cand AS (
+      SELECT DISTINCT n._id AS id_a, o._id AS id_b
+      FROM bnd_n n JOIN bnd_o o ON n.band = o.band AND n.bucket = o.bucket
+      UNION
+      SELECT DISTINCT a._id, b._id
+      FROM bnd_n a JOIN bnd_n b
+        ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+    ), gs_o AS (SELECT DISTINCT doc_id, g FROM sh
+    ), gs_n AS (SELECT DISTINCT new_id, g FROM sh WHERE is_new
+    ), gs AS (
+      SELECT doc_id AS _id, g FROM gs_o
+      UNION ALL
+      SELECT new_id, g FROM gs_n
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN gs ta ON ta._id = c.id_a
+      JOIN gs tb ON tb._id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b
+    ), sz AS (SELECT _id, COUNT(*) AS n FROM gs GROUP BY _id)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa._id = id_a
+    JOIN sz sb ON sb._id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@qdef("incremental_near_dup_documents", _incremental_near_dup_oracle_sql())
+def incremental_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup — the daily-crawl O(delta) lifecycle
+    (operators/lsh_index.py, r5): documents play the INDEXED corpus
+    (band index built once), a deterministic 10% hash-sample with
+    offset ids plays today's delta; every delta doc must flag its old
+    twin (new-vs-old) and any near-dups inside the delta itself
+    (new-vs-new), without re-shingling the old corpus (candidate-id
+    semi-join verify — pinned in tests). Incremental == full-rebuild
+    equivalence laws in tests/test_lsh_index.py; value-checked here in
+    the portable md5 family."""
+    from etl_tools_rs_spark.operators.lsh_index import (
+        incremental_near_dup,
+        minhash_band_index,
+    )
+    from etl_tools_rs_spark.operators.sample import hash_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    new = hash_sample(docs, "doc_id", 0.1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    idx = minhash_band_index(
+        docs, num_hashes=16, bands=8, hash_family="md5"
+    )
+    pairs, _ = incremental_near_dup(
+        idx, docs, new, threshold=0.8, num_hashes=16, bands=8,
+        hash_family="md5",
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @qdef("cross_near_dup_documents", _cross_near_dup_oracle_sql())
 def cross_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup decontamination (operators/dedup.py::
