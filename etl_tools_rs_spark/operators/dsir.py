@@ -204,6 +204,74 @@ def dsir_log_weights(
     )
 
 
+def dsir_model_vector(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 1024,
+    ngram_n: int = 2,
+    smoothing: float = 0.5,
+    scale: int = 6,
+) -> list[int]:
+    """Fit and COLLECT the model as a dense ``num_buckets``-long list of
+    integer micro-unit log-ratios (index = bucket). The model is
+    driver-sized by construction (kB for the default 1024 buckets) —
+    this is the fit-once-offline artifact that :func:`dsir_score` ships
+    into a plan as a literal, the same vocab-in-closure pattern as the
+    BPE/unigram tokenizers."""
+    rows = (
+        dsir_bucket_weights(
+            raw, target, text_col, num_buckets, ngram_n, smoothing, scale
+        )
+        .select("bucket", "lr_micro")
+        .collect()
+    )
+    lr = [0] * num_buckets
+    for r in rows:
+        lr[r["bucket"]] = r["lr_micro"]
+    return lr
+
+
+def dsir_score(
+    df: DataFrame,
+    lr_micro: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Score documents against a PRE-FIT model (the deployment shape:
+    fit offline on a sample, score the 100 TB corpus — or a live
+    stream). Entirely ROW-LOCAL: features hash in codegen, the model is
+    an array literal indexed by ``element_at``, and the per-doc sum is
+    one ``aggregate`` fold over the feature array — no shuffle, no
+    state, so the same expression scores a STREAMING DataFrame
+    unchanged (stateless stage). Output matches
+    :func:`dsir_log_weights`: ``(id_col, n_feats, log_weight)``, and
+    equality with the join-based path is pinned in tests."""
+    num_buckets = len(lr_micro)
+    if num_buckets < 2:
+        raise ValueError(f"model must have >= 2 buckets, got {num_buckets}")
+    p10 = float(10**scale)
+    model = F.array(*[F.lit(int(v)).cast("long") for v in lr_micro])
+    # NULL text scores like empty text (0 features, weight 0.0) — matches
+    # dsir_log_weights' explode_outer arm
+    feats = F.coalesce(
+        hashed_ngram_buckets(F.col(text_col), num_buckets, ngram_n),
+        F.array().cast("array<bigint>"),
+    )
+    lw_micro = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(model, (b + 1).cast("int")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(feats).cast("bigint").alias("n_feats"),
+        (lw_micro / F.lit(p10)).cast("double").alias("log_weight"),
+    )
+
+
 def dsir_sample(
     raw: DataFrame,
     target: DataFrame,

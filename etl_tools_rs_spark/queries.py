@@ -4363,6 +4363,48 @@ def dsir_logweights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "dsir_stream_documents",
+    f"""
+    WITH {_dsir_ctes()}
+    SELECT doc_id, n_feats,
+           CAST(lwm / 1000000.0 AS DOUBLE) AS log_weight
+    FROM lw
+    """,
+)
+def dsir_stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR scoring (operators/dsir.py::dsir_score — r5): the
+    deployment shape. The model is fit offline in batch
+    (dsir_model_vector — a kB-sized integer array), then a documents
+    FILE STREAM is scored by a completely STATELESS stage: features
+    hash in codegen, the model is an array literal, the per-doc sum is
+    a row-local aggregate fold — no shuffle, no state, no watermark
+    needed. Drained availableNow; VALUE-checked against the same batch
+    SQL oracle as dsir_logweights_documents (a stateless stage is
+    batch-equivalent by construction — this gate proves it)."""
+    import tempfile
+    import uuid
+
+    from etl_tools_rs_spark.operators.dsir import dsir_model_vector, dsir_score
+    from etl_tools_rs_spark.streaming.ops import run_append_available_now
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    lr = dsir_model_vector(
+        docs, docs.filter(F.col("lang") == "en"), num_buckets=1024
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.[p]arquet")
+        .select("doc_id", "text")
+    )
+    scored = dsir_score(stream, lr)
+    name = f"gate_dsir_{uuid.uuid4().hex[:8]}"
+    run_append_available_now(scored, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name)
+
+
+@qdef(
     "dsir_sample_documents",
     f"""
     WITH {_dsir_ctes()},

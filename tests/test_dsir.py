@@ -145,6 +145,37 @@ class TestDsirWeights:
         assert all(r["log_weight"] == 0.0 for r in out)
 
 
+class TestDsirScore:
+    def test_score_path_equals_join_path(self, frames):
+        """dsir_score (model-as-literal, row-local fold — the streaming /
+        100 TB deployment path) must equal dsir_log_weights (the
+        join-based fit path) doc-for-doc, bit-for-bit."""
+        from etl_tools_rs_spark.operators.dsir import (
+            dsir_model_vector,
+            dsir_score,
+        )
+
+        raw, tgt = frames
+        lr = dsir_model_vector(raw, tgt, num_buckets=B)
+        assert len(lr) == B
+        via_join = {
+            r["doc_id"]: (r["n_feats"], r["log_weight"])
+            for r in dsir_log_weights(raw, tgt, num_buckets=B).collect()
+        }
+        via_score = {
+            r["doc_id"]: (r["n_feats"], r["log_weight"])
+            for r in dsir_score(raw, lr).collect()
+        }
+        assert via_score == via_join
+
+    def test_score_rejects_tiny_model(self, frames):
+        from etl_tools_rs_spark.operators.dsir import dsir_score
+
+        raw, _ = frames
+        with pytest.raises(ValueError):
+            dsir_score(raw, [0])
+
+
 class TestDsirSample:
     def test_matches_brute_gumbel_topk(self, frames):
         raw, tgt = frames
