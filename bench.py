@@ -54,7 +54,9 @@ BENCH_ROWS_ONLY = [
     "semdedup_embeddings",
     "bpe_merges_documents",
     "image_ahash_near_dup",
-    "cross_near_dup_documents",
+    # cross_near_dup_documents gained a value oracle in r5 (md5 family) —
+    # it is now benched via the oracle-derived list like every other
+    # converted query; no extras entry needed
     "multimodal_audio_features",
     "multimodal_resize_pipeline",
     "multimodal_video_pipeline",
