@@ -473,6 +473,56 @@ def connected_components(
     )
 
 
+def keep_best_per_group(
+    df: DataFrame,
+    groups: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: given near-dup ``groups``
+    (``(member_id, group_id)`` from :func:`connected_components`), keep
+    the HIGHEST-``quality_col`` member of each cluster — "keep best",
+    the curation policy that beats keep-first/keep-min-id whenever a
+    quality signal exists (dup clusters usually mix a clean original
+    with mangled/truncated copies). Docs in no group survive untouched.
+
+    Ties break toward the SMALLER id (deterministic, oracle-
+    reproducible). Returns ``df``'s surviving rows plus ``n_merged``
+    (near-dups the survivor absorbed; 0 for singletons).
+
+    Plan: groups are answer-sized (pair-connected docs only), so every
+    stage here is bounded by them — one quality join onto the group
+    frame, ONE max-of-struct argmax per group (no window), a broadcast-
+    friendly anti-join of losers against the corpus, and the keeper
+    join-back. The corpus shuffles once, on its id.
+    """
+    q = df.select(
+        F.col(id_col).alias("member_id"), F.col(quality_col).alias("_q")
+    )
+    g = groups.join(q, "member_id")
+    best = g.groupBy("group_id").agg(
+        F.max(
+            F.struct(
+                F.col("_q").alias("q"),
+                (-F.col("member_id")).alias("negid"),
+            )
+        ).alias("_b"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_merged"),
+    ).select(
+        "group_id",
+        (-F.col("_b.negid")).alias("_keeper"),
+        "n_merged",
+    )
+    losers = g.join(
+        best, "group_id"
+    ).filter(F.col("member_id") != F.col("_keeper")).select(
+        F.col("member_id").alias(id_col)
+    )
+    kept = df.join(losers, id_col, "left_anti")
+    reps = best.select(F.col("_keeper").alias(id_col), "n_merged")
+    return kept.join(reps, id_col, "left").na.fill({"n_merged": 0})
+
+
 def simhash_table_md5(
     df: DataFrame,
     text_col: str = "text",

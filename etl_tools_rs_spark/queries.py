@@ -2414,6 +2414,84 @@ def _lsh_groups_oracle_sql() -> str:
     """
 
 
+def _keep_best_oracle_sql() -> str:
+    """dedup_keep_best_documents oracle: the LSH-groups closure extended
+    with a token-count quality argmax (ties to the smaller id) and the
+    survivor/n_merged reconstruction — value-checks keep-best canonical
+    selection end to end."""
+    return f"""
+    WITH RECURSIVE {_minhash_lsh_pair_ctes()},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    lbl(node, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, l.label FROM lbl l JOIN edges e ON e.u = l.node
+      WHERE l.label < e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS group_id FROM lbl GROUP BY node),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT c.node AS member_id, c.group_id, q.n_tok
+      FROM comp c JOIN q ON c.node = q.doc_id
+    ),
+    best AS (
+      SELECT group_id, member_id AS keeper,
+             CAST(grp_n - 1 AS BIGINT) AS n_merged
+      FROM (
+        SELECT group_id, member_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS grp_n,
+               ROW_NUMBER() OVER (
+                 PARTITION BY group_id
+                 ORDER BY n_tok DESC, member_id ASC) AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT g.member_id FROM g JOIN best USING (group_id)
+      WHERE g.member_id <> best.keeper
+    )
+    SELECT q.doc_id, q.lang, q.n_tok,
+           CAST(COALESCE(best.n_merged, 0) AS BIGINT) AS n_merged
+    FROM q
+    LEFT JOIN losers l ON q.doc_id = l.member_id
+    LEFT JOIN best ON q.doc_id = best.keeper
+    WHERE l.member_id IS NULL
+    """
+
+
+@qdef("dedup_keep_best_documents", _keep_best_oracle_sql())
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup.py::
+    keep_best_per_group — r5): MinHash-LSH near-dup groups, then keep
+    each cluster's highest-TOKEN-COUNT member (ties to the smaller id)
+    instead of keep-first — the curation policy for clusters mixing a
+    clean original with truncated copies. One argmax aggregate per
+    group, loser anti-join, no windows on the corpus; value-checked
+    survivors + absorption counts via the recursive-closure oracle."""
+    from etl_tools_rs_spark.functions import token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup_ops.dedup_minhash_lsh(
+        docs, num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+        hash_family="md5",
+    )
+    groups = dedup_ops.connected_components(pairs)
+    slim = docs.select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("n_tok")
+    )
+    return dedup_ops.keep_best_per_group(slim, groups, "n_tok")
+
+
 @qdef("dedup_groups_lsh", _lsh_groups_oracle_sql())
 def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup grouping: MinHash-LSH candidate pairs →

@@ -992,3 +992,48 @@ class TestVideoFrameSample:
         assert by_id[1][0].decode_ok.startswith("error:")
         assert "frame rate" in by_id[1][0].decode_ok
         assert all(r.decode_ok == "ok" for r in by_id[2])
+
+
+class TestKeepBestPerGroup:
+    """Quality-aware canonical selection (r5): keep-best beats keep-min-id."""
+
+    def _run(self, spark, rows, groups_rows):
+        from etl_tools_rs_spark.operators.dedup import keep_best_per_group
+
+        df = spark.createDataFrame(rows, ["doc_id", "q"])
+        groups = spark.createDataFrame(groups_rows, ["member_id", "group_id"])
+        out = keep_best_per_group(df, groups, "q")
+        return {r["doc_id"]: (r["q"], r["n_merged"]) for r in out.collect()}
+
+    def test_highest_quality_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10), (2, 99), (3, 50), (7, 5)],
+            [(1, 1), (2, 1), (3, 1)],
+        )
+        # doc 2 has the best quality in the cluster; 7 is a singleton
+        assert got == {2: (99, 2), 7: (5, 0)}
+
+    def test_tie_breaks_to_smaller_id(self, spark):
+        got = self._run(
+            spark, [(4, 7), (9, 7), (6, 7)], [(4, 4), (9, 4), (6, 4)]
+        )
+        assert got == {4: (7, 2)}
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(i, rng.randint(0, 5)) for i in range(40)]
+        # three clusters + singletons
+        groups = [(i, (i % 3) * 100) for i in range(24)]
+        got = self._run(spark, rows, groups)
+        q = dict(rows)
+        keep = {}
+        for gid in {g for _, g in groups}:
+            members = [m for m, g in groups if g == gid]
+            best = min(members, key=lambda m: (-q[m], m))
+            keep[best] = (q[best], len(members) - 1)
+        for i in range(24, 40):
+            keep[i] = (q[i], 0)
+        assert got == keep
