@@ -392,3 +392,43 @@ class EngineFrame:
         from etl_tools_rs_spark.operators.multimodal import video_frame_sample
 
         return EngineFrame(video_frame_sample(self.df, *a, **kw))
+
+    # -- r5: data selection / entity resolution / index maintenance ---------
+    def dsir_log_weights(self, target: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dsir import dsir_log_weights
+
+        return EngineFrame(dsir_log_weights(self.df, target, *a, **kw))
+
+    def dsir_sample(self, target: DataFrame, k: int, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dsir import dsir_sample
+
+        return EngineFrame(dsir_sample(self.df, target, k, *a, **kw))
+
+    def dsir_score(self, lr_micro: list, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dsir import dsir_score
+
+        return EngineFrame(dsir_score(self.df, lr_micro, *a, **kw))
+
+    def golden_records(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.resolve import golden_records
+
+        return EngineFrame(golden_records(self.df, *a, **kw))
+
+    def resolve_entities(self, other: DataFrame, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.resolve import resolve_entities
+
+        return EngineFrame(resolve_entities(self.df, other, *a, **kw))
+
+    def keep_best_per_group(
+        self, groups: DataFrame, quality_col: str, *a, **kw
+    ) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.dedup import keep_best_per_group
+
+        return EngineFrame(
+            keep_best_per_group(self.df, groups, quality_col, *a, **kw)
+        )
+
+    def minhash_band_index(self, *a, **kw) -> "EngineFrame":
+        from etl_tools_rs_spark.operators.lsh_index import minhash_band_index
+
+        return EngineFrame(minhash_band_index(self.df, *a, **kw))

@@ -189,3 +189,48 @@ def test_round4_curation_audio_chainable(spark):
     )
     af = EngineFrame(media).audio_features().collect()
     assert af[0].decode_ok == "ok" and af[0].rms == 0.0
+
+
+def test_r5_facade_methods_match_direct_calls(spark):
+    """The r5 facade additions (DSIR, keep-best, band index, golden
+    records) must produce the identical optimized plan / values as the
+    direct operator calls."""
+    from etl_tools_rs_spark.operators.dedup import keep_best_per_group
+    from etl_tools_rs_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_model_vector,
+        dsir_score,
+    )
+    from etl_tools_rs_spark.operators.lsh_index import minhash_band_index
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "el gato aqui")],
+        ["doc_id", "text"],
+    )
+    tgt = docs.filter(F.col("doc_id") < 3).select("text")
+
+    direct = dsir_log_weights(docs, tgt, num_buckets=32)
+    via = EngineFrame(docs).dsir_log_weights(tgt, num_buckets=32).df
+    assert sorted(map(tuple, via.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    lr = dsir_model_vector(docs, tgt, num_buckets=32)
+    assert (
+        EngineFrame(docs).dsir_score(lr).df.collect()
+        == dsir_score(docs, lr).collect()
+    )
+
+    idx_direct = minhash_band_index(docs, num_hashes=8, bands=2)
+    idx_via = EngineFrame(docs).minhash_band_index(num_hashes=8, bands=2).df
+    assert sorted(map(tuple, idx_via.collect())) == sorted(
+        map(tuple, idx_direct.collect())
+    )
+
+    q = spark.createDataFrame([(1, 5), (2, 9), (3, 1)], ["doc_id", "q"])
+    groups = spark.createDataFrame([(1, 1), (2, 1)], ["member_id", "group_id"])
+    kb_direct = keep_best_per_group(q, groups, "q")
+    kb_via = EngineFrame(q).keep_best_per_group(groups, "q").df
+    assert sorted(map(tuple, kb_via.collect())) == sorted(
+        map(tuple, kb_direct.collect())
+    )
