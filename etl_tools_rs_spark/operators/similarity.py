@@ -198,10 +198,29 @@ def embedding_near_dup(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: vectors in
-    the same hyperplane bucket with cosine ≥ threshold. Linear-ish in corpus
-    size; exact within buckets."""
+    the same hyperplane bucket with cosine ≥ threshold. Exact within
+    buckets — so per-bucket occupancy m costs m²/2 verifies, and a FIXED
+    plane count goes quadratic as the corpus grows (measured r5: 6
+    planes = 64 buckets was fine at sf0.1 but ~250M verifies on 180k
+    vectors at sf3). ``num_planes`` must scale ~log2(n): pass
+    ``target_bucket_size`` to do that automatically — planes are raised
+    to ``ceil(log2(n / target_bucket_size))`` from one cheap count, so
+    expected occupancy stays ~constant and the join stays ~linear.
+    (More planes = tighter buckets = lower recall for borderline pairs;
+    near-exact duplicates at 0.95 land in the same bucket at any
+    reasonable plane count.) The value-checked registry query pins
+    ``num_planes`` explicitly so its oracle literals stay fixed."""
+    if target_bucket_size is not None:
+        import math
+
+        n = df.count()
+        if n > target_bucket_size:
+            num_planes = max(
+                num_planes, math.ceil(math.log2(n / target_bucket_size))
+            )
     planes = _hyperplanes(dim, num_planes, seed)
     v = df.select(
         F.col(id_col).alias("_id"),

@@ -124,6 +124,30 @@ def test_embedding_near_dup(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_embedding_near_dup_target_bucket_size(spark):
+    """r5 auto-planes knob: target_bucket_size raises num_planes with
+    corpus size (log2(n/target)) so per-bucket occupancy stays bounded;
+    exact duplicates still pair (same vector -> same bucket at ANY
+    plane count)."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    rows += [(i + 1000, v) for i, v in rows[:20]]  # 20 exact twins
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = similarity.embedding_near_dup(
+        emb, threshold=0.999, dim=8, num_planes=2, target_bucket_size=8
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(i, i + 1000) for i in range(20)} <= got
+    # planes rose to ceil(log2(220/8)) = 5 -> buckets must be tighter
+    # than the 2-plane baseline would allow (4 buckets over 220 rows)
+    base = similarity.embedding_near_dup(
+        emb, threshold=0.999, dim=8, num_planes=2
+    )
+    assert out.count() <= base.count()
+
+
 def test_text_analysis(docs):
     out = docs.select(
         "doc_id",
