@@ -208,3 +208,34 @@ class TestDsirSample:
             dsir_bucket_weights(raw, tgt, num_buckets=1)
         with pytest.raises(ValueError):
             dsir_bucket_weights(raw, tgt, smoothing=0.0)
+
+
+class TestDsirPlans:
+    def test_score_plan_is_shuffle_free(self, frames):
+        """The deployment scorer's core claim: model-as-literal scoring
+        adds NO exchange and NO Python stage — it must run as a pure
+        narrow projection over the scan (that's what lets the identical
+        expression score a stream statelessly)."""
+        from etl_tools_rs_spark.operators.dsir import (
+            dsir_model_vector,
+            dsir_score,
+        )
+
+        raw, tgt = frames
+        lr = dsir_model_vector(raw, tgt, num_buckets=B)
+        plan = (
+            dsir_score(raw, lr)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_log_weights_model_join_is_broadcast(self, frames):
+        """The fit path's bucket table must reach the per-doc join as a
+        broadcast — num_buckets rows, never a shuffled side."""
+        raw, tgt = frames
+        plan = (
+            dsir_log_weights(raw, tgt, num_buckets=B)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -1061,3 +1061,19 @@ class TestKeepBestPerGroup:
         for i in range(24, 40):
             keep[i] = (q[i], 0)
         assert got == keep
+
+    def test_keep_best_plan_has_no_window(self, spark):
+        """The argmax must be a max-of-struct hash aggregate, never a
+        rank window (windows sort every group; the aggregate is one
+        map-side-combinable pass)."""
+        from etl_tools_rs_spark.operators.dedup import keep_best_per_group
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], ["doc_id", "q"])
+        groups = spark.createDataFrame(
+            [(1, 1), (2, 1)], ["member_id", "group_id"]
+        )
+        plan = (
+            keep_best_per_group(df, groups, "q")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
