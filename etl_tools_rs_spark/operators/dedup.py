@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from etl_tools_rs_spark.session import default_parallelism
 
@@ -434,32 +435,65 @@ def connected_components(
     rounds 1..N-1. Fixpoint detection is exact (exceptAll), not a
     checksum.
 
+    Checkpoints are DISK_ONLY (r6 giant-component hardening): with the
+    default MEMORY_AND_DISK level, every round's edge frame lands as
+    deserialized on-heap blocks in eviction-PROTECTED storage memory
+    (``spark.memory.storageFraction``), and on a corpus-spanning dup
+    component (450k chained ids → ~9M star edges at sf3) the retained
+    rounds starved the fixpoint's hash aggregations into OOM at the 16g
+    local default. Iterative frames here are each read back O(1) times —
+    exactly the access pattern where paying a disk read to keep the whole
+    execution-memory budget for the star aggregations is the right trade.
+    Superseded rounds' blocks are bounded by the edge list and freed by
+    the ContextCleaner as the driver drops its references.
+
     At 100 TB: the edge list (not the corpus) bounds the work; the edge
     count never grows beyond the input edge count (proven in the paper),
     and hub-node skew in the groupBy is AQE-handled.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    _cp = lambda df: df.localCheckpoint(  # noqa: E731 — one knob, used 3×
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
-    members = (  # every node that appears in any pair (for final labels)
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-
-    for _ in range(max_iterations):
-        edges_next = _small_star(_large_star(edges)).localCheckpoint()
-        changed = (
-            edges_next.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(edges_next).limit(1).count()
+    # Constraint propagation is OFF while the checkpoints are created:
+    # Spark's LogicalRDD preserves the origin plan's constraints through
+    # a (local)checkpoint, and those constraints reference the ORIGIN
+    # plan's attribute ids — when a later round unions the checkpointed
+    # frame with a u↔v-swapped projection of itself, Catalyst's
+    # UnionBase.rewriteConstraints looks the stale ids up in the child
+    # output map and dies with `key not found: v#N` (reproduced on
+    # 4.1.2 with any filtered-union edge input, e.g. a spark.range
+    # chain+random graph; tests/test_fuzzy.py pins it). Checkpoints
+    # created under the disabled flag record no origin constraints, so
+    # every downstream plan — including ones optimized after the flag
+    # is restored — is safe; the only cost is losing inferred filters
+    # inside the star rounds, which carry their filters explicitly.
+    spark = pairs.sparkSession
+    _FLAG = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(_FLAG, "true")
+    spark.conf.set(_FLAG, "false")
+    try:
+        edges = _cp(
+            pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        edges = edges_next
-        if changed == 0:
-            break
+        members = _cp(  # every node that appears in any pair (for labels)
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select(F.col("v").alias("node")))
+            .distinct()
+        )
+
+        for _ in range(max_iterations):
+            edges_next = _cp(_small_star(_large_star(edges)))
+            changed = (
+                edges_next.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(edges_next).limit(1).count()
+            )
+            edges = edges_next
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(_FLAG, prev)
 
     # fixpoint is a star forest: edges = (member, component-min root)
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))

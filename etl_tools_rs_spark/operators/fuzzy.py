@@ -367,27 +367,90 @@ def fuzzy_self_pairs(
     method: str = "auto",
     max_key_candidates: int | None = None,
     oversize_policy: str = "salt",
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """All (id_a < id_b) pairs within ``max_distance`` edits — the
     near-duplicate-string view of one table. Returns
     ``(id_a, id_b, distance)``. ``max_key_candidates`` /
     ``oversize_policy`` pass through to :func:`fuzzy_join` (the
-    adversarial-corpus candidate cap)."""
-    a = df.select(F.col(id_col).alias("_ida"), F.col(col).alias("_sa"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(col).alias("_sb"))
-    joined = fuzzy_join(
-        a, b, "_sa", "_sb", max_distance, method=method,
+    adversarial-corpus candidate cap).
+
+    Exact duplicates are collapsed BEFORE candidate generation (r6):
+    blocking, capping, and the levenshtein verify all run on the
+    DISTINCT string table, and id pairs are expanded back afterwards
+    with plain equi-joins. This is the load-bearing scale property for
+    real corpora — web crawls are dup-heavy, and k copies of one string
+    otherwise multiply every variant key's occupancy by k and every
+    candidate product by k² while content-hash salting provably cannot
+    split them (identical strings share a shard by construction; see
+    :func:`fuzzy_join`). Collapsed, the candidate stage is bounded by
+    the near-dup density of the DISTINCT corpus — exactly what
+    ``max_key_candidates`` caps — and duplication only ever costs the
+    (answer-bound) expansion joins. Measured on the 30×-replicated
+    scale corpus: candidate work constant in the replication factor,
+    where the r5 salted form still grew 4.7× for 3× rows.
+
+    ``connectivity_only=True`` (for clustering consumers, e.g.
+    :func:`dedup_fuzzy`) emits a reduced edge set with the SAME
+    connected components as the full pair set but O(n + distinct
+    pairs) rows instead of Θ(Σ k²): within an exact-dup group, a star
+    from the group's min id; across near-dup strings, one edge between
+    the two groups' min ids. Distances stay exact (0 for star edges,
+    the verified distance for anchor edges)."""
+    vals = df.select(F.col(id_col).alias("_id"), F.col(col).alias("_s"))
+    distinct = vals.select("_s").distinct()
+    dpairs = fuzzy_join(
+        distinct.select(F.col("_s").alias("_sa")),
+        distinct.select(F.col("_s").alias("_sb")),
+        "_sa", "_sb", max_distance, method=method,
         max_key_candidates=max_key_candidates,
         oversize_policy=oversize_policy,
-    )
-    return (
-        joined.filter(F.col("_ida") < F.col("id_b"))
+    ).filter(F.col("_sa") < F.col("_sb"))  # one row per unordered string pair
+    if connectivity_only:
+        anchors = vals.groupBy("_s").agg(F.min("_id").alias("_anchor"))
+        star = (
+            vals.join(anchors, "_s")
+            .filter(F.col("_id") != F.col("_anchor"))
+            .select(
+                F.col("_anchor").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(0).cast("bigint").alias("distance"),
+            )
+        )
+        bridge = (
+            dpairs
+            .join(anchors.select(F.col("_s").alias("_sa"), F.col("_anchor").alias("_ia")), "_sa")
+            .join(anchors.select(F.col("_s").alias("_sb"), F.col("_anchor").alias("_ib")), "_sb")
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+                "distance",
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        return bridge.unionByName(star)
+    cross = (
+        dpairs
+        .join(vals.select(F.col("_id").alias("_ia"), F.col("_s").alias("_sa")), "_sa")
+        .join(vals.select(F.col("_id").alias("_ib"), F.col("_s").alias("_sb")), "_sb")
+        .filter(F.col("_ia") != F.col("_ib"))
         .select(
-            F.col("_ida").alias("id_a"),
-            "id_b",
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
             "distance",
         )
     )
+    within = (
+        vals.alias("x")
+        .join(vals.alias("y"), F.col("x._s") == F.col("y._s"))
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(0).cast("bigint").alias("distance"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def fuzzy_join_naive(
@@ -413,7 +476,7 @@ def dedup_fuzzy(
     id_col: str,
     max_distance: int = 2,
     max_iterations: int = 20,
-    max_key_candidates: int | None = None,
+    max_key_candidates: int | None = 250_000,
 ) -> DataFrame:
     """Edit-distance dedup end to end: segment-blocked pair generation
     (:func:`fuzzy_self_pairs`) → connected components → keep one
@@ -425,12 +488,33 @@ def dedup_fuzzy(
     by the pigeonhole blocking, clustering by the pair list (never the
     corpus), and the final keep-filter is an anti-join of cluster
     non-representatives — the corpus shuffles once, on its id.
+
+    Pairs are requested ``connectivity_only`` (r6): connected
+    components only need CONNECTIVITY, so exact-dup groups contribute a
+    star from their min id (k-1 edges, not C(k,2)) and each near-dup
+    string pair one anchor edge. On a dup-heavy corpus this shrinks the
+    CC input from Θ(Σ k²) to O(n + distinct pairs) — the sf3 giant
+    component that OOM'd the r5 fixpoint (~9M edges from 450k ids)
+    collapses to ~450k edges with identical components, survivors, and
+    ``n_merged`` counts.
+
+    ``max_key_candidates`` defaults ON (r6): dedup is the operator most
+    exposed to adversarial corpora (near-identical boilerplate is WHY
+    you dedup), and the uncapped pair stage went super-linear-to-OOM on
+    450k zero-padded chained ids at sf3. 250k per-key candidate product
+    never engages on healthy corpora (no hot keys → exact theorem
+    intact, value-checked by the ``dedup_fuzzy_customers`` oracle) and
+    bounds the mega-bucket degrade to documented sampling recall — for
+    DEDUP that is the right default, since a dropped pair merely leaves
+    both near-dups in the output; pass ``None`` to restore the exact
+    no-false-negative guarantee at adversarial-corpus risk.
     """
     from etl_tools_rs_spark.operators.dedup import connected_components
 
     pairs = fuzzy_self_pairs(
         df, col, id_col, max_distance,
         max_key_candidates=max_key_candidates,
+        connectivity_only=True,
     )
     comp = connected_components(pairs, "id_a", "id_b", max_iterations)
     # component sizes → n_merged for the representative (min id = group id)

@@ -1193,6 +1193,90 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     return PcaModel(mean.tolist(), comps.tolist(), ratios)
 
 
+def pca_fit_exact(
+    df: DataFrame, vec_col: str, k: int, input_scale: int = 6
+) -> PcaModel:
+    """Deterministic twin of :func:`pca_fit`: the model is a PURE
+    FUNCTION of the data — identical across partitionings, AQE
+    re-plans, and retries — which makes downstream projections
+    value-oracle-checkable (the ``pca_project_embeddings`` gate).
+
+    How: each Arrow batch floor-quantizes its vectors to
+    ``input_scale`` decimals (int64) and contributes EXACT integer
+    partials ``(count, Σq, qᵀq)`` via one numpy integer matmul —
+    integer addition is associative, so partial order cannot matter,
+    unlike :func:`pca_fit`'s float Gram. Partials total as
+    DECIMAL(38,0) (overflow-proof at any corpus size), and the d×d
+    eigendecomposition runs on the driver over the exact moments with
+    :func:`pca_fit`'s sign pinning (max-|x| entry positive). Same
+    shuffle shape as ``pca_fit``: (d + d²)-sized partial rows, full
+    vectors never move.
+
+    Input contract: components should be ~unit-scale (|x| ≤ ~30 at the
+    default scale); batches are sub-chunked to 1024 rows so the int64
+    Gram accumulation cannot overflow within a partial.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    p_in = 10**input_scale
+
+    def _partials(it):
+        for pdf in it:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                continue
+            Q = np.floor(float(p_in) * X).astype(np.int64)
+            for lo in range(0, Q.shape[0], 1024):
+                C = Q[lo : lo + 1024]
+                yield pd.DataFrame(
+                    {
+                        "n": [int(C.shape[0])],
+                        # int64 sums stringify losslessly into decimals
+                        "s": [[str(int(x)) for x in C.sum(axis=0)]],
+                        "g": [[str(int(x)) for x in (C.T @ C).ravel()]],
+                    }
+                )
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, schema="n long, s array<string>, g array<string>"
+    )
+    parts = parts.localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    sums = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i").agg(F.sum(F.col("v").cast(dec)).alias("s"))
+        .orderBy("i").collect()
+    )
+    gram = (
+        parts.select(F.posexplode("g").alias("i", "v"))
+        .groupBy("i").agg(F.sum(F.col("v").cast(dec)).alias("g"))
+        .orderBy("i").collect()
+    )
+    n = parts.agg(F.sum("n")).first()[0]
+    if not n:
+        raise ValueError("pca_fit_exact on an empty frame")
+    s = np.asarray([int(r["s"]) for r in sums], dtype=np.float64)
+    d = s.shape[0]
+    G = np.asarray([int(r["g"]) for r in gram], dtype=np.float64).reshape(d, d)
+    # mean/cov in float64 FROM exact integers — deterministic given the
+    # data; quantization noise is O(10^-input_scale), far below any
+    # plausible component structure
+    mean = s / (n * p_in)
+    cov = G / (n * p_in * p_in) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    total = float(evals.sum()) or 1.0
+    ratios = [float(evals[i]) / total for i in order]
+    return PcaModel(mean.tolist(), comps.tolist(), ratios)
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str,

@@ -9156,24 +9156,178 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(t["embeddings"], "embedding", list(range(8)))
 
 
-@qdef("pca_project_embeddings", None)  # float eigendecomposition — rows-only
+# pca_project_embeddings oracle model (r6): authored ONCE from the
+# sf0.01 gate corpus via pca_fit_exact - deterministic by construction
+# (exact integer moments, driver eigh, max-|x|-positive signs), so the
+# runtime fit reproduces these exact doubles; repr round-trips bit-for-
+# bit. sf0.01-specific (the driver's correctness sf): at other sfs the
+# query still runs, the oracle literals do not transfer.
+_PCA_MEAN = [
+    0.002164224, -0.004548304, 0.003929656, -0.004793694, 0.009942596,
+    0.00777204, -0.018231866, 0.009216846, -0.002427944, -0.000618378,
+    0.006435582, 0.0033535, -0.002659402, 0.002053544, -0.000215064,
+    0.005909722, 0.003333734, 0.005825618, -0.000461772, 0.001231218,
+    -0.00383963, 0.002301704, 0.004167772, -0.00805509, -0.001891664,
+    0.012807654, -0.00159758, 0.010625804, -0.001153776, 0.000389874,
+    0.005604222, -0.005793186, 0.008334814, -0.006675888, 0.005155142,
+    0.001176672, -0.005335828, -0.001594308, -0.000967188, -0.001141472,
+    -0.001744718, -0.011834594, 0.000313004, -0.000563676, -0.011521066,
+    0.003832122, -0.000598566, 0.005889782, -0.003750166, -0.010264916,
+    0.009376648, -0.001482478, 0.007769506, -0.003918054, 0.004709268,
+    -0.00357777, 0.004773374, -0.002470854, -0.004844998, -0.008721686,
+    -0.000281656, 0.00500369, -0.001159574, -0.013266694,
+]
+_PCA_COMPS = [
+    [
+        -0.2096388850436247, -0.12057200823653397, 0.036548018942874905,
+        0.011821076154740373, 0.07566757476598716, 0.013214543996277604,
+        0.09058381774702624, 0.2866203539946293, 0.04954569808407072,
+        0.41405679407202267, 0.06530439221905052, 0.18207910125186733,
+        0.06513185386994569, -0.03653315413355909, 0.17114833425867723,
+        -0.1853499653298799, 0.08898905946780453, -0.15702855771756616,
+        -0.030136575617613782, 0.03217827459853471, 0.06121235078580729,
+        -0.11068725455863318, -0.08347545429833036, -0.05543502780797821,
+        0.019552204098273046, 0.19912682809051763, -0.03751683094951019,
+        0.14950768856905472, -0.1728786876520012, -0.0061222955384120925,
+        -0.05871519970792023, 0.06203975389942155, 0.2965383253895577,
+        0.10616414159303658, -0.03204258039978769, 0.10414499093439517,
+        0.04453843508374289, 0.06146305455842423, 0.013005265327386162,
+        0.021771167479506463, -0.11667855519434964, 0.005523922527461089,
+        -0.24083698009629018, 0.09570805478267407, -0.028308941154547074,
+        -0.22512656497128686, 0.008732452405684751, -0.07903678615600568,
+        -0.08368207482637847, -0.11845044863795999, 0.12046117318008784,
+        0.07248410767102356, -0.01718624375987947, 0.08160442600438006,
+        -0.015032965239534925, -0.06676461813166332, -0.055649330247583395,
+        -0.05137625163172809, 0.06019428124574738, -0.09113814179270802,
+        0.12198702142385401, 0.0506487588929073, -0.21821195969018134,
+        -0.10201305010676492,
+    ],
+    [
+        -0.003838910129417672, -0.05443111751546062, -0.012567208963371615,
+        -0.08813385750061399, 0.17485640951288256, 0.025213977508933203,
+        0.07494831617753508, -0.06997976275514767, 0.07744915567630667,
+        0.030698707810323182, 0.10575839042644675, -0.01788149179521384,
+        0.01297598564047425, 0.13369496689451799, 0.014560232988523908,
+        0.041389332812724625, 0.14841244792627437, 0.3603088508334421,
+        -0.05418788653570007, -0.05076408707841402, 0.03254353223593809,
+        0.03539126735387846, 0.06533297493553414, -0.30912374167394924,
+        -0.2576815673286692, -0.2390642214980235, -0.020636734409825937,
+        -0.00022295579007319648, -0.08628652809647822, -0.174533140789386,
+        -0.024069350142210243, -0.21754344109729326, 0.029466607228034077,
+        0.06153865692756823, 0.03375281740152094, 0.07922016641482166,
+        0.059468188050163094, 0.03649710510616716, 0.18210709956776297,
+        0.0466732055662762, 8.984604902315813e-06, 0.04698753462801026,
+        -0.06276943856764541, -0.1791901399306598, 0.17268728583012669,
+        -0.18883610424966024, -0.0469451691885154, 0.1457794607279694,
+        0.11292253097683727, -0.11328177309426152, -0.15743099672677213,
+        -0.08197487006472094, 0.01298090204630384, -0.016092881255319783,
+        0.23803467104351256, 0.023384003328927074, -0.30282051621910244,
+        0.016383005472272734, 0.13543406695656557, -0.12158770197328525,
+        -0.08367051441135798, 0.08484073397678699, -0.000445363982089355,
+        -0.0786169498489237,
+    ],
+    [
+        -0.14804376150778317, -0.08512370703162356, -0.06394665944057573,
+        -0.00045710749646996063, -0.20437643524816063, -0.043740799416583404,
+        0.11775497868839438, -0.2844968691469398, 0.04440200746427665,
+        0.023717737769235123, -0.05118016176821015, 0.03570242036531122,
+        -0.06017925640622036, -0.03455292452204288, 0.009449251970674394,
+        -0.23454606375108505, 0.17137298780817636, -0.08492909366484422,
+        0.11604763203949649, 0.07732837591679641, 0.013130534594263568,
+        0.17530754368770887, -0.10064906137026078, 0.053376076121588484,
+        0.0925586626446811, 0.10008533006239786, 0.09063934664694488,
+        -0.13414214415178746, 0.010278506758271008, -0.10540440943790344,
+        -0.12285887819049071, 0.09091397333356271, 0.04825235902193997,
+        -0.18066132547057187, -0.02977027258266651, -0.10216165306419187,
+        0.13907777054523113, -0.21255334641591495, -0.06345735196757313,
+        -0.1039297399163495, 0.18948007265085154, 0.190109029909537,
+        -0.1258549333843516, -0.20893190301824494, 0.16586480314735286,
+        0.052837342266180753, 0.04279751989554245, 0.01802031301612881,
+        -0.06832122354218634, -0.051274538852656426, -0.12949825794097872,
+        -0.10645425286967741, 0.22780015922017394, -0.15329515024866275,
+        -0.1791530195838439, -0.001919221153043365, -0.0053796957409999215,
+        0.10972502243932805, 0.18279329957744855, -0.05268548726576117,
+        -0.06955822408776491, 0.28842950865152267, -0.09008141631230857,
+        -0.07552967216015491,
+    ],
+    [
+        0.06808907642478403, 0.06269260132268206, 0.008780396304084129,
+        0.172527109869293, -0.2579618937440021, 0.10712840738238749,
+        -0.023208803920628726, 0.17754341278756658, -0.11522108163113098,
+        0.1362005211442457, 0.007641952877244791, 0.20194837354387377,
+        -0.06077553338315769, -0.14021894337764731, -0.09311460567379437,
+        0.04930979317866228, 0.09682338631425334, 0.07142577304301692,
+        -0.009319293681595427, -0.20316839482100482, -0.22547328343878853,
+        0.1576588639994066, -0.011855699251375345, 0.0732331463210545,
+        0.02747018121319528, -0.11908437519491166, 0.1164534470956348,
+        -0.0038347038819823917, 0.12892439251998333, -0.10452158728445704,
+        0.15211699849533378, 0.2005751926650136, -0.08141460889581774,
+        -0.017677649802432763, -0.11650253193871865, 0.3161905435250932,
+        -0.11671952958127366, -0.14843518399276703, -0.010252171924601941,
+        -0.04828779845915331, -0.014507644604646954, -0.00017967347115539767,
+        -0.08565171357164406, -0.017434619683797864, -0.07573453689827395,
+        -0.041520066302503406, -0.013620391343059451, 0.3694046496388098,
+        -0.10850987087892426, -0.15344465400396698, 0.0664734539100213,
+        -0.019777913665487996, 0.009329492152808637, 0.005401152296188858,
+        -0.021917379907689043, 0.10147306995889407, -0.17090944805380975,
+        0.09292909171813281, -0.1707211218032516, -0.07391678853366927,
+        -0.1920601118956699, -0.09622058145962514, -0.08404619112250022,
+        0.026296606068437464,
+    ],
+]
+
+
+def _pca_project_oracle_sql() -> str:
+    """DuckDB replay of the k=4 projection: per component, the same
+    left-associative fold Spark's ``aggregate`` runs - 0.0 + SUM_j
+    (embedding[j] - mean_j)*comp_j - rounded to 6dp on BOTH engines
+    (raw doubles differ ~1e-17: DuckDB fuses the multiply-adds)."""
+    arms = []
+    for comp in _PCA_COMPS:
+        terms = " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - {_PCA_MEAN[j]!r})"
+            f" * {c!r}"
+            for j, c in enumerate(comp)
+        )
+        arms.append(f"ROUND(0.0 + {terms}, 6)")
+    return (
+        "SELECT vec_id, label, [" + ", ".join(arms) + "] AS pca "
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+
+@qdef("pca_project_embeddings", _pca_project_oracle_sql())
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA dimensionality reduction (operators/similarity.py::pca_fit/
-    pca_project): per-Arrow-batch (count, Σx, XᵀX) partials via ONE
-    numpy matmul each — full vectors never shuffle — tiny elementwise
-    reduce, d×d driver eigendecomposition (deterministic max-|x|
-    positive signs), then k pure-JVM aggregate-fold dot products for
-    the projection (model ships as literals, like the JL sign
-    matrix). The embedding pre-step before ANN/semdedup when 64 dims
-    still cost too much."""
-    from etl_tools_rs_spark.operators.similarity import pca_fit, pca_project
+    """PCA dimensionality reduction (operators/similarity.py::
+    pca_fit_exact/pca_project): per-Arrow-batch EXACT integer moment
+    partials (floor-quantized components, one int64 numpy matmul each —
+    full vectors never shuffle, integer sums are order-invariant),
+    DECIMAL(38,0) totals, d×d driver eigendecomposition (deterministic
+    max-|x| positive signs), then k pure-JVM aggregate-fold dot
+    products for the projection (model ships as literals, like the JL
+    sign matrix). Converted rows-only → value-checked (r6, VERDICT r5
+    #3): the fit is a pure function of the data, so the model authored
+    from the sf0.01 corpus is embedded in the oracle as literals and
+    DuckDB replays the k folds; projections rounded to 6dp on both
+    engines (raw doubles differ ~1e-17 — DuckDB fuses multiply-adds).
+    The float-Gram `pca_fit` stays the cheap path when auditability
+    isn't needed (unit-tested in tests/test_pca.py). The embedding
+    pre-step before ANN/semdedup when 64 dims still cost too much."""
+    from etl_tools_rs_spark.operators.similarity import (
+        pca_fit_exact,
+        pca_project,
+    )
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    model = pca_fit(emb, "embedding", k=4)
+    model = pca_fit_exact(emb, "embedding", k=4)
     return (
         pca_project(emb, "embedding", model)
-        .select("vec_id", "label", "pca")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+        )
         .orderBy("vec_id")
     )
 

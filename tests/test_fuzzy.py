@@ -221,8 +221,13 @@ class TestKeyCandidateCap:
 
     def test_drop_policy_keeps_cold_key_pairs(self, spark):
         """drop removes every pair meeting only through hot keys, but a
-        pair whose variant keys are cold survives untouched."""
-        boiler = [(i, f"{i % 10}0000000") for i in range(200)]  # 10 hot values
+        pair whose variant keys are cold survives untouched. The hot
+        bucket must come from DISTINCT strings (r6): exact duplicates
+        are collapsed before candidate generation, so 200 strings
+        sharing everything but their final char collapse onto ONE
+        deletion-variant key (df=200) while staying 200 distinct
+        corpus values."""
+        boiler = [(i, "x" * 8 + chr(0x4E00 + i)) for i in range(200)]
         rare = [(900, "zqxjkwvbn"), (901, "zqxjkwvbp")]
         df = spark.createDataFrame(boiler + rare, "wid long, w string")
         got = {
@@ -435,3 +440,112 @@ class TestSemdedup:
             assert (a.cluster, a.max_prior_sim, a.is_dup) == (
                 b.cluster, b.max_prior_sim, b.is_dup
             ), k
+
+
+class TestConnectivityOnly:
+    """The r6 dup-collapse: full pair expansion vs the reduced edge set
+    must agree on clusters, and the reduced set must actually be small."""
+
+    def _df(self, spark):
+        # 3 exact-dup groups (two of them near-dups of each other),
+        # plus singletons, with ids interleaved so min-id anchors are
+        # non-trivial
+        rows = (
+            [(i, "alpha doc") for i in (5, 1, 9, 22)]
+            + [(i, "alpha dox") for i in (3, 17)]       # 1 edit from above
+            + [(i, "omega") for i in (8, 2, 30)]
+            + [(40, "unrelated string"), (41, "another one")]
+        )
+        return spark.createDataFrame(rows, "wid long, w string")
+
+    def test_same_components_and_fewer_edges(self, spark):
+        from etl_tools_rs_spark.operators.dedup import connected_components
+
+        df = self._df(spark)
+        full = fuzzy.fuzzy_self_pairs(df, "w", "wid", max_distance=1)
+        red = fuzzy.fuzzy_self_pairs(
+            df, "w", "wid", max_distance=1, connectivity_only=True
+        )
+        fp, rp = pairs_of(full), pairs_of(red)
+        # reduced edges ⊆ full pairs, with exact distances
+        assert {(a, b) for a, b, _ in rp} <= {(a, b) for a, b, _ in fp}
+        assert len(rp) < len(fp)
+        comp_full = {
+            (r.member_id, r.group_id)
+            for r in connected_components(full, "id_a", "id_b").collect()
+        }
+        comp_red = {
+            (r.member_id, r.group_id)
+            for r in connected_components(red, "id_a", "id_b").collect()
+        }
+        assert comp_full == comp_red
+
+    def test_full_pairs_match_naive(self, spark):
+        """The collapsed expansion reproduces the theta-join contract on
+        a dup-heavy corpus (every id pair, exact distances)."""
+        df = self._df(spark)
+        naive = {
+            (min(r.a, r.b), max(r.a, r.b), r.d)
+            for r in fuzzy.fuzzy_join_naive(
+                df.selectExpr("wid AS a", "w AS wa"),
+                df.selectExpr("wid AS b", "w AS wb"),
+                "wa", "wb", 1,
+            ).selectExpr("a", "b", "distance AS d").collect()
+            if r.a < r.b
+        }
+        got = pairs_of(fuzzy.fuzzy_self_pairs(df, "w", "wid", max_distance=1))
+        assert got == naive
+
+
+class TestGiantComponentCC:
+    """r6 hardening: DISK_ONLY checkpoints + the Catalyst origin-
+    constraint workaround (connected_components docstring)."""
+
+    def _graph(self, spark, n):
+        base = spark.range(n)
+        chain = base.filter(f"id < {n - 1}").select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        rnd = base.select(
+            F.col("id").alias("id_a"),
+            ((F.col("id") * F.lit(2654435761) + 1) % n).alias("id_b"),
+        )
+        return chain.union(rnd)
+
+    def test_filtered_union_input_plan(self, spark):
+        """Regression pin for the Spark 4.1 UnionBase.rewriteConstraints
+        crash (`key not found: v#N`): LogicalRDD preserves the origin
+        plan's constraints through localCheckpoint with STALE attribute
+        ids, and the star rounds' u↔v-swapped self-union dies rewriting
+        them. connected_components must survive a filtered-union edge
+        plan — exactly the shape that reproduced it."""
+        from etl_tools_rs_spark.operators.dedup import connected_components
+
+        flag = "spark.sql.constraintPropagation.enabled"
+        before = spark.conf.get(flag)
+        comp = connected_components(self._graph(spark, 2000), "id_a", "id_b")
+        agg = comp.agg(
+            F.countDistinct("group_id").alias("g"), F.count("*").alias("n")
+        ).collect()[0]
+        assert (agg.g, agg.n) == (1, 2000)
+        assert spark.conf.get(flag) == before  # restored after the fix
+
+    @pytest.mark.slow
+    def test_single_giant_component_1m_edges(self, spark):
+        """One corpus-spanning component (the web-crawl boilerplate
+        shape that OOM'd the r5 fixpoint at sf3): 500k nodes / ~1M
+        edges, single component, completes under the suite's default
+        memory. The full-size proof (10M edges, 4g driver, 214s) is
+        recorded in SCALE.md."""
+        from etl_tools_rs_spark.operators.dedup import connected_components
+
+        n = 500_000
+        comp = connected_components(
+            self._graph(spark, n), "id_a", "id_b", max_iterations=30
+        )
+        agg = comp.agg(
+            F.countDistinct("group_id").alias("g"),
+            F.count("*").alias("n"),
+            F.min("group_id").alias("mg"),
+        ).collect()[0]
+        assert (agg.g, agg.n, agg.mg) == (1, n, 0)

@@ -188,3 +188,50 @@ class TestPcaKnnRecall:
         recall, model = self._recall(spark, X, k=4)
         assert sum(model.explained_ratio) < 0.5  # the spectrum warns
         assert recall < 0.8  # and recall reflects it
+
+
+class TestPcaFitExact:
+    """r6 deterministic twin (similarity.py::pca_fit_exact): exact
+    integer moments make the model a pure function of the data — the
+    property the pca_project_embeddings value oracle stands on."""
+
+    def _corpus(self, spark, seed=7, n=400, d=12):
+        rng = np.random.RandomState(seed)
+        basis, _ = np.linalg.qr(rng.randn(d, 3))
+        X = rng.randn(n, 3) * np.array([6.0, 3.0, 1.5]) @ basis.T
+        X = X + rng.randn(n, d) * 0.05
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            X,
+        )
+
+    def test_partition_invariant(self, spark):
+        from etl_tools_rs_spark.operators.similarity import pca_fit_exact
+
+        df, _ = self._corpus(spark)
+        m1 = pca_fit_exact(df, "embedding", k=3)
+        m2 = pca_fit_exact(df.repartition(17), "embedding", k=3)
+        m3 = pca_fit_exact(df.coalesce(1), "embedding", k=3)
+        assert m1.mean == m2.mean == m3.mean
+        assert m1.components == m2.components == m3.components
+
+    def test_matches_numpy_reference(self, spark):
+        """Components agree with a straight numpy PCA on the same
+        quantized corpus to ~quantization precision (1e-6 inputs →
+        sub-1e-4 component agreement on a well-separated spectrum)."""
+        from etl_tools_rs_spark.operators.similarity import pca_fit_exact
+
+        df, X = self._corpus(spark)
+        model = pca_fit_exact(df, "embedding", k=3)
+        Q = np.floor(1e6 * X) / 1e6
+        mean = Q.mean(axis=0)
+        cov = (Q - mean).T @ (Q - mean) / len(Q)
+        evals, evecs = np.linalg.eigh(cov)
+        ref = evecs[:, np.argsort(evals)[::-1][:3]].T
+        for row in ref:
+            j = int(np.argmax(np.abs(row)))
+            if row[j] < 0:
+                row *= -1.0
+        assert np.allclose(np.asarray(model.mean), mean, atol=2e-6)
+        assert np.allclose(np.asarray(model.components), ref, atol=1e-4)

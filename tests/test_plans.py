@@ -410,6 +410,27 @@ class TestScaleAuditDetectors:
         flags = self._flags(a.crossJoin(b))
         assert flags["bnl_join"] or flags["cartesian"]
 
+    def test_broadcast_above_generate_fires(self, spark):
+        """r6 detector: a broadcast whose subtree contains an explode is
+        the r5 fuzzy mis-plan shape (Catalyst's Generate stats are its
+        CHILD's size — the fan-out is invisible to the broadcast
+        decision). The same join with a shuffle hint must not flag."""
+        from pyspark.sql import functions as F
+
+        keys = spark.range(100).select(
+            F.explode(F.array(F.col("id"), F.col("id") + 1)).alias("k")
+        )
+        probe = spark.range(1000).withColumnRenamed("id", "k")
+        flagged = self._flags(probe.join(F.broadcast(keys), "k"))
+        assert flagged["broadcast_above_generate"]
+        clean = self._flags(probe.join(keys.hint("shuffle_hash"), "k"))
+        assert not clean["broadcast_above_generate"]
+        # aggregate-bounded build (vocab-sized df frame above an
+        # explode) is the documented broadcast contract — no advisory
+        agg = keys.groupBy("k").count()
+        bounded = self._flags(probe.join(F.broadcast(agg), "k"))
+        assert not bounded["broadcast_above_generate"]
+
 
 def test_quantile_sketch_ungrouped_is_take_ordered(spark):
     """Ungrouped bottom-k sketch must plan as TakeOrderedAndProject —

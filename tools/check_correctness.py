@@ -128,6 +128,20 @@ def main() -> int:
                 sort_keys=True,
             )
         print(f"wrote {out_path}")
+        # The scale audit regenerates in the SAME step that refreshes the
+        # gate artifact (r6 — twice in a row a registry growth left
+        # SCALE_AUDIT.json stale): every full-registry gate run rewrites
+        # SCALE_AUDIT.json, so n_queries can never lag the registry.
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import scale_audit  # noqa: PLC0415 — same tools/ dir
+
+        audit_out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "SCALE_AUDIT.json"
+        )
+        rc = scale_audit.main_with(spark, "/root/testdata/sf0.001",
+                                   os.path.normpath(audit_out))
+        if rc != 0:
+            failures.append("__scale_audit__")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")

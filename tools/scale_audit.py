@@ -9,7 +9,28 @@ Flags per query:
 - ``bnl_join``: BroadcastNestedLoopJoin (quadratic unless one side is
   genuinely tiny);
 - ``python_row_udf``: row-at-a-time BatchEvalPython (non-Arrow Python);
-- ``global_limit_sort``: Sort + GlobalLimit without TakeOrderedAndProject.
+- ``global_limit_sort``: Sort + GlobalLimit without TakeOrderedAndProject;
+- ``broadcast_above_generate`` (ADVISORY, not a violation): a
+  broadcast join whose build side is a Generate (explode) with no
+  cardinality-bounding Aggregate/Limit in between. Catalyst's size
+  estimate for Generate is its CHILD's size — it cannot see the
+  fan-out — so the broadcast decision rests on a structurally
+  understated estimate and can ship an O(keys-per-row)× frame to
+  every executor (the r5 fuzzy mis-plan: an 8.5M-row exploded
+  deletion-key frame broadcast at sf3, serializing the verify onto
+  the 8-task scan stage). Advisory rather than fatal because at the
+  audit's toy scale EVERY side fits under the broadcast threshold, so
+  direct explode-broadcasts are ubiquitous and each measured healthy
+  through sf3 (band/bucket joins flip to shuffles once the honest
+  pre-Generate estimate crosses the threshold; salted dim replication
+  broadcasts BY DESIGN): the advisory's job is diff-visibility — a
+  new hit in the committed artifact (e.g. someone dropping fuzzy's
+  ``shuffle_hash`` hint) shows up mechanically — while the hard
+  enforcement stays with the per-operator plan pins
+  (tests/test_fuzzy.py::test_candidate_join_never_broadcast).
+  Aggregate-bounded paths (vocab-sized idf/df frames above a token
+  explode) do not flag: the aggregate bounds actual rows to group
+  count, which is the operator's documented broadcast contract.
 
 Known-justified sites are allowlisted with the reason printed next to
 them (labeled brute-force baselines, reference-parity theta join). The
@@ -26,6 +47,10 @@ import re
 import sys
 
 sys.path.insert(0, ".")
+
+# advisory markers: recorded in the artifact (diff-visible) but never a
+# violation — see the broadcast_above_generate rationale in the header
+ADVISORY = {"broadcast_above_generate"}
 
 # query -> (marker -> reason) documented exceptions
 ALLOWLIST: dict[str, dict[str, str]] = {
@@ -111,11 +136,46 @@ def _walk(n: _Node):
         yield from _walk(c)
 
 
+_BOUNDING = (
+    "HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec",
+    "GlobalLimitExec", "LocalLimitExec", "TakeOrderedAndProjectExec",
+)
+
+
+def _direct_generate(n: _Node) -> bool:
+    """True if a Generate is reachable from ``n`` without crossing a
+    cardinality-bounding node (aggregate/limit) — the shape whose size
+    estimate is structurally fan-out-understated."""
+    if n.cls in _BOUNDING:
+        return False
+    if n.cls == "GenerateExec":
+        return True
+    return any(_direct_generate(c) for c in n.children)
+
+
 def audit_plan(tree: _Node, plan_str: str) -> dict[str, bool]:
     bad_bnl = False
     cartesian = False
     single_win = False
+    bcast_gen = False
     for n in _walk(tree):
+        # the build side of any broadcast join (the exchange itself only
+        # appears after plan preparation — sparkPlan() shows the join
+        # node with its buildSide) must not contain a row-multiplying
+        # Generate: its size estimate structurally predates the fan-out
+        if n.cls in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
+            side = str(n.raw.get("buildSide", ""))
+            build = None
+            if "Left" in side and len(n.children) >= 1:
+                build = n.children[0]
+            elif "Right" in side and len(n.children) >= 2:
+                build = n.children[1]
+            if build is not None and _direct_generate(build):
+                bcast_gen = True
+        if n.cls == "BroadcastExchangeExec" and _direct_generate(
+            n.children[0] if n.children else n
+        ):
+            bcast_gen = True
         if n.cls == "BroadcastNestedLoopJoinExec":
             # the engine-wide scalar-fold idiom (crossJoin of a 1-row
             # broadcast aggregate) is the CORRECT shape — only flag a
@@ -134,6 +194,7 @@ def audit_plan(tree: _Node, plan_str: str) -> dict[str, bool]:
         "single_partition_window": single_win,
         "cartesian": cartesian,
         "bnl_join": bad_bnl,
+        "broadcast_above_generate": bcast_gen,
         "python_row_udf": "BatchEvalPython" in plan_str,
         "global_limit_sort": (
             "GlobalLimit" in plan_str
@@ -147,11 +208,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_AUDIT.json"
 
-    import __spark_entry__ as entrymod
     from etl_tools_rs_spark.session import get_spark
 
     spark = get_spark("scale-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    return main_with(spark, sf_dir, out_path)
+
+
+def main_with(spark, sf_dir: str, out_path: str) -> int:
+    """Audit every registry query's physical plan on an existing session
+    — callable from check_correctness so the gate refresh and the audit
+    artifact can never diverge."""
+    import __spark_entry__ as entrymod
 
     results: dict[str, dict] = {}
     bad = []
@@ -167,8 +235,13 @@ def main() -> int:
             continue
         flags = audit_plan(tree, plan_str)
         hits = {k: v for k, v in flags.items() if v}
-        entry: dict = {"flags": sorted(hits)}
+        entry: dict = {"flags": sorted(k for k in hits if k not in ADVISORY)}
+        adv = sorted(k for k in hits if k in ADVISORY)
+        if adv:
+            entry["advisories"] = adv
         for k in hits:
+            if k in ADVISORY:
+                continue
             reason = ALLOWLIST.get(name, {}).get(k)
             if reason:
                 entry.setdefault("allowlisted", {})[k] = reason
@@ -178,6 +251,9 @@ def main() -> int:
     summary = {
         "n_queries": len(results),
         "n_flagged": sum(1 for r in results.values() if r.get("flags")),
+        "n_advisories": sum(
+            1 for r in results.values() if r.get("advisories")
+        ),
         "violations": [f"{n}: {k}" for n, k in bad],
         "results": results,
     }
@@ -186,8 +262,12 @@ def main() -> int:
     print(
         f"{summary['n_queries']} queries audited, "
         f"{summary['n_flagged']} with flags, "
+        f"{summary['n_advisories']} with advisories, "
         f"{len(bad)} NON-allowlisted violations"
     )
+    for n, r in sorted(results.items()):
+        for k in r.get("advisories", []):
+            print(f"ADVISORY   {n}: {k}")
     for n, k in bad:
         print(f"VIOLATION  {n}: {k}")
     return 1 if bad else 0
