@@ -5772,15 +5772,51 @@ def psi_totalprice_f_vs_o(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi(f, o, "o_totalprice", 0.0, 600_000.0, n_bins=10)
 
 
-@qdef("multimodal_wav_pipeline", None)  # real stdlib decode — rows-only
+@qdef(
+    "multimodal_wav_pipeline",
+    # Value oracle from FIRST PRINCIPLES (r6, VERDICT r5 #5): DuckDB
+    # re-derives each clip's RMS envelope from the synthesis spec —
+    # q_i = trunc(12000·sin(2π·f·i/8000)) exact integers (libm sin is
+    # bit-identical across both engines), per-bucket Σq² exact, then
+    # the decoder's exact op chain sqrt(Σq²/n)/32768 narrowed through
+    # the schema's float32 (CAST AS REAL) before the 6dp round. The
+    # oracle never runs the decoder — if the WAV parser or the
+    # synthesizer drifts, the hash breaks. sf-independent.
+    r"""
+    WITH ids AS (SELECT unnest(range(0, 64)) AS media_id),
+    samp AS (
+      SELECT media_id, CAST(u.i AS BIGINT) AS i,
+             CAST(TRUNC(12000 * SIN(2 * PI() * (100.0 + media_id * 25.0)
+                                    * u.i / 8000.0)) AS BIGINT) AS q
+      FROM ids, UNNEST(range(0, 800)) AS u(i)
+    ),
+    b AS (
+      SELECT media_id, i // 100 AS bkt, SUM(q * q) AS ss, COUNT(*) AS n
+      FROM samp GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT media_id, bkt,
+             ROUND(CAST(CAST(LEAST(1.0,
+               SQRT(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) / 32768.0)
+               AS REAL) AS DOUBLE), 6) AS rms
+      FROM b
+    )
+    SELECT media_id, 'ok' AS decode_ok,
+           MAX(CASE WHEN bkt = 0 THEN rms END) AS rms0,
+           MAX(CASE WHEN bkt = 7 THEN rms END) AS rms7
+    FROM r GROUP BY media_id ORDER BY media_id
+    """,
+)
 def multimodal_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end audio pipeline (operators/multimodal.py): 64
     deterministic PCM WAV blobs are synthesized executor-side (stdlib
     ``wave``, sine frequency keyed by id), then decoded by the REAL
     stdlib WAV parser through the Arrow mapInPandas feature stage —
     binary column in, RMS-envelope features out, no external media libs
-    involved. Every row must decode ok; the envelope varies with the
-    synthesized frequency (unit-tested)."""
+    involved. Converted rows-only → value-checked (r6): the oracle
+    re-derives the envelope from the synthesis physics without touching
+    the decoder (closed-form integer sample sums), so encode AND decode
+    are both pinned value-for-value."""
     base = spark.range(64).select(F.col("id").alias("media_id"))
 
     def _gen(it):
@@ -5825,22 +5861,53 @@ def multimodal_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gen, "media_id long, content binary, modality string"
     )
     feats = mm_ops.extract_features(media, dim=8, modality_col="modality")
+    # widen the schema's float32 BEFORE rounding (r6): round-then-cast
+    # re-widened the float32 of the rounded value into noise digits
     return feats.select(
         "media_id",
         "decode_ok",
-        F.round(F.element_at("feature", 1), 6).cast("double").alias("rms0"),
-        F.round(F.element_at("feature", 8), 6).cast("double").alias("rms7"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("rms0"),
+        F.round(F.element_at("feature", 8).cast("double"), 6).alias("rms7"),
     )
 
 
-@qdef("multimodal_bmp_pipeline", None)  # real stdlib decode — rows-only
+@qdef(
+    "multimodal_bmp_pipeline",
+    # First-principles value oracle (r6): the fixture's shade law is
+    # s(r) = ((r·255)//15 + 3·id) % 256, every pixel of row r equal —
+    # so band b = Σ_{r∈4b..4b+3} rowmean(r)/4 with rowmean = 48s/12240
+    # (the decoder's tot/(3·255·w) with integer tot), narrowed float32,
+    # rounded 6dp. Derivation never touches the BMP parser.
+    r"""
+    WITH ids AS (SELECT unnest(range(0, 32)) AS media_id),
+    rws AS (
+      SELECT media_id, CAST(u.r AS BIGINT) AS r,
+             ((CAST(u.r AS BIGINT) * 255) // 15 + media_id * 3) % 256 AS s
+      FROM ids, UNNEST(range(0, 16)) AS u(r)
+    ),
+    rm AS (
+      SELECT media_id, r // 4 AS band,
+             SUM(CAST(3 * s * 16 AS DOUBLE) / (3.0 * 255.0 * 16.0)) AS tot,
+             COUNT(*) AS n
+      FROM rws GROUP BY 1, 2
+    )
+    SELECT media_id, 'ok' AS decode_ok,
+           ROUND(CAST(CAST(MAX(CASE WHEN band = 0 THEN tot / n END)
+                 AS REAL) AS DOUBLE), 6) AS band0,
+           ROUND(CAST(CAST(MAX(CASE WHEN band = 3 THEN tot / n END)
+                 AS REAL) AS DOUBLE), 6) AS band3
+    FROM rm GROUP BY media_id ORDER BY media_id
+    """,
+)
 def multimodal_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end image pipeline (operators/multimodal.py): 32
     deterministic 24-bit BMP gradients are synthesized executor-side
     (pure struct packing), then decoded by the REAL stdlib BMP parser
     through the Arrow mapInPandas feature stage — the image twin of
-    ``multimodal_wav_pipeline``; no PIL involved. Band brightness must
-    follow the synthesized vertical gradient (unit-tested)."""
+    ``multimodal_wav_pipeline``; no PIL involved. Converted rows-only →
+    value-checked (r6): the oracle re-derives band brightness from the
+    gradient law without the parser — synthesis and decode both
+    pinned."""
     base = spark.range(32).select(F.col("id").alias("media_id"))
 
     def _gen(it):
@@ -5878,12 +5945,36 @@ def multimodal_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "decode_ok",
-        F.round(F.element_at("feature", 1), 6).cast("double").alias("band0"),
-        F.round(F.element_at("feature", 4), 6).cast("double").alias("band3"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("band3"),
     )
 
 
-@qdef("multimodal_png_pipeline", None)  # real stdlib decode — rows-only
+@qdef(
+    "multimodal_png_pipeline",
+    # First-principles value oracle (r6): same gradient law as the BMP
+    # twin but the PNG decoder's op order — rowmean = Σ_{16 px}(s/255)/16
+    # = s/255, band = Σ_{4 rows}/4 — float32-narrowed, 6dp.
+    r"""
+    WITH ids AS (SELECT unnest(range(0, 32)) AS media_id),
+    rws AS (
+      SELECT media_id, CAST(u.r AS BIGINT) AS r,
+             ((CAST(u.r AS BIGINT) * 255) // 15 + media_id * 3) % 256 AS s
+      FROM ids, UNNEST(range(0, 16)) AS u(r)
+    ),
+    b AS (
+      SELECT media_id, r // 4 AS band,
+             SUM((CAST(s AS DOUBLE) / 255.0) / 4.0) AS v
+      FROM rws GROUP BY 1, 2
+    )
+    SELECT media_id, 'ok' AS decode_ok,
+           ROUND(CAST(CAST(MAX(CASE WHEN band = 0 THEN v END)
+                 AS REAL) AS DOUBLE), 6) AS band0,
+           ROUND(CAST(CAST(MAX(CASE WHEN band = 3 THEN v END)
+                 AS REAL) AS DOUBLE), 6) AS band3
+    FROM b GROUP BY media_id ORDER BY media_id
+    """,
+)
 def multimodal_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end PNG pipeline (r4, VERDICT r3 task #5): 32
     deterministic 8-bit grayscale PNGs are synthesized executor-side
@@ -5891,8 +5982,10 @@ def multimodal_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-stdlib PNG parser (operators/multimodal.py::decode_png_real —
     chunk walk, IDAT inflate, scanline unfilter) through the Arrow
     mapInPandas feature stage. Unfilter arms and rejection paths are
-    unit-pinned in tests/test_png.py; band brightness must follow the
-    synthesized vertical gradient."""
+    unit-pinned in tests/test_png.py. Converted rows-only →
+    value-checked (r6): the oracle re-derives band brightness from the
+    gradient law — chunk packing, deflate round-trip, unfilter, and
+    banding all pinned value-for-value."""
     base = spark.range(32).select(F.col("id").alias("media_id"))
 
     def _gen(it):
@@ -5938,8 +6031,8 @@ def multimodal_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "decode_ok",
-        F.round(F.element_at("feature", 1), 6).cast("double").alias("band0"),
-        F.round(F.element_at("feature", 4), 6).cast("double").alias("band3"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("band3"),
     )
 
 
@@ -6314,14 +6407,72 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
-@qdef("bpe_merges_documents", None)
+def _bpe_merges_oracle_sql(num_merges: int = 12) -> str:
+    """Full SQL replay of BPE TRAINING (r6, VERDICT r5 #4 "if
+    feasible" — it is): ``num_merges`` unrolled rounds over the word
+    histogram, each a pair-count aggregate + the same (n DESC, l, r)
+    argmax + a merge application. Words are encoded with DOUBLED
+    separators (``|a||b||</w>|``) so ``replace('|l||r|', '|lr|')``
+    consumes one bar from each side and adjacent pairs keep their
+    boundary bars — non-overlapping left-to-right replacement then
+    reproduces the engine's greedy ``_merge_fold`` semantics exactly
+    (a merged symbol is never reused as the LEFT of another
+    replacement in the same pass, and it can never equal ``l`` or
+    ``r``). Every step CTE is MATERIALIZED: each references its
+    predecessor twice, so inlining would re-expand the chain
+    exponentially. Unlike the tokenizer maps this oracle embeds no
+    data — it replays at ANY sf."""
+    parts = []
+    parts.append(r"""
+    WITH wh AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents) GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq,
+             freq
+      FROM wh
+    )""")
+    for k in range(1, num_merges + 1):
+        prev = f"s{k - 1}"
+        parts.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS n FROM (
+        SELECT syms[CAST(u.i AS INT)] AS l, syms[CAST(u.i AS INT) + 1] AS r,
+               freq
+        FROM (SELECT string_split(trim(seq, '|'), '||') AS syms, freq
+              FROM {prev}),
+             UNNEST(range(1, len(syms))) AS u(i)
+      ) GROUP BY l, r
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT l, r, n FROM p{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT replace(seq, '|' || m.l || '||' || m.r || '|',
+                     '|' || m.l || m.r || '|') AS seq, freq
+      FROM {prev}, m{k} m
+    )""")
+    arms = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right",'
+        f" n AS pair_freq FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return ",".join(parts) + "\n" + arms + "\nORDER BY rank"
+
+
+@qdef("bpe_merges_documents", _bpe_merges_oracle_sql(12))
 def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py::bpe_train,
     Sennrich et al. 2016): 12 merge rules learned over the documents
-    corpus. Rows-only gate — the merge loop is iterative (argmax +
-    vocab rewrite per round, not SQL-expressible); the algorithm is
-    pinned merge-for-merge against an independent pure-Python reference
-    in tests/test_bpe.py."""
+    corpus. Converted rows-only → value-checked (r6): DuckDB replays
+    the TRAINING loop itself — 12 unrolled pair-count/argmax/merge
+    rounds (`_bpe_merges_oracle_sql`) reproduce every rule and its
+    pair frequency, rank for rank, at any sf. Also pinned
+    merge-for-merge against an independent pure-Python reference in
+    tests/test_bpe.py."""
     from etl_tools_rs_spark.operators.bpe import bpe_train
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -6334,15 +6485,145 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("bpe_tokenize_documents", None)
+# Tokenizer oracle maps (r6, VERDICT r5 #4): authored from the sf0.01
+# gate corpus. Training is deterministic (merge-for-merge / Viterbi
+# pinned vs pure-Python references), segmentation factorizes per
+# pre-tokenized word, and the corpus vocabulary is 31 words — so the
+# ORACLE replays the full segmentation through a word->pieces VALUES
+# table while the Spark side trains + segments from data at runtime.
+# sf0.01-specific, like the PCA model literals.
+_BPE_WORD_TOKENS = {
+    'a': ['a', '</w>'],
+    'agg': ['a', 'g', 'g', '</w>'],
+    'batch': ['b', 'a', 't', 'c', 'h', '</w>'],
+    'big': ['b', 'i', 'g', '</w>'],
+    'column': ['c', 'o', 'l', 'u', 'm', 'n</w>'],
+    'customer': ['c', 'u', 'st', 'o', 'm', 'er</w>'],
+    'data': ['d', 'a', 't', 'a', '</w>'],
+    'dup': ['d', 'u', 'p', '</w>'],
+    'fast': ['f', 'a', 'st', '</w>'],
+    'filter': ['f', 'i', 'l', 't', 'er</w>'],
+    'group': ['g', 'r', 'o', 'u', 'p', '</w>'],
+    'hash': ['h', 'a', 's', 'h', '</w>'],
+    'join': ['j', 'o', 'i', 'n</w>'],
+    'key': ['k', 'e', 'y', '</w>'],
+    'line': ['l', 'i', 'n', 'e</w>'],
+    'merge': ['m', 'er', 'g', 'e</w>'],
+    'order': ['or', 'd', 'er</w>'],
+    'part': ['p', 'a', 'r', 't', '</w>'],
+    'query': ['q', 'u', 'er', 'y', '</w>'],
+    'row': ['r', 'ow</w>'],
+    'scan': ['s', 'c', 'a', 'n</w>'],
+    'slow': ['s', 'l', 'ow</w>'],
+    'small': ['s', 'm', 'a', 'l', 'l', '</w>'],
+    'sort': ['s', 'or', 't', '</w>'],
+    'spark': ['s', 'p', 'a', 'r', 'k', '</w>'],
+    'stream': ['st', 'r', 'e', 'a', 'm', '</w>'],
+    'table': ['t', 'a', 'b', 'l', 'e</w>'],
+    'the': ['t', 'h', 'e</w>'],
+    'value': ['v', 'a', 'l', 'u', 'e</w>'],
+    'vector': ['v', 'e', 'c', 't', 'or', '</w>'],
+    'window': ['w', 'i', 'n', 'd', 'ow</w>'],
+}
+_UNI_WORD_PIECES = {
+    'a': ['a'],
+    'agg': ['agg'],
+    'batch': ['batc', 'h'],
+    'big': ['big'],
+    'column': ['co', 'lumn'],
+    'customer': ['cust', 'omer'],
+    'data': ['data'],
+    'dup': ['dup'],
+    'fast': ['fast'],
+    'filter': ['filt', 'er'],
+    'group': ['g', 'roup'],
+    'hash': ['hash'],
+    'join': ['join'],
+    'key': ['key'],
+    'line': ['line'],
+    'merge': ['merg', 'e'],
+    'order': ['orde', 'r'],
+    'part': ['part'],
+    'query': ['quer', 'y'],
+    'row': ['row'],
+    'scan': ['scan'],
+    'slow': ['slow'],
+    'small': ['s', 'mall'],
+    'sort': ['sort'],
+    'spark': ['s', 'park'],
+    'stream': ['st', 'ream'],
+    'table': ['tabl', 'e'],
+    'the': ['the'],
+    'value': ['valu', 'e'],
+    'vector': ['vect', 'or'],
+    'window': ['wind', 'ow'],
+}
+
+
+def _word_pieces_oracle_sql(mapping: dict, arr_col: str, extras: str) -> str:
+    """DuckDB replay of a per-word segmentation: pre-tokenize exactly as
+    the operators do (lowercase, split \\s+, drop empties), look every
+    word up in the authored word->pieces VALUES table, and reassemble
+    each document's pieces in word order. An unmapped word yields a loud
+    '\\x00'-marked sentinel piece (hash mismatch, never silence); a
+    zero-word document yields an empty array, matching the UDF."""
+    vals = ", ".join(
+        "('%s', [%s])" % (w, ", ".join("'%s'" % p for p in mapping[w]))
+        for w in sorted(mapping)
+    )
+    return f"""
+    WITH m(word, toks) AS (VALUES {vals}),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(u.i AS INT) AS i, ws[CAST(u.i AS INT)] AS word
+      FROM base, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    ),
+    j AS (
+      SELECT p.doc_id, p.i,
+             COALESCE(m.toks, [chr(0) || p.word]) AS toks
+      FROM pos p LEFT JOIN m ON m.word = p.word
+    ),
+    g AS (
+      SELECT doc_id, flatten(list(toks ORDER BY i)) AS tk
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(g.tk, CAST([] AS VARCHAR[])) AS {arr_col}{extras}
+    FROM documents d LEFT JOIN g USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@qdef(
+    "bpe_tokenize_documents",
+    _word_pieces_oracle_sql(
+        _BPE_WORD_TOKENS,
+        "bpe_tokens",
+        extras=(
+            ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
+            " AS BIGINT) AS n_tokens"
+            ",\n           CAST(len(list_distinct(COALESCE(g.tk,"
+            " CAST([] AS VARCHAR[])))) AS BIGINT) AS n_unique"
+        ),
+    ),
+)
 def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a trained merge table with the Arrow-batched segmenter
     (operators/bpe.py::bpe_tokenize_pandas, r4): constant Catalyst plan
     depth regardless of vocabulary size — the production path for real
     merge tables (the column-fold twin stops analyzing ~100 merges).
-    Rows-only gate — greedy merge replay is iterative; the segmenter is
-    property-tested equal to the column-fold form and to an independent
-    pure-Python replay at 10/90/100/1000 merges in tests/test_bpe.py."""
+    Converted rows-only → value-checked (r6, VERDICT r5 #4): training
+    is deterministic and segmentation factorizes per word, so the
+    oracle replays the FULL token stream per document through the
+    authored word→tokens VALUES map (`_BPE_WORD_TOKENS`) — every
+    token, in order, plus the count aggregates, value-for-value. The
+    segmenter also stays property-tested equal to the column-fold form
+    and an independent pure-Python replay in tests/test_bpe.py."""
     from etl_tools_rs_spark.operators.bpe import bpe_tokenize_pandas, bpe_train
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -6351,8 +6632,9 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_tokenize_pandas(t["documents"], merges, "text")
         .select(
             "doc_id",
-            F.size("bpe_tokens").alias("n_tokens"),
-            F.size(F.array_distinct("bpe_tokens")).alias("n_unique"),
+            "bpe_tokens",
+            F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("bpe_tokens")).cast("bigint").alias("n_unique"),
         )
         .orderBy("doc_id")
     )
@@ -8268,14 +8550,35 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
-@qdef("multimodal_resize_pipeline", None)  # real stdlib decode — rows-only
+@qdef(
+    "multimodal_resize_pipeline",
+    # First-principles value oracle (r6): area-average of the gradient —
+    # mean_gray = Σ_r (3s(r)/765)/16 with s(r) = (min(255, r·255//15) +
+    # 3·id) % 256 (this fixture CLAMPS before the id offset, unlike the
+    # bmp pipeline's). pixels are double end-to-end (RESIZE_SCHEMA), so
+    # no float32 narrowing here; 6dp absorbs summation-order ULPs.
+    r"""
+    WITH ids AS (SELECT unnest(range(0, 32)) AS media_id),
+    rws AS (
+      SELECT media_id, CAST(u.r AS BIGINT) AS r,
+             (LEAST(255, (CAST(u.r AS BIGINT) * 255) // 15)
+              + media_id * 3) % 256 AS s
+      FROM ids, UNNEST(range(0, 16)) AS u(r)
+    )
+    SELECT media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           'ok' AS decode_ok,
+           ROUND(SUM((CAST(3 * s AS DOUBLE) / 765.0) / 16.0), 6) AS mean_gray
+    FROM rws GROUP BY media_id ORDER BY media_id
+    """,
+)
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize (operators/multimodal.py::image_resize): 32
     deterministic 16x16 BMP gradients synthesized executor-side, decoded
     by the stdlib BMP parser and area-average downsampled to a 4x4
     grayscale matrix through the Arrow mapInPandas stage. Every row must
-    decode ok; each output matrix preserves its source's vertical
-    gradient (unit-tested)."""
+    decode ok. Converted rows-only → value-checked (r6): the oracle
+    re-derives the block-mean result from the gradient law — decode,
+    resample geometry, and the fold all pinned value-for-value."""
     from etl_tools_rs_spark.operators.multimodal import image_resize
 
     base = spark.range(32).select(F.col("id").alias("media_id"))
@@ -8993,13 +9296,28 @@ def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("unigram_tokenize_documents", None)
+@qdef(
+    "unigram_tokenize_documents",
+    _word_pieces_oracle_sql(
+        _UNI_WORD_PIECES,
+        "pieces",
+        extras=(
+            ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
+            " AS BIGINT) AS n_pieces"
+        ),
+    ),
+)
 def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the unigram LM then Viterbi-segment every document
     (operators/unigram.py::unigram_tokenize): one Arrow-batched UDF with
     per-batch word memoization — constant Catalyst expression depth at
     any vocabulary size, the production-scale property the BPE
-    column-fold form lacks (its tree grows with the merge table)."""
+    column-fold form lacks (its tree grows with the merge table).
+    Converted rows-only → value-checked (r6, VERDICT r5 #4): the
+    trained vocabulary is deterministic (Viterbi longest-piece
+    tie-break, pinned vs a pure-Python reference) and segmentation
+    factorizes per word, so the oracle replays every piece in order
+    via the authored `_UNI_WORD_PIECES` VALUES map."""
     from etl_tools_rs_spark.operators.unigram import (
         unigram_tokenize,
         unigram_train,
@@ -9009,7 +9327,11 @@ def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigram_train(t["documents"], "text", **_UNIGRAM_CFG)
     return (
         unigram_tokenize(t["documents"], vocab, "text")
-        .select("doc_id", "pieces", F.size("pieces").alias("n_pieces"))
+        .select(
+            "doc_id",
+            "pieces",
+            F.size("pieces").cast("bigint").alias("n_pieces"),
+        )
         .orderBy("doc_id")
     )
 
