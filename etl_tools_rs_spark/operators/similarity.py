@@ -211,8 +211,9 @@ def embedding_near_dup(
     expected occupancy stays ~constant and the join stays ~linear.
     (More planes = tighter buckets = lower recall for borderline pairs;
     near-exact duplicates at 0.95 land in the same bucket at any
-    reasonable plane count.) The value-checked registry query pins
-    ``num_planes`` explicitly so its oracle literals stay fixed."""
+    reasonable plane count.) The value-checked registry query runs this
+    auto-scaled path (r6): at gate scales it resolves to the authored
+    6-plane literals, at sf1+ it grows with log2(n)."""
     if target_bucket_size is not None:
         import math
 

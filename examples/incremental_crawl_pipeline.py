@@ -1,0 +1,183 @@
+"""End-to-end example: the INCREMENTAL daily-crawl lifecycle the r5/r6
+operators were built for, as resumable JobRunner steps.
+
+A 100 TB near-dup pipeline never re-shingles the corpus: it keeps a
+persisted LSH band index and scores each day's delta against it. This
+example runs that lifecycle over two "days" of deltas (the two-delta
+induction the equivalence law promises), then selects the curated
+training set and packs shards:
+
+  1. ``bootstrap``   — day-0 corpus → persisted band index
+     (``lsh_index.minhash_band_index``) + corpus store;
+  2. ``delta_day1``  — score day-1 docs against the index
+     (``incremental_near_dup``, O(delta) work): new docs near-dupping an
+     OLD doc are dropped (the archive wins), new-vs-new clusters keep
+     their highest-token-count member (``keep_best_per_group``);
+     survivors append to the corpus store, band rows to the index;
+  3. ``delta_day2``  — same, against the UPDATED index — the induction
+     step: state from day 1 must make day 2 exact;
+  4. ``dsir_select`` — fit DSIR on the curated target slice (driver-
+     sized integer model), Gumbel-top-k importance-resample the live
+     corpus to the training budget;
+  5. ``shards``      — content-addressed training shards + manifest.
+
+Every step is a JobRunner command: re-running the script skips all five
+via persisted job state (the reference's O3 idempotency semantics).
+
+Run:  python examples/incremental_crawl_pipeline.py [workdir] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+# gate-family hashing so behavior matches the value-checked registry twin
+LSH = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+           hash_family="md5")
+
+
+def main(workdir: str | None = None, sf_dir: str | None = None) -> int:
+    from etl_tools_rs_spark.jobs.runner import JobRunner
+    from etl_tools_rs_spark.functions import token_count
+    from etl_tools_rs_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_group,
+    )
+    from etl_tools_rs_spark.operators.dsir import dsir_sample
+    from etl_tools_rs_spark.operators.lsh_index import (
+        incremental_near_dup,
+        minhash_band_index,
+    )
+    from etl_tools_rs_spark.session import get_spark
+    from etl_tools_rs_spark.sinks.shards import write_training_shards
+    from etl_tools_rs_spark.sinks.simple_store import SimpleStore
+
+    work = workdir or tempfile.mkdtemp(prefix="incremental_crawl_")
+    sf = sf_dir or "/root/testdata/sf0.001"
+    spark = get_spark("incremental-crawl-example", shuffle_partitions=8)
+
+    jr = JobRunner(
+        "example-7", "incremental-crawl", SimpleStore(f"{work}/state"),
+        max_errors=0, stop_on_error=True,
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # three "days" of crawl: ids are globally unique and disjoint by
+    # construction (the incremental contract — a re-crawl is a new id)
+    day = F.col("doc_id") % 3
+
+    def bootstrap(_jr):
+        day0 = docs.filter(day == 0)
+        day0.write.mode("overwrite").parquet(f"{work}/corpus")
+        idx = minhash_band_index(
+            day0, "text", "doc_id",
+            num_hashes=LSH["num_hashes"], bands=LSH["bands"],
+            shingle_n=LSH["shingle_n"], hash_family=LSH["hash_family"],
+        )
+        # real deployments bucket this by `bucket` for co-located joins
+        idx.write.mode("overwrite").parquet(f"{work}/index")
+        return day0.count()
+
+    n_day0 = jr.run_cmd("bootstrap", bootstrap)
+
+    def run_delta(tag: int):
+        """One day's O(delta) cycle against the persisted state."""
+        corpus = spark.read.parquet(f"{work}/corpus")
+        index = spark.read.parquet(f"{work}/index")
+        delta = docs.filter(day == tag)
+        pairs, new_index = incremental_near_dup(
+            index, corpus, delta, "text", "doc_id",
+            num_hashes=LSH["num_hashes"], bands=LSH["bands"],
+            shingle_n=LSH["shingle_n"], threshold=LSH["threshold"],
+            hash_family=LSH["hash_family"],
+        )
+        pairs = pairs.localCheckpoint(eager=True)  # pair set reused 3×
+        old_ids = corpus.select("doc_id")
+        # archive wins: a new doc near-dupping ANY old doc is dropped
+        vs_old = pairs.join(
+            old_ids, pairs["id_b"] == old_ids["doc_id"], "left_semi"
+        ).select(F.col("id_a").alias("doc_id")).distinct()
+        # new-vs-new clusters keep their best (highest-token) member
+        nn = pairs.join(
+            old_ids, pairs["id_b"] == old_ids["doc_id"], "left_anti"
+        )
+        groups = connected_components(nn, "id_a", "id_b")
+        slim = delta.withColumn(
+            "n_tok", token_count("text").cast("bigint")
+        )
+        best = keep_best_per_group(slim, groups, "n_tok").drop(
+            "n_tok", "n_merged"
+        )
+        survivors = best.join(vs_old, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(f"{work}/corpus")
+        # index rows persist for EVERY new doc (dropped dups included):
+        # tomorrow's crawl must near-dup against what was seen, not
+        # only what was kept
+        new_index.write.mode("overwrite").parquet(f"{work}/index_next")
+        spark.read.parquet(f"{work}/index_next").write.mode(
+            "overwrite"
+        ).parquet(f"{work}/index")
+        return {
+            "delta": delta.count(),
+            "pairs": pairs.count(),
+            "dropped_vs_old": vs_old.count(),
+            "kept": survivors.count(),
+        }
+
+    d1 = jr.run_cmd("delta_day1", lambda _jr: run_delta(1))
+    d2 = jr.run_cmd("delta_day2", lambda _jr: run_delta(2))
+
+    def dsir_select(_jr):
+        live = spark.read.parquet(f"{work}/corpus")
+        target = live.filter(F.col("lang") == "en")
+        budget = max(1, live.count() // 2)
+        picked = dsir_sample(live, target, k=budget)
+        picked.select("doc_id").join(live, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{work}/selected")
+        return budget
+
+    n_selected = jr.run_cmd("dsir_select", dsir_select)
+
+    def shards(_jr):
+        manifest = write_training_shards(
+            spark.read.parquet(f"{work}/selected"),
+            f"{work}/shards", 4, key_cols=["doc_id"],
+        )
+        return manifest.total_rows
+
+    n_sharded = jr.run_cmd("shards", shards)
+
+    jr.complete()
+    state = jr.state
+    print(
+        json.dumps(
+            {
+                "day0_docs": n_day0,
+                "day1": d1,
+                "day2": d2,
+                "selected": n_selected,
+                "sharded_rows": n_sharded,
+                "steps": {
+                    k: s.status for k, s in state.step_history.items()
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else None,
+            sys.argv[2] if len(sys.argv) > 2 else None,
+        )
+    )

@@ -113,3 +113,58 @@ def test_governance_pipeline_end_to_end(spark, tmp_path, capsys):
     assert mod.main(str(tmp_path)) == 0
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(again["steps"].values()) == {"Complete"}
+
+
+def test_incremental_crawl_pipeline_end_to_end(spark, tmp_path, capsys):
+    """r6 example (VERDICT r5 #9): the daily-crawl lifecycle — and the
+    TWO-DELTA INDUCTION: pairs found incrementally across day 1 + day 2
+    must equal the batch full-rebuild pairs restricted to pairs
+    touching a non-day-0 doc (the equivalence law extended one more
+    step: day 2 runs against state PRODUCED by day 1)."""
+    from pyspark.sql import functions as F
+
+    mod = _load("examples/incremental_crawl_pipeline.py")
+    assert mod.main(str(tmp_path)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["day0_docs"] > 0 and out["day1"]["kept"] > 0
+    assert out["sharded_rows"] == out["selected"]
+    assert set(out["steps"].values()) == {"Complete"}
+
+    # induction: replay both deltas' pair sets from the persisted state
+    # law — batch rebuild over ALL docs, restricted to pairs touching a
+    # day-1/day-2 doc, must equal the union of the incremental pairs
+    from etl_tools_rs_spark.operators.dedup import dedup_minhash_lsh
+    from etl_tools_rs_spark.operators.lsh_index import (
+        incremental_near_dup,
+        minhash_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    day = F.col("doc_id") % 3
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, hash_family="md5")
+    d0, d1, d2 = (docs.filter(day == t) for t in (0, 1, 2))
+    idx0 = minhash_band_index(d0, "text", "doc_id", **kw)
+    p1, idx1 = incremental_near_dup(
+        idx0, d0, d1, "text", "doc_id", threshold=0.5, **kw
+    )
+    p2, _ = incremental_near_dup(
+        idx1, d0.unionByName(d1), d2, "text", "doc_id", threshold=0.5, **kw
+    )
+    incr = {
+        frozenset((r.id_a, r.id_b))
+        for df in (p1, p2)
+        for r in df.collect()
+    }
+    new_ids = {r.doc_id for r in d1.unionByName(d2).select("doc_id").collect()}
+    batch = {
+        frozenset((r.id_a, r.id_b))
+        for r in dedup_minhash_lsh(docs, threshold=0.5, **kw).collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert incr == batch and len(incr) > 0
+
+    # resumability: second run skips every step via persisted state
+    assert mod.main(str(tmp_path)) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["day1"] is None  # skipped steps return None
+    assert set(again["steps"].values()) == {"Complete"}
