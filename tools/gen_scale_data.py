@@ -99,9 +99,61 @@ def main() -> int:
         tables[name].write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
         print(f"# {name}: copied", file=sys.stderr)
 
+    synth_text = os.environ.get("SPARK_GRAFT_SYNTH_TEXT") == "1"
+    if synth_text:
+        # r6 (VERDICT r5 #8): NON-replicated synthetic text for replica>0
+        # — each replica doc gets a fresh deterministic word stream of
+        # the same length from the source vocabulary, so near-dup
+        # density stays that of the ORIGINAL corpus instead of growing
+        # ~k² via suffixed copies (the sf3 artifact that dominated the
+        # duplicate-span/cooccurrence exponents). Word-level stats stay
+        # comparable; doc count/length distributions identical.
+        vocab_words = [
+            r.w
+            for r in tables["documents"]
+            .select(
+                F.explode(
+                    F.filter(
+                        F.split(F.trim(F.lower("text")), r"\s+"),
+                        lambda t: t != "",
+                    )
+                ).alias("w")
+            )
+            .distinct()
+            .collect()
+        ]
+        vocab_lit = F.array(*[F.lit(w) for w in sorted(vocab_words)])
+        print(f"# synth text vocab: {len(vocab_words)} words", file=sys.stderr)
+
     for name, key_cols in KEYED_TABLES.items():
         df = _replicate(tables[name], k, key_cols, offsets)
-        if name == "documents":
+        if name == "documents" and synth_text:
+            n_words = F.size(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+                )
+            )
+            fresh = F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_words, F.lit(1))),
+                    lambda i: F.element_at(
+                        vocab_lit,
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id"), F.col("_rep"), i),
+                                F.lit(len(vocab_words)),
+                            )
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+            )
+            df = df.withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(fresh),
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+        elif name == "documents":
             # suffix replica>0 text so the corpus isn't K× exact dups;
             # n_chars stays consistent with text
             df = df.withColumn(
