@@ -304,6 +304,85 @@ def kmeans_centroids(
     return centroids
 
 
+def quantize_vec(col: Column, input_scale: int = 6) -> Column:
+    """Floor-quantize a float vector to ``10^-input_scale`` integer
+    micro-units (``array<bigint>``). The cast order matters for oracle
+    parity: widen to DOUBLE first, multiply by a DOUBLE literal, then
+    floor — DuckDB replays the identical op chain (a bare ``1e6 * col``
+    would multiply in FLOAT there and round differently)."""
+    p = float(10**input_scale)
+    return F.transform(
+        col, lambda x: F.floor(F.lit(p).cast("double") * x.cast("double"))
+    )
+
+
+def kmeans_centroids_exact(
+    df: DataFrame,
+    k: int,
+    qvec_col: str,
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> list[list[int]]:
+    """Deterministic, ORACLE-REPLAYABLE Lloyd's k-means over a
+    pre-quantized (``quantize_vec``) integer vector column. Everything
+    is exact integer arithmetic, so the trained centroids are a pure
+    function of the data — the same property :func:`pca_fit_exact`
+    gives PCA — and the whole TRAINING can be unrolled in SQL:
+
+    - init: the ``k`` smallest-id vectors (stable across engines);
+    - assignment: argmin of the exact integer squared L2 (micro-unit
+      components ≤ ~1e6, so per-pair distances ≤ ~6.4e13 stay exact in
+      the float64 the numpy probe uses — argsort order is the exact
+      integer order, index tie-break);
+    - update: per-cell per-dim DECIMAL sums (order-invariant) with
+      truncating integer division (matching SQL ``//``); empty cells
+      keep their previous centroid.
+
+    Returns micro-unit centroid rows (list of ints). Fixed
+    ``iterations`` — no float tolerance test, the replica must run the
+    same round count. Same shuffle shape as :func:`kmeans_centroids`:
+    one broadcast + one map-side-combined groupBy per round."""
+    centroids = [
+        [int(v) for v in r[0]]
+        for r in df.orderBy(id_col).limit(k).select(qvec_col).collect()
+    ]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assign = nearest_cells_udf(
+            [[float(c) for c in row] for row in centroids], 1
+        )
+        assigned = df.select(
+            F.element_at(assign(F.col(qvec_col)), 1).alias("_c"),
+            F.posexplode(F.col(qvec_col)).alias("_i", "_x"),
+        )
+        rows = (
+            assigned.groupBy("_c", "_i")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["_c"], [0] * dim)[r["_i"]] = int(r["_s"])
+            counts[r["_c"]] = r["_n"]
+
+        def _trunc_div(s: int, n: int) -> int:
+            # SQL // truncates toward zero; Python // floors — match SQL
+            q = abs(s) // n
+            return q if s >= 0 else -q
+
+        centroids = [
+            [_trunc_div(s, counts[c]) for s in sums[c]]
+            if c in sums
+            else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 — JVM-side fold over a
     broadcast centroid array literal (no Python in the loop).
@@ -363,6 +442,8 @@ def knn_ivf(
     query_vec: str = "embedding",
     centroids: list[list[float]] | None = None,
     kmeans_iterations: int = 5,
+    assign_corpus_vec: str | None = None,
+    assign_query_vec: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into centroid cells
     (inverted file); each query probes its ``n_probe`` nearest cells and
@@ -374,11 +455,16 @@ def knn_ivf(
     ``centroids`` to skip training (production: train once on a sample,
     reuse per batch).
     """
+    # assignment may run on a DIFFERENT column than the rerank (r6: the
+    # oracle-replayable gate path assigns on quantized integer vectors —
+    # exact argmins — and reranks on the original floats)
+    acv = assign_corpus_vec or corpus_vec
+    aqv = assign_query_vec or query_vec
     if centroids is None:
         centroids = kmeans_centroids(
             corpus,
             n_centroids,
-            vec_col=corpus_vec,
+            vec_col=acv,
             id_col=corpus_id,
             iterations=kmeans_iterations,
         )
@@ -386,16 +472,17 @@ def knn_ivf(
     c = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(corpus_vec).alias("_cv"),
-        F.element_at(assign(F.col(corpus_vec)), 1).alias("_cell"),
+        F.element_at(assign(F.col(acv)), 1).alias("_cell"),
     )
     # each query → n_probe candidate cells (ranked by centroid distance)
     probe = nearest_cells_udf(centroids, n_probe)
     # two selects: the explode expression references _qv, which must be a
     # real attribute (a same-select lateral alias breaks under Generate)
     q0 = queries.select(
-        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv"),
+        F.col(aqv).alias("_aqv"),
     )
-    q = q0.select("_qid", "_qv", F.explode(probe(F.col("_qv"))).alias("_cell"))
+    q = q0.select("_qid", "_qv", F.explode(probe(F.col("_aqv"))).alias("_cell"))
     scored = c.join(F.broadcast(q), "_cell").select(
         "_qid", "_cid", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
     )
@@ -753,6 +840,8 @@ def semdedup(
     threshold: float = 0.95,
     iterations: int = 5,
     max_cluster_size: int | None = None,
+    centroids: list[list[float]] | None = None,
+    assign_vec: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     the embeddings, then WITHIN each cluster mark every vector whose
@@ -789,14 +878,20 @@ def semdedup(
         raise ValueError(
             f"max_cluster_size must be >= 1, got {max_cluster_size!r}"
         )
-    centroids = kmeans_centroids(
-        df, n_clusters, vec_col=vec_col, id_col=id_col, iterations=iterations
-    )
+    # r6: precomputed centroids + a separate assignment column let the
+    # gate run the oracle-replayable exact-quantized family (see
+    # kmeans_centroids_exact / the knn_cosine_ivf precedent); similarity
+    # verdicts still come from the ORIGINAL vectors
+    av = assign_vec or vec_col
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_clusters, vec_col=av, id_col=id_col, iterations=iterations
+        )
     assign = nearest_cells_udf(centroids, 1)
     assigned = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+        F.element_at(assign(F.col(av)), 1).alias("cluster"),
     )
     if max_cluster_size is not None:
         # sizes is ≤ n_clusters rows — a broadcast-sized side (AQE picks

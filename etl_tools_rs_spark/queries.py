@@ -2765,22 +2765,151 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("knn_cosine_ivf", None)  # approximate op — rows-only check
+def _kmeans_exact_cte(
+    n_centroids: int, iterations: int, dim: int = 64
+) -> str:
+    """Shared CTE prefix: quantized vectors (`qv`), seed centroids
+    (`c0`), and ``iterations`` unrolled MATERIALIZED Lloyd rounds ending
+    at `c{iterations}`, plus the final corpus assignment `ca` —
+    the SQL replica of operators/similarity.py::kmeans_centroids_exact
+    (exact integer argmin with (distance, cell) tie-break, DECIMAL dim
+    sums, truncating division, empty cells keep their previous
+    centroid). Used by the knn_cosine_ivf and semdedup_embeddings
+    oracles."""
+    rng = f"range(1, {dim + 1})"
+    parts = [f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(embedding, e -> CAST(FLOOR(
+               CAST(1000000.0 AS DOUBLE) * CAST(e AS DOUBLE)) AS BIGINT)) AS x
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, x AS c
+      FROM qv ORDER BY vec_id LIMIT {n_centroids}
+    )"""]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""
+    a{it} AS MATERIALIZED (
+      SELECT vec_id, cell, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d, cell) AS rn
+      FROM (
+        SELECT q.vec_id, c.cell,
+               list_sum(list_transform({rng},
+                 i -> (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+                    * (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)]))) AS d
+        FROM qv q, {prev} c)
+    ),
+    s{it} AS MATERIALIZED (
+      SELECT a.cell, CAST(u.i AS INT) AS i,
+             SUM(q.x[CAST(u.i AS INT)]) AS s, COUNT(*) AS n
+      FROM a{it} a JOIN qv q USING (vec_id), UNNEST({rng}) AS u(i)
+      WHERE a.rn = 1
+      GROUP BY 1, 2
+    ),
+    c{it} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
+        FROM s{it} GROUP BY cell
+      ) m USING (cell)
+    )"""
+        )
+    fin = f"c{iterations}"
+    parts.append(f"""
+    ca AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell, ROW_NUMBER() OVER (
+          PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform({rng},
+              i -> (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+                 * (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)]))), c.cell
+        ) AS rn
+        FROM qv q, {fin} c)
+      WHERE rn = 1
+    )""")
+    return ",".join(parts)
+
+
+def _knn_ivf_exact_oracle_sql(
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+    iterations: int = 3, dim: int = 64, n_queries: int = 5,
+) -> str:
+    """Full SQL replay of IVF ANN INCLUDING its k-means training (r6):
+    the shared `_kmeans_exact_cte` prefix (quantize → unrolled Lloyd
+    rounds → corpus assignment), then the n_probe nearest-cell query
+    probe and the 6dp-rounded cosine rerank (the ``knn_cosine_lsh``
+    precedent). Nothing is embedded: the oracle re-trains from the
+    table, so it replays at any sf."""
+    rng = f"range(1, {dim + 1})"
+    fin = f"c{iterations}"
+    tail = f"""
+    ,
+    qp AS MATERIALIZED (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT q.vec_id, c.cell, ROW_NUMBER() OVER (
+          PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform({rng},
+              i -> (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)])
+                 * (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)]))), c.cell
+        ) AS rn
+        FROM qv q, {fin} c
+        WHERE q.vec_id < {n_queries})
+      WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(qq.v, cc.v) AS sim
+      FROM qp p
+      JOIN ca a USING (cell)
+      JOIN qv qq ON qq.vec_id = p.qid
+      JOIN qv cc ON cc.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(sim, 6) AS DOUBLE) AS cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    ORDER BY query_id, rank
+    """
+    return _kmeans_exact_cte(n_centroids, iterations, dim) + tail
+
+
+@qdef("knn_cosine_ivf", _knn_ivf_exact_oracle_sql())
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells + n_probe nearest-cell search (the
-    billion-vector scale path; see operators/similarity.py::knn_ivf)."""
+    billion-vector scale path; see operators/similarity.py::knn_ivf).
+    Converted rows-only → value-checked (r6): training runs on the
+    exact-quantized path (``kmeans_centroids_exact`` — integer
+    micro-unit vectors, order-invariant DECIMAL sums, truncating mean
+    division), assignment/probe argmins are exact integer comparisons
+    (micro-unit distances stay exact in the probe's float64), and the
+    rerank keeps the original floats at 6dp — so DuckDB replays the
+    ENTIRE pipeline including the k-means training from the raw table,
+    no embedded model, valid at any sf. Recall vs brute stays pinned in
+    tests/test_ann_recall.py (1e-6 quantization is noise against unit
+    vectors)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "_q6", sim_ops.quantize_vec(F.col("embedding"))
+    )
     queries = (
-        t["embeddings"]
-        .filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding", "_q6")
     )
     # 3 Lloyd rounds: cell assignment is stable well before centroids
     # fully settle, and each extra round is a full corpus pass — recall is
     # governed by n_probe, not training polish
+    centroids = sim_ops.kmeans_centroids_exact(
+        emb, 16, "_q6", "vec_id", iterations=3
+    )
     return sim_ops.knn_ivf(
-        corpus=t["embeddings"], queries=queries, k=10,
-        n_centroids=16, n_probe=4, query_id="query_id", kmeans_iterations=3,
+        corpus=emb, queries=queries, k=10,
+        n_centroids=16, n_probe=4, query_id="query_id",
+        centroids=[[float(c) for c in row] for row in centroids],
+        assign_corpus_vec="_q6", assign_query_vec="_q6",
     )
 
 
@@ -2992,8 +3121,29 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("multimodal_features", None)  # pandas-UDF pipeline — rows-only check
+@qdef(
+    "multimodal_features",
+    # Value oracle (r6): the loudly-documented deterministic FAKE decode
+    # is sha256-derived — f_i = digest_byte[i]/256, and k/256 is exactly
+    # representable in float32, so the schema narrowing is lossless.
+    # DuckDB's sha256(VARCHAR) hashes the same UTF-8 bytes Spark's
+    # encode(text,'utf-8') feeds the UDF.
+    """
+    SELECT doc_id AS media_id, 'ok' AS decode_ok,
+           CAST(CAST('0x' || substr(sha256(text), 1, 2) AS INT) AS DOUBLE)
+             / 256.0 AS f0,
+           CAST(CAST('0x' || substr(sha256(text), 3, 2) AS INT) AS DOUBLE)
+             / 256.0 AS f1
+    FROM documents ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke (operators/multimodal.py::
+    extract_features without a modality column → the documented
+    deterministic sha256 FAKE decoder): binary column through the Arrow
+    mapInPandas stage, error-as-record contract. Converted rows-only →
+    value-checked (r6): DuckDB recomputes the digest-derived features
+    byte-for-byte."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = t["documents"].select(
         F.col("doc_id").alias("media_id"),
@@ -6317,23 +6467,64 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(t["documents"], "text", "doc_id", k=20)
 
 
-@qdef("semdedup_embeddings", None)
+def _semdedup_exact_oracle_sql(
+    n_clusters: int = 8, iterations: int = 3, threshold: float = 0.9
+) -> str:
+    """SemDeDup oracle (r6): replay the exact-quantized k-means (shared
+    `_kmeans_exact_cte`), then the within-cluster lower-id rule — each
+    vector's max cosine to a lower-id cluster member, 6dp-rounded, the
+    verdict a comparison of the ROUNDED value (as the operator does).
+    The per-cluster id-minimum carries NULL / FALSE. Re-trains from the
+    table: no embedded model, valid at any sf."""
+    tail = f"""
+    ,
+    pair AS (
+      SELECT b.vec_id AS vid,
+             MAX(list_cosine_similarity(qa.v, qb.v)) AS mx
+      FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN qv qa ON qa.vec_id = a.vec_id
+      JOIN qv qb ON qb.vec_id = b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cluster,
+           ROUND(p.mx, 6) AS max_prior_sim,
+           COALESCE(ROUND(p.mx, 6) >= {threshold}, FALSE) AS is_dup
+    FROM ca c LEFT JOIN pair p ON p.vid = c.vec_id
+    ORDER BY c.vec_id
+    """
+    return _kmeans_exact_cte(n_clusters, iterations) + tail
+
+
+@qdef("semdedup_embeddings", _semdedup_exact_oracle_sql())
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/similarity.py::semdedup,
     Abbas et al. 2023): k-means clusters + within-cluster lower-id
-    cosine rule. Rows-only gate — k-means is iterative (not
-    SQL-expressible); pairwise semantics are pinned against a naive
-    within-cluster check in tests/test_fuzzy.py::TestSemdedup.
-    ``max_cluster_size`` (r4) bounds the per-task matmul: at gate scales
-    no cluster reaches the cap so verdicts are unchanged; at larger SFs
-    a boilerplate mega-cluster salt-splits instead of becoming one
-    straggler task."""
-    from etl_tools_rs_spark.operators.similarity import semdedup
+    cosine rule. Converted rows-only → value-checked (r6): clustering
+    runs the exact-quantized family (``kmeans_centroids_exact`` +
+    integer-distance assignment — the ``knn_cosine_ivf`` recipe), so
+    DuckDB replays training, assignment, the pairwise lower-id max, and
+    every verdict from the raw table. Pairwise semantics additionally
+    stay pinned against a naive within-cluster check in
+    tests/test_fuzzy.py::TestSemdedup. ``max_cluster_size`` (r4) bounds
+    the per-task matmul: at gate scales no cluster reaches the cap so
+    verdicts are unchanged; at larger SFs a boilerplate mega-cluster
+    salt-splits instead of becoming one straggler task."""
+    from etl_tools_rs_spark.operators.similarity import (
+        kmeans_centroids_exact,
+        quantize_vec,
+        semdedup,
+    )
 
     t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "_q6", quantize_vec(F.col("embedding"))
+    )
+    centroids = kmeans_centroids_exact(emb, 8, "_q6", "vec_id", iterations=3)
     return semdedup(
-        t["embeddings"], "embedding", "vec_id", n_clusters=8, threshold=0.9,
+        emb, "embedding", "vec_id", n_clusters=8, threshold=0.9,
         max_cluster_size=4096,
+        centroids=[[float(c) for c in row] for row in centroids],
+        assign_vec="_q6",
     )
 
 
@@ -6806,13 +6997,52 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(t["embeddings"], "embedding", "vec_id", 64, 8)
 
 
-@qdef("image_ahash_near_dup", None)  # real stdlib decode — rows-only
+@qdef(
+    "image_ahash_near_dup",
+    # First-principles value oracle (r6): each fixture's aHash is a pure
+    # function of its content group g = id%8 — grid cell accumulators
+    # are INTEGERS (6·(s(2gr)+s(2gr+1)) from the shade law), and the
+    # cell>mean threshold is the exact integer test 8·acc > Σacc
+    # (verified boundary-free against the real decoder for all 8
+    # groups). DuckDB assembles the 64-bit hash and takes ALL pairs
+    # within the Hamming budget — pigeonhole banding is exact-complete,
+    # so the banded candidates + verify equal the naive filter.
+    r"""
+    WITH ids AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS media_id),
+    grids AS (
+      SELECT grp, CAST(u.i AS BIGINT) AS gr,
+             6 * (((LEAST(255, (2 * CAST(u.i AS BIGINT)) * 255 // 15)
+                    + grp * 29) % 256)
+                + ((LEAST(255, (2 * CAST(u.i AS BIGINT) + 1) * 255 // 15)
+                    + grp * 29) % 256)) AS a
+      FROM (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS grp),
+           UNNEST(range(0, 8)) AS u(i)
+    ),
+    tot AS (SELECT grp, SUM(a) AS t FROM grids GROUP BY grp),
+    hh AS (
+      SELECT g.grp,
+             SUM(CASE WHEN 8 * g.a > t.t THEN CAST(255 AS UBIGINT)
+                      ELSE CAST(0 AS UBIGINT) END
+                 << CAST(8 * (7 - g.gr) AS INT)) AS h
+      FROM grids g JOIN tot t ON g.grp = t.grp GROUP BY g.grp
+    ),
+    m AS (SELECT media_id, h FROM ids JOIN hh ON hh.grp = media_id % 8)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM m a JOIN m b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.h, b.h)) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
 def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (operators/multimodal.py::image_ahash +
     ahash_near_dup): 32 synthesized 24-bit BMPs in 8 repeated content
     groups → REAL stdlib decode → 64-bit average-hash → pigeonhole-banded
-    Hamming pairs. The image twin of simhash near-dup; exact-dup groups
-    must surface as hamming-0 pairs (unit-pinned)."""
+    Hamming pairs. The image twin of simhash near-dup. Converted
+    rows-only → value-checked (r6): the oracle re-derives every hash
+    from the gradient law in exact integer arithmetic (no decoder) and
+    filters all pairs by Hamming — decode, hashing, banding, and verify
+    all pinned pair-for-pair."""
     base = spark.range(32).select(F.col("id").alias("media_id"))
 
     def _gen(it):
