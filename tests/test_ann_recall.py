@@ -91,3 +91,68 @@ def test_lsh_single_table_backward_compatible(spark):
     b = sim_ops.knn_lsh(emb, q, k=5, dim=6, num_planes=4).collect()
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+class TestKmeansExact:
+    """r6 exact-quantized k-means (similarity.py::kmeans_centroids_exact):
+    the determinism the knn_cosine_ivf / semdedup_embeddings value
+    oracles stand on."""
+
+    def _df(self, spark, n=200, d=8, seed=3):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, d)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_partition_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.similarity import (
+            kmeans_centroids_exact,
+            quantize_vec,
+        )
+
+        df = self._df(spark).withColumn("_q6", quantize_vec(F.col("embedding")))
+        c1 = kmeans_centroids_exact(df, 4, "_q6", "vec_id", iterations=3)
+        c2 = kmeans_centroids_exact(
+            df.repartition(13), 4, "_q6", "vec_id", iterations=3
+        )
+        c3 = kmeans_centroids_exact(
+            df.coalesce(1), 4, "_q6", "vec_id", iterations=3
+        )
+        assert c1 == c2 == c3
+        assert all(isinstance(v, int) for row in c1 for v in row)
+
+    def test_tracks_float_kmeans(self, spark):
+        """Quantization at 1e-6 must not change the clustering story:
+        on well-separated clusters the exact and float fits agree on
+        every assignment."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.similarity import (
+            kmeans_centroids,
+            kmeans_centroids_exact,
+            nearest_cells_udf,
+            quantize_vec,
+        )
+
+        rng = np.random.RandomState(5)
+        centers = rng.randn(3, 8) * 6
+        X = np.concatenate([centers[i] + rng.randn(50, 8) * 0.2 for i in range(3)])
+        rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).withColumn("_q6", quantize_vec(F.col("embedding")))
+        ce = kmeans_centroids_exact(df, 3, "_q6", "vec_id", iterations=5)
+        cf = kmeans_centroids(df, 3, vec_col="embedding", id_col="vec_id",
+                              iterations=5)
+        a_e = nearest_cells_udf([[float(c) for c in r] for r in ce], 1)
+        a_f = nearest_cells_udf(cf, 1)
+        got = df.select(
+            F.element_at(a_e(F.col("_q6")), 1).alias("e"),
+            F.element_at(a_f(F.col("embedding")), 1).alias("f"),
+        ).collect()
+        assert all(r.e == r.f for r in got)
