@@ -9519,7 +9519,64 @@ _UNIGRAM_CFG = dict(
 )
 
 
-@qdef("unigram_vocab_documents", None)  # EM over floats — not SQL-expressible
+@qdef(
+    "unigram_vocab_documents",
+    # Authored literal table (r6): unigram TRAINING is deterministic on
+    # any partitioning (integer freq-weighted usages from the E-step's
+    # order-free aggregate; logprob = log(usage/total) over integers),
+    # verified by a repartition-invariance check at authoring time — so
+    # the sf0.01-trained vocabulary embeds as VALUES, like the tokenizer
+    # word maps. repr round-trips the doubles bit-for-bit.
+    """
+    SELECT piece, CAST(logprob AS DOUBLE) AS logprob,
+           CAST(usage AS BIGINT) AS usage FROM (VALUES
+      ('e', -2.7064820729784556, 2723),
+      ('s', -3.115995024700093, 1808),
+      ('join', -3.7448802710416693, 964),
+      ('hash', -3.7626724724661367, 947),
+      ('row', -3.7669052830187573, 943),
+      ('batc', -3.773288283413793, 937),
+      ('h', -3.773288283413793, 937),
+      ('scan', -3.774356089174623, 936),
+      ('co', -3.776495127423372, 934),
+      ('cust', -3.776495127423372, 934),
+      ('lumn', -3.776495127423372, 934),
+      ('omer', -3.776495127423372, 934),
+      ('er', -3.777566364804871, 933),
+      ('filt', -3.777566364804871, 933),
+      ('mall', -3.782939832866014, 928),
+      ('merg', -3.7937741750317246, 918),
+      ('slow', -3.7937741750317246, 918),
+      ('or', -3.8003315755778835, 912),
+      ('orde', -3.8003315755778835, 912),
+      ('r', -3.8003315755778835, 912),
+      ('vect', -3.8003315755778835, 912),
+      ('line', -3.8025269661413192, 910),
+      ('data', -3.8047271870509216, 908),
+      ('tabl', -3.8047271870509216, 908),
+      ('agg', -3.812466308043877, 901),
+      ('valu', -3.816915703593419, 897),
+      ('key', -3.8180311526772845, 896),
+      ('ream', -3.826999822660045, 888),
+      ('st', -3.826999822660045, 888),
+      ('ow', -3.829254615047134, 886),
+      ('wind', -3.829254615047134, 886),
+      ('a', -3.8360496581799626, 880),
+      ('park', -3.8360496581799626, 880),
+      ('g', -3.838324972017098, 878),
+      ('part', -3.838324972017098, 878),
+      ('roup', -3.838324972017098, 878),
+      ('big', -3.8406054747158236, 876),
+      ('sort', -3.8451821417432352, 872),
+      ('quer', -3.846329588799712, 871),
+      ('y', -3.846329588799712, 871),
+      ('fast', -3.866040371863645, 854),
+      ('the', -3.8825696738148556, 840),
+      ('dup', -7.357875027630733, 26)
+    ) AS t(piece, logprob, usage)
+    ORDER BY usage DESC, piece
+    """,
+)
 def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM vocabulary (operators/unigram.py::
     unigram_train, Kudo 2018): substring seed over the word histogram,
@@ -9528,7 +9585,10 @@ def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; every round after runs on the Heaps-bounded histogram.
     Deterministic on any partitioning (longest-piece Viterbi tie-break,
     (usage desc, piece) ordering) — property-pinned against a pure-
-    Python reference in tests/test_unigram.py."""
+    Python reference in tests/test_unigram.py. Converted rows-only →
+    value-checked (r6): determinism makes the sf0.01-trained vocabulary
+    an authorable VALUES literal — every piece, logprob, and usage
+    count hash-checked."""
     from etl_tools_rs_spark.operators.unigram import unigram_train
 
     t = load_tables(spark, sf_dir, ("documents",))
