@@ -691,3 +691,58 @@ def test_golden_records_match_brute_force(spark, rows):
         mode = max(counts, key=lambda t: (counts[t], t))
         expected[e] = (len(members), mode, max(b for _, b in members))
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab"), min_size=0, max_size=5),
+        min_size=2,
+        max_size=14,
+    ),
+    st.integers(1, 2),
+)
+@settings(**SETTINGS)
+def test_fuzzy_self_pairs_dup_collapse_equals_naive(spark, words, d):
+    """r6 dup-collapse contract on random DUP-HEAVY corpora (tiny
+    alphabet, duplicates allowed): the distinct-string expansion must
+    reproduce the naive theta-join pair set exactly — every id pair,
+    exact distances — and the connectivity_only edge set must yield the
+    same connected components."""
+    from etl_tools_rs_spark.operators.dedup import connected_components
+    from etl_tools_rs_spark.operators.fuzzy import (
+        fuzzy_join_naive,
+        fuzzy_self_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "wid long, w string"
+    )
+    naive = {
+        (min(r.a, r.b), max(r.a, r.b), r.distance)
+        for r in fuzzy_join_naive(
+            df.selectExpr("wid AS a", "w AS wa"),
+            df.selectExpr("wid AS b", "w AS wb"),
+            "wa", "wb", d,
+        ).collect()
+        if r.a != r.b
+    }
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_self_pairs(df, "w", "wid", max_distance=d).collect()
+    }
+    assert got == naive
+    red = fuzzy_self_pairs(
+        df, "w", "wid", max_distance=d, connectivity_only=True
+    )
+    comp_red = {
+        (r.member_id, r.group_id)
+        for r in connected_components(red, "id_a", "id_b").collect()
+    }
+    full = spark.createDataFrame(
+        [(a, b) for a, b, _ in naive] or [(0, 0)], "id_a long, id_b long"
+    )
+    comp_full = {
+        (r.member_id, r.group_id)
+        for r in connected_components(full, "id_a", "id_b").collect()
+    }
+    assert comp_red == comp_full
