@@ -20,6 +20,8 @@ oracle-checkable bit-for-bit in DuckDB.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,6 +30,10 @@ from pyspark.storagelevel import StorageLevel
 from etl_tools_rs_spark.session import default_parallelism
 
 from etl_tools_rs_spark.functions import fingerprint, ngrams, tokens
+
+# serializes connected_components' session-global constraintPropagation
+# toggle across threads sharing one SparkSession (see its docstring)
+_CC_FLAG_LOCK = threading.Lock()
 
 
 def dedup_exact(
@@ -211,7 +217,13 @@ def dedup_minhash_lsh(
                 "bucket", F.xxhash64(F.col("bucket"), salt)
             ).drop("_n")
 
-    left = banded.alias("l")
+    # shuffle_hash pin (r7): the build side sits above the band-struct
+    # Generate, so Catalyst's size estimate predates the ×bands fan-out —
+    # the exact mis-plan class that broadcast fuzzy_join's 8.5M-row
+    # exploded frame at sf3 (r5). Both sides are the corpus-sized band
+    # table; a broadcast is never the right plan here at scale, and the
+    # shuffled form costs nothing at toy scale (narrow rows, 8 tasks).
+    left = banded.alias("l").hint("shuffle_hash")
     right = banded.alias("r")
     pairs = (
         left.join(
@@ -467,33 +479,41 @@ def connected_components(
     # every downstream plan — including ones optimized after the flag
     # is restored — is safe; the only cost is losing inferred filters
     # inside the star rounds, which carry their filters explicitly.
+    # The toggle is SESSION-GLOBAL, so concurrent CC runs on the same
+    # session could interleave set/restore and re-expose the crash
+    # mid-iteration; _CC_FLAG_LOCK serializes them within this process.
+    # Unrelated queries that happen to run on the session while CC holds
+    # the flag lose inferred-constraint optimization for that window
+    # (never correctness) — callers who need full isolation should run CC
+    # on a dedicated spark.newSession().
     spark = pairs.sparkSession
     _FLAG = "spark.sql.constraintPropagation.enabled"
-    prev = spark.conf.get(_FLAG, "true")
-    spark.conf.set(_FLAG, "false")
-    try:
-        edges = _cp(
-            pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        members = _cp(  # every node that appears in any pair (for labels)
-            edges.select(F.col("u").alias("node"))
-            .union(edges.select(F.col("v").alias("node")))
-            .distinct()
-        )
-
-        for _ in range(max_iterations):
-            edges_next = _cp(_small_star(_large_star(edges)))
-            changed = (
-                edges_next.exceptAll(edges).limit(1).count()
-                + edges.exceptAll(edges_next).limit(1).count()
+    with _CC_FLAG_LOCK:
+        prev = spark.conf.get(_FLAG, "true")
+        spark.conf.set(_FLAG, "false")
+        try:
+            edges = _cp(
+                pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
             )
-            edges = edges_next
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set(_FLAG, prev)
+            members = _cp(  # every node that appears in any pair (for labels)
+                edges.select(F.col("u").alias("node"))
+                .union(edges.select(F.col("v").alias("node")))
+                .distinct()
+            )
+
+            for _ in range(max_iterations):
+                edges_next = _cp(_small_star(_large_star(edges)))
+                changed = (
+                    edges_next.exceptAll(edges).limit(1).count()
+                    + edges.exceptAll(edges_next).limit(1).count()
+                )
+                edges = edges_next
+                if changed == 0:
+                    break
+        finally:
+            spark.conf.set(_FLAG, prev)
 
     # fixpoint is a star forest: edges = (member, component-min root)
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
@@ -745,7 +765,10 @@ def simhash_near_dup(
             )
         ).alias("_bc"),
     ).select("_id", "simhash", F.col("_bc.band").alias("band"), F.col("_bc.chunk").alias("chunk"))
-    a, b_ = bands.alias("a"), bands.alias("b")
+    # shuffle_hash pin (r7): same broadcast_above_generate defense as
+    # dedup_minhash_lsh — the band explode understates the build-side
+    # estimate and both sides are corpus-sized
+    a, b_ = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
     pairs = (
         a.join(
             b_,

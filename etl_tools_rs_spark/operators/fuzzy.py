@@ -453,6 +453,66 @@ def fuzzy_self_pairs(
     return cross.unionByName(within)
 
 
+def capped_key_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    max_key_candidates: int = 250_000,
+    method: str = "auto",
+    top_n: int = 20,
+) -> DataFrame:
+    """Observability for the ``max_key_candidates`` cap (r7): the top-N
+    variant keys whose probe×index candidate product EXCEEDS the cap —
+    i.e. exactly the keys where :func:`fuzzy_join`'s salt/drop degrade
+    engages and recall becomes sampling-bounded. Empty result ⇒ the cap
+    never engaged and the exact no-false-negative theorem held.
+
+    Run this as the pre-flight / post-hoc audit for capped fuzzy runs
+    (the cap itself stays silent in the hot path — surfacing it inline
+    would re-execute the key-count stage). Output: ``(key, n_left,
+    n_right, candidate_product, shards_per_side)``.
+    """
+    if max_key_candidates < 1:
+        raise ValueError(
+            f"max_key_candidates must be >= 1, got {max_key_candidates!r}"
+        )
+    d = max_distance
+    if method == "auto":
+        method = "deletion" if d <= 2 else "segment"
+    if method == "deletion":
+        lkeys = _deletion_keys(F.col(left_col), d)
+        rkeys = _deletion_keys(F.col(right_col), d)
+    else:
+        lkeys = _probe_keys(F.col(left_col), d)
+        rkeys = _index_keys(F.col(right_col), d)
+    lsz = (
+        left.select(F.explode(lkeys).alias("_fk"))
+        .groupBy("_fk").agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rsz = (
+        right.select(F.explode(rkeys).alias("_fk"))
+        .groupBy("_fk").agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    prod = F.col("n_left") * F.col("n_right")
+    return (
+        lsz.join(rsz, "_fk")
+        .filter(prod > max_key_candidates)
+        .select(
+            F.col("_fk").alias("key"),
+            "n_left",
+            "n_right",
+            prod.alias("candidate_product"),
+            F.ceil(F.sqrt(prod / F.lit(max_key_candidates)))
+            .cast("long")
+            .alias("shards_per_side"),
+        )
+        .orderBy(F.col("candidate_product").desc())
+        .limit(top_n)
+    )
+
+
 def fuzzy_join_naive(
     left: DataFrame,
     right: DataFrame,
@@ -508,6 +568,12 @@ def dedup_fuzzy(
     DEDUP that is the right default, since a dropped pair merely leaves
     both near-dups in the output; pass ``None`` to restore the exact
     no-false-negative guarantee at adversarial-corpus risk.
+
+    BEHAVIOR CHANGE NOTE (r6, for callers upgrading): the default moved
+    from ``None`` (exact) to ``250_000``. On hot-key corpora, pairs that
+    previously merged can now survive as separate rows. Whether/where
+    the cap engaged is observable via :func:`capped_key_report` on the
+    same inputs (empty report = exact semantics held).
     """
     from etl_tools_rs_spark.operators.dedup import connected_components
 

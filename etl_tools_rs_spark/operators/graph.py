@@ -13,6 +13,15 @@ Scale notes (100 TB posture):
   in ``localCheckpoint`` so the lineage never grows with the iteration
   count — the classic iterative-Spark failure mode (exponential plan
   re-execution) is designed out.
+- Checkpoints are DISK_ONLY (r7 — same hardening dedup.py's
+  connected_components got in r6): the default MEMORY_AND_DISK level
+  parks every round's frame as deserialized on-heap blocks in
+  eviction-protected storage memory, starving the per-round joins and
+  aggregations of execution memory exactly when the graph is big. The
+  iterative frames here are read back O(1)-O(iterations) times each —
+  the access pattern where paying a (page-cache-backed) disk read to
+  keep the whole execution budget is the right trade; superseded
+  rounds' blocks are freed by the ContextCleaner.
 - No driver collects: the node count joins back as a broadcast 1-row
   aggregate.
 
@@ -28,11 +37,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _fl(c: Column, scale: int) -> Column:
     p10 = float(10**scale)
     return F.floor(F.lit(p10) * c) / F.lit(p10)
+
+
+def _cp(df: DataFrame) -> DataFrame:
+    """Lineage cut for iterative frames: lazy DISK_ONLY localCheckpoint
+    (see module docstring — storage memory must stay free for the
+    per-round shuffles, not retained round snapshots)."""
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def pagerank(
@@ -80,7 +97,7 @@ def pagerank(
         # nodes / degrees / the iteration loop all branch off the edge
         # list — materialize it ONCE or every branch replays the
         # caller's (often join-heavy) edge derivation
-        edges = edges.localCheckpoint(eager=False)
+        edges = _cp(edges)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -89,7 +106,7 @@ def pagerank(
     if checkpoint:
         # reused by the teleport count, the rank init, and every round's
         # left join — node-count-sized
-        nodes = nodes.localCheckpoint(eager=False)
+        nodes = _cp(nodes)
     n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     deg = edges.groupBy(F.col(src).alias("_src")).agg(
         F.count(F.lit(1)).cast("double").alias("_outdeg")
@@ -99,7 +116,7 @@ def pagerank(
     ).join(deg, "_src")
     if checkpoint:
         # built once, reused every round — avoid re-reading the edge source
-        edges_deg = edges_deg.localCheckpoint(eager=False)
+        edges_deg = _cp(edges_deg)
 
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", _fl(F.lit(1.0) / F.col("_n"), scale).alias("rank")
@@ -133,7 +150,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)  # cut lineage each round
+            ranks = _cp(ranks)  # cut lineage each round
     return ranks
 
 
@@ -249,7 +266,7 @@ def triangle_count(
         .distinct()
     )
     if checkpoint:
-        e = e.localCheckpoint(eager=False)
+        e = _cp(e)
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
@@ -257,7 +274,7 @@ def triangle_count(
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
     if checkpoint:
-        deg = deg.localCheckpoint(eager=False)
+        deg = _cp(deg)
     dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
     dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
     ed = e.join(dx, "x").join(dy, "y")
@@ -269,7 +286,7 @@ def triangle_count(
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("t"),
     )
     if checkpoint:
-        o = o.localCheckpoint(eager=False)
+        o = _cp(o)
     o1 = o.select(F.col("s"), F.col("t").alias("u"))
     o2 = o.select(F.col("s"), F.col("t").alias("w"))
     wedges = o1.join(o2, "s").filter(F.col("u") < F.col("w"))

@@ -163,10 +163,21 @@ def range_join(
     bucket_width: float,
     by: str | None = None,
     right_by: str | None = None,
+    strategy: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Range (interval-containment) join: left rows whose ``left_point``
     falls in ``[right_start, right_end)``, optionally with an equality key
     — the event-in-window primitive Spark has no native operator for.
+
+    ``strategy`` pins the bucket join's physical form. The default
+    ``"shuffle_hash"`` is the scale-safe shape: the interval side sits
+    above a bucket Generate, so Catalyst's size estimate predates the
+    data-dependent ×buckets-per-interval fan-out and can broadcast an
+    arbitrarily understated frame (the broadcast_above_generate class —
+    the r5 fuzzy mis-plan). A forfeited broadcast costs one linear
+    shuffle; a mis-broadcast ships the fan-out to every executor. Pass
+    ``"broadcast"`` when the interval side is genuinely tiny (a handful
+    of campaign windows), or ``None`` to let Catalyst choose.
 
     Scale path — bucketized equi-join, NOT an inequality join (which
     Catalyst executes as a nested-loop / per-key cross product): each
@@ -211,6 +222,12 @@ def range_join(
         "__rj_bucket",
         F.explode(F.sequence(F.floor(rs / F.lit(width)), F.floor(re_ / F.lit(width)))),
     )
+    if strategy is not None:
+        if strategy not in _JOIN_STRATEGIES:
+            raise ValueError(
+                f"strategy must be one of {sorted(_JOIN_STRATEGIES)} or None, got {strategy!r}"
+            )
+        r2 = r2.hint(strategy)
     cond = l2["__rj_bucket"] == r2["__rj_bucket"]
     if by is not None:
         cond = cond & (l2[by] == r2[right_by or by])
@@ -234,6 +251,7 @@ def overlap_join(
     bucket_width: float,
     by: str | None = None,
     right_by: str | None = None,
+    strategy: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Interval-OVERLAP join: pairs of rows whose half-open intervals
     ``[left_start, left_end)`` and ``[right_start, right_end)``
@@ -254,6 +272,13 @@ def overlap_join(
     join hygiene). Exact overlap (``ls < re AND rs < le``) is filtered
     within buckets, so boundary-touching intervals ([1,2) vs [2,3)) do
     NOT pair.
+
+    ``strategy`` pins the bucket join's physical form; BOTH sides sit
+    above bucket Generates here, so Catalyst's broadcast decision rests
+    on doubly-understated estimates (broadcast_above_generate class).
+    Default ``"shuffle_hash"`` is the scale-safe shape; pass
+    ``"broadcast"`` for a genuinely tiny right side or ``None`` to let
+    Catalyst choose (see :func:`range_join`).
     """
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
@@ -297,6 +322,12 @@ def overlap_join(
             ),
         )
     )
+    if strategy is not None:
+        if strategy not in _JOIN_STRATEGIES:
+            raise ValueError(
+                f"strategy must be one of {sorted(_JOIN_STRATEGIES)} or None, got {strategy!r}"
+            )
+        r2 = r2.hint(strategy)
     cond = l2["__oj_bucket"] == r2["__oj_rbucket"]
     if by is not None:
         cond = cond & (l2[by] == r2[right_by or by])

@@ -227,7 +227,12 @@ def negative_sample(
     lookup = indexed.select(
         F.col("__idx").alias("__neg_idx"), key.alias(f"neg_{key_col}")
     )
-    return probes.join(lookup, "__neg_idx").drop("__neg_idx")
+    # shuffle_hash pin (r7): probes sits above the k-probe Generate, so
+    # Catalyst's size estimate understates it ×k and can broadcast a k·N
+    # frame (broadcast_above_generate class). Neither side is small —
+    # probes is k·N, lookup is N — so the shuffled hash join (build =
+    # lookup, the narrower side) is the only shape that survives scale.
+    return probes.join(lookup.hint("shuffle_hash"), "__neg_idx").drop("__neg_idx")
 
 
 def weighted_sample(

@@ -341,12 +341,42 @@ def kmeans_centroids_exact(
     Returns micro-unit centroid rows (list of ints). Fixed
     ``iterations`` — no float tolerance test, the replica must run the
     same round count. Same shuffle shape as :func:`kmeans_centroids`:
-    one broadcast + one map-side-combined groupBy per round."""
+    one broadcast + one map-side-combined groupBy per round.
+
+    Input contract (r7, enforced): at least ``k`` rows (the k smallest-id
+    init needs them), and micro-unit magnitudes ≤ 10^8 — the exactness
+    argument runs through the float64 numpy probe (per-pair squared L2
+    ≤ dim·(2·max)² must stay under 2^53), so out-of-contract magnitudes
+    would silently break the exact-argmin property the oracles replay."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
     centroids = [
         [int(v) for v in r[0]]
         for r in df.orderBy(id_col).limit(k).select(qvec_col).collect()
     ]
+    if len(centroids) < k:
+        raise ValueError(
+            f"kmeans_centroids_exact needs >= k rows to initialize; got "
+            f"{len(centroids)} rows for k={k}"
+        )
     dim = len(centroids[0])
+    # float64-exactness bound: the numpy argmin probe computes integer
+    # squared distances in float64 — exact iff every per-pair distance
+    # < 2^53. |q| ≤ 1e8 gives dim·(2e8)² = dim·4e16 ≤ 2^53 for dim ≤ 225;
+    # the engine's embedding dims (≤ 64) leave 3.5× headroom even there.
+    max_q = df.agg(
+        F.max(F.aggregate(
+            F.transform(F.col(qvec_col), lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: F.greatest(acc, v),
+        ))
+    ).collect()[0][0]
+    if max_q is not None and int(max_q) > 10**8:
+        raise ValueError(
+            f"quantized magnitudes up to {max_q} exceed the 1e8 exactness "
+            f"contract (float64 argmin would no longer be exact); lower the "
+            f"quantization scale"
+        )
     for _ in range(iterations):
         assign = nearest_cells_udf(
             [[float(c) for c in row] for row in centroids], 1
@@ -634,6 +664,43 @@ def pq_train(
     return books
 
 
+def pq_train_exact(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> list[list[list[int]]]:
+    """Deterministic, ORACLE-REPLAYABLE PQ codebook training (r7): the
+    product-quantization analogue of :func:`kmeans_centroids_exact` —
+    each subspace trains exact-quantized Lloyd's on the integer
+    micro-unit slice, so the m×ksub×(dim/m) INTEGER codebooks are a pure
+    function of the data and a SQL engine can replay the whole training
+    (per-subspace unrolled rounds) from the raw table. Same per-subspace
+    shuffle shape as :func:`pq_train`; same input contract as
+    ``kmeans_centroids_exact`` (≥ ksub rows, micro-units ≤ 1e8)."""
+    first = corpus.select(F.size(qvec_col)).first()
+    if first is None:
+        raise ValueError("pq_train_exact: empty corpus")
+    dim = first[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(qvec_col), s * sub + 1, sub).alias("_sq"),
+        )
+        books.append(
+            kmeans_centroids_exact(
+                sliced, ksub, "_sq", id_col=id_col, iterations=iterations
+            )
+        )
+    return books
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -675,6 +742,7 @@ def knn_pq(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    adc_vec: str | None = None,
 ) -> DataFrame:
     """PQ approximate top-k cosine with exact re-ranking.
 
@@ -686,23 +754,45 @@ def knn_pq(
     EXACTLY against the raw vectors (one id-join), so returned scores
     are true cosines; only the candidate choice is approximate.
 
+    ``adc_vec`` (r7) switches the candidate stage to the DETERMINISTIC
+    exact-quantized path: corpus and queries carry a ``quantize_vec``
+    integer micro-unit column of that name, ``codebooks`` are INTEGER
+    codebooks (:func:`pq_train_exact`), and the ADC score becomes
+    ``dot / sqrt(xnorm2·qnorm2)`` where dot and both norms are EXACT
+    integers (every intermediate < 2^53, so the float64 matmuls are
+    exact regardless of summation order) — the final score is three
+    IEEE-754 ops (multiply, sqrt, divide) on identical operands, hence
+    bit-identical in any engine. The per-partition candidate cut then
+    uses the same total order as the global cut — (score desc, id asc)
+    — so the candidate set is a partitioning-independent pure function
+    of the data and a SQL oracle can replay the ENTIRE pipeline,
+    training included. The default float path keeps argpartition (ties
+    at the partition boundary may vary run to run; candidates only).
+
     At 100 TB: the code table is ~dim·4/m× smaller than the corpus,
     queries broadcast, and the single wide scan is memory-bandwidth
     bound. Recall tunes with m/ksub/rerank.
     """
+    exact = adc_vec is not None
     if codebooks is None:
-        codebooks = pq_train(
-            corpus, m=m, ksub=ksub, vec_col=corpus_vec, id_col=corpus_id
-        )
+        if exact:
+            codebooks = pq_train_exact(
+                corpus, m=m, ksub=ksub, qvec_col=adc_vec, id_col=corpus_id
+            )
+        else:
+            codebooks = pq_train(
+                corpus, m=m, ksub=ksub, vec_col=corpus_vec, id_col=corpus_id
+            )
     C = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(C)
     sub = C[0].shape[1]
-    qrows = queries.select(query_id, query_vec).collect()
+    q_adc_col = adc_vec if exact else query_vec
+    qrows = queries.select(query_id, q_adc_col).collect()
     if not qrows:
         raise ValueError("knn_pq: empty queries (queries must be the small side)")
     qids = [r[0] for r in qrows]
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    qnorm2 = (Q * Q).sum(axis=1)  # exact ints in float64 when `exact`
     # LUT[q, s, c] = dot(query_sub, codeword); corpus-side approx norm from
     # codeword norms (exact norm of the RECONSTRUCTION)
     lut = np.stack(
@@ -710,7 +800,10 @@ def knn_pq(
     )
     cw_norm2 = [np.asarray([(w * w).sum() for w in C[s]]) for s in range(m)]
 
-    codes = pq_encode(corpus, codebooks, vec_col=corpus_vec, id_col=corpus_id)
+    codes = pq_encode(
+        corpus, codebooks,
+        vec_col=(adc_vec if exact else corpus_vec), id_col=corpus_id,
+    )
     n_q = len(qids)
     out_schema = f"{corpus_id} long, _qi int, _adc double"
 
@@ -723,13 +816,30 @@ def knn_pq(
             for s in range(m):
                 approx += lut[:, s, :][:, Xc[:, s]].T  # b × n_q
                 xnorm2 += cw_norm2[s][Xc[:, s]]
-            sim = approx / (np.sqrt(xnorm2)[:, None] * qnorm[None, :] + 1e-12)
+            if exact:
+                # dot/norms are exact integers; denominator is one IEEE
+                # multiply + sqrt on exact operands (engine-portable).
+                # Zero norms (zero reconstruction / zero query) score 0.
+                denom = np.sqrt(xnorm2[:, None] * qnorm2[None, :])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sim = np.where(denom > 0, approx / denom, 0.0)
+            else:
+                sim = approx / (
+                    np.sqrt(xnorm2)[:, None] * np.sqrt(qnorm2)[None, :] + 1e-12
+                )
             top = min(k * rerank, b)
+            ids_np = pdf[corpus_id].to_numpy()
             for qi in range(n_q):
-                idx = np.argpartition(-sim[:, qi], top - 1)[:top]
+                if exact:
+                    # SAME total order as the global cut — (score desc,
+                    # id asc) — so local top-T ⊇ its share of global top-T
+                    # and the candidate set is partitioning-independent
+                    idx = np.lexsort((ids_np, -sim[:, qi]))[:top]
+                else:
+                    idx = np.argpartition(-sim[:, qi], top - 1)[:top]
                 yield pd.DataFrame(
                     {
-                        corpus_id: pdf[corpus_id].to_numpy()[idx],
+                        corpus_id: ids_np[idx],
                         "_qi": qi,
                         "_adc": sim[idx, qi],
                     }

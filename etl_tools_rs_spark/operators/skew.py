@@ -49,7 +49,14 @@ def salted_join(
         SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))),
     )
-    out = l_salted.join(r_salted, [*on, SALT_COL], how)
+    # shuffle_hash pin (r7): salting exists PRECISELY because the right
+    # side is too big to broadcast (a broadcastable right needs no salt —
+    # broadcast sidesteps skew entirely). Catalyst can't see that: the
+    # replicated side sits above a Generate, its estimate understates by
+    # ×num_salts, and a mis-broadcast both wastes the replication and
+    # re-serializes the hot keys. Pin the join to the shuffled form the
+    # operator's contract assumes.
+    out = l_salted.join(r_salted.hint("shuffle_hash"), [*on, SALT_COL], how)
     return out.drop(SALT_COL)
 
 

@@ -2765,33 +2765,38 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_exact_cte(
-    n_centroids: int, iterations: int, dim: int = 64
-) -> str:
-    """Shared CTE prefix: quantized vectors (`qv`), seed centroids
-    (`c0`), and ``iterations`` unrolled MATERIALIZED Lloyd rounds ending
-    at `c{iterations}`, plus the final corpus assignment `ca` —
-    the SQL replica of operators/similarity.py::kmeans_centroids_exact
-    (exact integer argmin with (distance, cell) tie-break, DECIMAL dim
-    sums, truncating division, empty cells keep their previous
-    centroid). Used by the knn_cosine_ivf and semdedup_embeddings
-    oracles."""
-    rng = f"range(1, {dim + 1})"
-    parts = [f"""
+_KMEANS_QV_CTE = """
     WITH qv AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              list_transform(embedding, e -> CAST(FLOOR(
                CAST(1000000.0 AS DOUBLE) * CAST(e AS DOUBLE)) AS BIGINT)) AS x
       FROM embeddings
-    ),
-    c0 AS MATERIALIZED (
+    )"""
+
+
+def _kmeans_rounds_cte(
+    n_centroids: int, iterations: int, dim: int, suffix: str = "", src: str = "qv"
+) -> str:
+    """Unrolled exact-quantized Lloyd training as CTE bodies (no WITH):
+    seed centroids ``c0{suffix}``, ``iterations`` MATERIALIZED rounds
+    ending at ``c{iterations}{suffix}``, plus the final assignment
+    ``ca{suffix}`` of every ``src`` row — the SQL replica of
+    operators/similarity.py::kmeans_centroids_exact (exact integer
+    argmin with (distance, cell) tie-break, order-invariant dim sums,
+    truncating division, empty cells keep their previous centroid).
+    ``src`` must expose ``(vec_id, x bigint[])``; ``suffix`` namespaces
+    the CTEs so several trainings (PQ subspaces) coexist in one query."""
+    rng = f"range(1, {dim + 1})"
+    sx = suffix
+    parts = [f"""
+    c0{sx} AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, x AS c
-      FROM qv ORDER BY vec_id LIMIT {n_centroids}
+      FROM {src} ORDER BY vec_id LIMIT {n_centroids}
     )"""]
     for it in range(1, iterations + 1):
-        prev = f"c{it - 1}"
+        prev = f"c{it - 1}{sx}"
         parts.append(f"""
-    a{it} AS MATERIALIZED (
+    a{it}{sx} AS MATERIALIZED (
       SELECT vec_id, cell, ROW_NUMBER() OVER (
         PARTITION BY vec_id ORDER BY d, cell) AS rn
       FROM (
@@ -2799,26 +2804,26 @@ def _kmeans_exact_cte(
                list_sum(list_transform({rng},
                  i -> (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)])
                     * (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)]))) AS d
-        FROM qv q, {prev} c)
+        FROM {src} q, {prev} c)
     ),
-    s{it} AS MATERIALIZED (
+    s{it}{sx} AS MATERIALIZED (
       SELECT a.cell, CAST(u.i AS INT) AS i,
              SUM(q.x[CAST(u.i AS INT)]) AS s, COUNT(*) AS n
-      FROM a{it} a JOIN qv q USING (vec_id), UNNEST({rng}) AS u(i)
+      FROM a{it}{sx} a JOIN {src} q USING (vec_id), UNNEST({rng}) AS u(i)
       WHERE a.rn = 1
       GROUP BY 1, 2
     ),
-    c{it} AS MATERIALIZED (
+    c{it}{sx} AS MATERIALIZED (
       SELECT p.cell, COALESCE(m.c, p.c) AS c
       FROM {prev} p LEFT JOIN (
         SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
-        FROM s{it} GROUP BY cell
+        FROM s{it}{sx} GROUP BY cell
       ) m USING (cell)
     )"""
         )
-    fin = f"c{iterations}"
+    fin = f"c{iterations}{sx}"
     parts.append(f"""
-    ca AS MATERIALIZED (
+    ca{sx} AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT q.vec_id, c.cell, ROW_NUMBER() OVER (
           PARTITION BY q.vec_id ORDER BY
@@ -2826,10 +2831,21 @@ def _kmeans_exact_cte(
               i -> (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)])
                  * (q.x[CAST(i AS INT)] - c.c[CAST(i AS INT)]))), c.cell
         ) AS rn
-        FROM qv q, {fin} c)
+        FROM {src} q, {fin} c)
       WHERE rn = 1
     )""")
     return ",".join(parts)
+
+
+def _kmeans_exact_cte(
+    n_centroids: int, iterations: int, dim: int = 64
+) -> str:
+    """Shared CTE prefix: quantized vectors (`qv`) + one full training
+    (see :func:`_kmeans_rounds_cte`). Used by the knn_cosine_ivf and
+    semdedup_embeddings oracles (r6)."""
+    return _KMEANS_QV_CTE + "," + _kmeans_rounds_cte(
+        n_centroids, iterations, dim
+    )
 
 
 def _knn_ivf_exact_oracle_sql(
@@ -6475,7 +6491,13 @@ def _semdedup_exact_oracle_sql(
     vector's max cosine to a lower-id cluster member, 6dp-rounded, the
     verdict a comparison of the ROUNDED value (as the operator does).
     The per-cluster id-minimum carries NULL / FALSE. Re-trains from the
-    table: no embedded model, valid at any sf."""
+    table: no embedded model. SCOPE (r7, per ADVICE): valid at any sf
+    where no cluster reaches the operator's ``max_cluster_size`` cap —
+    the oracle takes each max over the WHOLE cluster, while the capped
+    operator shard-splits oversize clusters (per-shard maxima). The gate
+    query asserts the sufficient condition (total rows ≤ cap) at run
+    time, so a future sf that could engage the cap fails LOUDLY with a
+    pointer here instead of as a spurious hash mismatch."""
     tail = f"""
     ,
     pair AS (
@@ -6519,10 +6541,24 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"].withColumn(
         "_q6", quantize_vec(F.col("embedding"))
     )
+    cap = 4096
+    # oracle-scope guard (see _semdedup_exact_oracle_sql): the whole-
+    # cluster oracle is only equivalent while the shard split can't
+    # engage; total rows ≤ cap is the cheap sufficient condition (one
+    # metadata-level count), and every gate sf satisfies it (sf0.1 has
+    # 2000 embeddings). A bigger gate sf must replicate the xxhash64
+    # shard split in the oracle SQL first.
+    n = emb.count()
+    if n > cap:
+        raise ValueError(
+            f"semdedup_embeddings gate oracle is scoped to <= {cap} rows "
+            f"(got {n}): the operator's max_cluster_size shard split is "
+            f"not replayed by the whole-cluster oracle SQL"
+        )
     centroids = kmeans_centroids_exact(emb, 8, "_q6", "vec_id", iterations=3)
     return semdedup(
         emb, "embedding", "vec_id", n_clusters=8, threshold=0.9,
-        max_cluster_size=4096,
+        max_cluster_size=cap,
         centroids=[[float(c) for c in row] for row in centroids],
         assign_vec="_q6",
     )

@@ -156,3 +156,39 @@ class TestKmeansExact:
             F.element_at(a_f(F.col("embedding")), 1).alias("f"),
         ).collect()
         assert all(r.e == r.f for r in got)
+
+    def test_input_contract_guards(self, spark):
+        """r7 (ADVICE): empty / under-k inputs raise a clear ValueError
+        instead of IndexError, and out-of-contract micro-unit magnitudes
+        (which would break the float64 exact-argmin property the oracles
+        replay) are rejected up front."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.similarity import (
+            kmeans_centroids_exact,
+            quantize_vec,
+        )
+
+        schema = "vec_id long, embedding array<float>"
+        empty = spark.createDataFrame([], schema).withColumn(
+            "_q6", quantize_vec(F.col("embedding"))
+        )
+        with pytest.raises(ValueError, match=">= k rows"):
+            kmeans_centroids_exact(empty, 2, "_q6", "vec_id")
+
+        small = self._df(spark, n=3).withColumn(
+            "_q6", quantize_vec(F.col("embedding"))
+        )
+        with pytest.raises(ValueError, match=">= k rows"):
+            kmeans_centroids_exact(small, 5, "_q6", "vec_id")
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            kmeans_centroids_exact(small, 0, "_q6", "vec_id")
+
+        # magnitudes beyond 1e8 micro-units break the exactness bound
+        big = spark.createDataFrame(
+            [(0, [10.0**9]), (1, [2.0]), (2, [3.0])],
+            "vec_id long, q array<double>",
+        ).select("vec_id", F.col("q").cast("array<bigint>").alias("_q6"))
+        with pytest.raises(ValueError, match="exactness contract"):
+            kmeans_centroids_exact(big, 2, "_q6", "vec_id")

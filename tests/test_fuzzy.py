@@ -549,3 +549,37 @@ class TestGiantComponentCC:
             F.min("group_id").alias("mg"),
         ).collect()[0]
         assert (agg.g, agg.n, agg.mg) == (1, n, 0)
+
+
+def test_capped_key_report_observability(spark):
+    """r7 (ADVICE): the max_key_candidates cap must be observable —
+    capped_key_report surfaces exactly the hot keys where the salt/drop
+    degrade engages, and is empty on corpora where the exact theorem
+    holds."""
+    # 60 near-identical strings -> one mega variant key family
+    hot = spark.createDataFrame(
+        [(i, f"aaaa{i % 3}") for i in range(60)], "wid long, w string"
+    )
+    rep = fuzzy.capped_key_report(
+        hot.select(F.col("w").alias("lw")),
+        hot.select(F.col("w").alias("rw")),
+        "lw", "rw", max_distance=1, max_key_candidates=100,
+    )
+    rows = rep.collect()
+    assert rows, "hot corpus must surface capped keys"
+    assert rep.columns == [
+        "key", "n_left", "n_right", "candidate_product", "shards_per_side"
+    ]
+    assert all(r.candidate_product > 100 for r in rows)
+    assert all(r.shards_per_side >= 2 for r in rows)
+
+    # healthy corpus: distinct strings, no hot key at a generous cap
+    cold = spark.createDataFrame(
+        [(i, f"word-{i:04d}x") for i in range(40)], "wid long, w string"
+    )
+    rep2 = fuzzy.capped_key_report(
+        cold.select(F.col("w").alias("lw")),
+        cold.select(F.col("w").alias("rw")),
+        "lw", "rw", max_distance=1, max_key_candidates=250_000,
+    )
+    assert rep2.count() == 0

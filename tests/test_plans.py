@@ -482,3 +482,39 @@ def test_heavy_hitters_no_python_row_udf(spark):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+_R7_PINNED = [
+    # registry queries whose candidate join is fed by a row-multiplying
+    # Generate and carries an r7 shuffle_hash pin (operator-level) — the
+    # broadcast_above_generate class that mis-planned fuzzy_join at r5.
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "simhash_near_dup_pairs",
+    "negative_sample_documents",
+    "salted_join_revenue",
+    "range_join_order_pairs",
+    "overlap_join_orders",
+]
+
+
+@pytest.mark.parametrize("qname", _R7_PINNED)
+def test_pinned_explode_joins_never_broadcast(spark, qname):
+    """r7 pin: every explode-fed candidate join must plan as a SHUFFLED
+    hash join — Catalyst sizes a Generate as its child, so a broadcast
+    here rests on a structurally understated estimate (the r5 fuzzy
+    mis-plan: an 8.5M-row exploded frame broadcast at sf3). These
+    queries' operators pin ``shuffle_hash`` per-site; the sweep audit
+    (tools/scale_audit.py) now treats the marker as FATAL, and this test
+    keeps the pins from being dropped without tripping the audit too."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.scale_audit import _build_tree, audit_plan
+
+    qe = REGISTRY[qname].fn(spark, SF_DIR)._jdf.queryExecution()
+    plan_str = qe.sparkPlan().toString()
+    flags = audit_plan(_build_tree(_json.loads(qe.sparkPlan().toJSON())), plan_str)
+    assert not flags["broadcast_above_generate"], qname
+    assert "ShuffledHashJoin" in plan_str, qname

@@ -17,7 +17,11 @@ import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+# resolve the repo root from THIS file, not the cwd — the gate (and the
+# __spark_entry__ import it depends on) must behave identically when
+# invoked from anywhere (r7, ADVICE fix)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -132,14 +136,25 @@ def main() -> int:
         # gate artifact (r6 — twice in a row a registry growth left
         # SCALE_AUDIT.json stale): every full-registry gate run rewrites
         # SCALE_AUDIT.json, so n_queries can never lag the registry.
+        #
+        # The audit is DELIBERATELY pinned to the smallest sf rather than
+        # the gate's sf_dir (r7, documented per ADVICE): its detectors are
+        # plan-shape structural, and the smallest data is the ADVERSARIAL
+        # case for the broadcast markers — every side sits under the
+        # broadcast threshold there, so explode-broadcast shapes expose
+        # themselves maximally; at bigger sfs honest estimates flip joins
+        # to shuffles and would HIDE the structural risk. Pinning also
+        # keeps the committed artifact deterministic regardless of which
+        # sf the gate happened to run at. Falls back to the gate's sf_dir
+        # only if the pinned dataset is absent.
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import scale_audit  # noqa: PLC0415 — same tools/ dir
 
-        audit_out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", "SCALE_AUDIT.json"
-        )
-        rc = scale_audit.main_with(spark, "/root/testdata/sf0.001",
-                                   os.path.normpath(audit_out))
+        audit_out = os.path.join(_REPO_ROOT, "SCALE_AUDIT.json")
+        audit_sf = "/root/testdata/sf0.001"
+        if not os.path.isdir(audit_sf):
+            audit_sf = sf_dir
+        rc = scale_audit.main_with(spark, audit_sf, audit_out)
         if rc != 0:
             failures.append("__scale_audit__")
     print()

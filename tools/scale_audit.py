@@ -10,27 +10,27 @@ Flags per query:
   genuinely tiny);
 - ``python_row_udf``: row-at-a-time BatchEvalPython (non-Arrow Python);
 - ``global_limit_sort``: Sort + GlobalLimit without TakeOrderedAndProject;
-- ``broadcast_above_generate`` (ADVISORY, not a violation): a
-  broadcast join whose build side is a Generate (explode) with no
-  cardinality-bounding Aggregate/Limit in between. Catalyst's size
-  estimate for Generate is its CHILD's size — it cannot see the
-  fan-out — so the broadcast decision rests on a structurally
-  understated estimate and can ship an O(keys-per-row)× frame to
-  every executor (the r5 fuzzy mis-plan: an 8.5M-row exploded
-  deletion-key frame broadcast at sf3, serializing the verify onto
-  the 8-task scan stage). Advisory rather than fatal because at the
-  audit's toy scale EVERY side fits under the broadcast threshold, so
-  direct explode-broadcasts are ubiquitous and each measured healthy
-  through sf3 (band/bucket joins flip to shuffles once the honest
-  pre-Generate estimate crosses the threshold; salted dim replication
-  broadcasts BY DESIGN): the advisory's job is diff-visibility — a
-  new hit in the committed artifact (e.g. someone dropping fuzzy's
-  ``shuffle_hash`` hint) shows up mechanically — while the hard
-  enforcement stays with the per-operator plan pins
-  (tests/test_fuzzy.py::test_candidate_join_never_broadcast).
-  Aggregate-bounded paths (vocab-sized idf/df frames above a token
-  explode) do not flag: the aggregate bounds actual rows to group
-  count, which is the operator's documented broadcast contract.
+- ``broadcast_above_generate`` (FATAL since r7): a broadcast join
+  whose build side is a Generate (explode) with no cardinality-
+  bounding Aggregate/Limit in between. Catalyst's size estimate for
+  Generate is its CHILD's size — it cannot see the fan-out — so the
+  broadcast decision rests on a structurally understated estimate and
+  can ship an O(keys-per-row)× frame to every executor (the r5 fuzzy
+  mis-plan: an 8.5M-row exploded deletion-key frame broadcast at sf3,
+  serializing the verify onto the 8-task scan stage). r7 closed the
+  advisory era: every candidate join fed by a data-dependent or
+  corpus-sized explode is pinned ``shuffle_hash`` at the operator
+  (dedup_minhash_lsh / simhash_near_dup / negative_sample /
+  salted_join / range_join / overlap_join — mirrored by plan-pin
+  tests in tests/test_plans.py), and the remaining deliberate
+  explode-broadcasts are allowlisted below with their contracts: each
+  has a PLAN-TIME-CONSTANT fan-out (bands / num_tables / n_probe), so
+  the understatement is bounded by that constant × the broadcast
+  threshold, and each broadcasts the side its documented contract
+  says is small. Aggregate-bounded paths (vocab-sized idf/df frames
+  above a token explode) do not flag: the aggregate bounds actual
+  rows to group count, which is the operator's documented broadcast
+  contract.
 
 Known-justified sites are allowlisted with the reason printed next to
 them (labeled brute-force baselines, reference-parity theta join). The
@@ -43,14 +43,19 @@ Usage: python tools/scale_audit.py [sf_dir] [out_json]
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+# resolve the repo root from THIS file, not the cwd, so the
+# __spark_entry__ import inside main_with works from any invocation
+# directory (r7, ADVICE fix)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # advisory markers: recorded in the artifact (diff-visible) but never a
-# violation — see the broadcast_above_generate rationale in the header
-ADVISORY = {"broadcast_above_generate"}
+# violation. Empty since r7 — broadcast_above_generate graduated to a
+# fatal flag once every un-contracted site got a shuffle_hash pin.
+ADVISORY: set[str] = set()
 
 # query -> (marker -> reason) documented exceptions
 ALLOWLIST: dict[str, dict[str, str]] = {
@@ -69,6 +74,18 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     },
     "dedup_token_jaccard": {
         "bnl_join": "labeled single-block EXACT verification path; the scale path is the blocked/prefix-filtered variants",
+    },
+    "knn_cosine_lsh": {
+        "broadcast_above_generate": "EXPLICIT F.broadcast of the QUERY side (similarity.py::knn_lsh) — the ANN serving contract is query batch ≪ corpus, and the Generate fan-out is the plan-time constant num_tables, so the broadcast size is bounded at num_tables × |queries|; shuffling the ×num_tables corpus side instead would be the scale regression",
+    },
+    "knn_cosine_ivf": {
+        "broadcast_above_generate": "EXPLICIT F.broadcast of the QUERY side (similarity.py::knn_ivf) — same serving contract as knn_cosine_lsh with plan-constant fan-out n_probe; the corpus inverted file must never shuffle per query batch",
+    },
+    "incremental_near_dup_documents": {
+        "broadcast_above_generate": "the O(delta) contract (lsh_index.py::incremental_near_dup): delta band rows (plan-constant ×bands fan-out) broadcast against the persisted index so the corpus store is only map-side-filtered — a shuffle pin here would defeat the operator's reason to exist; honest pre-Generate estimates flip big deltas to shuffles at ×bands worst-case understatement",
+    },
+    "cross_near_dup_documents": {
+        "broadcast_above_generate": "documented decontamination contract (dedup.py::minhash_cross_pairs): the benchmark-side band table (plan-constant ×bands fan-out) broadcasts so candidate generation is a map-side join over the training-corpus scan; worst-case understatement is bands × threshold",
     },
     "rrf_fuse_documents": {
         "single_partition_window": "rank windows run AFTER TakeOrdered limit(20) — 20-row frames (top-k result lists), never the corpus; the fuse op itself is windowless by contract",
