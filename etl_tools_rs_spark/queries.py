@@ -4917,18 +4917,108 @@ def gapfill_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_series(hourly, "period_start", "sum_value", by=["event_type"])
 
 
-@qdef("knn_cosine_pq", None)  # codebook training + ADC — rows-only check
+def _pq_exact_oracle_sql(
+    k: int = 10, m: int = 4, ksub: int = 16, rerank: int = 8,
+    iterations: int = 3, dim: int = 64, n_queries: int = 8,
+) -> str:
+    """Full SQL replay of PQ ANN INCLUDING its per-subspace codebook
+    training (r7): m namespaced `_kmeans_rounds_cte` trainings over the
+    quantized sub-vector slices, the code assignment (each subspace's
+    final ``ca``), the integer-reconstruction ADC score
+    ``dot / sqrt(xnorm2·qnorm2)`` — all three inputs exact integers, so
+    the score is three IEEE ops and bit-identical to the engine's — the
+    (score DESC, id) top-(k·rerank) candidate cut, and the 6dp-rounded
+    true-cosine rerank. Nothing embedded: re-trains from the table, so
+    it replays at any sf (the candidate cut is partitioning-independent
+    by the engine's total-order contract, similarity.py::knn_pq)."""
+    sub = dim // m
+    rng = f"range(1, {dim + 1})"
+    parts = [_KMEANS_QV_CTE]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""
+    qvs{s} AS MATERIALIZED (
+      SELECT vec_id, x[{lo}:{hi}] AS x FROM qv
+    )""")
+        parts.append(_kmeans_rounds_cte(
+            ksub, iterations, sub, suffix=f"_p{s}", src=f"qvs{s}"
+        ))
+    cw_join = "\n      ".join(
+        f"JOIN ca_p{s} a{s} USING (vec_id) JOIN c{iterations}_p{s} b{s} "
+        f"ON b{s}.cell = a{s}.cell" for s in range(1, m)
+    )
+    concat = " || ".join(f"b{s}.c" for s in range(m))
+    parts.append(f"""
+    recon AS MATERIALIZED (
+      SELECT a0.vec_id, {concat} AS r
+      FROM ca_p0 a0 JOIN c{iterations}_p0 b0 ON b0.cell = a0.cell
+      {cw_join}
+    ),
+    adc AS (
+      SELECT q.vec_id AS qid, r.vec_id AS cid,
+             list_sum(list_transform({rng},
+               i -> q.x[CAST(i AS INT)] * r.r[CAST(i AS INT)])) AS dot,
+             list_sum(list_transform({rng},
+               i -> r.r[CAST(i AS INT)] * r.r[CAST(i AS INT)])) AS xn2,
+             list_sum(list_transform({rng},
+               i -> q.x[CAST(i AS INT)] * q.x[CAST(i AS INT)])) AS qn2
+      FROM qv q, recon r WHERE q.vec_id < {n_queries}
+    ),
+    cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+          CASE WHEN xn2 * qn2 > 0
+               THEN CAST(dot AS DOUBLE)
+                    / sqrt(CAST(xn2 AS DOUBLE) * CAST(qn2 AS DOUBLE))
+               ELSE 0.0 END DESC, cid) AS rn
+        FROM adc)
+      WHERE rn <= {k * rerank}
+    ),
+    scored AS (
+      SELECT c.qid AS query_id, c.cid AS neighbor_id,
+             list_cosine_similarity(qq.v, cc.v) AS sim
+      FROM cand c JOIN qv qq ON qq.vec_id = c.qid
+                  JOIN qv cc ON cc.vec_id = c.cid
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(sim, 6) AS DOUBLE) AS cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    ORDER BY query_id, rank
+    """)
+    return ",".join(parts)
+
+
+@qdef("knn_cosine_pq", _pq_exact_oracle_sql())
 def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py::knn_pq):
-    compressed-domain ADC scan + exact re-rank. Deterministic codebooks
-    (id-seeded Lloyd's); returned scores are true cosines. Rows-only gate
-    (k-means is not SQL-expressible); recall vs knn_brute is unit-tested."""
+    compressed-domain ADC scan + exact re-rank. Converted rows-only →
+    value-checked (r7): codebooks train on the exact-quantized path
+    (``pq_train_exact`` — per-subspace integer Lloyd's, the
+    ``knn_cosine_ivf`` recipe), codes are exact integer argmins, and the
+    ADC score is ``dot/sqrt(xnorm2·qnorm2)`` over exact integers — three
+    IEEE ops, engine-portable — with a (score, id) total-order candidate
+    cut that is partitioning-independent, so DuckDB replays the ENTIRE
+    pipeline from the raw table (no embedded model, valid at any sf).
+    ``rerank=8`` (was 4) buys back the candidate-choice headroom the
+    quantized ADC costs; recall vs knn_brute stays pinned in
+    tests/test_ann_recall.py."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"]
-    queries = emb.orderBy("vec_id").limit(8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    emb = t["embeddings"].withColumn(
+        "_q6", sim_ops.quantize_vec(F.col("embedding"))
     )
-    return sim_ops.knn_pq(emb, queries, k=10, m=4, ksub=16, rerank=4)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "_q6"
+    )
+    books = sim_ops.pq_train_exact(
+        emb, m=4, ksub=16, qvec_col="_q6", iterations=3
+    )
+    return sim_ops.knn_pq(
+        emb, queries, k=10, m=4, ksub=16, rerank=8,
+        codebooks=books, adc_vec="_q6",
+    )
 
 
 @qdef(
