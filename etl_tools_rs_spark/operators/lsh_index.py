@@ -16,6 +16,15 @@ against it. This module provides that lifecycle:
   id semi-join (delta-sized candidate id set ⇒ broadcast semi-join —
   one map-side filter scan of the corpus store, no corpus shuffle, no
   corpus re-shingling).
+- :func:`remove_from_index` / :func:`expire_index` (r7) — O(delta)
+  EVICTION, the other half of the daily-crawl lifecycle
+  (robots-removals, RTBF cascades via ``privacy.propagate_deletes``,
+  retention windows): band rows are strictly per-doc, so evicting a
+  doc is one broadcast anti-join of the narrow index — no rebuild, no
+  corpus touch. Law (pinned in tests/test_lsh_index.py):
+  ``remove_from_index(build(C), R) == build(C − R)`` row-for-row, and
+  add/remove deltas compose in any interleaving to the from-scratch
+  index of the surviving corpus.
 
 Equivalence law (pinned in tests/test_lsh_index.py): incremental pairs
 == the full-rebuild ``dedup_minhash_lsh(old ∪ new)`` pairs restricted
@@ -168,3 +177,52 @@ def incremental_near_dup(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
     return pairs, index.unionByName(new_banded)
+
+
+def remove_from_index(
+    index: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_removals: bool = True,
+) -> DataFrame:
+    """O(delta) index eviction: drop every band row belonging to
+    ``removed_ids`` (a one-column frame of doc ids — robots removals, an
+    RTBF cascade's per-table key set from
+    ``privacy.propagate_deletes().deleted_keys``, a retention sweep).
+
+    Banding is strictly per-doc, so this anti-join IS the exact
+    eviction: ``remove_from_index(minhash_band_index(C), R) ==
+    minhash_band_index(C − R)`` row for row (pinned in tests, including
+    interleaved add/remove induction). Removal sets are tiny vs the
+    index, so the default broadcasts them — one map-side filter pass
+    over the narrow (id, band, bucket) rows, no index shuffle. Ids
+    absent from the index are a no-op (idempotent; re-running a
+    deletion list is safe)."""
+    if id_col not in index.columns:
+        raise ValueError(
+            f"index has no column {id_col!r}; got {index.columns}"
+        )
+    rem = removed_ids.select(
+        F.col(removed_ids.columns[0]).alias(id_col)
+    ).distinct()
+    if broadcast_removals:
+        rem = F.broadcast(rem)
+    return index.join(rem, id_col, "left_anti")
+
+
+def expire_index(
+    index: DataFrame,
+    corpus: DataFrame,
+    cutoff,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Retention-window eviction: derive the ids whose ``ts_col`` is
+    strictly before ``cutoff`` from the corpus store and evict them
+    (:func:`remove_from_index`). Returns ``(updated_index,
+    expired_ids)`` — callers delete the same ids from the corpus store
+    so index and store stay consistent. The id derivation is one
+    pruned corpus scan (predicate pushes down to the store's time
+    partitioning at scale); the eviction itself is O(expired)."""
+    expired = corpus.filter(F.col(ts_col) < cutoff).select(id_col)
+    return remove_from_index(index, expired, id_col), expired

@@ -47,14 +47,21 @@ from etl_tools_rs_spark.sources.generate import EnumerateSource
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → rows-only check (non-SQL op)
+    # r7: oracles whose SQL embeds a data-dependent artifact AUTHORED at
+    # one sf (a trained tokenizer's word→pieces map, PCA model literals,
+    # xxhash64 band tables) are value-valid only at that sf — the gate
+    # checks them there and records rows-only (out of scope) elsewhere,
+    # instead of reporting a spurious hash FAIL. None = valid at any sf
+    # (the oracle re-derives everything from the raw tables).
+    oracle_sf: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def qdef(name: str, oracle: str | None):
+def qdef(name: str, oracle: str | None, oracle_sf: str | None = None):
     def wrap(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle)
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, oracle_sf=oracle_sf)
         return fn
 
     return wrap
@@ -2305,6 +2312,21 @@ def _minhash_lsh_oracle_sql(
     """
 
 
+_MINHASH_SHINGLE_CTES = """tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM tk WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM sh0
+    )"""
+
+
 def _minhash_lsh_pair_ctes(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
@@ -2322,25 +2344,22 @@ def _minhash_lsh_pair_ctes(
         )
         for b in range(bands)
     )
-    return f"""tk AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
-               AS toks
-      FROM documents
-    ), sh0 AS (
-      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-      FROM tk WHERE len(toks) >= 3
-    ), sh AS (
-      SELECT doc_id,
-             array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
-      FROM sh0
-    ), sig AS (
+    return f"""{_MINHASH_SHINGLE_CTES}, sig AS (
       SELECT doc_id,
              {mins}
       FROM sh GROUP BY doc_id
     ), bnd AS (
       {band_rows}
-    ), cand AS (
+    ), {_minhash_verify_ctes(threshold)}"""
+
+
+def _minhash_verify_ctes(threshold: float = 0.5) -> str:
+    """Candidate join + exact distinct-shingle Jaccard verify, ending in
+    ``pairs(id_a, id_b, jaccard)``. Requires ``bnd(doc_id, band,
+    bucket)`` and the shingle CTEs (``sh``) upstream — shared by the
+    md5-family oracle (SQL-computed buckets) and the xxhash64-family
+    oracle (authored band fixture)."""
+    return f"""cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bnd a JOIN bnd b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -2378,13 +2397,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("dedup_minhash_lsh_fast", None)  # xxhash64 family — not SQL-portable
+def _minhash_fast_oracle_sql(threshold: float = 0.5) -> str:
+    """dedup_minhash_lsh_fast oracle (r7): DuckDB has no xxhash64, so the
+    band-bucket table — the ONLY engine-specific stage — is an authored
+    fixture (oracle_fixtures.MINHASH_FAST_BANDS_SF001, generated by
+    tools/author_minhash_fast_fixture.py from the sf0.01 corpus and
+    cross-checked against the portable md5 family at authoring); the
+    candidate self-join and the exact distinct-shingle Jaccard verify
+    replay in SQL on top of it. sf0.01-scoped like the tokenizer maps."""
+    from etl_tools_rs_spark.oracle_fixtures import MINHASH_FAST_BANDS_SF001
+
+    vals = ",\n      ".join(
+        f"({d}, {b0}, {b1}, {b2}, {b3})"
+        for d, b0, b1, b2, b3 in MINHASH_FAST_BANDS_SF001
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, CAST(b{b} AS BIGINT) AS bucket FROM bands0"
+        for b in range(4)
+    )
+    return f"""
+    WITH bands0(doc_id, b0, b1, b2, b3) AS (VALUES
+      {vals}
+    ),
+    bnd AS (
+      {band_rows}
+    ),
+    {_MINHASH_SHINGLE_CTES},
+    {_minhash_verify_ctes(threshold)}
+    SELECT id_a, id_b, jaccard FROM pairs
+    """
+
+
+@qdef("dedup_minhash_lsh_fast", _minhash_fast_oracle_sql(), oracle_sf="0.01")
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The xxhash64-family scale path of dedup_minhash_lsh (native long
-    hashes, no string signatures through the shuffle). Rows-only by
-    nature (no xxhash64 in DuckDB); the md5 twin above value-checks the
-    identical plan shape, and tests pin that both families verify the
-    same pairs on collision-free corpora."""
+    hashes, no string signatures through the shuffle). Converted
+    rows-only → value-checked (r7): the xxhash64 band table is an
+    authored VALUES fixture (md5-family cross-checked at authoring; see
+    _minhash_fast_oracle_sql), and the candidate join + exact Jaccard
+    verify replay in SQL on top of it — so a banding/join/verify
+    regression hash-fails even though the hash itself is not
+    SQL-computable. sf0.01-scoped (the gate sf)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup_ops.dedup_minhash_lsh(
         t["documents"], num_hashes=16, bands=4, shingle_n=3, threshold=0.5
@@ -6304,7 +6357,51 @@ def multimodal_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("multimodal_jpeg_pipeline", None)  # real stdlib+numpy decode — rows-only
+
+def _jpeg_pipeline_oracle_sql() -> str:
+    """multimodal_jpeg_pipeline oracle (r7): the fixture is a FIXED
+    24-image law (sf-independent), so the expected output is authored —
+    the spec-based decode (entropy decode, dequant, IDCT) is float DCT
+    math with no SQL form. Grounding at authoring: every decoded band
+    mean asserted within JPEG q=4 quantization tolerance (±0.05) of the
+    PRE-ENCODE gradient law computed independently in integer arithmetic
+    (including the %256 wrap seams), and the garbage payload must be the
+    one error record; round-trip fidelity is separately unit-pinned in
+    tests/test_jpeg.py. Pins decode, feature banding, 6dp float32-then-
+    round semantics, and the error-as-record arm row-for-row."""
+    return """
+    SELECT CAST(media_id AS BIGINT) AS media_id, decode_ok,
+           CAST(band0 AS DOUBLE) AS band0, CAST(band3 AS DOUBLE) AS band3
+    FROM (VALUES
+      (0, 'ok', 0.10103700309991837, 0.8989629745483398),
+      (1, 'ok', 0.11280100047588348, 0.6611970067024231),
+      (2, 'ok', 0.12456600368022919, 0.6729609966278076),
+      (3, 'ok', 0.1363310068845749, 0.6847259998321533),
+      (4, 'ok', 0.1480959951877594, 0.696491003036499),
+      (5, 'ok', 0.15986000001430511, 0.7082549929618835),
+      (6, 'ok', 0.17162500321865082, 0.4684149920940399),
+      (7, 'ok', 0.18339000642299652, 0.480089008808136),
+      (8, 'ok', 0.19515399634838104, 0.4918540120124817),
+      (9, 'ok', 0.20691899955272675, 0.5036180019378662),
+      (10, 'ok', 0.21868400275707245, 0.5153830051422119),
+      (11, 'ok', 0.23044799268245697, 0.5271480083465576),
+      (12, 'ok', 0.24221299588680267, 0.2880609929561615),
+      (13, 'ok', 0.25397801399230957, 0.2998259961605072),
+      (14, 'ok', 0.2657429873943329, 0.3115909993648529),
+      (15, 'ok', 0.2775070071220398, 0.3233549892902374),
+      (16, 'ok', 0.2892720103263855, 0.33511999249458313),
+      (17, 'ok', 0.3010370135307312, 0.34661298990249634),
+      (18, 'ok', 0.3128010034561157, 0.10664000362157822),
+      (19, 'ok', 0.3245660066604614, 0.11840499937534332),
+      (20, 'ok', 0.33633100986480713, 0.13016900420188904),
+      (21, 'ok', 0.34809601306915283, 0.14193400740623474),
+      (22, 'ok', 0.35986000299453735, 0.15369899570941925),
+      (23, 'error: JPEG marker sync lost', NULL, NULL)
+    ) AS t(media_id, decode_ok, band0, band3)
+    """
+
+
+@qdef("multimodal_jpeg_pipeline", _jpeg_pipeline_oracle_sql())
 def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end JPEG pipeline (r5, VERDICT r4 #8): 24
     deterministic baseline JPEGs — 4:2:0 YCbCr with an id-keyed
@@ -6930,7 +7027,8 @@ def _word_pieces_oracle_sql(mapping: dict, arr_col: str, extras: str) -> str:
 
 @qdef(
     "bpe_tokenize_documents",
-    _word_pieces_oracle_sql(
+    oracle_sf="0.01",  # word→pieces map authored from the sf0.01-trained merges
+    oracle=_word_pieces_oracle_sql(
         _BPE_WORD_TOKENS,
         "bpe_tokens",
         extras=(
@@ -7557,13 +7655,19 @@ def _incremental_near_dup_oracle_sql(
     threshold: float = 0.8,
     fraction: float = 0.1,
     offset: int = 20_000_000,
+    evict_mod: int | None = None,
 ) -> str:
     """incremental_near_dup_documents oracle (r5): the md5-family replay
     of the delta-vs-index pipeline — new-vs-old band candidates PLUS the
     new-vs-new self-join arm, one exact-Jaccard verify. Same portable
-    pieces as the cross-corpus oracle."""
+    pieces as the cross-corpus oracle. ``evict_mod`` (r7) replays the
+    EVICTED-index variant: docs with ``doc_id % evict_mod == 0`` are
+    removed from the indexed side (and excluded from the delta), exactly
+    the remove_from_index gate query's shape — an evicted doc must never
+    surface as an id_b."""
     rpb = num_hashes // bands
     cut = int(fraction * (1 << 60))
+    keep = f"doc_id % {evict_mod} <> 0" if evict_mod else "TRUE"
     mins = ",\n             ".join(
         f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(num_hashes)
     )
@@ -7583,7 +7687,7 @@ def _incremental_near_dup_oracle_sql(
       SELECT doc_id, text,
              doc_id + {offset} AS new_id,
              CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) < {cut} AS is_new
+                  AS BIGINT) < {cut} AND {keep} AS is_new
       FROM documents
     ), tk AS (
       SELECT doc_id, new_id, is_new,
@@ -7599,7 +7703,7 @@ def _incremental_near_dup_oracle_sql(
              array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
       FROM sh0
     ), sig_o AS (
-      SELECT doc_id AS _id, {mins} FROM sh GROUP BY doc_id
+      SELECT doc_id AS _id, {mins} FROM sh WHERE {keep} GROUP BY doc_id
     ), sig_n AS (
       SELECT new_id AS _id, {mins} FROM sh WHERE is_new GROUP BY new_id
     ), bnd_o AS (
@@ -7613,7 +7717,7 @@ def _incremental_near_dup_oracle_sql(
       SELECT DISTINCT a._id, b._id
       FROM bnd_n a JOIN bnd_n b
         ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
-    ), gs_o AS (SELECT DISTINCT doc_id, g FROM sh
+    ), gs_o AS (SELECT DISTINCT doc_id, g FROM sh WHERE {keep}
     ), gs_n AS (SELECT DISTINCT new_id, g FROM sh WHERE is_new
     ), gs AS (
       SELECT doc_id AS _id, g FROM gs_o
@@ -7663,6 +7767,48 @@ def incremental_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
     pairs, _ = incremental_near_dup(
         idx, docs, new, threshold=0.8, num_hashes=16, bands=8,
+        hash_family="md5",
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@qdef(
+    "index_eviction_near_dup_documents",
+    _incremental_near_dup_oracle_sql(evict_mod=5),
+)
+def index_eviction_near_dup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O(delta) index EVICTION + post-eviction scoring
+    (operators/lsh_index.py::remove_from_index, r7 — the
+    robots-removal/RTBF/retention half of the daily-crawl lifecycle):
+    every 5th document is deleted from the corpus, its band rows are
+    evicted from the persisted index by one broadcast anti-join (no
+    rebuild, no corpus re-shingle), and today's delta then scores
+    against the evicted index — a removed doc must NEVER surface as a
+    match. Value-checked in the md5 family: the oracle independently
+    rebuilds the index of the SURVIVING corpus, so
+    evicted-index == rebuilt-from-scratch is exactly what the hash
+    match proves (the induction/composition laws, including the
+    propagate_deletes RTBF feed, are pinned in tests/test_lsh_index.py)."""
+    from etl_tools_rs_spark.operators.lsh_index import (
+        incremental_near_dup,
+        minhash_band_index,
+        remove_from_index,
+    )
+    from etl_tools_rs_spark.operators.sample import hash_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    removed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    surviving = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = minhash_band_index(docs, num_hashes=16, bands=8, hash_family="md5")
+    evicted_idx = remove_from_index(idx, removed)
+    new = hash_sample(surviving, "doc_id", 0.1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    pairs, _ = incremental_near_dup(
+        evicted_idx, surviving, new, threshold=0.8, num_hashes=16, bands=8,
         hash_family="md5",
     )
     return pairs.orderBy("id_a", "id_b")
@@ -8375,15 +8521,49 @@ def overlap_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("l_key", "r_key", od.alias("overlap_days"))
 
 
-@qdef("image_phash_near_dup", None)  # real stdlib decode — rows-only
+@qdef(
+    "image_phash_near_dup",
+    # Authored-hash value oracle (r7): the fixture is a FIXED 32-image
+    # law (sf-independent), and brightness invariance means exactly ONE
+    # pHash per pattern group — so the oracle embeds the 4 authored
+    # pattern hashes (computed from the fixture law, with the law
+    # checks — 1 hash per pattern, 8 ids each — asserted at authoring)
+    # and replays id→pattern, the all-pairs Hamming filter, and the
+    # boundary pairs in SQL. Pigeonhole banding is exact-complete, so
+    # banded candidates + verify equal this naive filter (the
+    # image_ahash_near_dup precedent). Expected 240 pairs: 4·C(8,2)
+    # within-pattern at hamming 0, plus the two ramp-vs-diagonal pattern
+    # pairs (0–3, 1–3) sitting EXACTLY at the hamming-4 budget — a real
+    # boundary case the oracle pins.
+    """
+    WITH ph(pat, h) AS (VALUES
+      (0, CAST(9187342690071609215 AS BIGINT)),
+      (1, CAST(3098476543630901247 AS BIGINT)),
+      (2, CAST(9221964640491143087 AS BIGINT)),
+      (3, CAST(3062447196847734655 AS BIGINT))),
+    m AS (
+      SELECT CAST(u.i AS BIGINT) AS media_id, ph.h
+      FROM UNNEST(range(0, 32)) AS u(i) JOIN ph ON ph.pat = u.i % 4
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM m a JOIN m b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.h, b.h)) <= 4
+    """,
+)
 def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual-hash image dedup (operators/multimodal.py::
     image_phash + ahash_near_dup, r4): 32 synthesized BMPs in 4 pattern
     groups × 8 global-brightness variants → stdlib decode → 64-bit
     pHash → banded Hamming pairs. Brightness shifts land in the
     (excluded) DC coefficient only, so variants of one pattern pair at
-    hamming 0 while distinct patterns never pair (separation pinned in
-    tests/test_r4_ops.py::TestImagePhash)."""
+    hamming 0; the two ramp patterns additionally sit at EXACTLY the
+    hamming-4 budget from the diagonal ramp and pair with it (the
+    checkerboard never pairs cross-pattern — separation pinned in
+    tests/test_r4_ops.py::TestImagePhash). Converted rows-only →
+    value-checked (r7) via the authored pattern hashes (DCT itself is
+    not SQL-expressible; the hash table, id mapping, pairing rule, and
+    boundary behavior all hash-check)."""
     base = spark.range(32).select(F.col("id").alias("media_id"))
 
     def _gen(it):
@@ -8707,7 +8887,120 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef("multimodal_audio_features", None)  # real DSP over binary — rows-only
+
+def _audio_features_oracle_sql() -> str:
+    """multimodal_audio_features oracle (r7): the fixture is a FIXED
+    64-clip synthesis law (sf-independent), and every feature except the
+    rFFT centroid is EXACTLY derivable in SQL — samples are integer
+    TRUNC(12000·sin(...)) (libm SIN/PI bit-identical across engines on
+    this host, the r6 WAV-oracle precedent); rms/peak/zcr reduce to
+    integer aggregates followed by 1-2 IEEE ops, equal bit-for-bit to
+    the engine\'s float64 path (every sample² is a 27-bit multiple of
+    2⁻³⁰ and the 800-term sum stays under 2⁵³, so numpy\'s pairwise and
+    SQL\'s sequential summation are BOTH exact). The FFT centroid is not
+    SQL-expressible; the 64 values are authored from the law with
+    assertions at authoring (on-bin clips track their frequency within
+    1 Hz; per-parity monotonicity) — tools-free regeneration snippet in
+    the r7 session log. Verified exact-equal against wav_features before
+    embedding."""
+    return """
+    WITH ids AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS media_id),
+    smp AS (
+      SELECT media_id, CAST(u.i AS BIGINT) AS i,
+        CAST(TRUNC(12000.0 * SIN(2 * PI() * (100.0 + media_id * 25.0)
+             * CAST(u.i AS DOUBLE) / 8000.0)) AS BIGINT) AS s
+      FROM ids, UNNEST(range(0, 800)) AS u(i)
+    ),
+    agg AS (
+      SELECT media_id, SUM(s * s) AS ss, MAX(ABS(s)) AS pk
+      FROM smp GROUP BY media_id
+    ),
+    zc AS (
+      SELECT a.media_id,
+             SUM(CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END) AS nz
+      FROM smp a JOIN smp b ON a.media_id = b.media_id AND b.i = a.i + 1
+      GROUP BY a.media_id
+    ),
+    cent(media_id, c) AS (VALUES
+      (0, 100.23961582907478),
+      (1, 187.0201815164506),
+      (2, 150.3101758779782),
+      (3, 246.5332754057997),
+      (4, 200.15151426635248),
+      (5, 303.60719055186),
+      (6, 250.12840590234734),
+      (7, 358.9626350403847),
+      (8, 300.24436091567964),
+      (9, 412.9883914860829),
+      (10, 350.24961755398607),
+      (11, 465.9706443771046),
+      (12, 400.09512605385765),
+      (13, 518.0546051001608),
+      (14, 450.26244675623974),
+      (15, 569.3983453058463),
+      (16, 500.0747427321081),
+      (17, 620.0963410458777),
+      (18, 550.220541909985),
+      (19, 670.2509454442502),
+      (20, 600.1199326639653),
+      (21, 719.9130640585399),
+      (22, 650.2648513498082),
+      (23, 769.136688098943),
+      (24, 700.1939534893913),
+      (25, 817.9746803256384),
+      (26, 750.1011177891652),
+      (27, 866.4560180036192),
+      (28, 800.000393594765),
+      (29, 914.6191055771333),
+      (30, 850.2611735074372),
+      (31, 962.4895905708215),
+      (32, 900.133914252367),
+      (33, 1010.1246571308094),
+      (34, 950.1871273013974),
+      (35, 1057.4982390324053),
+      (36, 1000.0331602720242),
+      (37, 1104.646900314151),
+      (38, 1050.1633855494074),
+      (39, 1151.609677395527),
+      (40, 1100.149218660122),
+      (41, 1198.3801344600367),
+      (42, 1150.184548570353),
+      (43, 1244.9723138703266),
+      (44, 1200.0480549911938),
+      (45, 1291.4288028081216),
+      (46, 1250.0885109703872),
+      (47, 1337.7484362703015),
+      (48, 1300.1618522404835),
+      (49, 1383.9354439717326),
+      (50, 1350.1429084631513),
+      (51, 1430.012645583363),
+      (52, 1400.0863112711718),
+      (53, 1475.970202566814),
+      (54, 1450.130559869661),
+      (55, 1521.8511264523554),
+      (56, 1500.0212639534186),
+      (57, 1567.629365118079),
+      (58, 1550.07667647592),
+      (59, 1613.332638358872),
+      (60, 1600.000393594764),
+      (61, 1658.9885535459175),
+      (62, 1650.1140940681203),
+      (63, 1704.570457829412)
+    )
+    SELECT i.media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(100 AS BIGINT) AS duration_ms,
+           sqrt((CAST(a.ss AS DOUBLE) / 1073741824.0) / 800.0) AS rms,
+           CAST(a.pk AS DOUBLE) / 32768.0 AS peak,
+           CAST(z.nz AS DOUBLE) / 799.0 AS zero_crossing_rate,
+           CAST(c.c AS DOUBLE) AS spectral_centroid_hz,
+           'ok' AS decode_ok
+    FROM ids i JOIN agg a USING (media_id) JOIN zc z USING (media_id)
+               JOIN cent c USING (media_id)
+    """
+
+
+@qdef("multimodal_audio_features", _audio_features_oracle_sql())
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (operators/multimodal.py::
     audio_features): 64 deterministic sine WAVs synthesized
@@ -8854,7 +9147,26 @@ def streaming_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@qdef("multimodal_video_pipeline", None)  # real stdlib demux — rows-only
+@qdef(
+    "multimodal_video_pipeline",
+    # First-principles value oracle (r7): every sampled frame is UNIFORM
+    # (shade = (16·id + 24·i) % 256 over all pixels), so the demux +
+    # 2×2 area-average + mean reduce EXACTLY to shade/255 — block means
+    # of identical grays accumulate only per-op ULPs, far inside the 6dp
+    # round. Cadence law: 10 frames at 25 fps sampled every 200 ms keeps
+    # exactly frames 0 and 5 (ts 0/200 ms). The decoder never runs in
+    # the oracle; fixture is sf-independent.
+    """
+    WITH ids AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS media_id),
+    fr AS (SELECT media_id, CAST(u.i AS BIGINT) AS i
+           FROM ids, UNNEST([0, 5]) AS u(i))
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 40 AS BIGINT) AS ts_ms, 'ok' AS decode_ok,
+           ROUND(CAST((media_id * 16 + i * 24) % 256 AS DOUBLE) / 255.0, 6)
+             AS mean_gray
+    FROM fr ORDER BY media_id, frame_idx
+    """,
+)
 def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (operators/multimodal.py::
     video_frame_sample): 16 deterministic uncompressed AVIs (10 frames
@@ -8990,7 +9302,27 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@qdef("video_near_dup_pipeline", None)  # real stdlib demux — rows-only
+@qdef(
+    "video_near_dup_pipeline",
+    # Law-derived value oracle (r7): the fixture's expected output is
+    # fully determined by its construction — twins exist for every 4th
+    # of 12 videos (pairs (0,100), (4,104), (8,108)); 10 frames at
+    # 25 fps sampled every 120 ms keep slots 0/3/6/9 → 4 frame slots; a
+    # 2-pixel perturbation leaves all 4 slot hashes within the Hamming
+    # budget while distinct avalanche-noise patterns never pair → every
+    # twin pair matches all 4 slots at overlap exactly 1.0 (the int/int
+    # 4/4 division). The DSP never runs in the oracle; any decode /
+    # hashing / banding / rollup regression that changes a single slot
+    # verdict breaks matched_frames or drops a pair.
+    """
+    SELECT CAST(video_a AS BIGINT) AS video_a,
+           CAST(video_b AS BIGINT) AS video_b,
+           CAST(matched AS BIGINT) AS matched_frames,
+           CAST(overlap AS DOUBLE) AS overlap
+    FROM (VALUES (0, 100, 4, 1.0), (4, 104, 4, 1.0), (8, 108, 4, 1.0))
+      AS t(video_a, video_b, matched, overlap)
+    """,
+)
 def video_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate VIDEO detection end-to-end (operators/
     multimodal.py::video_near_dup): 12 deterministic 8x8 uncompressed
@@ -9069,7 +9401,25 @@ def video_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("video_a", "video_b")
 
 
-@qdef("audio_near_dup_pipeline", None)  # real stdlib decode — rows-only
+@qdef(
+    "audio_near_dup_pipeline",
+    # Law-derived value oracle (r7): same construction-determined shape
+    # as video_near_dup_pipeline — twins for every 4th of 12 clips
+    # (pairs (0,100), (4,104), (8,108)); 1 s at 8 kHz in 64 ms frames →
+    # 15 frames → 14 Haitsma-Kalker delta fingerprints per clip; the
+    # delta-SIGN fingerprint is gain-invariant by construction, so the
+    # 1.3× re-master with faint interference matches all 14 slots
+    # (overlap exactly 1.0 = 14/14) while distinct mixtures diverge in
+    # ~half their bits and never pair (unit-pinned).
+    """
+    SELECT CAST(clip_a AS BIGINT) AS clip_a,
+           CAST(clip_b AS BIGINT) AS clip_b,
+           CAST(matched AS BIGINT) AS matched_frames,
+           CAST(overlap AS DOUBLE) AS overlap
+    FROM (VALUES (0, 100, 14, 1.0), (4, 104, 14, 1.0), (8, 108, 14, 1.0))
+      AS t(clip_a, clip_b, matched, overlap)
+    """,
+)
 def audio_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO detection end-to-end (operators/
     multimodal.py::audio_near_dup): 12 deterministic 1-second 16-bit
@@ -9647,6 +9997,7 @@ _UNIGRAM_CFG = dict(
 
 @qdef(
     "unigram_vocab_documents",
+    # oracle_sf="0.01" (passed below): authored vocab literals (sf0.01)
     # Authored literal table (r6): unigram TRAINING is deterministic on
     # any partitioning (integer freq-weighted usages from the E-step's
     # order-free aggregate; logprob = log(usage/total) over integers),
@@ -9702,6 +10053,7 @@ _UNIGRAM_CFG = dict(
     ) AS t(piece, logprob, usage)
     ORDER BY usage DESC, piece
     """,
+    oracle_sf="0.01",
 )
 def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM vocabulary (operators/unigram.py::
@@ -9726,7 +10078,8 @@ def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @qdef(
     "unigram_tokenize_documents",
-    _word_pieces_oracle_sql(
+    oracle_sf="0.01",  # word→pieces map authored from the sf0.01-trained vocab
+    oracle=_word_pieces_oracle_sql(
         _UNI_WORD_PIECES,
         "pieces",
         extras=(
@@ -10046,7 +10399,7 @@ def _pca_project_oracle_sql() -> str:
     )
 
 
-@qdef("pca_project_embeddings", _pca_project_oracle_sql())
+@qdef("pca_project_embeddings", _pca_project_oracle_sql(), oracle_sf="0.01")
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction (operators/similarity.py::
     pca_fit_exact/pca_project): per-Arrow-batch EXACT integer moment

@@ -122,3 +122,127 @@ class TestIncrementalNearDup:
         old, new = frames
         with pytest.raises(ValueError, match="index must have"):
             incremental_near_dup(old, old, new, **KW)
+
+
+class TestIndexEviction:
+    """r7: remove_from_index / expire_index — the O(delta) eviction half
+    of the lifecycle. Core law: evicting R from build(C) yields
+    build(C − R) ROW FOR ROW, under any interleaving with add deltas."""
+
+    def test_eviction_equals_rebuild(self, frames):
+        from etl_tools_rs_spark.operators.lsh_index import remove_from_index
+
+        old, _ = frames
+        idx = minhash_band_index(old, **KW)
+        removed = old.filter(F.col("doc_id").isin(1, 3)).select("doc_id")
+        evicted = remove_from_index(idx, removed)
+        rebuilt = minhash_band_index(
+            old.filter(~F.col("doc_id").isin(1, 3)), **KW
+        )
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+        assert sorted(map(key, evicted.collect())) == sorted(
+            map(key, rebuilt.collect())
+        )
+
+    def test_eviction_is_idempotent_and_ignores_unknown_ids(self, spark, frames):
+        from etl_tools_rs_spark.operators.lsh_index import remove_from_index
+
+        old, _ = frames
+        idx = minhash_band_index(old, **KW)
+        removed = spark.createDataFrame([(2,), (999,)], ["doc_id"])
+        once = remove_from_index(idx, removed)
+        twice = remove_from_index(once, removed)
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+        assert sorted(map(key, once.collect())) == sorted(
+            map(key, twice.collect())
+        )
+        # doc 4 ("short doc", < shingle_n tokens) never had band rows
+        assert {r["doc_id"] for r in once.collect()} == {1, 3}
+
+    def test_two_delta_add_remove_induction(self, spark, frames):
+        """add delta1 → evict R → add delta2 == from-scratch index of the
+        surviving corpus, and scoring after the eviction never surfaces
+        an evicted id."""
+        from etl_tools_rs_spark.operators.lsh_index import remove_from_index
+
+        old, new = frames
+        d1 = new.filter(F.col("doc_id").isin(11, 12))
+        d2 = new.filter(~F.col("doc_id").isin(11, 12))
+        idx = minhash_band_index(old, **KW)
+        _, idx1 = incremental_near_dup(idx, old, d1, threshold=0.5, **KW)
+        removed = spark.createDataFrame([(1,), (11,)], ["doc_id"])
+        idx1e = remove_from_index(idx1, removed)
+        corpus1 = old.unionAll(d1).join(removed, "doc_id", "left_anti")
+        pairs2, idx2 = incremental_near_dup(
+            idx1e, corpus1, d2, threshold=0.5, **KW
+        )
+        surviving = old.unionAll(new).join(removed, "doc_id", "left_anti")
+        rebuilt = minhash_band_index(surviving, **KW)
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+        assert sorted(map(key, idx2.collect())) == sorted(
+            map(key, rebuilt.collect())
+        )
+        hit_ids = {
+            i for r in pairs2.collect() for i in (r["id_a"], r["id_b"])
+        }
+        assert hit_ids.isdisjoint({1, 11})
+        # doc 13 (near-dup of the EVICTED 1/11) must still pair with
+        # nothing old — its only relatives were erased
+        assert all(
+            r["id_b"] not in (1, 11) for r in pairs2.collect()
+        )
+
+    def test_expire_index_by_timestamp(self, spark):
+        import datetime as dt
+
+        from etl_tools_rs_spark.operators.lsh_index import expire_index
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, f"document number {i} with some shared words here", 
+             t0 + dt.timedelta(days=i))
+            for i in range(6)
+        ]
+        corpus = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+        idx = minhash_band_index(corpus, **KW)
+        cutoff = t0 + dt.timedelta(days=3)
+        updated, expired = expire_index(idx, corpus, cutoff)
+        assert {r["doc_id"] for r in expired.collect()} == {0, 1, 2}
+        rebuilt = minhash_band_index(
+            corpus.filter(F.col("ts") >= cutoff), **KW
+        )
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+        assert sorted(map(key, updated.collect())) == sorted(
+            map(key, rebuilt.collect())
+        )
+
+    def test_composes_with_rtbf_cascade(self, spark, frames):
+        """privacy.propagate_deletes → remove_from_index: the cascade's
+        per-table deleted-key frame feeds eviction directly, so an RTBF
+        request erases both the store rows AND the index's memory of
+        them in one O(delta) pass."""
+        from etl_tools_rs_spark.operators.lsh_index import remove_from_index
+        from etl_tools_rs_spark.operators.privacy import propagate_deletes
+
+        old, _ = frames
+        users = spark.createDataFrame([(100,), (200,)], ["user_id"])
+        docs = old.withColumn(
+            "owner", F.when(F.col("doc_id") <= 2, 100).otherwise(200)
+        )
+        seed = spark.createDataFrame([(100,)], ["user_id"])
+        cascade = propagate_deletes(
+            {"users": users, "docs": docs},
+            {"users": "user_id", "docs": "doc_id"},
+            "users",
+            seed,
+            [("docs", "owner", "users")],
+        )
+        doomed = cascade.deleted_keys["docs"]
+        assert {r[0] for r in doomed.collect()} == {1, 2}
+        idx = minhash_band_index(old, **KW)
+        evicted = remove_from_index(idx, doomed)
+        rebuilt = minhash_band_index(old.filter(F.col("doc_id") > 2), **KW)
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+        assert sorted(map(key, evicted.collect())) == sorted(
+            map(key, rebuilt.collect())
+        )

@@ -746,3 +746,126 @@ def test_fuzzy_self_pairs_dup_collapse_equals_naive(spark, words, d):
         for r in connected_components(full, "id_a", "id_b").collect()
     }
     assert comp_red == comp_full
+
+
+# ---- r7: naive-parity for the remaining self-join dedups -------------------
+
+_pj_words = st.lists(
+    st.sampled_from(["aa", "ab", "ba", "bb", "cc"]), min_size=0, max_size=8
+)
+
+
+def _naive_gram_pairs(docs, n):
+    """Brute-force distinct word-n-gram sets per doc."""
+    grams = {}
+    for did, text in docs:
+        toks = text.split()
+        grams[did] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    return grams
+
+
+@given(st.lists(_pj_words, min_size=2, max_size=10), st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**SETTINGS)
+def test_prefix_jaccard_matches_naive(spark, docs_words, threshold):
+    """AllPairs/PPJoin prefix filtering loses nothing (r7, the r6
+    dup-collapse harness carried over): on random tiny-vocab corpora —
+    dense gram sharing, the adversarial case for prefix selection — the
+    blockless self-join equals the exhaustive pairwise Jaccard at every
+    threshold, with exact floor-scaled values."""
+    import math as _math
+
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(
+            df, threshold=threshold, shingle_n=2, checkpoint=False
+        ).collect()
+    }
+    grams = _naive_gram_pairs(docs, 2)
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = grams[a], grams[b]
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= threshold:
+                want[(a, b)] = _math.floor(1e6 * j) / 1e6
+    assert got == want
+
+
+@given(st.lists(_pj_words, min_size=2, max_size=10), st.integers(2, 4))
+@settings(**SETTINGS)
+def test_prefix_jaccard_capped_is_sound_subset(spark, docs_words, max_df):
+    """The max_df bounded-recall mode's contract on random corpora:
+    capped pairs ⊆ exact pairs, every emitted jaccard is the EXACT
+    full-set value (the cap bounds candidates, never corrupts scores),
+    and a cap at/above the doc count changes nothing."""
+    import math as _math
+
+    from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(
+            df, threshold=0.3, shingle_n=2, checkpoint=False, max_df=max_df
+        ).collect()
+    }
+    grams = _naive_gram_pairs(docs, 2)
+    exact = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = grams[a], grams[b]
+            if ga and gb and len(ga & gb) / len(ga | gb) >= 0.3:
+                exact[(a, b)] = _math.floor(1e6 * (len(ga & gb) / len(ga | gb))) / 1e6
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v == exact[k], k
+    uncapped_cap = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(
+            df, threshold=0.3, shingle_n=2, checkpoint=False,
+            max_df=len(docs),
+        ).collect()
+    }
+    assert uncapped_cap == exact
+
+
+@given(st.lists(_pj_words, min_size=2, max_size=10), st.sampled_from([0.4, 0.8]))
+@settings(**SETTINGS)
+def test_containment_pairs_match_naive(spark, docs_words, threshold):
+    """Asymmetric containment |A∩B|/|A| equals brute force BOTH ways on
+    random tiny-vocab corpora (constant block so blocking never hides a
+    pair): direction, threshold boundary, and floor-scaled values."""
+    import math as _math
+
+    from etl_tools_rs_spark.operators.dedup import containment_pairs
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            df, n=2, threshold=threshold, block_col=F.lit(1)
+        ).collect()
+    }
+    grams = _naive_gram_pairs(docs, 2)
+    want = {}
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b:
+                continue
+            ga, gb = grams[a], grams[b]
+            if not ga or not gb:
+                continue
+            c = len(ga & gb) / len(ga)  # a contained in b
+            if c >= threshold:
+                want[(a, b)] = _math.floor(1e4 * c) / 1e4
+    assert got == want

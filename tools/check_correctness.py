@@ -58,6 +58,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # r7: oracles embedding artifacts AUTHORED at one sf (tokenizer maps,
+    # PCA model literals, hash band tables) are value-valid only there —
+    # at any other sf the gate records rows-only (out of scope) instead
+    # of a spurious hash FAIL. Scope comes from the registry metadata.
+    from etl_tools_rs_spark.queries import REGISTRY
+
+    sf_label = os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
     failures = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
@@ -76,6 +83,18 @@ def main() -> int:
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             results[name] = {"status": "rows_only", "spark_rows": len(srows)}
+            continue
+        scope = REGISTRY[name].oracle_sf if name in REGISTRY else None
+        if scope is not None and scope != sf_label:
+            print(
+                f"ROWS  {name}: {len(srows)} rows (oracle authored at "
+                f"sf{scope}, out of scope here) [{time.time()-t0:.1f}s]"
+            )
+            results[name] = {
+                "status": "rows_only_out_of_scope",
+                "oracle_sf": scope,
+                "spark_rows": len(srows),
+            }
             continue
         try:
             res = con.execute(oracles[name])
