@@ -445,3 +445,254 @@ SELECT b AS bin, n,
 FROM per, t
 ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes — the bag-of-words curation classifier
+# ---------------------------------------------------------------------------
+
+
+class NaiveBayesModel:
+    """Fitted multinomial NB: lazy count frames + smoothing constant.
+
+    The model IS two DataFrames of exact integer counts — per-(label,
+    token) occurrence counts and per-label document counts. Nothing is
+    collected at fit time; log-probabilities derive lazily at scoring so
+    fit → score composes into one Catalyst plan.
+    """
+
+    def __init__(
+        self, token_counts: DataFrame, doc_counts: DataFrame, alpha: float = 0.5
+    ):
+        self.token_counts = token_counts  # (label, tok, c bigint)
+        self.doc_counts = doc_counts  # (label, nd bigint)
+        self.alpha = alpha
+
+
+def nb_fit(
+    train: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: float = 0.5,
+) -> NaiveBayesModel:
+    """Fit a multinomial Naive Bayes text classifier (the fastText-style
+    curation move: cheap bag-of-words classifier for language / quality /
+    domain routing — Joulin et al. 2016 use a linear BoW model for
+    exactly this job; NB is its counting-only sibling).
+
+    No reference equivalent (extension surface). Everything is a
+    relational aggregate over exact integers: token counts per (label,
+    token) shuffle once (map-side combined), document priors are one
+    label-keyed aggregate. At 100 TB the model is vocab×labels-sized —
+    orders of magnitude smaller than the corpus — and fit is a single
+    corpus scan.
+    """
+    if not (0.0 < alpha):
+        raise ValueError(f"alpha must be > 0, got {alpha!r}")
+    from etl_tools_rs_spark.operators.lm import LM_TOKEN_PATTERN
+
+    # tokenize with the label carried along — no id join needed, the
+    # count aggregate is the only shuffle and it's map-side combined
+    toks = train.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(LM_TOKEN_PATTERN), 0
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    dc = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    return NaiveBayesModel(tc, dc, alpha)
+
+
+def _nb_label_stats(model: NaiveBayesModel) -> DataFrame:
+    """(label, prior_lp, t, v) — per-label log-prior, token total, and
+    the global vocab size folded in via 1-row broadcasts. Label-count-
+    sized: always broadcastable."""
+    tot = model.token_counts.groupBy("label").agg(F.sum("c").alias("t"))
+    voc = model.token_counts.agg(F.countDistinct("tok").alias("v"))
+    nd_tot = model.doc_counts.agg(F.sum("nd").alias("n"))
+    return (
+        model.doc_counts.join(tot, "label", "left")
+        .na.fill({"t": 0})
+        .crossJoin(F.broadcast(voc))
+        .crossJoin(F.broadcast(nd_tot))
+        .select(
+            "label",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("n")), 6
+            ).alias("prior_lp"),
+            "t",
+            "v",
+        )
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    model: NaiveBayesModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(document, label) NB log-posterior:
+    ``(id, label, score_dec decimal, n_tokens bigint)`` where
+    ``score_dec = round6(ln prior) + Σ_tok round6(ln p(tok|label))``
+    summed as exact DECIMAL (add-order-proof, same policy as lm.py).
+    Out-of-vocabulary tokens get the per-label smoothed mass
+    ``α/(T_label + α·V)``; documents with zero tokens yield no row.
+
+    Shape at scale: tokens shuffle once to join the model (label
+    fan-out is ×|labels| — bounded, labels are a small closed set),
+    then one (id, label)-keyed aggregate, all map-side combined. The
+    per-label stats frame is |labels| rows — broadcast.
+    """
+    from etl_tools_rs_spark.operators.lm import lm_tokens
+
+    a = model.alpha
+    toks = lm_tokens(df, text_col, id_col)
+    stats = _nb_label_stats(model)
+    denom = F.col("t") + F.lit(a) * F.col("v")
+    scored = (
+        toks.crossJoin(F.broadcast(stats))
+        .join(model.token_counts, ["tok", "label"], "left")
+        .select(
+            id_col,
+            "label",
+            "prior_lp",
+            F.when(
+                F.col("c").isNotNull(),
+                F.round(F.log((F.col("c") + F.lit(a)) / denom), 6),
+            )
+            .otherwise(F.round(F.log(F.lit(a) / denom), 6))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col, "label").agg(
+        (
+            F.first("prior_lp").cast("decimal(20,6)")
+            + F.sum(F.col("lp").cast("decimal(20,6)"))
+        ).alias("score_dec"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def nb_predict(
+    df: DataFrame,
+    model: NaiveBayesModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Argmax over :func:`nb_score`:
+    ``(id, pred_label, score double, margin double, n_tokens)`` —
+    ``margin`` is best-minus-runner-up log-posterior (decision
+    confidence; 0-margin ties break on label ascending, deterministic
+    because scores are exact decimals). The ranking window partitions by
+    document (|labels| rows per partition key — never a single-partition
+    window)."""
+    from pyspark.sql import Window
+
+    sc = nb_score(df, model, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_dec").desc(), F.col("label").asc()
+    )
+    ranked = sc.select(
+        id_col,
+        "label",
+        "score_dec",
+        "n_tokens",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("score_dec").over(w).alias("_next"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        id_col,
+        F.col("label").alias("pred_label"),
+        F.round(F.col("score_dec").cast("double"), 6).alias("score"),
+        F.round(
+            F.coalesce(
+                (F.col("score_dec") - F.col("_next")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("margin"),
+        "n_tokens",
+    )
+
+
+def nb_self_predict_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    include_actual: bool = False,
+) -> str:
+    """DuckDB oracle for the self-train-self-predict query: identical
+    tokenization, smoothing, 6-dp rounding, exact DECIMAL sums, and the
+    same (score DESC, label ASC) argmax. ``include_actual=True`` joins
+    the true label back on for the evaluation form (adds
+    ``actual_<label_col>`` and ``is_correct``)."""
+    from etl_tools_rs_spark.operators.lm import LM_TOKEN_PATTERN
+
+    eval_cols = (
+        f""",
+       d.{label_col} AS actual_{label_col},
+       (r.label = d.{label_col}) AS is_correct"""
+        if include_actual
+        else ""
+    )
+    eval_join = (
+        f" JOIN {table} d USING ({id_col})" if include_actual else ""
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+                          '{LM_TOKEN_PATTERN}')) AS tok
+  FROM {table}
+), lab AS (
+  SELECT {id_col}, {label_col} AS label FROM {table}
+), tc AS (
+  SELECT l.label, t.tok, count(*) AS c
+  FROM toks t JOIN lab l USING ({id_col}) GROUP BY 1, 2
+), prior AS (
+  SELECT label, count(*) AS nd FROM lab GROUP BY label
+), nd_tot AS (SELECT sum(nd) AS n FROM prior),
+voc AS (SELECT count(DISTINCT tok) AS v FROM tc),
+tot AS (SELECT label, sum(c) AS t FROM tc GROUP BY label),
+stats AS (
+  SELECT p.label, round(ln(CAST(p.nd AS DOUBLE) / n.n), 6) AS prior_lp,
+         COALESCE(tt.t, 0) AS t, v.v AS v
+  FROM prior p CROSS JOIN nd_tot n LEFT JOIN tot tt USING (label)
+  CROSS JOIN voc v
+), scored AS (
+  SELECT tk.{id_col}, s.label, s.prior_lp,
+         CASE WHEN tc.c IS NOT NULL
+              THEN round(ln((tc.c + {alpha}) / (s.t + {alpha} * s.v)), 6)
+              ELSE round(ln({alpha} / (s.t + {alpha} * s.v)), 6)
+         END AS lp
+  FROM toks tk CROSS JOIN stats s
+  LEFT JOIN tc ON tc.tok = tk.tok AND tc.label = s.label
+), agg AS (
+  SELECT {id_col}, label,
+         CAST(any_value(prior_lp) AS DECIMAL(20,6))
+           + sum(CAST(lp AS DECIMAL(20,6))) AS score_dec,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT {id_col}, label, score_dec, n_tokens,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY score_dec DESC, label ASC) AS rn,
+         lead(score_dec) OVER (PARTITION BY {id_col}
+                               ORDER BY score_dec DESC, label ASC) AS nxt
+  FROM agg
+)
+SELECT r.{id_col}, r.label AS pred_label,
+       round(CAST(score_dec AS DOUBLE), 6) AS score,
+       round(COALESCE(CAST(score_dec - nxt AS DOUBLE), 0.0), 6) AS margin,
+       n_tokens{eval_cols}
+FROM ranked r{eval_join} WHERE rn = 1
+"""

@@ -10451,6 +10451,60 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "nb_lang_classifier_documents",
+    ml_ops.nb_self_predict_oracle_sql(
+        table="documents",
+        text_col="text",
+        label_col="lang",
+        id_col="doc_id",
+        alpha=0.5,
+        include_actual=True,
+    ),
+)
+def nb_lang_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier
+    (operators/ml.py::nb_fit/nb_predict — the fastText-style
+    counting-only curation classifier, Joulin et al. 2016's job done
+    with exact relational aggregates): self-train on the documents
+    table's (text, lang) pairs, then predict every document's language
+    from its bag of tokens and report the decision margin and
+    correctness vs the actual label. Fit is one token-count shuffle
+    (map-side combined); scoring fans tokens out by the |labels|-row
+    broadcast stats frame, left-joins the count model (OOV rows get the
+    smoothed mass), and aggregates per (doc, label) — the argmax window
+    partitions by document. Every log-prob rounds to 6 dp before an
+    exact DECIMAL sum (lm.py's add-order-proof policy), so the DuckDB
+    oracle replays fit, scoring, and the (score DESC, label ASC) argmax
+    bit-for-bit. Zero-token documents are unscorable and yield no row
+    (CJK-only docs under the latin token pattern — documented
+    contract). Honesty note: the synthetic corpus shares one small
+    vocabulary across all langs, so the label is nearly independent of
+    the text — the gate pins the exact numeric trajectory (the thing
+    the oracle can check), while LEARNING is pinned on separable
+    corpora in tests/test_ml.py::TestNaiveBayes; here NB still beats
+    the majority-prior baseline (47% vs 43.6% at sf0.01)."""
+    from etl_tools_rs_spark.operators.ml import nb_fit, nb_predict
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    model = nb_fit(docs, "text", "lang", alpha=0.5)
+    pred = nb_predict(docs, model, "text", "doc_id")
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id")
+        .select(
+            "doc_id",
+            "pred_label",
+            "score",
+            "margin",
+            "n_tokens",
+            "actual_lang",
+            (F.col("pred_label") == F.col("actual_lang")).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry accessors (driver contract)
 # --------------------------------------------------------------------------

@@ -177,3 +177,43 @@ class TestTriangleCount:
                 if w in adj[u]
             )
             assert got[n][0] == d and got[n][1] == tris, n
+
+
+class TestGiantGraphPagerank:
+    """r7 (VERDICT r6 #2): graph.py's iterative loops moved to DISK_ONLY
+    localCheckpoints — pin that a giant single-component graph completes
+    under the suite's default memory, mirroring
+    test_fuzzy.py::TestGiantComponentCC for the CC loop."""
+
+    def _graph(self, spark):
+        from pyspark.sql import functions as F
+
+        n = 500_000
+        base = spark.range(n)
+        chain = base.filter(f"id < {n - 1}").select(
+            F.col("id").cast("string").alias("src"),
+            (F.col("id") + 1).cast("string").alias("dst"),
+        )
+        rnd = base.select(
+            F.col("id").cast("string").alias("src"),
+            ((F.col("id") * F.lit(2654435761) + 1) % n)
+            .cast("string")
+            .alias("dst"),
+        )
+        return chain.union(rnd), n
+
+    @pytest.mark.slow
+    def test_giant_graph_three_iterations(self, spark):
+        from pyspark.sql import functions as F
+
+        edges, n = self._graph(spark)
+        ranks = pagerank(edges, iterations=3, scale=9)
+        agg = ranks.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rank").cast("decimal(38,9)")).alias("s"),
+            F.min("rank").alias("mn"),
+        ).collect()[0]
+        assert agg.n == n
+        # mass-dropping variant: total rank stays in (0, 1]
+        assert 0.0 < float(agg.s) <= 1.0 + 1e-6
+        assert agg.mn >= 0.0

@@ -144,3 +144,88 @@ class TestCalibrationBins:
             df, F.col("y"), F.col("s"), n_bins=10
         ).collect()}
         assert bins == {0, 9}
+
+
+class TestNaiveBayes:
+    """Multinomial NB (r7): hand-checkable corpus + the lm.py
+    determinism contracts (zero-token drop, decimal-exact tie-break)."""
+
+    def _corpus(self, spark):
+        rows = [
+            (0, "spark table join join", "tech"),
+            (1, "join shuffle spark", "tech"),
+            (2, "bread butter jam", "food"),
+            (3, "butter bread bread", "food"),
+            (4, "spark join bread", "tech"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    def test_predicts_dominant_class_tokens(self, spark):
+        df = self._corpus(spark)
+        model = ml.nb_fit(df, "text", "lang", alpha=0.5)
+        pred = {
+            r.doc_id: r.pred_label
+            for r in ml.nb_predict(df, model, "text", "doc_id").collect()
+        }
+        assert pred[0] == "tech" and pred[1] == "tech"
+        assert pred[2] == "food" and pred[3] == "food"
+
+    def test_margin_positive_and_scores_negative(self, spark):
+        df = self._corpus(spark)
+        model = ml.nb_fit(df, "text", "lang", alpha=0.5)
+        for r in ml.nb_predict(df, model, "text", "doc_id").collect():
+            assert r.margin >= 0.0
+            assert r.score < 0.0  # log-posteriors
+            assert r.n_tokens >= 3
+
+    def test_zero_token_docs_dropped(self, spark):
+        df = self._corpus(spark).union(
+            spark.createDataFrame([(9, "!!! ???", "tech")], ["doc_id", "text", "lang"])
+        )
+        model = ml.nb_fit(df, "text", "lang")
+        out = ml.nb_predict(df, model, "text", "doc_id")
+        assert out.filter(F.col("doc_id") == 9).count() == 0
+        assert out.count() == 5
+
+    def test_hand_computed_two_docs(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(0, "a a b", "x"), (1, "b c", "y")],
+            ["doc_id", "text", "lang"],
+        )
+        model = ml.nb_fit(df, "text", "lang", alpha=0.5)
+        got = {
+            (r.doc_id, r.label): float(r.score_dec)
+            for r in ml.nb_score(df, model, "text", "doc_id").collect()
+        }
+        # vocab = {a,b,c} (v=3); x: counts a=2,b=1 t=3; y: b=1,c=1 t=2
+        def lp(c, t):
+            return round(math.log((c + 0.5) / (t + 0.5 * 3)), 6)
+
+        prior = round(math.log(1 / 2), 6)
+        exp_doc0_x = prior + lp(2, 3) + lp(2, 3) + lp(1, 3)
+        assert abs(got[(0, "x")] - exp_doc0_x) < 1e-9
+
+    def test_oracle_parity_duckdb(self, spark):
+        import duckdb
+
+        df = self._corpus(spark)
+        model = ml.nb_fit(df, "text", "lang", alpha=0.5)
+        spark_rows = sorted(
+            (r.doc_id, r.pred_label, r.score, r.margin, r.n_tokens)
+            for r in ml.nb_predict(df, model, "text", "doc_id").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES (?,?,?)",
+            [(r.doc_id, r.text, r.lang) for r in df.collect()],
+        )
+        duck_rows = sorted(
+            tuple(r)
+            for r in con.execute(ml.nb_self_predict_oracle_sql()).fetchall()
+        )
+        assert spark_rows == duck_rows

@@ -87,6 +87,12 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "cross_near_dup_documents": {
         "broadcast_above_generate": "documented decontamination contract (dedup.py::minhash_cross_pairs): the benchmark-side band table (plan-constant ×bands fan-out) broadcasts so candidate generation is a map-side join over the training-corpus scan; worst-case understatement is bands × threshold",
     },
+    "index_eviction_near_dup_documents": {
+        "broadcast_above_generate": "same O(delta) contract as incremental_near_dup_documents (the query IS incremental_near_dup run against the evicted index): delta band rows (plan-constant ×bands fan-out) broadcast against the persisted index; the eviction itself is a broadcast LEFT ANTI of the tiny removal-id set — both broadcasts are the delta side by contract",
+    },
+    "nb_lang_classifier_documents": {
+        "bnl_join": "label fan-out: tokens crossJoin the BROADCAST per-label stats frame, |labels| rows by construction (a small closed set — ml.py::nb_score's documented contract); the count-model join that follows is a plain shuffled equi-join on (tok, label)",
+    },
     "rrf_fuse_documents": {
         "single_partition_window": "rank windows run AFTER TakeOrdered limit(20) — 20-row frames (top-k result lists), never the corpus; the fuse op itself is windowless by contract",
     },
