@@ -106,9 +106,14 @@ def main() -> int:
         "busy_frac_1m": round(load1 / ncpu, 3),
     }
 
-    # warmup: JVM/codegen/parquet-footer costs land here, not on q1
+    # warmup: JVM/codegen/parquet-footer costs land here, not on q1.
+    # Warm on the first table present — scale probe dirs (r7, e.g.
+    # .scaledata/sf30graph) hold only the tables the probed query reads.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for t in ("region", "orders", "documents", "embeddings"):
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            break
 
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}

@@ -291,6 +291,77 @@ def pii_redact(col: str | Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Readability (Flesch / Flesch-Kincaid) — narrow, shuffle-free per-document
+# ---------------------------------------------------------------------------
+
+
+def _syllables(word: Column) -> Column:
+    """Heuristic per-word syllable count: vowel-group runs ([aeiouy]+),
+    minus one for a trailing silent 'e' (consonant+e at word end, only
+    when another vowel group exists), floored at 1 — the classic
+    dictionary-free approximation. RE2-safe (no lookarounds) so the
+    DuckDB oracle evaluates the identical regexes."""
+    lw = F.lower(word)
+    groups = F.size(F.regexp_extract_all(lw, F.lit("[aeiouy]+"), F.lit(0)))
+    silent_e = (
+        F.when(lw.rlike("[b-df-hj-np-tv-z]e$") & (groups > F.lit(1)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return F.greatest(groups - silent_e, F.lit(1))
+
+
+def readability_scores(col: str | Column) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade level (Kincaid et al.
+    1975) — the standard edu-quality filter signals (e.g. grade-banded
+    corpus selection a la FineWeb-Edu's readability features).
+
+    - ``n_words``: whitespace tokens; ``n_sentences``: [.!?]+ runs
+      (min 1); ``n_syllables``: per-word heuristic (:func:`_syllables`).
+    - ``flesch``: 206.835 − 1.015·(words/sentence) − 84.6·(syll/word)
+    - ``fk_grade``: 0.39·(words/sentence) + 11.8·(syll/word) − 15.59
+
+    Determinism/oracle: both per-doc ratios floor to 4 dp first
+    (:func:`_ratio4` — bit-stable int/int quotients), then each linear
+    form evaluates left-to-right on those exact doubles and floors to
+    4 dp again, so Spark and DuckDB agree bit-for-bit (same literals,
+    same IEEE op order). Everything is a per-row expression over the
+    token array — a narrow projection, nothing shuffles, linear at
+    100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_words = F.size(toks)
+    n_sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0)))
+    n_syllables = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + _syllables(w).cast("long"),
+    )
+    wps = _ratio4(n_words, n_sentences)
+    spw = _ratio4(n_syllables, n_words)
+    flesch = (
+        F.floor(
+            F.lit(10000.0)
+            * ((F.lit(206.835) - F.lit(1.015) * wps) - F.lit(84.6) * spw)
+        )
+        / 10000.0
+    ).cast("double")
+    fk_grade = (
+        F.floor(
+            F.lit(10000.0)
+            * ((F.lit(0.39) * wps + F.lit(11.8) * spw) - F.lit(15.59))
+        )
+        / 10000.0
+    ).cast("double")
+    return {
+        "n_words": n_words.cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "n_syllables": n_syllables.cast("long"),
+        "flesch": flesch,
+        "fk_grade": fk_grade,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style) — narrow, shuffle-free per-document
 # ---------------------------------------------------------------------------
 

@@ -3319,6 +3319,61 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "readability_documents",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             {TOKS_SQL} AS toks,
+             len(regexp_extract_all(text, '[.!?]+')) AS sent
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(sent AS BIGINT) AS n_sentences,
+             CAST(COALESCE(list_sum(list_transform(toks, w ->
+               GREATEST(
+                 len(regexp_extract_all(lower(w), '[aeiouy]+'))
+                 - CASE WHEN regexp_matches(lower(w), '[b-df-hj-np-tv-z]e$')
+                         AND len(regexp_extract_all(lower(w), '[aeiouy]+')) > 1
+                        THEN 1 ELSE 0 END,
+                 1))), 0) AS BIGINT) AS n_syllables
+      FROM tk
+    ), r AS (
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             FLOOR(10000.0 * n_words / GREATEST(n_sentences, 1)) / 10000.0
+               AS wps,
+             FLOOR(10000.0 * n_syllables / GREATEST(n_words, 1)) / 10000.0
+               AS spw
+      FROM c
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           FLOOR(10000.0 * ((206.835 - 1.015 * wps) - 84.6 * spw)) / 10000.0
+             AS flesch,
+           FLOOR(10000.0 * ((0.39 * wps + 11.8 * spw) - 15.59)) / 10000.0
+             AS fk_grade
+    FROM r
+    """,
+)
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (operators/text.py::readability_scores):
+    Flesch reading ease + Flesch-Kincaid grade per document — the
+    grade-band signal edu-quality corpus selection filters on. Word/
+    sentence/syllable counts are RE2-safe regex expressions, ratios and
+    linear forms floor to 4 dp (bit-stable across engines). One narrow
+    per-row projection over the scan — no shuffle, linear at 100 TB."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    r = text_ops.readability_scores("text")
+    return t["documents"].select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        r["flesch"].alias("flesch"),
+        r["fk_grade"].alias("fk_grade"),
+    )
+
+
 _REPETITION_SQL = f"""
     WITH tk AS (
       SELECT doc_id, {TOKS_SQL} AS toks FROM documents

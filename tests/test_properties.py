@@ -869,3 +869,100 @@ def test_containment_pairs_match_naive(spark, docs_words, threshold):
             if c >= threshold:
                 want[(a, b)] = _math.floor(1e4 * c) / 1e4
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc x.y"), min_size=0, max_size=24),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_simhash_banded_pairs_equal_naive_hamming_join(spark, texts_, maxh):
+    """Pigeonhole completeness of the banded candidate join
+    (operators/dedup.py::simhash_near_dup): with max_hamming+1 bands,
+    any two signatures within the Hamming budget agree exactly on at
+    least one band, so the banded pair set must EQUAL the naive
+    all-pairs bit_count(xor) filter over the same signature table —
+    banding may only prune pairs the verify step would reject anyway."""
+    from etl_tools_rs_spark.operators.dedup import (
+        simhash_near_dup,
+        simhash_table_md5,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+    sig = {
+        r.doc_id: r.simhash
+        for r in simhash_table_md5(df, "text", "doc_id", 2, 60).collect()
+    }
+    naive = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= maxh
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup(df, max_hamming=maxh).collect()
+    }
+    assert got == naive
+
+
+def _py_readability(text):
+    """Pure-Python mirror of text.py::readability_scores (same regexes,
+    same floor-4dp arithmetic)."""
+    import math
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip()) if t != ""]
+    n_words = len(toks)
+    n_sentences = len(re.findall(r"[.!?]+", text))
+    n_syll = 0
+    for w in toks:
+        lw = w.lower()
+        groups = len(re.findall(r"[aeiouy]+", lw))
+        silent = 1 if re.search(r"[b-df-hj-np-tv-z]e$", lw) and groups > 1 else 0
+        n_syll += max(groups - silent, 1)
+    wps = math.floor(10000.0 * n_words / max(n_sentences, 1)) / 10000.0
+    spw = math.floor(10000.0 * n_syll / max(n_words, 1)) / 10000.0
+    flesch = (
+        math.floor(10000.0 * ((206.835 - 1.015 * wps) - 84.6 * spw)) / 10000.0
+    )
+    fk = math.floor(10000.0 * ((0.39 * wps + 11.8 * spw) - 15.59)) / 10000.0
+    return (n_words, n_sentences, n_syll, flesch, fk)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("the cakes! lie?bea.u t\n"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_readability_matches_python_mirror(spark, docs):
+    from etl_tools_rs_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    r = readability_scores("text")
+    got = {
+        row.doc_id: (
+            row.n_words, row.n_sentences, row.n_syllables,
+            row.flesch, row.fk_grade,
+        )
+        for row in df.select(
+            "doc_id", *[r[k].alias(k) for k in r]
+        ).collect()
+    }
+    expected = {i: _py_readability(t) for i, t in enumerate(docs)}
+    assert got == expected

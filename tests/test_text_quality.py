@@ -348,3 +348,84 @@ class TestZipfSlope:
         )
         (r,) = zipf_slope(df, top_k=5).collect()
         assert r.slope == 0.0  # every token same freq -> flat fit
+
+
+class TestReadability:
+    @staticmethod
+    def _scores(spark, text):
+        df = spark.createDataFrame([(text,)], ["text"])
+        r = text_ops.readability_scores("text")
+        return df.select(
+            *[r[k].alias(k) for k in r]
+        ).first().asDict()
+
+    @staticmethod
+    def _expected(n_words, n_sentences, n_syllables):
+        import math
+
+        wps = math.floor(10000.0 * n_words / max(n_sentences, 1)) / 10000.0
+        spw = math.floor(10000.0 * n_syllables / max(n_words, 1)) / 10000.0
+        flesch = (
+            math.floor(10000.0 * ((206.835 - 1.015 * wps) - 84.6 * spw))
+            / 10000.0
+        )
+        fk = (
+            math.floor(10000.0 * ((0.39 * wps + 11.8 * spw) - 15.59))
+            / 10000.0
+        )
+        return flesch, fk
+
+    def test_single_word_counts(self, spark):
+        r = self._scores(spark, "go")
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (1, 0, 1)
+        flesch, fk = self._expected(1, 0, 1)
+        assert (r["flesch"], r["fk_grade"]) == (flesch, fk)
+
+    def test_empty_text_is_all_zero_counts(self, spark):
+        r = self._scores(spark, "")
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (0, 0, 0)
+        flesch, fk = self._expected(0, 0, 0)
+        assert (r["flesch"], r["fk_grade"]) == (flesch, fk)
+
+    def test_syllable_heuristic_cases(self, spark):
+        # late: a,e groups minus trailing silent e -> 1; see: one 'ee'
+        # group, vowel before final e so no subtraction -> 1; rhythm: 'y'
+        # counts as vowel -> 1; xyz: 'y' -> 1; 123: no vowels, floor 1;
+        # banana: 3 groups -> 3.
+        cases = {
+            "late": 1,
+            "see": 1,
+            "rhythm": 1,
+            "xyz": 1,
+            "123": 1,
+            "banana": 3,
+            "beautiful": 3,  # eau / i / u vowel groups
+        }
+        for w, want in cases.items():
+            r = self._scores(spark, w)
+            assert r["n_syllables"] == want, (w, r["n_syllables"], want)
+
+    def test_multi_sentence_document(self, spark):
+        text = "The cake is a lie. The cake is great! Really?"
+        r = self._scores(spark, text)
+        # 10 words; 3 sentence-terminator runs; syllables: the=1, cake=1
+        # (silent-e strip: a,e groups minus trailing consonant+e), is=1,
+        # a=1, 'lie.'=1 (dot blocks the strip, one 'ie' group), the=1,
+        # cake=1, is=1, 'great!'=1 ('ea' one group), 'Really?'=2 ('ea'
+        # is one contiguous vowel group, then 'y')
+        assert r["n_words"] == 10
+        assert r["n_sentences"] == 3
+        assert r["n_syllables"] == 11
+        flesch, fk = self._expected(10, 3, 11)
+        assert (r["flesch"], r["fk_grade"]) == (flesch, fk)
+
+    def test_flesch_ordering_simple_vs_complex(self, spark):
+        simple = self._scores(spark, "The cat sat. The dog ran. We go now.")
+        dense = self._scores(
+            spark,
+            "Multisyllabic terminological obfuscation notwithstanding "
+            "institutional considerations predominantly characterize "
+            "bureaucratic communication paradigms",
+        )
+        assert simple["flesch"] > dense["flesch"]
+        assert simple["fk_grade"] < dense["fk_grade"]

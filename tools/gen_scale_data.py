@@ -17,8 +17,11 @@ a 3-token suffix (n_chars recomputed) and embeddings get a deterministic
 any partitioning).
 
 Usage:
-    python tools/gen_scale_data.py [K] [SRC_DIR] [OUT_DIR]
-defaults: K=10, SRC=/root/testdata/sf0.1, OUT=<repo>/.scaledata/sf1
+    python tools/gen_scale_data.py [K] [SRC_DIR] [OUT_DIR] [TABLES]
+defaults: K=10, SRC=/root/testdata/sf0.1, OUT=<repo>/.scaledata/sf1,
+TABLES=all (comma-separated subset, e.g. ``orders,lineitem`` for a
+graph-only sf30 probe — skips replicating documents/embeddings 300x
+when only the purchase graph is needed).
 """
 
 from __future__ import annotations
@@ -80,26 +83,51 @@ def main() -> int:
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = sys.argv[3] if len(sys.argv) > 3 else os.path.join(repo, ".scaledata", "sf1")
+    only = (
+        {t.strip() for t in sys.argv[4].split(",") if t.strip()}
+        if len(sys.argv) > 4
+        else None
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("gen-scale-data")
     spark.sparkContext.setLogLevel("ERROR")
 
+    copy_tables = tuple(
+        t for t in COPY_TABLES if only is None or t in only
+    )
+    keyed_tables = {
+        t: cols for t, cols in KEYED_TABLES.items() if only is None or t in only
+    }
     tables = {
         name: spark.read.parquet(f"{src}/{name}.parquet")
-        for name in COPY_TABLES + tuple(KEYED_TABLES)
+        for name in copy_tables + tuple(keyed_tables)
     }
-    offsets = {
-        dom: tables[tbl].agg(F.max(col)).collect()[0][0] + 1
-        for dom, (tbl, col) in DOMAIN_SOURCE.items()
-    }
+    # offsets only for domains the selected tables actually reference;
+    # measured from the selected table itself when the canonical domain
+    # source isn't in the subset (same max over the FK column)
+    needed_domains = {d for cols in keyed_tables.values() for d in cols.values()}
+    offsets = {}
+    for dom in needed_domains:
+        tbl, col = DOMAIN_SOURCE[dom]
+        if tbl not in tables:
+            tbl, col = next(
+                (t, c)
+                for t, cols in keyed_tables.items()
+                for c, d in cols.items()
+                if d == dom
+            )
+        offsets[dom] = tables[tbl].agg(F.max(col)).collect()[0][0] + 1
     print(f"# domains: {offsets}", file=sys.stderr)
 
-    for name in COPY_TABLES:
+    for name in copy_tables:
         tables[name].write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
         print(f"# {name}: copied", file=sys.stderr)
 
-    synth_text = os.environ.get("SPARK_GRAFT_SYNTH_TEXT") == "1"
+    synth_text = (
+        os.environ.get("SPARK_GRAFT_SYNTH_TEXT") == "1"
+        and "documents" in keyed_tables
+    )
     if synth_text:
         # r6 (VERDICT r5 #8): NON-replicated synthetic text for replica>0
         # — each replica doc gets a fresh deterministic word stream of
@@ -125,7 +153,7 @@ def main() -> int:
         vocab_lit = F.array(*[F.lit(w) for w in sorted(vocab_words)])
         print(f"# synth text vocab: {len(vocab_words)} words", file=sys.stderr)
 
-    for name, key_cols in KEYED_TABLES.items():
+    for name, key_cols in keyed_tables.items():
         df = _replicate(tables[name], k, key_cols, offsets)
         if name == "documents" and synth_text:
             n_words = F.size(
@@ -190,15 +218,18 @@ def main() -> int:
         print(f"# {name}: x{k} written", file=sys.stderr)
 
     # verification: row counts exactly K x source, FK integrity on samples
-    for name in KEYED_TABLES:
+    for name in keyed_tables:
         n_src = tables[name].count()
         n_out = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
         assert n_out == k * n_src, (name, n_src, n_out)
-    li = spark.read.parquet(f"{out_dir}/lineitem.parquet")
-    od = spark.read.parquet(f"{out_dir}/orders.parquet")
-    dangling = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").count()
-    assert dangling == 0, f"{dangling} dangling lineitem FK rows"
-    print(f"# verified: counts x{k}, lineitem->orders FK intact", file=sys.stderr)
+    if "lineitem" in keyed_tables and "orders" in keyed_tables:
+        li = spark.read.parquet(f"{out_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{out_dir}/orders.parquet")
+        dangling = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").count()
+        assert dangling == 0, f"{dangling} dangling lineitem FK rows"
+        print(f"# verified: counts x{k}, lineitem->orders FK intact", file=sys.stderr)
+    else:
+        print(f"# verified: counts x{k}", file=sys.stderr)
     return 0
 
 
