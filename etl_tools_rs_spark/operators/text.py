@@ -291,6 +291,62 @@ def pii_redact(col: str | Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Unicode script detection — narrow, shuffle-free per-document
+# ---------------------------------------------------------------------------
+
+# Fixed priority order (the CASE/when tie-break contract) and explicit
+# code-point ranges — ranges, not \p{Script} classes, because Java regex
+# (\p{IsLatin}) and RE2 (\p{Latin}) spell script classes differently
+# while literal ranges mean the same thing in both engines.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    ("hangul", "ᄀ-ᇿ㄰-㆏가-힣"),
+    ("cjk", "぀-ヿ一-鿿"),
+]
+
+
+def script_shares(col: str | Column) -> dict[str, Column]:
+    """Unicode script composition — the multilingual routing signal a
+    corpus pipeline applies before per-language models (lang_id's marker
+    words only cover languages with known stopword lists; script counts
+    classify ANY text cheaply). Returns per-script character counts
+    (``n_latin`` … ``n_cjk``, plus ``n_digit``), the dominant ``script``
+    label (first script in :data:`SCRIPT_RANGES` order reaching the max
+    count; ``und`` when no script character occurs), and
+    ``script_share`` — the dominant script's fraction of all characters
+    (floor-4dp). Counts are length-difference of a remove-all
+    regexp_replace, so everything is one narrow codegen projection —
+    no shuffle, linear at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_total = F.length(c)
+    counts: dict[str, Column] = {}
+    for name, rng in SCRIPT_RANGES:
+        counts[f"n_{name}"] = (
+            n_total - F.length(F.regexp_replace(c, f"[{rng}]", ""))
+        ).cast("long")
+    counts["n_digit"] = (
+        n_total - F.length(F.regexp_replace(c, "[0-9]", ""))
+    ).cast("long")
+    m = F.greatest(*[counts[f"n_{name}"] for name, _ in SCRIPT_RANGES])
+    # build the when-chain front-to-back so the FIRST max in priority
+    # order wins (mirrors the oracle's CASE)
+    chain = None
+    for name, _ in SCRIPT_RANGES:
+        cond = counts[f"n_{name}"] == m
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    label = F.when(m > 0, chain.otherwise(F.lit("und"))).otherwise(F.lit("und"))
+    return {
+        **counts,
+        "script": label,
+        "script_share": _ratio4(m, n_total),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Readability (Flesch / Flesch-Kincaid) — narrow, shuffle-free per-document
 # ---------------------------------------------------------------------------
 

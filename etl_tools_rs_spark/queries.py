@@ -3374,6 +3374,83 @@ def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic multi-script text from doc_id (the corpus is English-only,
+# so the detector gets real work on both engines): 12 latin chars + a
+# script snippet repeated 1-4x. Identical SQL dialect in Spark and DuckDB.
+_SCRIPT_TEXT_EXPR = """concat(substring(text, 1, 12), repeat(CASE CAST(doc_id % 6 AS INT)
+      WHEN 1 THEN ' привет мир'
+      WHEN 2 THEN ' 你好世界测试'
+      WHEN 3 THEN ' γειά σου κόσμε'
+      WHEN 4 THEN ' مرحبا بالعالم'
+      WHEN 5 THEN ' 안녕하세요 세계'
+      ELSE '' END, CAST(doc_id % 4 AS INT) + 1))"""
+
+_SCRIPT_COUNT_SQL = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "hangul": "[ᄀ-ᇿ㄰-㆏가-힣]",
+    "cjk": "[぀-ヿ一-鿿]",
+    "digit": "[0-9]",
+}
+
+
+def _script_detect_oracle() -> str:
+    counts = ",\n             ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '{pat}', '', 'g')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in _SCRIPT_COUNT_SQL.items()
+    )
+    scripts = [n for n in _SCRIPT_COUNT_SQL if n != "digit"]
+    m = "GREATEST(" + ", ".join(f"n_{n}" for n in scripts) + ")"
+    case = (
+        "CASE WHEN " + m + " = 0 THEN 'und' "
+        + " ".join(f"WHEN n_{n} = {m} THEN '{n}'" for n in scripts)
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {_SCRIPT_TEXT_EXPR} AS t FROM documents
+    ), c AS (
+      SELECT doc_id,
+             {counts},
+             CAST(length(t) AS BIGINT) AS n_total
+      FROM s
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_devanagari,
+           n_hangul, n_cjk, n_digit,
+           {case} AS script,
+           FLOOR(10000.0 * {m} / GREATEST(n_total, 1)) / 10000.0
+             AS script_share
+    FROM c
+    """
+
+
+@qdef("script_detect_documents", _script_detect_oracle())
+def script_detect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script detection (operators/text.py::script_shares):
+    per-script character counts + dominant-script label + share — the
+    multilingual routing signal ahead of per-language models. Input is
+    deterministic multi-script text synthesized from doc_id on both
+    engines (the corpus itself is English-only). Length-difference
+    remove-all regex counts over literal code-point ranges (identical
+    semantics in Java regex and RE2); one narrow codegen projection,
+    no shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    s = text_ops.script_shares(F.expr(_SCRIPT_TEXT_EXPR))
+    return t["documents"].select(
+        "doc_id",
+        *[
+            s[f"n_{name}"].alias(f"n_{name}")
+            for name in _SCRIPT_COUNT_SQL
+        ],
+        s["script"].alias("script"),
+        s["script_share"].alias("script_share"),
+    )
+
+
 _REPETITION_SQL = f"""
     WITH tk AS (
       SELECT doc_id, {TOKS_SQL} AS toks FROM documents

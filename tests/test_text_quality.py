@@ -429,3 +429,48 @@ class TestReadability:
         )
         assert simple["flesch"] > dense["flesch"]
         assert simple["fk_grade"] < dense["fk_grade"]
+
+
+class TestScriptShares:
+    @staticmethod
+    def _scores(spark, text):
+        df = spark.createDataFrame([(text,)], ["text"])
+        s = text_ops.script_shares("text")
+        return df.select(*[s[k].alias(k) for k in s]).first().asDict()
+
+    def test_each_script_detected(self, spark):
+        cases = {
+            "Hello world": ("latin", 10),
+            "привет": ("cyrillic", 6),
+            "γειά σου": ("greek", 7),
+            "مرحبا": ("arabic", 5),
+            "नमस्ते": ("devanagari", 6),
+            "안녕하세요": ("hangul", 5),
+            "你好世界カナ": ("cjk", 6),
+        }
+        for text, (script, n) in cases.items():
+            r = self._scores(spark, text)
+            assert r["script"] == script, (text, r)
+            assert r[f"n_{script}"] == n, (text, r)
+
+    def test_tie_goes_to_priority_order(self, spark):
+        # 2 latin vs 2 cyrillic — latin comes first in SCRIPT_RANGES
+        r = self._scores(spark, "ab пр")
+        assert (r["n_latin"], r["n_cyrillic"]) == (2, 2)
+        assert r["script"] == "latin"
+
+    def test_empty_and_digits_are_und(self, spark):
+        r = self._scores(spark, "")
+        assert r["script"] == "und" and r["script_share"] == 0.0
+        r = self._scores(spark, "12345 67")
+        assert r["script"] == "und"
+        assert r["n_digit"] == 7
+
+    def test_share_is_dominant_over_total_chars(self, spark):
+        # 6 cyrillic of 10 chars total (space + 'ab!' are not script)
+        r = self._scores(spark, "привет ab!")
+        assert r["n_cyrillic"] == 6 and r["n_latin"] == 2
+        assert r["script"] == "cyrillic"
+        import math
+
+        assert r["script_share"] == math.floor(10000.0 * 6 / 10) / 10000.0
