@@ -7059,6 +7059,102 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_merges_oracle_sql(num_merges: int = 8) -> str:
+    """Full SQL replay of WordPiece TRAINING (r7): same unrolled
+    doubled-bar round structure as `_bpe_merges_oracle_sql`, with two
+    WordPiece differences per round — the argmax key is the EXACT
+    integer likelihood-gain quotient
+    ``q = n_ab * 10^24 // (n_l * n_r)`` (HUGEINT floor division here,
+    unbounded Python ints in the engine — bit-equal selections at any
+    sf, no float in the ordering), and the merged piece strips the
+    right side's ``##`` continuation marker. Symbol counts come from
+    the CURRENT round's vocab state, exactly like the engine's
+    per-round denominator aggregate. Embeds no data — replays at ANY
+    sf."""
+    q_scale = 10**24
+    parts = []
+    parts.append(r"""
+    WITH wh AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents) GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT '|' || substring(word, 1, 1)
+             || regexp_replace(substring(word, 2), '(.)', '||##\1', 'g')
+             || '|' AS seq,
+             freq
+      FROM wh
+    )""")
+    for k in range(1, num_merges + 1):
+        prev = f"s{k - 1}"
+        parts.append(f"""
+    v{k} AS MATERIALIZED (
+      SELECT string_split(trim(seq, '|'), '||') AS syms, freq FROM {prev}
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS n_ab FROM (
+        SELECT syms[CAST(u.i AS INT)] AS l, syms[CAST(u.i AS INT) + 1] AS r,
+               freq
+        FROM v{k}, UNNEST(range(1, len(syms))) AS u(i)
+      ) GROUP BY l, r
+    ),
+    u{k} AS MATERIALIZED (
+      SELECT s, CAST(SUM(freq) AS BIGINT) AS n_s FROM (
+        SELECT unnest(syms) AS s, freq FROM v{k}
+      ) GROUP BY s
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT p.l, p.r, p.n_ab, ul.n_s AS n_l, ur.n_s AS n_r
+      FROM p{k} p
+      JOIN u{k} ul ON ul.s = p.l
+      JOIN u{k} ur ON ur.s = p.r
+      ORDER BY (CAST(p.n_ab AS HUGEINT) * {q_scale})
+                 // (CAST(ul.n_s AS HUGEINT) * CAST(ur.n_s AS HUGEINT))
+                 DESC,
+               p.l ASC, p.r ASC
+      LIMIT 1
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT replace(seq, '|' || m.l || '||' || m.r || '|',
+                     '|' || m.l || substring(m.r, 3) || '|') AS seq, freq
+      FROM {prev}, m{k} m
+    )""")
+    arms = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right",'
+        f" n_ab AS pair_freq,"
+        f" CAST((CAST(n_ab AS HUGEINT) * 1000000)"
+        f" // (CAST(n_l AS HUGEINT) * CAST(n_r AS HUGEINT)) AS BIGINT)"
+        f" AS score_q6 FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return ",".join(parts) + "\n" + arms + "\nORDER BY rank"
+
+
+@qdef("wordpiece_merges_documents", _wordpiece_merges_oracle_sql(8))
+def wordpiece_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece tokenizer training
+    (operators/wordpiece.py::wordpiece_train, Schuster & Nakajima
+    2012): 8 likelihood-gain merge rules over the documents corpus.
+    DuckDB replays the training loop itself — unrolled pair-count /
+    symbol-count / exact-quotient-argmax / merge rounds
+    (`_wordpiece_merges_oracle_sql`) reproduce every rule, its pair
+    frequency, and the floor-scaled score, rank for rank, at any sf.
+    Also pinned against an independent pure-Python reference in
+    tests/test_wordpiece.py."""
+    from etl_tools_rs_spark.operators.wordpiece import wordpiece_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    merges = wordpiece_train(t["documents"], "text", num_merges=8)
+    rows = [(i + 1, l, r, n, q6) for i, (l, r, n, q6) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, pair_freq bigint,"
+        " score_q6 bigint",
+    )
+
+
 # Tokenizer oracle maps (r6, VERDICT r5 #4): authored from the sf0.01
 # gate corpus. Training is deterministic (merge-for-merge / Viterbi
 # pinned vs pure-Python references), segmentation factorizes per
