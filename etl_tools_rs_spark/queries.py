@@ -7311,6 +7311,90 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WordPiece segmentation map (r7): authored from the sf0.01-trained
+# 8-merge vocab (tools: see the wordpiece section of the r7 authoring
+# run — training replayed independently by the wordpiece_merges_documents
+# oracle; segmentation factorizes per word over the 31-word corpus
+# vocabulary). sf0.01-specific, like _BPE_WORD_TOKENS.
+_WP_WORD_PIECES = {
+    'a': ['a'],
+    'agg': ['a', '##g', '##g'],
+    'batch': ['b', '##a', '##t', '##c', '##h'],
+    'big': ['bi', '##g'],
+    'column': ['c', '##o', '##l', '##u', '##m', '##n'],
+    'customer': ['c', '##u', '##s', '##t', '##o', '##m', '##e', '##r'],
+    'data': ['d', '##a', '##t', '##a'],
+    'dup': ['d', '##u', '##p'],
+    'fast': ['f', '##a', '##s', '##t'],
+    'filter': ['fi', '##l', '##t', '##e', '##r'],
+    'group': ['g', '##r', '##o', '##u', '##p'],
+    'hash': ['h', '##a', '##s', '##h'],
+    'join': ['j', '##o', '##i', '##n'],
+    'key': ['k', '##e', '##y'],
+    'line': ['lin', '##e'],
+    'merge': ['m', '##e', '##r', '##g', '##e'],
+    'order': ['o', '##r', '##d', '##e', '##r'],
+    'part': ['p', '##a', '##r', '##t'],
+    'query': ['qu', '##e', '##r', '##y'],
+    'row': ['r', '##o', '##w'],
+    'scan': ['s', '##c', '##a', '##n'],
+    'slow': ['s', '##l', '##o', '##w'],
+    'small': ['s', '##m', '##a', '##l', '##l'],
+    'sort': ['s', '##o', '##r', '##t'],
+    'spark': ['s', '##p', '##a', '##r', '##k'],
+    'stream': ['s', '##t', '##r', '##e', '##a', '##m'],
+    'table': ['t', '##a', '##b', '##l', '##e'],
+    'the': ['t', '##h', '##e'],
+    'value': ['v', '##a', '##l', '##u', '##e'],
+    'vector': ['v', '##e', '##c', '##t', '##o', '##r'],
+    'window': ['wind', '##o', '##w'],
+}
+
+
+@qdef(
+    "wordpiece_tokenize_documents",
+    oracle_sf="0.01",  # word→pieces map authored from the sf0.01-trained vocab
+    oracle=_word_pieces_oracle_sql(
+        _WP_WORD_PIECES,
+        "wp_tokens",
+        extras=(
+            ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
+            " AS BIGINT) AS n_tokens"
+            ",\n           CAST(len(list_distinct(COALESCE(g.tk,"
+            " CAST([] AS VARCHAR[])))) AS BIGINT) AS n_unique"
+        ),
+    ),
+)
+def wordpiece_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece segmentation with the trained
+    vocabulary (operators/wordpiece.py::wordpiece_tokenize): train 8
+    likelihood-gain merges, build the alphabet+pieces vocab, segment
+    every document with the Arrow-batched pandas UDF. Training is
+    independently value-replayed by `wordpiece_merges_documents`;
+    segmentation factorizes per word, so the oracle replays the FULL
+    piece stream per document through the authored word→pieces VALUES
+    map (`_WP_WORD_PIECES`) — every piece, in order, plus the count
+    aggregates, value-for-value. Greedy matching is also pinned vs the
+    BERT-reference algorithm in tests/test_wordpiece.py."""
+    from etl_tools_rs_spark.operators.wordpiece import (
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab, _ = wordpiece_vocab(t["documents"], "text", num_merges=8)
+    return (
+        wordpiece_tokenize(t["documents"], vocab, "text")
+        .select(
+            "doc_id",
+            "wp_tokens",
+            F.size("wp_tokens").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("wp_tokens")).cast("bigint").alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @qdef(
     "remove_duplicate_spans_documents",
     """
