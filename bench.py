@@ -84,8 +84,22 @@ def main() -> int:
     from etl_tools_rs_spark.queries import REGISTRY
     from etl_tools_rs_spark.session import get_spark
 
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        """(Re)create the bench session and pay the one-time warmup
+        (JVM/codegen/parquet-footer) before any timed run."""
+        s = get_spark("bench")
+        s.sparkContext.setLogLevel("ERROR")
+        s.range(1_000_000).selectExpr("sum(id)").collect()
+        # Warm on the first table present — scale probe dirs (r7, e.g.
+        # .scaledata/sf30graph) hold only the tables the probed query
+        # reads.
+        for t in ("region", "orders", "documents", "embeddings"):
+            if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                s.read.parquet(f"{sf_dir}/{t}.parquet").count()
+                break
+        return s
+
+    spark = fresh_session()
 
     # Host-load marker (VERDICT r4 #6): same-code sweep totals swung
     # ±10-15% across r4 runs from host contention. Record loadavg at
@@ -106,14 +120,19 @@ def main() -> int:
         "busy_frac_1m": round(load1 / ncpu, 3),
     }
 
-    # warmup: JVM/codegen/parquet-footer costs land here, not on q1.
-    # Warm on the first table present — scale probe dirs (r7, e.g.
-    # .scaledata/sf30graph) hold only the tables the probed query reads.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for t in ("region", "orders", "documents", "embeddings"):
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-            break
+    # Host-SPEED probe (r7): a fixed single-task JVM workload, timed warm
+    # (second of two runs). The r6→r7 box swap showed identical code
+    # reading 1.5-2× slower on a slower host — loadavg can't see clock/
+    # generation differences, so cross-round totals normalize by the
+    # ratio of cpu_probe_sec instead of being read raw.
+    def cpu_probe() -> float:
+        expr = "sum(id * id % 7)"
+        spark.range(50_000_000, numPartitions=1).selectExpr(expr).collect()
+        t0 = time.time()
+        spark.range(50_000_000, numPartitions=1).selectExpr(expr).collect()
+        return round(time.time() - t0, 3)
+
+    host_load["cpu_probe_sec"] = cpu_probe()
 
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -154,7 +173,20 @@ def main() -> int:
         )
         return c, round(statistics.median(samples), 3)
 
-    for name in queries:
+    # JVM-age cap (r7): the 231-query single-JVM sweep degraded at the
+    # tail — queries measured late (and even their same-JVM isolation
+    # re-runs) read 3-7× their idle-box cost, while a fresh process
+    # reproduced the historical numbers (semdedup 17.6s in-sweep vs 3.9s
+    # fresh, knn_cosine_pq 45.3s vs 10.3s). clearCache+gc per query is
+    # not enough at this query count, so the session is recycled every
+    # RESTART_EVERY queries; each query's own cold run re-pays any
+    # per-query JIT/footer cost, so warm medians stay comparable.
+    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART", "40"))
+    for i, name in enumerate(queries):
+        if i and restart_every > 0 and i % restart_every == 0:
+            spark.stop()
+            gc.collect()
+            spark = fresh_session()
         cold[name], timings[name] = measure(name)
 
     # Regression protocol (r4, VERDICT r3 task #3): a query that exceeds the
@@ -166,6 +198,12 @@ def main() -> int:
     # best. The isolated median replaces the sweep median either way: it is
     # the truer measurement of the plan.
     candidates = _regressions_vs_history(timings, sf)
+    if candidates:
+        # isolation re-runs must not inherit the sweep JVM's accumulated
+        # state (r7: a degraded shared JVM CONFIRMED false regressions)
+        spark.stop()
+        gc.collect()
+        spark = fresh_session()
     for name in candidates:
         _, iso = measure(name)
         print(

@@ -518,3 +518,56 @@ def test_pinned_explode_joins_never_broadcast(spark, qname):
     flags = audit_plan(_build_tree(_json.loads(qe.sparkPlan().toJSON())), plan_str)
     assert not flags["broadcast_above_generate"], qname
     assert "ShuffledHashJoin" in plan_str, qname
+
+
+def test_readability_and_script_detect_are_narrow(spark):
+    # per-document signals must never pay an exchange or Python eval —
+    # both queries are one codegen projection over the scan
+    for name in ("readability_documents", "script_detect_documents"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        rep = plan_report(df)
+        assert rep.num_exchanges == 0, (name, rep.text)
+        assert not rep.has_python_udf, name
+
+
+def test_wordpiece_round_jobs_have_no_cartesian(spark):
+    # the per-round scored frame: pair counts joined to both symbol-count
+    # sides — equi-joins only, never a cartesian/BNLJ, and the pair and
+    # symbol aggregates are map-side combined (partial before exchange)
+    from etl_tools_rs_spark.operators.bpe import bpe_word_counts
+    from etl_tools_rs_spark.operators.wordpiece import _wp_syms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = bpe_word_counts(docs, "text").select(
+        _wp_syms(F.col("word")).alias("syms"), "freq"
+    )
+    n = F.size(F.col("syms"))
+    pairs = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.when(
+                    n >= 2,
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, n - 1),
+                        F.slice(F.col("syms"), 2, n - 1),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("n_ab"))
+    )
+    syms = (
+        vocab.select("freq", F.explode("syms").alias("s"))
+        .groupBy("s")
+        .agg(F.sum("freq").alias("n_s"))
+    )
+    scored = pairs.join(
+        syms.select(F.col("s").alias("l"), F.col("n_s").alias("n_l")), "l"
+    ).join(syms.select(F.col("s").alias("r"), F.col("n_s").alias("n_r")), "r")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine on the aggregates
