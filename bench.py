@@ -128,10 +128,16 @@ def main() -> int:
     def cpu_probe() -> float:
         expr = "sum(id * id % 7)"
         spark.range(50_000_000, numPartitions=1).selectExpr(expr).collect()
-        t0 = time.time()
-        spark.range(50_000_000, numPartitions=1).selectExpr(expr).collect()
-        return round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000, numPartitions=1).selectExpr(expr).collect()
+            samples.append(time.time() - t0)
+        return round(statistics.median(samples), 3)
 
+    # median-of-3 warm: this box's single-core speed was observed
+    # swinging ~3x across an hour at idle (burstable/shared VM), so a
+    # single sample is itself noise
     host_load["cpu_probe_sec"] = cpu_probe()
 
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -521,12 +521,16 @@ def test_pinned_explode_joins_never_broadcast(spark, qname):
 
 
 def test_readability_and_script_detect_are_narrow(spark):
-    # per-document signals must never pay an exchange or Python eval —
-    # both queries are one codegen projection over the scan
+    # per-document signals must never pay a DATA exchange or Python eval
+    # — one codegen projection over the scan. load_tables inserts one
+    # RoundRobin repartition to spread the tiny documents scan across
+    # cores (CPU-heavy narrow ops); that load-time exchange is the only
+    # one allowed, and nothing may shuffle BY KEY.
     for name in ("readability_documents", "script_detect_documents"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         rep = plan_report(df)
-        assert rep.num_exchanges == 0, (name, rep.text)
+        assert rep.num_exchanges <= 1, (name, rep.text)
+        assert "hashpartitioning" not in rep.text.lower(), name
         assert not rep.has_python_udf, name
 
 
