@@ -7984,6 +7984,7 @@ def _incremental_near_dup_oracle_sql(
     fraction: float = 0.1,
     offset: int = 20_000_000,
     evict_mod: int | None = None,
+    new_vs_new: bool = True,
 ) -> str:
     """incremental_near_dup_documents oracle (r5): the md5-family replay
     of the delta-vs-index pipeline — new-vs-old band candidates PLUS the
@@ -8010,6 +8011,14 @@ def _incremental_near_dup_oracle_sql(
     )
     band_o = band_rows.format(side="o")
     band_n = band_rows.format(side="n")
+    self_arm = (
+        """UNION
+      SELECT DISTINCT a._id, b._id
+      FROM bnd_n a JOIN bnd_n b
+        ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id"""
+        if new_vs_new
+        else ""
+    )
     return f"""
     WITH ids AS (
       SELECT doc_id, text,
@@ -8041,10 +8050,7 @@ def _incremental_near_dup_oracle_sql(
     ), cand AS (
       SELECT DISTINCT n._id AS id_a, o._id AS id_b
       FROM bnd_n n JOIN bnd_o o ON n.band = o.band AND n.bucket = o.bucket
-      UNION
-      SELECT DISTINCT a._id, b._id
-      FROM bnd_n a JOIN bnd_n b
-        ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+      {self_arm}
     ), gs_o AS (SELECT DISTINCT doc_id, g FROM sh WHERE {keep}
     ), gs_n AS (SELECT DISTINCT new_id, g FROM sh WHERE is_new
     ), gs AS (
@@ -8066,6 +8072,54 @@ def _incremental_near_dup_oracle_sql(
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+@qdef(
+    "streaming_near_dup_documents",
+    _incremental_near_dup_oracle_sql(bands=4, new_vs_new=False),
+)
+def streaming_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup lookup against a persisted LSH index
+    (streaming/ops.py::near_dup_stream, r7 — the live-ingest twin of
+    incremental_near_dup's new-vs-old arm): documents play the indexed
+    corpus (denormalized stream-lookup index built in batch), a
+    deterministic 10% hash-sample with offset ids plays the incoming
+    stream, read as a real FILE STREAM and drained availableNow. The
+    stage is completely STATELESS — shingle/minhash/band inline, static
+    equi-join on (band, bucket), first-shared-band pair dedup and exact
+    Jaccard verify both row-local — so no watermark or state store, and
+    batch equivalence holds by construction; this gate VALUE-checks it
+    against the same md5-family SQL replay as the batch op. Parity with
+    the batch incremental arm is additionally pinned in
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from etl_tools_rs_spark.operators.sample import hash_sample
+    from etl_tools_rs_spark.streaming.ops import (
+        near_dup_stream,
+        near_dup_stream_index,
+        run_append_available_now,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    idx = near_dup_stream_index(docs, num_hashes=16, bands=4)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.[p]arquet")
+        .select("doc_id", "text")
+    )
+    new = hash_sample(stream, "doc_id", 0.1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    out = near_dup_stream(
+        new, idx, num_hashes=16, bands=4, threshold=0.8
+    )
+    name = f"gate_ndp_{uuid.uuid4().hex[:8]}"
+    run_append_available_now(out, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name).orderBy("id_a", "id_b")
 
 
 @qdef("incremental_near_dup_documents", _incremental_near_dup_oracle_sql())

@@ -401,3 +401,164 @@ def ema_stream(
     return stream.groupBy(*keys).transformWithStateInPandas(
         EmaProcessor(), out_schema, "update", "None"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup against a persisted LSH index (r7)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_stream_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The DENORMALIZED stream-lookup form of the LSH index
+    (lsh_index.py::minhash_band_index keeps the narrow persistable
+    form): one row per (band, bucket) per doc, each row carrying the
+    doc's FULL band array and distinct shingle set. The denormalization
+    is what makes the streaming lookup completely stateless — candidate
+    dedup (first-shared-band) and exact-Jaccard verification both
+    evaluate row-locally on the joined row, so the stream side needs no
+    aggregation, no watermark, no state store. md5 hash family
+    throughout so the whole pipeline is oracle-portable.
+
+    At 100 TB: rows = bands × corpus, carrying ~shingle-set payload —
+    partition/bucket by ``bucket`` on write so the per-micro-batch
+    equi-join co-locates; the width is the price of statelessness and
+    is read back only for CANDIDATE rows (bucket equi-join prunes
+    first)."""
+    from etl_tools_rs_spark.functions import minhash_over, ngrams
+    from etl_tools_rs_spark.operators.lsh_index import _band_bucket  # noqa: F401
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rpb = num_hashes // bands
+    base = corpus.select(
+        F.col(id_col).alias("old_id"),
+        F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("old_shingles"),
+    ).withColumn("_sig", minhash_over(F.col("old_shingles"), num_hashes))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("_sig", i + 1)
+                            for i in range(b * rpb, (b + 1) * rpb)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        base.withColumn("old_bands", band_structs)
+        .select(
+            "old_id",
+            F.explode("old_bands").alias("_bb"),
+            "old_bands",
+            "old_shingles",
+        )
+        .select(
+            "old_id",
+            F.col("_bb.band").alias("band"),
+            F.col("_bb.bucket").alias("bucket"),
+            "old_bands",
+            "old_shingles",
+        )
+    )
+
+
+def near_dup_stream(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """STREAMING near-dup lookup: which incoming documents duplicate the
+    indexed corpus (the daily-crawl / live-ingest production shape —
+    intra-delta pairs are the batch op's job,
+    lsh_index.py::incremental_near_dup).
+
+    Completely STATELESS: the stream side shingles, minhashes and bands
+    each document inline (pure column expressions), explodes its bands,
+    equi-joins the static denormalized index on (band, bucket), keeps
+    each candidate pair exactly once WITHOUT a distinct — a pair is kept
+    only on its lexicographically-first shared band
+    (``struct(band,bucket) == array_min(array_intersect(new_bands,
+    old_bands))`` — both full band arrays ride the joined row) — and
+    verifies exact set-Jaccard row-locally from the two shingle arrays.
+    No aggregation ⇒ append mode, no watermark, state-free; identical
+    rows to the batch new-vs-old arm by construction."""
+    from etl_tools_rs_spark.functions import minhash_over, ngrams
+    from etl_tools_rs_spark.operators.dedup import shingle_jaccard
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rpb = num_hashes // bands
+    base = stream_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("new_shingles"),
+    ).withColumn("_sig", minhash_over(F.col("new_shingles"), num_hashes))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("_sig", i + 1)
+                            for i in range(b * rpb, (b + 1) * rpb)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        base.withColumn("new_bands", band_structs)
+        .select(
+            "new_id",
+            F.explode("new_bands").alias("_bb"),
+            "new_bands",
+            "new_shingles",
+        )
+        .select(
+            "new_id",
+            F.col("_bb.band").alias("band"),
+            F.col("_bb.bucket").alias("bucket"),
+            "new_bands",
+            "new_shingles",
+        )
+    )
+    joined = banded.join(index, ["band", "bucket"]).filter(
+        F.col("new_id") != F.col("old_id")
+    )
+    first_shared = F.array_min(
+        F.array_intersect(F.col("new_bands"), F.col("old_bands"))
+    )
+    jacc = shingle_jaccard(F.col("new_shingles"), F.col("old_shingles"))
+    return (
+        joined.filter(
+            F.struct(F.col("band"), F.col("bucket")) == first_shared
+        )
+        .filter(jacc >= F.lit(threshold))  # raw ratio gates (oracle parity)
+        .select(
+            F.col("new_id").alias("id_a"),
+            F.col("old_id").alias("id_b"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+    )

@@ -526,3 +526,79 @@ def test_curation_stream_matches_batch_funnel(spark, tmp_path):
         r.doc_id for r in curation_flags(batch).filter("keep").collect()
     )
     assert batch_kept == kept
+
+
+def test_near_dup_stream_matches_incremental_new_vs_old(spark, tmp_path):
+    """Streaming near-dup lookup: the stateless stream stage over a
+    denormalized index must produce EXACTLY the batch incremental
+    new-vs-old pairs (same md5 family, same verify), both when run as a
+    batch frame and when drained from a real file stream."""
+    from etl_tools_rs_spark.operators.lsh_index import (
+        incremental_near_dup,
+        minhash_band_index,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("pi", "phi")},  # near-dup of 1
+        {"doc_id": 3, "text": "totally different words entirely here "
+                              "nothing shared with anything else at all"},
+        # delta side
+        {"doc_id": 10, "text": base},                       # dup of 1 (and 2)
+        {"doc_id": 11, "text": "unique snowflake content with zero overlap "
+                               "whatsoever in any shingle of any kind"},
+    ]
+    old = spark.createDataFrame([r for r in rows if r["doc_id"] < 10])
+    new = spark.createDataFrame([r for r in rows if r["doc_id"] >= 10])
+
+    # batch reference: incremental new-vs-old arm (md5 family)
+    narrow = minhash_band_index(old, hash_family="md5")
+    pairs, _ = incremental_near_dup(
+        narrow, old, new, threshold=0.5, hash_family="md5"
+    )
+    old_ids = {1, 2, 3}
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in pairs.collect()
+        if r.id_b in old_ids and r.id_a >= 10
+    }
+    assert any(a == 10 for a, _, _ in want)  # the dup must be found
+
+    idx = ops.near_dup_stream_index(old)
+
+    # batch-frame run of the SAME stateless stage
+    got_batch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ops.near_dup_stream(new, idx, threshold=0.5).collect()
+    }
+    assert got_batch == want
+
+    # real stream drain
+    d = tmp_path / "ndp_docs"
+    d.mkdir()
+    (d / "delta.ndjson").write_text(
+        "\n".join(json.dumps(r) for r in rows if r["doc_id"] >= 10) + "\n"
+    )
+    stream = sources.file_stream(
+        spark, str(d), format="json", schema="doc_id long, text string"
+    )
+    out = ops.near_dup_stream(stream, idx, threshold=0.5)
+    assert out.isStreaming
+    ops.run_append_available_now(out, str(tmp_path / "ck_ndp"), "ndp_out")
+    got_stream = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.sql("SELECT * FROM ndp_out").collect()
+    }
+    assert got_stream == want
+
+
+def test_near_dup_stream_validates_bands(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        ops.near_dup_stream_index(df, num_hashes=16, bands=5)
+    with pytest.raises(ValueError):
+        ops.near_dup_stream(df, df, num_hashes=16, bands=5)
