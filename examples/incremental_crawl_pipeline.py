@@ -16,12 +16,16 @@ training set and packs shards:
      survivors append to the corpus store, band rows to the index;
   3. ``delta_day2``  — same, against the UPDATED index — the induction
      step: state from day 1 must make day 2 exact;
-  4. ``dsir_select`` — fit DSIR on the curated target slice (driver-
+  4. ``live_lookup`` — r7: the LIVE-ingest twin — stream incoming docs
+     against a denormalized lookup index (``near_dup_stream``,
+     stateless, availableNow) so archive re-crawls flag before they
+     land in a delta;
+  5. ``dsir_select`` — fit DSIR on the curated target slice (driver-
      sized integer model), Gumbel-top-k importance-resample the live
      corpus to the training budget;
-  5. ``shards``      — content-addressed training shards + manifest.
+  6. ``shards``      — content-addressed training shards + manifest.
 
-Every step is a JobRunner command: re-running the script skips all five
+Every step is a JobRunner command: re-running the script skips all six
 via persisted job state (the reference's O3 idempotency semantics).
 
 Run:  python examples/incremental_crawl_pipeline.py [workdir] [sf_dir]
@@ -134,6 +138,46 @@ def main(workdir: str | None = None, sf_dir: str | None = None) -> int:
     d1 = jr.run_cmd("delta_day1", lambda _jr: run_delta(1))
     d2 = jr.run_cmd("delta_day2", lambda _jr: run_delta(2))
 
+    def live_lookup(_jr):
+        # r7: the LIVE-ingest twin — between batch delta runs, incoming
+        # docs stream against a denormalized lookup index (stateless:
+        # no watermark, no state store) and duplicates of the archive
+        # are flagged before they ever land in a delta.
+        from etl_tools_rs_spark.streaming.ops import (
+            near_dup_stream,
+            near_dup_stream_index,
+            run_append_available_now,
+        )
+        from etl_tools_rs_spark.streaming.sources import file_stream
+
+        live = spark.read.parquet(f"{work}/corpus")
+        lookup_idx = near_dup_stream_index(live, num_hashes=16, bands=4)
+        probe_dir = f"{work}/live_probe"
+        os.makedirs(probe_dir, exist_ok=True)
+        # two re-crawled archive docs (must flag) + one fresh doc
+        probes = [
+            {"doc_id": 90_000_001 + i, "text": r["text"]}
+            for i, r in enumerate(live.orderBy("doc_id").limit(2).collect())
+        ] + [{"doc_id": 90_000_009, "text": "entirely fresh never seen words"}]
+        with open(f"{probe_dir}/probe.ndjson", "w") as f:
+            f.write("\n".join(json.dumps(p) for p in probes) + "\n")
+        stream = file_stream(
+            spark, probe_dir, format="json",
+            schema="doc_id long, text string",
+        )
+        flagged = near_dup_stream(
+            stream, lookup_idx, num_hashes=16, bands=4, threshold=0.8
+        )
+        run_append_available_now(
+            flagged, f"{work}/ckpt_live", "crawl_live_hits"
+        )
+        hits = spark.table("crawl_live_hits")
+        n_flagged = hits.select("id_a").distinct().count()
+        assert n_flagged == 2, f"expected both re-crawls to flag, got {n_flagged}"
+        return n_flagged
+
+    n_live_flagged = jr.run_cmd("live_lookup", live_lookup)
+
     def dsir_select(_jr):
         live = spark.read.parquet(f"{work}/corpus")
         target = live.filter(F.col("lang") == "en")
@@ -163,6 +207,7 @@ def main(workdir: str | None = None, sf_dir: str | None = None) -> int:
                 "day0_docs": n_day0,
                 "day1": d1,
                 "day2": d2,
+                "live_flagged": n_live_flagged,
                 "selected": n_selected,
                 "sharded_rows": n_sharded,
                 "steps": {
