@@ -8104,7 +8104,12 @@ def streaming_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    idx = near_dup_stream_index(docs, num_hashes=16, bands=4)
+    # persist + materialize the static side: a lazy index plan would
+    # RECOMPUTE per micro-batch (the corpus minhash N times over) — in
+    # production the index is a written table, persist() is the gate's
+    # faithful stand-in
+    idx = near_dup_stream_index(docs, num_hashes=16, bands=4).persist()
+    idx.count()
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -8118,7 +8123,10 @@ def streaming_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, idx, num_hashes=16, bands=4, threshold=0.8
     )
     name = f"gate_ndp_{uuid.uuid4().hex[:8]}"
-    run_append_available_now(out, tempfile.mkdtemp(prefix="ckpt_"), name)
+    try:
+        run_append_available_now(out, tempfile.mkdtemp(prefix="ckpt_"), name)
+    finally:
+        idx.unpersist()
     return spark.table(name).orderBy("id_a", "id_b")
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -431,16 +433,18 @@ def near_dup_stream_index(
     equi-join co-locates; the width is the price of statelessness and
     is read back only for CANDIDATE rows (bucket equi-join prunes
     first)."""
-    from etl_tools_rs_spark.functions import minhash_over, ngrams
-    from etl_tools_rs_spark.operators.lsh_index import _band_bucket  # noqa: F401
+    from etl_tools_rs_spark.functions import ngrams
+    from etl_tools_rs_spark.operators.dedup import minhash_table
 
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rpb = num_hashes // bands
-    base = corpus.select(
-        F.col(id_col).alias("old_id"),
-        F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("old_shingles"),
-    ).withColumn("_sig", minhash_over(F.col("old_shingles"), num_hashes))
+    # aggregate-based signature (explode → groupBy MIN): codegen +
+    # map-side combine, and the _h columns land as PHYSICAL attributes —
+    # the HOF form would re-evaluate the whole signature expression once
+    # per band reference after projection collapse (measured 75s vs ~3s
+    # for the sf0.1 corpus)
+    sig = minhash_table(corpus, text_col, id_col, num_hashes, shingle_n, "md5")
     band_structs = F.array(
         *[
             F.struct(
@@ -449,7 +453,7 @@ def near_dup_stream_index(
                     F.concat_ws(
                         "|",
                         *[
-                            F.element_at("_sig", i + 1)
+                            F.col(f"_h{i}")
                             for i in range(b * rpb, (b + 1) * rpb)
                         ],
                     )
@@ -458,10 +462,17 @@ def near_dup_stream_index(
             for b in range(bands)
         ]
     )
+    sh = corpus.select(
+        F.col(id_col),
+        F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias(
+            "old_shingles"
+        ),
+    )
     return (
-        base.withColumn("old_bands", band_structs)
+        sig.select(F.col(id_col), band_structs.alias("old_bands"))
+        .join(sh, id_col)
         .select(
-            "old_id",
+            F.col(id_col).alias("old_id"),
             F.explode("old_bands").alias("_bb"),
             "old_bands",
             "old_shingles",
@@ -474,6 +485,45 @@ def near_dup_stream_index(
             "old_shingles",
         )
     )
+
+
+def _md5_band_udf(num_hashes: int, bands: int):
+    """Arrow-batched (shingle array → band array) for the STREAM side:
+    hashlib md5 is bit-identical to Spark's md5() on UTF-8 strings, and
+    the Python eval node MATERIALIZES its output, so the 16-hash
+    signature is computed exactly once per row — the pure-expression HOF
+    form re-evaluates it per band reference after projection collapse.
+    Zero-shingle docs return [] (dropped by the downstream explode, the
+    same contract as minhash_table's explode)."""
+    import hashlib
+
+    rpb = num_hashes // bands
+
+    @F.pandas_udf("array<struct<band:int,bucket:string>>")
+    def _bands(shingles: pd.Series) -> pd.Series:
+        def one(arr):
+            if arr is None or len(arr) == 0:
+                return []
+            sig = [
+                min(
+                    hashlib.md5(f"{i}:{s}".encode()).hexdigest()
+                    for s in arr
+                )
+                for i in range(num_hashes)
+            ]
+            return [
+                {
+                    "band": b,
+                    "bucket": hashlib.md5(
+                        "|".join(sig[b * rpb:(b + 1) * rpb]).encode()
+                    ).hexdigest(),
+                }
+                for b in range(bands)
+            ]
+
+        return shingles.map(one)
+
+    return _bands
 
 
 def near_dup_stream(
@@ -501,35 +551,20 @@ def near_dup_stream(
     verifies exact set-Jaccard row-locally from the two shingle arrays.
     No aggregation ⇒ append mode, no watermark, state-free; identical
     rows to the batch new-vs-old arm by construction."""
-    from etl_tools_rs_spark.functions import minhash_over, ngrams
+    from etl_tools_rs_spark.functions import ngrams
     from etl_tools_rs_spark.operators.dedup import shingle_jaccard
 
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rpb = num_hashes // bands
     base = stream_docs.select(
         F.col(id_col).alias("new_id"),
         F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("new_shingles"),
-    ).withColumn("_sig", minhash_over(F.col("new_shingles"), num_hashes))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at("_sig", i + 1)
-                            for i in range(b * rpb, (b + 1) * rpb)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
     )
     banded = (
-        base.withColumn("new_bands", band_structs)
+        base.withColumn(
+            "new_bands",
+            _md5_band_udf(num_hashes, bands)(F.col("new_shingles")),
+        )
         .select(
             "new_id",
             F.explode("new_bands").alias("_bb"),
