@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_tools_rs_spark.functions import tokens
-from etl_tools_rs_spark.operators.bpe import bpe_word_counts
+from etl_tools_rs_spark.operators.bpe import _JAVA_WS, bpe_word_counts
 
 CONT = "##"
 UNK = "[UNK]"
@@ -138,12 +138,15 @@ def wordpiece_train(
         # float-max tie class (superset of the exact argmax); bounded in
         # practice by score collisions — the limit is a runaway guard, and
         # the orderBy makes any cut deterministic
-        cand = (
-            scored.filter(F.col("score_f") >= mx * (1 - 1e-9))
-            .orderBy("l", "r")
-            .limit(100_000)
-            .collect()
-        )
+        tie_class = scored.filter(F.col("score_f") >= mx * (1 - 1e-9))
+        cand = tie_class.orderBy("l", "r").limit(100_000).collect()
+        if len(cand) == 100_000 and tie_class.count() > 100_000:
+            # the (l, r)-ordered cut could drop the true exact-quotient
+            # argmax — refuse rather than silently break determinism
+            raise RuntimeError(
+                "wordpiece_train: float-max tie class exceeds the 100k "
+                "collect guard; raise the cap or tighten the tolerance"
+            )
         best = min(
             cand,
             key=lambda row: (
@@ -223,7 +226,12 @@ def wordpiece_tokenize(
 
         def doc(t: str) -> list[str]:
             out: list[str] = []
-            for w in (t or "").lower().split():
+            # _JAVA_WS, not str.split(): Python splits on Unicode
+            # whitespace (U+00A0, U+2028, ...) which would diverge
+            # from the JVM tokens() stream the vocabulary was trained on
+            for w in _JAVA_WS.split((t or "").lower()):
+                if not w:
+                    continue
                 if w not in memo:
                     memo[w] = word_pieces(w)
                 out.extend(memo[w])

@@ -138,3 +138,26 @@ def test_train_validates_args(spark):
     df = spark.createDataFrame([("x",)], ["text"])
     with pytest.raises(ValueError):
         wordpiece_train(df, "text", num_merges=0)
+
+
+def test_tokenize_java_whitespace_parity(spark):
+    """ADVICE r7: the segmenter's word splitter must use JVM \\s+
+    semantics (_JAVA_WS), not Python str.split() — a NBSP-joined pair is
+    ONE word to tokens()/the oracle and must stay one word here."""
+    vocab = {"a", "b", "##b"}
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, " a  b ")],
+        ["i", "text"],
+    )
+    out = {
+        r.i: r.wp_tokens
+        for r in wordpiece_tokenize(df, vocab, "text").collect()
+    }
+    # NBSP / LS are NOT Java \s: the pair is a single word; with no
+    # multi-char pieces in vocab the greedy matcher emits a + ##b? no —
+    # 'a b' needs a piece for ' ' which is absent -> [UNK]
+    assert out[1] == [UNK]
+    assert out[3] == [UNK]
+    # real spaces (and leading/trailing runs) split exactly as tokens()
+    assert out[2] == ["a", "b"]
+    assert out[4] == ["a", "b"]

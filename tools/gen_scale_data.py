@@ -110,14 +110,21 @@ def main() -> int:
     offsets = {}
     for dom in needed_domains:
         tbl, col = DOMAIN_SOURCE[dom]
-        if tbl not in tables:
-            tbl, col = next(
-                (t, c)
+        if tbl in tables:
+            mx = tables[tbl].agg(F.max(col)).collect()[0][0]
+        else:
+            # canonical domain source excluded from the subset: the
+            # offset must clear the max over ALL selected FK columns on
+            # this domain, not just the first found — otherwise two
+            # tables sharing the domain can overlap across replicas
+            # (ADVICE r7) when the first table's max is the smaller one
+            mx = max(
+                tables[t].agg(F.max(c)).collect()[0][0]
                 for t, cols in keyed_tables.items()
                 for c, d in cols.items()
                 if d == dom
             )
-        offsets[dom] = tables[tbl].agg(F.max(col)).collect()[0][0] + 1
+        offsets[dom] = mx + 1
     print(f"# domains: {offsets}", file=sys.stderr)
 
     for name in copy_tables:
