@@ -203,7 +203,13 @@ def main() -> int:
     # contention; each isolated re-measurement was at or below historical
     # best. The isolated median replaces the sweep median either way: it is
     # the truer measurement of the plan.
-    candidates = _regressions_vs_history(timings, sf)
+    # A/B mode (tools/ab_bench.py, r8): history comparison + isolation
+    # re-runs OFF, so both sides of a paired run follow the identical
+    # protocol regardless of what their tree's history file contains
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY"):
+        candidates = {}
+    else:
+        candidates = _regressions_vs_history(timings, sf)
     if candidates:
         # isolation re-runs must not inherit the sweep JVM's accumulated
         # state (r7: a degraded shared JVM CONFIRMED false regressions)
@@ -220,7 +226,9 @@ def main() -> int:
         timings[name] = iso
 
     total = round(sum(timings.values()), 3)
-    if only:
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY"):
+        regressions = {}
+    elif only:
         # subset runs are local iteration aids — never recorded as history
         regressions = _regressions_vs_history(timings, sf)
     else:

@@ -187,6 +187,7 @@ def fuzzy_join(
     method: str = "auto",
     max_key_candidates: int | None = None,
     oversize_policy: str = "salt",
+    cap_observation=None,
 ) -> DataFrame:
     """Inner join of ``left`` × ``right`` on
     ``levenshtein(left_col, right_col) <= max_distance``, plus a
@@ -240,6 +241,17 @@ def fuzzy_join(
     strings share a shard by construction): run exact dedup first, or
     use ``"drop"``. Default ``None`` keeps the exact no-false-negative
     theorem. Costs two narrow count aggregates on the key stream.
+
+    ``cap_observation`` (r8, ADVICE r6): pass a
+    ``pyspark.sql.Observation`` to get INLINE cap metrics from the run
+    itself — a CollectMetrics node on the probe branch, zero extra jobs
+    (the r7 :func:`capped_key_report` stays the sampled hot-key log; it
+    re-executes the key-count stage out of band). After any action on
+    the result, ``observation.get`` returns ``salted_key_rows`` /
+    ``max_shards_per_side`` / ``probe_key_rows`` (salt policy) or
+    ``dropped_key_rows`` / ``probe_key_rows`` (drop policy); a zero
+    first metric ⇒ the cap never engaged and the exact theorem held.
+    Each call needs a FRESH Observation (Spark binds one per query).
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
@@ -301,7 +313,26 @@ def fuzzy_join(
         )
         if oversize_policy == "drop":
             hot = kk.filter(F.col("_prod") > max_key_candidates).select("_fk")
-            probe = probe.join(hot, "_fk", "left_anti")
+            if cap_observation is None:
+                probe = probe.join(hot, "_fk", "left_anti")
+            else:
+                # left-join + null-filter is the anti join with the hot
+                # flag kept long enough to count — same shuffle, and the
+                # CollectMetrics node rides the existing probe branch
+                probe = (
+                    probe.join(
+                        hot.withColumn("_hot", F.lit(True)), "_fk", "left"
+                    )
+                    .observe(
+                        cap_observation,
+                        F.sum(
+                            F.when(F.col("_hot"), 1).otherwise(0)
+                        ).alias("dropped_key_rows"),
+                        F.count(F.lit(1)).alias("probe_key_rows"),
+                    )
+                    .filter(F.col("_hot").isNull())
+                    .drop("_hot")
+                )
             index = index.join(hot, "_fk", "left_anti")
         else:
             # shards = ceil(sqrt(product/cap)) per side bounds that
@@ -325,7 +356,21 @@ def fuzzy_join(
                         F.greatest(F.coalesce(F.col("_sh"), F.lit(1)), F.lit(1)),
                     ).alias("s"),
                 ),
-            ).drop("_sh")
+            )
+            if cap_observation is not None:
+                # inline cap metric (zero extra jobs): key-rows whose key
+                # salt-split, i.e. where recall became sampling-bounded
+                probe = probe.observe(
+                    cap_observation,
+                    F.sum(
+                        F.when(F.col("_sh") >= 2, 1).otherwise(0)
+                    ).alias("salted_key_rows"),
+                    F.max(F.coalesce(F.col("_sh"), F.lit(1))).alias(
+                        "max_shards_per_side"
+                    ),
+                    F.count(F.lit(1)).alias("probe_key_rows"),
+                )
+            probe = probe.drop("_sh")
             index = index.join(shards, "_fk", "left").withColumn(
                 "_fk",
                 F.struct(
@@ -368,6 +413,7 @@ def fuzzy_self_pairs(
     max_key_candidates: int | None = None,
     oversize_policy: str = "salt",
     connectivity_only: bool = False,
+    cap_observation=None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs within ``max_distance`` edits — the
     near-duplicate-string view of one table. Returns
@@ -405,6 +451,7 @@ def fuzzy_self_pairs(
         "_sa", "_sb", max_distance, method=method,
         max_key_candidates=max_key_candidates,
         oversize_policy=oversize_policy,
+        cap_observation=cap_observation,
     ).filter(F.col("_sa") < F.col("_sb"))  # one row per unordered string pair
     if connectivity_only:
         anchors = vals.groupBy("_s").agg(F.min("_id").alias("_anchor"))
@@ -537,6 +584,7 @@ def dedup_fuzzy(
     max_distance: int = 2,
     max_iterations: int = 20,
     max_key_candidates: int | None = 250_000,
+    cap_observation=None,
 ) -> DataFrame:
     """Edit-distance dedup end to end: segment-blocked pair generation
     (:func:`fuzzy_self_pairs`) → connected components → keep one
@@ -572,8 +620,11 @@ def dedup_fuzzy(
     BEHAVIOR CHANGE NOTE (r6, for callers upgrading): the default moved
     from ``None`` (exact) to ``250_000``. On hot-key corpora, pairs that
     previously merged can now survive as separate rows. Whether/where
-    the cap engaged is observable via :func:`capped_key_report` on the
-    same inputs (empty report = exact semantics held).
+    the cap engaged is observable two ways: pass ``cap_observation``
+    (a fresh ``pyspark.sql.Observation``) for inline counts from the
+    run itself (r8 — ``salted_key_rows == 0`` ⇒ exact semantics held),
+    or run :func:`capped_key_report` on the same inputs for the sampled
+    hot-key log (empty report = exact semantics held).
     """
     from etl_tools_rs_spark.operators.dedup import connected_components
 
@@ -581,6 +632,7 @@ def dedup_fuzzy(
         df, col, id_col, max_distance,
         max_key_candidates=max_key_candidates,
         connectivity_only=True,
+        cap_observation=cap_observation,
     )
     comp = connected_components(pairs, "id_a", "id_b", max_iterations)
     # component sizes → n_merged for the representative (min id = group id)

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_tools_rs_spark.operators.sketch import kmv_hash
+
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product. Inputs are cast to double element-wise:
@@ -970,7 +972,9 @@ def semdedup(
     risk — AQE splits the shuffle, but a mega-cluster's matmul is one
     task. ``max_cluster_size`` bounds it (r4, same policy shape as
     ``dedup_minhash_lsh``'s ``max_bucket_size``): clusters over the cap
-    are split into ``ceil(n/cap)`` id-hashed shards and the pairwise
+    are split into ``ceil(n/cap)`` shards keyed by the portable
+    md5-family id hash (``kmv_hash`` mod shards, SQL-replayable — r8)
+    and the pairwise
     pass runs per shard. Trade-off is explicit and identical to the LSH
     salt-split — cross-shard pairs inside an oversize cluster are not
     compared, so a boilerplate mega-cluster keeps one representative
@@ -1009,9 +1013,12 @@ def semdedup(
         # the split is deterministic on any partitioning
         sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
         shards = F.ceil(F.col("_n") / F.lit(max_cluster_size)).cast("long")
+        # md5-family shard hash (kmv_hash), not xxhash64: portable, so
+        # the oracle SQL replays the split verbatim at any sf (r8 — the
+        # xxhash64 form made >cap corpora un-replayable in DuckDB)
         assigned = (
             assigned.join(F.broadcast(sizes), "cluster")
-            .withColumn("_shard", F.pmod(F.xxhash64(F.col("_id")), shards))
+            .withColumn("_shard", F.pmod(kmv_hash(F.col("_id")), shards))
             .drop("_n")
         )
     else:

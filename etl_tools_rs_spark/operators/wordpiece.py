@@ -15,7 +15,8 @@ Per round (all vocab-frame-sized jobs after the one corpus pass):
 3. join pairs to both symbol counts, float score prunes to the
    float-max tie class (>= max * (1 - 1e-9) — a provable superset of
    the exact-score argmax, since doubles order counts < 2^53 within
-   1e-15 relative), and the DRIVER picks the winner by the EXACT
+   1e-15 relative; fetched with max + guard as ONE TakeOrdered job per
+   round, r8), and the DRIVER picks the winner by the EXACT
    integer quotient ``q = n_ab * 10^24 // (n_a * n_b)`` with
    (q DESC, l ASC, r ASC) tie-break — unbounded Python ints here,
    HUGEINT in the DuckDB oracle replay, so training is deterministic
@@ -132,23 +133,41 @@ def wordpiece_train(
                 / (F.col("n_l").cast("double") * F.col("n_r").cast("double")),
             )
         )
-        mx = scored.agg(F.max("score_f")).collect()[0][0]
-        if mx is None:
-            break
-        # float-max tie class (superset of the exact argmax); bounded in
-        # practice by score collisions — the limit is a runaway guard, and
-        # the orderBy makes any cut deterministic
-        tie_class = scored.filter(F.col("score_f") >= mx * (1 - 1e-9))
-        cand = tie_class.orderBy("l", "r").limit(100_000).collect()
-        if len(cand) == 100_000 and tie_class.count() > 100_000:
-            # the (l, r)-ordered cut could drop the true exact-quotient
-            # argmax — refuse rather than silently break determinism
-            raise RuntimeError(
-                "wordpiece_train: float-max tie class exceeds the 100k "
-                "collect guard; raise the cap or tighten the tolerance"
+        # ONE action per round (r8; was a max() job + a tie-class collect
+        # + a guard count): in (score_f DESC, l, r) order the first row
+        # IS the float max and the float-max tie class is a prefix, so a
+        # single TakeOrdered collect yields max, tie class, and the cap
+        # guard together. Start small (the tie class is almost always a
+        # handful of score collisions) and escalate once if the prefix
+        # might be cut.
+        tie: list = []
+        lim = 1024
+        while True:
+            cand = (
+                scored.orderBy(F.col("score_f").desc(), "l", "r")
+                .limit(lim)
+                .collect()
             )
+            if not cand:
+                break
+            mx = cand[0].score_f
+            tie = [row for row in cand if row.score_f >= mx * (1 - 1e-9)]
+            if len(tie) < len(cand) or len(cand) < lim:
+                break  # the tie class ended inside the collected prefix
+            if lim >= 100_000:
+                # a >100k tie class could hide the true exact-quotient
+                # argmax past the cut — refuse rather than silently
+                # break determinism
+                raise RuntimeError(
+                    "wordpiece_train: float-max tie class exceeds the "
+                    "100k collect guard; raise the cap or tighten the "
+                    "tolerance"
+                )
+            lim = 100_000
+        if not tie:
+            break
         best = min(
-            cand,
+            tie,
             key=lambda row: (
                 -(row.n_ab * _Q_SCALE // (row.n_l * row.n_r)),
                 row.l,

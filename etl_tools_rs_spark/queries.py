@@ -6819,26 +6819,48 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_exact_oracle_sql(
-    n_clusters: int = 8, iterations: int = 3, threshold: float = 0.9
+    n_clusters: int = 8, iterations: int = 3, threshold: float = 0.9,
+    max_cluster_size: int | None = None, dim: int = 64,
 ) -> str:
     """SemDeDup oracle (r6): replay the exact-quantized k-means (shared
     `_kmeans_exact_cte`), then the within-cluster lower-id rule — each
     vector's max cosine to a lower-id cluster member, 6dp-rounded, the
     verdict a comparison of the ROUNDED value (as the operator does).
-    The per-cluster id-minimum carries NULL / FALSE. Re-trains from the
-    table: no embedded model. SCOPE (r7, per ADVICE): valid at any sf
-    where no cluster reaches the operator's ``max_cluster_size`` cap —
-    the oracle takes each max over the WHOLE cluster, while the capped
-    operator shard-splits oversize clusters (per-shard maxima). The gate
-    query asserts the sufficient condition (total rows ≤ cap) at run
-    time, so a future sf that could engage the cap fails LOUDLY with a
-    pointer here instead of as a spurious hash mismatch."""
+    The per-cluster (per-shard when capped) id-minimum carries NULL /
+    FALSE. Re-trains from the table: no embedded model.
+
+    r8 (closes ADVICE r7 / VERDICT task 2): ``max_cluster_size``
+    replicates the operator's oversize-cluster shard split — the shard
+    id is the SAME portable md5-family hash (``kmv_hash``, first 15 md5
+    hex chars as bigint) mod ``ceil(cluster_size / cap)`` on both
+    engines, so the oracle is valid at ANY sf, including ones where the
+    cap engages; the previous whole-cluster form needed a gate-time
+    rows<=cap assertion. Parity with the cap engaged is unit-pinned in
+    tests/test_fuzzy.py::TestSemdedup."""
+    if max_cluster_size is not None:
+        shard = f"""
+    sz AS (SELECT cell, COUNT(*) AS n FROM ca GROUP BY cell),
+    cs AS (
+      SELECT c.vec_id, c.cell,
+             CAST(concat('0x', substring(md5(CAST(c.vec_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT)
+               % CAST(CEIL(CAST(s.n AS DOUBLE)
+                           / {max_cluster_size}) AS BIGINT) AS shard
+      FROM ca c JOIN sz s USING (cell)
+    ),"""
+        join_on = "a.cell = b.cell AND a.shard = b.shard"
+        src = "cs"
+    else:
+        shard = """
+    cs AS (SELECT vec_id, cell FROM ca),"""
+        join_on = "a.cell = b.cell"
+        src = "cs"
     tail = f"""
-    ,
+    ,{shard}
     pair AS (
       SELECT b.vec_id AS vid,
              MAX(list_cosine_similarity(qa.v, qb.v)) AS mx
-      FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM {src} a JOIN {src} b ON {join_on} AND a.vec_id < b.vec_id
       JOIN qv qa ON qa.vec_id = a.vec_id
       JOIN qv qb ON qb.vec_id = b.vec_id
       GROUP BY b.vec_id
@@ -6846,13 +6868,13 @@ def _semdedup_exact_oracle_sql(
     SELECT c.vec_id, CAST(c.cell AS INT) AS cluster,
            ROUND(p.mx, 6) AS max_prior_sim,
            COALESCE(ROUND(p.mx, 6) >= {threshold}, FALSE) AS is_dup
-    FROM ca c LEFT JOIN pair p ON p.vid = c.vec_id
+    FROM {src} c LEFT JOIN pair p ON p.vid = c.vec_id
     ORDER BY c.vec_id
     """
-    return _kmeans_exact_cte(n_clusters, iterations) + tail
+    return _kmeans_exact_cte(n_clusters, iterations, dim) + tail
 
 
-@qdef("semdedup_embeddings", _semdedup_exact_oracle_sql())
+@qdef("semdedup_embeddings", _semdedup_exact_oracle_sql(max_cluster_size=4096))
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/similarity.py::semdedup,
     Abbas et al. 2023): k-means clusters + within-cluster lower-id
@@ -6863,9 +6885,11 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     every verdict from the raw table. Pairwise semantics additionally
     stay pinned against a naive within-cluster check in
     tests/test_fuzzy.py::TestSemdedup. ``max_cluster_size`` (r4) bounds
-    the per-task matmul: at gate scales no cluster reaches the cap so
-    verdicts are unchanged; at larger SFs a boilerplate mega-cluster
-    salt-splits instead of becoming one straggler task."""
+    the per-task matmul: a boilerplate mega-cluster salt-splits instead
+    of becoming one straggler task — and as of r8 the oracle replays
+    that md5-family shard split too, so this entry is valid at ANY sf
+    (the r7 rows<=cap gate assertion is gone; cap-engaged parity is
+    unit-pinned in tests/test_fuzzy.py::TestSemdedup)."""
     from etl_tools_rs_spark.operators.similarity import (
         kmeans_centroids_exact,
         quantize_vec,
@@ -6877,19 +6901,6 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_q6", quantize_vec(F.col("embedding"))
     )
     cap = 4096
-    # oracle-scope guard (see _semdedup_exact_oracle_sql): the whole-
-    # cluster oracle is only equivalent while the shard split can't
-    # engage; total rows ≤ cap is the cheap sufficient condition (one
-    # metadata-level count), and every gate sf satisfies it (sf0.1 has
-    # 2000 embeddings). A bigger gate sf must replicate the xxhash64
-    # shard split in the oracle SQL first.
-    n = emb.count()
-    if n > cap:
-        raise ValueError(
-            f"semdedup_embeddings gate oracle is scoped to <= {cap} rows "
-            f"(got {n}): the operator's max_cluster_size shard split is "
-            f"not replayed by the whole-cluster oracle SQL"
-        )
     centroids = kmeans_centroids_exact(emb, 8, "_q6", "vec_id", iterations=3)
     return semdedup(
         emb, "embedding", "vec_id", n_clusters=8, threshold=0.9,
@@ -7985,6 +7996,7 @@ def _incremental_near_dup_oracle_sql(
     offset: int = 20_000_000,
     evict_mod: int | None = None,
     new_vs_new: bool = True,
+    keep_pred: str | None = None,
 ) -> str:
     """incremental_near_dup_documents oracle (r5): the md5-family replay
     of the delta-vs-index pipeline — new-vs-old band candidates PLUS the
@@ -7993,10 +8005,16 @@ def _incremental_near_dup_oracle_sql(
     EVICTED-index variant: docs with ``doc_id % evict_mod == 0`` are
     removed from the indexed side (and excluded from the delta), exactly
     the remove_from_index gate query's shape — an evicted doc must never
-    surface as an id_b."""
+    surface as an id_b. ``keep_pred`` (r8) is the general form: an
+    arbitrary SQL predicate for which docs SURVIVE on the indexed side
+    (the expire_index retention-window entry passes the ts-derivation
+    predicate here)."""
     rpb = num_hashes // bands
     cut = int(fraction * (1 << 60))
-    keep = f"doc_id % {evict_mod} <> 0" if evict_mod else "TRUE"
+    if keep_pred is not None:
+        keep = keep_pred
+    else:
+        keep = f"doc_id % {evict_mod} <> 0" if evict_mod else "TRUE"
     mins = ",\n             ".join(
         f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(num_hashes)
     )
@@ -8199,6 +8217,61 @@ def index_eviction_near_dup_documents(
     )
     pairs, _ = incremental_near_dup(
         evicted_idx, surviving, new, threshold=0.8, num_hashes=16, bands=8,
+        hash_family="md5",
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@qdef(
+    "index_expiry_near_dup_documents",
+    _incremental_near_dup_oracle_sql(keep_pred="doc_id % 30 >= 10"),
+)
+def index_expiry_near_dup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TTL EXPIRY + incremental add composed — the crawl-freshness
+    lifecycle (operators/lsh_index.py::expire_index, r8; VERDICT r7 #7:
+    eviction got a gate entry in r7, the retention-window half didn't):
+    each document carries a synthetic crawl date (``doc_id % 30`` days
+    after 2026-01-01 — deterministic, SQL-replayable), the retention
+    sweep expires everything crawled before day 10 (one pruned corpus
+    scan derives the ids, one broadcast anti-join evicts their band
+    rows — no rebuild), and today's delta then scores against the
+    expired index. The oracle rebuilds the surviving corpus's index
+    from scratch in the md5 family, so the value match proves
+    index-after-expiry == rebuilt-from-scratch THROUGH the composed
+    add; the same law plus interleaved add/expire induction is pinned
+    in tests/test_lsh_index.py."""
+    import datetime
+
+    from etl_tools_rs_spark.operators.lsh_index import (
+        expire_index,
+        incremental_near_dup,
+        minhash_band_index,
+    )
+    from etl_tools_rs_spark.operators.sample import hash_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].withColumn(
+        "crawl_date",
+        F.date_add(
+            F.lit("2026-01-01").cast("date"),
+            (F.col("doc_id") % 30).cast("int"),
+        ),
+    )
+    cutoff = datetime.date(2026, 1, 11)  # days 0-9 expire, 10-29 survive
+    idx = minhash_band_index(docs, num_hashes=16, bands=8, hash_family="md5")
+    expired_idx, _expired = expire_index(
+        idx, docs, cutoff, ts_col="crawl_date"
+    )
+    surviving = docs.filter(F.col("crawl_date") >= F.lit(cutoff)).select(
+        "doc_id", "text"
+    )
+    new = hash_sample(surviving, "doc_id", 0.1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    pairs, _ = incremental_near_dup(
+        expired_idx, surviving, new, threshold=0.8, num_hashes=16, bands=8,
         hash_family="md5",
     )
     return pairs.orderBy("id_a", "id_b")

@@ -16,6 +16,10 @@ training set and packs shards:
      survivors append to the corpus store, band rows to the index;
   3. ``delta_day2``  — same, against the UPDATED index — the induction
      step: state from day 1 must make day 2 exact;
+  3b. ``retention``  — r8: the freshness sweep — docs crawled before
+     the retention cutoff leave BOTH stores (``expire_index`` derives
+     the expired ids from the corpus store's crawl dates and evicts
+     their band rows with one broadcast anti-join — no rebuild);
   4. ``live_lookup`` — r7: the LIVE-ingest twin — stream incoming docs
      against a denormalized lookup index (``near_dup_stream``,
      stateless, availableNow) so archive re-crawls flag before they
@@ -72,7 +76,16 @@ def main(workdir: str | None = None, sf_dir: str | None = None) -> int:
         "example-7", "incremental-crawl", SimpleStore(f"{work}/state"),
         max_errors=0, stop_on_error=True,
     )
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        # synthetic crawl date (the documents table has no timestamp):
+        # deterministic per doc, spread over a 30-day window so the
+        # retention sweep has a real age distribution to cut
+        "crawl_date",
+        F.date_add(
+            F.lit("2026-01-01").cast("date"),
+            (F.col("doc_id") % 30).cast("int"),
+        ),
+    )
     # three "days" of crawl: ids are globally unique and disjoint by
     # construction (the incremental contract — a re-crawl is a new id)
     day = F.col("doc_id") % 3
@@ -137,6 +150,42 @@ def main(workdir: str | None = None, sf_dir: str | None = None) -> int:
 
     d1 = jr.run_cmd("delta_day1", lambda _jr: run_delta(1))
     d2 = jr.run_cmd("delta_day2", lambda _jr: run_delta(2))
+
+    def retention(_jr):
+        # r8: the freshness sweep — everything crawled before the cutoff
+        # leaves both stores. expire_index derives the expired ids from
+        # the CORPUS store (one pruned scan; at scale the predicate
+        # pushes into the store's date partitioning) and evicts their
+        # band rows via one broadcast anti-join — no rebuild, no corpus
+        # re-shingle. NOTE the store asymmetry: band rows of dup docs
+        # that were never KEPT stay in the index until their own ids
+        # are swept (the index remembers what was seen, the corpus only
+        # what was kept).
+        from etl_tools_rs_spark.operators.lsh_index import expire_index
+
+        corpus = spark.read.parquet(f"{work}/corpus")
+        index = spark.read.parquet(f"{work}/index")
+        cutoff = "2026-01-06"  # keep the trailing 25 crawl days
+        new_index, expired = expire_index(
+            index, corpus, F.lit(cutoff).cast("date"), ts_col="crawl_date"
+        )
+        n_expired = expired.count()
+        survivors = corpus.join(expired, "doc_id", "left_anti")
+        # materialize BOTH derived outputs before swapping either store:
+        # new_index's and survivors' lineage reads the current corpus
+        # files, so an in-place overwrite must come only after every
+        # dependent write has committed
+        new_index.write.mode("overwrite").parquet(f"{work}/index_next")
+        survivors.write.mode("overwrite").parquet(f"{work}/corpus_next")
+        spark.read.parquet(f"{work}/index_next").write.mode(
+            "overwrite"
+        ).parquet(f"{work}/index")
+        spark.read.parquet(f"{work}/corpus_next").write.mode(
+            "overwrite"
+        ).parquet(f"{work}/corpus")
+        return {"expired": n_expired}
+
+    ret = jr.run_cmd("retention", retention)
 
     def live_lookup(_jr):
         # r7: the LIVE-ingest twin — between batch delta runs, incoming
@@ -207,6 +256,7 @@ def main(workdir: str | None = None, sf_dir: str | None = None) -> int:
                 "day0_docs": n_day0,
                 "day1": d1,
                 "day2": d2,
+                "retention": ret,
                 "live_flagged": n_live_flagged,
                 "selected": n_selected,
                 "sharded_rows": n_sharded,

@@ -127,8 +127,21 @@ def test_incremental_crawl_pipeline_end_to_end(spark, tmp_path, capsys):
     assert mod.main(str(tmp_path)) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["day0_docs"] > 0 and out["day1"]["kept"] > 0
+    assert out["retention"]["expired"] > 0  # r8: the freshness sweep cut
     assert out["sharded_rows"] == out["selected"]
     assert set(out["steps"].values()) == {"Complete"}
+    # r8: after the retention sweep, no band row may reference a corpus
+    # doc older than the cutoff, and every KEPT corpus doc still has its
+    # band rows (the index-store consistency the sweep promises)
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert corpus.filter(F.col("crawl_date") < F.lit("2026-01-06")).count() == 0
+    n_missing = (
+        corpus.select("doc_id")
+        .join(index.select("doc_id").distinct(), "doc_id", "left_anti")
+        .count()
+    )
+    assert n_missing == 0
 
     # induction: replay both deltas' pair sets from the persisted state
     # law — batch rebuild over ALL docs, restricted to pairs touching a

@@ -410,9 +410,11 @@ class TestSemdedup:
         assert 1 < len(keepers) <= n_shards
         # the per-task bound itself: recompute the shard assignment with
         # the same expression and pin the max group size well under n
+        from etl_tools_rs_spark.operators.sketch import kmv_hash
+
         sizes = (
             base.select(
-                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards)).alias("s")
+                F.pmod(kmv_hash(F.col("vec_id")), F.lit(n_shards)).alias("s")
             )
             .groupBy("s")
             .count()
@@ -440,6 +442,89 @@ class TestSemdedup:
             assert (a.cluster, a.max_prior_sim, a.is_dup) == (
                 b.cluster, b.max_prior_sim, b.is_dup
             ), k
+
+    def test_oracle_parity_with_cap_engaged(self, spark):
+        """VERDICT r7 task #2 done-bar: run the gate-entry pipeline on a
+        corpus whose clusters EXCEED max_cluster_size and show the DuckDB
+        oracle (with the md5-family shard split replicated in SQL) agrees
+        with the operator verdict-for-verdict — the r7 whole-cluster
+        oracle would have spuriously failed here."""
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            ArrayType,
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from etl_tools_rs_spark.operators.similarity import (
+            kmeans_centroids_exact,
+            quantize_vec,
+            semdedup,
+        )
+        from etl_tools_rs_spark.queries import _semdedup_exact_oracle_sql
+
+        rng = random.Random(19)
+        dim, n, cap = 4, 60, 8
+        # two far-apart blobs with heavy within-blob correlation so both
+        # k-means cells land well over the cap and near-dups exist
+        rows = []
+        for i in range(n):
+            center = [5.0, 0, 0, 0] if i % 2 == 0 else [0, 5.0, 0, 0]
+            rows.append(
+                (i, [c + rng.uniform(-1, 1) for c in center])
+            )
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+        df = spark.createDataFrame(rows, schema)
+        emb = df.withColumn("_q6", quantize_vec(F.col("embedding")))
+        centroids = kmeans_centroids_exact(
+            emb, 2, "_q6", "vec_id", iterations=2
+        )
+        out = semdedup(
+            emb, "embedding", "vec_id", n_clusters=2, threshold=0.9,
+            max_cluster_size=cap,
+            centroids=[[float(c) for c in row] for row in centroids],
+            assign_vec="_q6",
+        ).collect()
+        # the split must actually engage
+        from collections import Counter
+
+        sizes = Counter(r.cluster for r in out)
+        assert max(sizes.values()) > cap
+        # per-shard keepers: strictly more than one keeper per cluster
+        keepers = Counter(r.cluster for r in out if not r.is_dup)
+        assert any(v > 1 for v in keepers.values())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+        # feed DuckDB the float32-rounded values Spark actually holds
+        con.executemany(
+            "INSERT INTO embeddings VALUES (?, ?)",
+            [(r.vec_id, list(r.embedding)) for r in df.collect()],
+        )
+        sql = _semdedup_exact_oracle_sql(
+            n_clusters=2, iterations=2, threshold=0.9,
+            max_cluster_size=cap, dim=dim,
+        )
+        duck = {r[0]: r for r in con.execute(sql).fetchall()}
+        assert set(duck) == {r.vec_id for r in out}
+        for r in sorted(out, key=lambda r: r.vec_id):
+            d = duck[r.vec_id]
+            assert r.cluster == d[1], r.vec_id
+            if r.max_prior_sim is None:
+                assert d[2] is None, r.vec_id
+            else:
+                assert abs(r.max_prior_sim - d[2]) < 1e-9, r.vec_id
+            assert bool(r.is_dup) == bool(d[3]), r.vec_id
 
 
 class TestConnectivityOnly:
@@ -583,3 +668,78 @@ def test_capped_key_report_observability(spark):
         "lw", "rw", max_distance=1, max_key_candidates=250_000,
     )
     assert rep2.count() == 0
+
+
+def test_inline_cap_observation_salt_fires_on_hot_corpus(spark):
+    """r8 (ADVICE r6 / VERDICT r7 #5): the cap metric must fire FROM THE
+    RUN ITSELF (zero extra jobs) — salted_key_rows > 0 on a hot-key
+    corpus, with pairs still a subset of the exact answer."""
+    from pyspark.sql import Observation
+
+    # 60 DISTINCT strings all sharing deletion-variant key "ab" (the
+    # distinct-collapse can't cool this corpus): occupancy 60x60 >> cap
+    hot = spark.createDataFrame(
+        [(i, f"{chr(33 + i)}ab") for i in range(60)], "wid long, w string"
+    )
+    obs = Observation("cap")
+    out = fuzzy.fuzzy_self_pairs(
+        hot, "w", "wid", max_distance=1, max_key_candidates=10,
+        cap_observation=obs,
+    )
+    out.collect()
+    got = obs.get
+    assert got["salted_key_rows"] > 0
+    assert got["max_shards_per_side"] >= 2
+    assert got["probe_key_rows"] >= got["salted_key_rows"]
+
+
+def test_inline_cap_observation_zero_on_gate_corpus(spark):
+    """On the real gate corpus (sf0.001 customer names, the
+    fuzzy_name_pairs_capped entry's inputs and cap) the metric must read
+    ZERO — the exact no-false-negative theorem held."""
+    import os
+
+    from pyspark.sql import Observation
+
+    path = "/root/testdata/sf0.001/customer.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("gate testdata not present")
+    cust = spark.read.parquet(path).select("c_custkey", "c_name")
+    obs = Observation("cap-gate")
+    out = fuzzy.fuzzy_self_pairs(
+        cust, "c_name", "c_custkey", max_distance=1,
+        max_key_candidates=250_000, cap_observation=obs,
+    )
+    out.count()
+    got = obs.get
+    assert got["salted_key_rows"] == 0
+    assert got["max_shards_per_side"] == 1
+
+
+def test_inline_cap_observation_drop_counts_dropped_rows(spark):
+    """Drop policy: dropped_key_rows counts the hot-key rows removed,
+    and the observed plan's answer equals the unobserved one."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(i, f"bb{i % 2}") for i in range(20)]
+        + [(100 + i, f"word-{i:03d}") for i in range(5)],
+        "wid long, w string",
+    )
+    obs = Observation("cap-drop")
+    observed = fuzzy.fuzzy_self_pairs(
+        df, "w", "wid", max_distance=1, max_key_candidates=5,
+        oversize_policy="drop", cap_observation=obs,
+    )
+    plain = fuzzy.fuzzy_self_pairs(
+        df, "w", "wid", max_distance=1, max_key_candidates=5,
+        oversize_policy="drop",
+    )
+    got_rows = sorted((r.id_a, r.id_b, r.distance) for r in observed.collect())
+    assert got_rows == sorted(
+        (r.id_a, r.id_b, r.distance) for r in plain.collect()
+    )
+    got = obs.get
+    assert got["dropped_key_rows"] > 0

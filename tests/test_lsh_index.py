@@ -216,6 +216,56 @@ class TestIndexEviction:
             map(key, rebuilt.collect())
         )
 
+    def test_expiry_then_add_composes_to_rebuild(self, spark):
+        """r8 (VERDICT r7 #7): the crawl-freshness lifecycle — expire a
+        retention window, then ingest today's delta — must leave the
+        index identical to a from-scratch build of (surviving ∪ delta),
+        and post-expiry scoring must never surface an expired id."""
+        import datetime as dt
+
+        from etl_tools_rs_spark.operators.lsh_index import expire_index
+
+        t0 = dt.datetime(2024, 1, 1)
+        corpus = spark.createDataFrame(
+            [
+                (i, f"shared crawl words plus marker {i % 3} end",
+                 t0 + dt.timedelta(days=i))
+                for i in range(8)
+            ],
+            ["doc_id", "text", "ts"],
+        )
+        delta = spark.createDataFrame(
+            [
+                (21, "shared crawl words plus marker 1 end"),  # dup family
+                (22, "totally unrelated delta content nothing shared"),
+            ],
+            ["doc_id", "text"],
+        )
+        cutoff = t0 + dt.timedelta(days=4)  # days 0-3 expire
+        idx = minhash_band_index(corpus, **KW)
+        expired_idx, expired = expire_index(idx, corpus, cutoff)
+        assert {r["doc_id"] for r in expired.collect()} == {0, 1, 2, 3}
+        surviving = corpus.filter(F.col("ts") >= cutoff).select(
+            "doc_id", "text"
+        )
+        pairs, idx_after = incremental_near_dup(
+            expired_idx, surviving, delta, threshold=0.5, **KW
+        )
+        rebuilt = minhash_band_index(
+            surviving.unionAll(delta), **KW
+        )
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+        assert sorted(map(key, idx_after.collect())) == sorted(
+            map(key, rebuilt.collect())
+        )
+        hits = pairs.collect()
+        assert {i for r in hits for i in (r["id_a"], r["id_b"])}.isdisjoint(
+            {0, 1, 2, 3}
+        )
+        # delta doc 21's dup family members 4 and 7 (marker 1) survived —
+        # at least one must surface as an old-side match
+        assert any(r["id_b"] in (4, 7) for r in hits)
+
     def test_composes_with_rtbf_cascade(self, spark, frames):
         """privacy.propagate_deletes → remove_from_index: the cascade's
         per-table deleted-key frame feeds eviction directly, so an RTBF

@@ -966,3 +966,215 @@ def test_readability_matches_python_mirror(spark, docs):
     }
     expected = {i: _py_readability(t) for i, t in enumerate(docs)}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# r8 (VERDICT r7 #6): aligned-hash near-dup matchers (video/audio) vs
+# naive all-pairs references on random synthetic AVIs/WAVs with
+# perturbed twins, across cadence/gain sweeps.
+
+
+def _naive_aligned_pairs(fp_by_id, max_hamming, min_overlap):
+    """All-pairs frame-aligned matching: shared frame_idx slots within
+    max_hamming bits, overlap vs the shorter side, 6dp round."""
+    out = {}
+    ids = sorted(fp_by_id)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            fa, fb = fp_by_id[a], fp_by_id[b]
+            if not fa or not fb:
+                continue
+            matched = sum(
+                1
+                for idx, ha in fa.items()
+                if idx in fb
+                and bin(int(ha, 16) ^ int(fb[idx], 16)).count("1")
+                <= max_hamming
+            )
+            if not matched:
+                continue
+            overlap = round(matched / min(len(fa), len(fb)), 6)
+            if overlap >= min_overlap:
+                out[(a, b)] = (matched, overlap)
+    return out
+
+
+def _test_avi(gray_frames):
+    """Minimal uncompressed AVI from top-down 8x8 grayscale byte
+    frames (independent of the engine's builders): DIB rows written
+    bottom-up, 25 fps (40000 us/frame)."""
+    import struct
+
+    w = h = 8
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    frames = []
+    for fr in gray_frames:
+        rows = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            for c in range(w):
+                s = fr[r][c]
+                rows += bytes([s, s, s])
+            rows += b"\x00" * (stride - w * 3)
+        frames.append(bytes(rows))
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 40000, 0, 0, 0, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    payload = (
+        b"AVI "
+        + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+        + chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames))
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _shade(seed, i, p):
+    x = (seed << 16) + (i << 8) + p
+    x = (x * 2654435761) & 0xFFFFFFFF
+    x ^= x >> 15
+    x = (x * 1103515245) & 0xFFFFFFFF
+    return (x >> 16) % 256
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=2, max_size=3, unique=True),
+    st.integers(4, 9),
+    st.sampled_from([40, 80, 120]),  # cadence sweep vs the 40 ms frame
+)
+@settings(**SETTINGS)
+def test_video_near_dup_matches_naive(spark, seeds, n_frames, every_ms):
+    """video_near_dup == a from-scratch Python reference (independent
+    cadence sampling, aHash, all-pairs aligned matching) on random AVIs
+    plus a 2-pixel-perturbed twin of the first video — banding must
+    lose nothing at any cadence, and the twin must always pair."""
+    from etl_tools_rs_spark.operators.multimodal import video_near_dup
+
+    videos = {}
+    for v, seed in enumerate(seeds):
+        videos[v] = [
+            [[_shade(seed, i, r * 8 + c) for c in range(8)] for r in range(8)]
+            for i in range(n_frames)
+        ]
+    # twin of video 0: +32 on two pixels of every frame
+    twin_id = 100
+    videos[twin_id] = [
+        [
+            [
+                (px + 32) % 256 if (r * 8 + c) in (5, 42) else px
+                for c, px in enumerate(row)
+            ]
+            for r, row in enumerate(frame)
+        ]
+        for frame in videos[0]
+    ]
+
+    # naive reference: cadence sampling + aHash from the pixel arrays
+    def sampled_hashes(frames):
+        fp = {}
+        next_target = 0
+        for idx, fr in enumerate(frames):
+            ts = idx * 40000 // 1000
+            if ts < next_target:
+                continue
+            next_target = ts + every_ms
+            cells = [
+                (s + s + s) / (3.0 * 255.0) for row in fr for s in row
+            ]
+            mean = sum(cells) / 64.0
+            bits = 0
+            for v in cells:
+                bits = (bits << 1) | (1 if v > mean else 0)
+            fp[idx] = format(bits, "016x")
+        return fp
+
+    want = _naive_aligned_pairs(
+        {v: sampled_hashes(f) for v, f in videos.items()},
+        max_hamming=6,
+        min_overlap=0.5,
+    )
+    df = spark.createDataFrame(
+        [(v, bytearray(_test_avi(f))) for v, f in videos.items()],
+        "media_id long, content binary",
+    )
+    got = {
+        (r.video_a, r.video_b): (r.matched_frames, r.overlap)
+        for r in video_near_dup(
+            df, every_ms=every_ms, grid=(8, 8), max_hamming=6,
+            min_overlap=0.5,
+        ).collect()
+    }
+    assert got == want
+    # the perturbed twin always pairs (2 flipped pixels + the rare
+    # mean-crosser stay within the 6-bit budget on ≥ half the slots)
+    assert (0, twin_id) in got
+
+
+@given(
+    st.lists(st.integers(0, 39), min_size=2, max_size=3, unique=True),
+    st.sampled_from([0.4, 0.7, 1.2]),  # gain sweep (peaks stay < 1.0)
+)
+@settings(**SETTINGS)
+def test_audio_near_dup_matches_naive(spark, seeds, gain):
+    """audio_near_dup == naive all-pairs matching over independently
+    computed Haitsma-Kalker fingerprints on random tone mixtures plus a
+    re-mastered (gain-scaled) twin of the first clip — the matcher must
+    find exactly the naive pair set at any gain, and the twin must
+    always pair at full overlap (sign-of-delta gain invariance)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from etl_tools_rs_spark.operators.multimodal import (
+        audio_fingerprint_frames,
+        audio_near_dup,
+    )
+
+    rate = 8000
+
+    def clip(seed):
+        t = np.arange(rate) / rate
+        x = np.zeros_like(t)
+        for k in range(3):
+            f = 400.0 + ((seed * 37 + k * 53) % 40) * 80.0
+            env = 1.0 + 0.5 * np.sin(2 * np.pi * (2.0 + k) * t)
+            x += env * np.sin(2 * np.pi * f * t) / 3.0
+        return x / 2.0
+
+    def wav(x):
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    clips = {i: wav(clip(s)) for i, s in enumerate(seeds)}
+    clips[100] = wav(gain * clip(seeds[0]))  # re-mastered twin
+    fp_by_id = {
+        i: dict(enumerate(audio_fingerprint_frames(c, 64, 32)))
+        for i, c in clips.items()
+    }
+    want = _naive_aligned_pairs(fp_by_id, max_hamming=4, min_overlap=0.6)
+    df = spark.createDataFrame(
+        [(i, bytearray(c)) for i, c in clips.items()],
+        "media_id long, content binary",
+    )
+    got = {
+        (r.clip_a, r.clip_b): (r.matched_frames, r.overlap)
+        for r in audio_near_dup(
+            df, frame_ms=64, n_bands=32, max_hamming=4, min_overlap=0.6
+        ).collect()
+    }
+    assert got == want
+    # the re-mastered twin always pairs (≥ min_overlap); int16
+    # re-quantization may flip the odd leakage-band delta bit, so full
+    # 1.0 overlap is typical but not asserted
+    assert (0, 100) in got
