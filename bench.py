@@ -120,11 +120,15 @@ def main() -> int:
         "busy_frac_1m": round(load1 / ncpu, 3),
     }
 
-    # Host-SPEED probe (r7): a fixed single-task JVM workload, timed warm
-    # (second of two runs). The r6→r7 box swap showed identical code
-    # reading 1.5-2× slower on a slower host — loadavg can't see clock/
-    # generation differences, so cross-round totals normalize by the
-    # ratio of cpu_probe_sec instead of being read raw.
+    # Host-SPEED probe (r7) — RETIRED as a normalizer (r8, VERDICT r7
+    # #1): the probe is single-core burst speed, while query time is
+    # dominated by all-core/memory-bandwidth behavior it cannot see. In
+    # the r8 paired A/B the probe read ~constant (0.22-0.24s) while the
+    # SAME side's totals swung ±20% trial-to-trial, and r7's two final
+    # sweeps totaled the same at probes 0.23 vs 0.77. It stays recorded
+    # as telemetry only; cross-round totals on different hosts/days are
+    # NOT comparable — the only valid cross-round comparator is the
+    # interleaved paired A/B (tools/ab_bench.py).
     def cpu_probe() -> float:
         expr = "sum(id * id % 7)"
         spark.range(50_000_000, numPartitions=1).selectExpr(expr).collect()

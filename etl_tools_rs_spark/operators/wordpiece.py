@@ -39,7 +39,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_tools_rs_spark.functions import tokens
 from etl_tools_rs_spark.operators.bpe import _JAVA_WS, bpe_word_counts
 
 CONT = "##"
@@ -82,10 +81,21 @@ def _wp_merge_fold(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _wp_initial_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus-sized pass: word histogram → initial symbol
+    arrays, lazily checkpointed so training rounds (and the alphabet
+    derivation in :func:`wordpiece_vocab`) all reuse one
+    materialization."""
+    return bpe_word_counts(df, text_col).select(
+        _wp_syms(F.col("word")).alias("syms"), "freq"
+    ).localCheckpoint(eager=False)
+
+
 def wordpiece_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
+    _vocab: DataFrame | None = None,
 ) -> list[tuple[str, str, int, int]]:
     """Learn ``num_merges`` WordPiece merge rules; returns
     ``[(left, right, pair_freq, score_q6), …]`` in merge order, where
@@ -93,10 +103,7 @@ def wordpiece_train(
     exact integer-floored likelihood-gain score."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges!r}")
-    vocab = bpe_word_counts(df, text_col).select(
-        _wp_syms(F.col("word")).alias("syms"), "freq"
-    )
-    vocab = vocab.localCheckpoint(eager=False)
+    vocab = _vocab if _vocab is not None else _wp_initial_vocab(df, text_col)
     merges: list[tuple[str, str, int, int]] = []
     for _ in range(num_merges):
         n = F.size(F.col("syms"))
@@ -188,13 +195,15 @@ def wordpiece_vocab(
     num_merges: int = 8,
 ) -> tuple[set[str], list[tuple[str, str, int, int]]]:
     """Vocabulary = initial alphabet pieces (plain first chars +
-    ``##``-continuations) + each merge's produced piece."""
-    merges = wordpiece_train(df, text_col, num_merges)
+    ``##``-continuations) + each merge's produced piece.
+
+    r8: the alphabet derives from the SAME checkpointed initial vocab
+    frame training starts from (vocab-sized explode) instead of a
+    second full corpus tokenization — one corpus pass total."""
+    v0 = _wp_initial_vocab(df, text_col)
+    merges = wordpiece_train(df, text_col, num_merges, _vocab=v0)
     alpha = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
-        .select(F.explode(_wp_syms(F.col("word"))).alias("s"))
-        .distinct()
-        .collect()
+        v0.select(F.explode("syms").alias("s")).distinct().collect()
     )
     vocab = {r.s for r in alpha}
     for l, r, _, _ in merges:

@@ -90,6 +90,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "index_eviction_near_dup_documents": {
         "broadcast_above_generate": "same O(delta) contract as incremental_near_dup_documents (the query IS incremental_near_dup run against the evicted index): delta band rows (plan-constant ×bands fan-out) broadcast against the persisted index; the eviction itself is a broadcast LEFT ANTI of the tiny removal-id set — both broadcasts are the delta side by contract",
     },
+    "index_expiry_near_dup_documents": {
+        "broadcast_above_generate": "the TTL twin of index_eviction_near_dup_documents (r8, lsh_index.py::expire_index then incremental_near_dup): identical O(delta) contract — the expired-id set (one pruned corpus scan) broadcasts into the LEFT ANTI eviction, and the delta band rows broadcast against the expired index; both broadcast sides are delta-sized by the lifecycle's definition",
+    },
     "nb_lang_classifier_documents": {
         "bnl_join": "label fan-out: tokens crossJoin the BROADCAST per-label stats frame, |labels| rows by construction (a small closed set — ml.py::nb_score's documented contract); the count-model join that follows is a plain shuffled equi-join on (tok, label)",
     },
