@@ -211,6 +211,14 @@ def main() -> int:
     # re-runs OFF, so both sides of a paired run follow the identical
     # protocol regardless of what their tree's history file contains
     if os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY"):
+        # loud so a leaked env var can't silently drop a round's history
+        # entry (ADVICE r8)
+        print(
+            "# A/B mode (SPARK_GRAFT_BENCH_NO_HISTORY set): history "
+            "comparison, isolation re-runs, and BENCH_HISTORY.json "
+            "recording are DISABLED for this run",
+            file=sys.stderr,
+        )
         candidates = {}
     else:
         candidates = _regressions_vs_history(timings, sf)

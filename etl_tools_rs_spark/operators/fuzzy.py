@@ -250,8 +250,13 @@ def fuzzy_join(
     the result, ``observation.get`` returns ``salted_key_rows`` /
     ``max_shards_per_side`` / ``probe_key_rows`` (salt policy) or
     ``dropped_key_rows`` / ``probe_key_rows`` (drop policy); a zero
-    first metric ⇒ the cap never engaged and the exact theorem held.
+    first metric ⇒ the cap never engaged and the exact theorem held
+    (the aggregates are coalesced to literal 0, never NULL — ADVICE r8).
     Each call needs a FRESH Observation (Spark binds one per query).
+    Caveat: on an EMPTY input the optimizer's empty-relation propagation
+    eliminates the CollectMetrics node itself, so the observation never
+    fires and ``observation.get`` raises — guard degenerate empty inputs
+    at the caller before reading the metrics.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
@@ -325,8 +330,13 @@ def fuzzy_join(
                     )
                     .observe(
                         cap_observation,
-                        F.sum(
-                            F.when(F.col("_hot"), 1).otherwise(0)
+                        # coalesce: sum over an EMPTY probe branch is
+                        # NULL, which would break callers' `== 0` check
+                        # on the documented zero-means-never-engaged
+                        # contract (ADVICE r8)
+                        F.coalesce(
+                            F.sum(F.when(F.col("_hot"), 1).otherwise(0)),
+                            F.lit(0),
                         ).alias("dropped_key_rows"),
                         F.count(F.lit(1)).alias("probe_key_rows"),
                     )
@@ -362,12 +372,18 @@ def fuzzy_join(
                 # salt-split, i.e. where recall became sampling-bounded
                 probe = probe.observe(
                     cap_observation,
-                    F.sum(
-                        F.when(F.col("_sh") >= 2, 1).otherwise(0)
+                    # coalesce both aggregates: over an EMPTY probe
+                    # branch sum/max are NULL, which would break the
+                    # documented zero-means-never-engaged `== 0` check
+                    # (ADVICE r8)
+                    F.coalesce(
+                        F.sum(F.when(F.col("_sh") >= 2, 1).otherwise(0)),
+                        F.lit(0),
                     ).alias("salted_key_rows"),
-                    F.max(F.coalesce(F.col("_sh"), F.lit(1))).alias(
-                        "max_shards_per_side"
-                    ),
+                    F.coalesce(
+                        F.max(F.coalesce(F.col("_sh"), F.lit(1))),
+                        F.lit(0),
+                    ).alias("max_shards_per_side"),
                     F.count(F.lit(1)).alias("probe_key_rows"),
                 )
             probe = probe.drop("_sh")

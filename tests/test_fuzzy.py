@@ -743,3 +743,51 @@ def test_inline_cap_observation_drop_counts_dropped_rows(spark):
     )
     got = obs.get
     assert got["dropped_key_rows"] > 0
+
+
+def test_inline_cap_observation_zero_not_null_on_no_hot_keys(spark):
+    """r9 (ADVICE r8): the documented contract is 'zero first metric =>
+    the cap never engaged' — when probe rows exist but NO key is hot the
+    observed sums must read exactly 0 (coalesced), never NULL, for both
+    policies."""
+    from pyspark.sql import Observation
+
+    cold = spark.createDataFrame(
+        [(i, f"word-{i:04d}x") for i in range(12)], "wid long, w string"
+    )
+    obs_salt = Observation("cap-cold-salt")
+    fuzzy.fuzzy_self_pairs(
+        cold, "w", "wid", max_distance=1, max_key_candidates=250_000,
+        cap_observation=obs_salt,
+    ).collect()
+    got = obs_salt.get
+    assert got["salted_key_rows"] == 0 and got["salted_key_rows"] is not None
+    assert got["max_shards_per_side"] == 1
+    assert got["probe_key_rows"] > 0
+
+    obs_drop = Observation("cap-cold-drop")
+    fuzzy.fuzzy_self_pairs(
+        cold, "w", "wid", max_distance=1, max_key_candidates=250_000,
+        oversize_policy="drop", cap_observation=obs_drop,
+    ).collect()
+    got = obs_drop.get
+    assert got["dropped_key_rows"] == 0 and got["dropped_key_rows"] is not None
+    assert got["probe_key_rows"] > 0
+
+
+def test_inline_cap_observation_empty_input_is_caller_guarded(spark):
+    """On an EMPTY input Spark's empty-relation propagation eliminates
+    the CollectMetrics node, so the observation never fires: the RESULT
+    is still correct (empty), but reading the metrics raises — the
+    documented caller-guard caveat."""
+    from pyspark.sql import Observation
+
+    empty = spark.createDataFrame([], "wid long, w string")
+    obs = Observation("cap-empty")
+    out = fuzzy.fuzzy_self_pairs(
+        empty, "w", "wid", max_distance=1, max_key_candidates=10,
+        cap_observation=obs,
+    )
+    assert out.collect() == []
+    with pytest.raises(Exception):
+        obs.get

@@ -192,6 +192,55 @@ class TestIndexEviction:
             r["id_b"] not in (1, 11) for r in pairs2.collect()
         )
 
+    def test_autosized_removal_join_both_arms(self, spark, frames):
+        """r9 (VERDICT r8 #4): the default auto-sizes the anti-join —
+        broadcast when the removal set fits ``broadcast_max_ids``,
+        shuffled anti above it — and BOTH arms produce the identical
+        evicted index. Plan pin: the small arm shows a broadcast
+        exchange; the big arm must NOT (a 100 TB retention sweep that
+        expires half the corpus cannot be driver-collected)."""
+        from etl_tools_rs_spark.operators.lsh_index import remove_from_index
+
+        old, _ = frames
+        idx = minhash_band_index(old, **KW)
+        removed = old.filter(F.col("doc_id").isin(1, 3)).select("doc_id")
+        key = lambda r: (r["doc_id"], r["band"], r["bucket"])  # noqa: E731
+
+        small = remove_from_index(idx, removed)  # auto: 2 <= default cap
+        big = remove_from_index(idx, removed, broadcast_max_ids=1)  # auto: over
+        assert sorted(map(key, small.collect())) == sorted(
+            map(key, big.collect())
+        )
+        small_plan = small._jdf.queryExecution().executedPlan().toString()
+        big_plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in small_plan
+        assert "BroadcastExchange" not in big_plan
+        # the shuffle arm still builds on the (smaller) removal side
+        assert "ShuffledHashJoin" in big_plan
+
+    def test_explicit_broadcast_flag_skips_the_count_job(self, spark, frames):
+        """broadcast_removals=True/False must not run the sizing count:
+        the arm is chosen eagerly and the plan stays action-free."""
+        from unittest.mock import patch
+
+        from etl_tools_rs_spark.operators.lsh_index import remove_from_index
+
+        old, _ = frames
+        idx = minhash_band_index(old, **KW)
+        removed = old.filter(F.col("doc_id").isin(1,)).select("doc_id")
+        with patch(
+            "pyspark.sql.DataFrame.count",
+            side_effect=AssertionError("sizing count ran under explicit flag"),
+        ):
+            forced_b = remove_from_index(idx, removed, broadcast_removals=True)
+            forced_s = remove_from_index(idx, removed, broadcast_removals=False)
+        assert "BroadcastExchange" in (
+            forced_b._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in (
+            forced_s._jdf.queryExecution().executedPlan().toString()
+        )
+
     def test_expire_index_by_timestamp(self, spark):
         import datetime as dt
 

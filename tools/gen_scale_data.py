@@ -118,12 +118,25 @@ def main() -> int:
             # this domain, not just the first found — otherwise two
             # tables sharing the domain can overlap across replicas
             # (ADVICE r7) when the first table's max is the smaller one
-            mx = max(
-                tables[t].agg(F.max(c)).collect()[0][0]
-                for t, cols in keyed_tables.items()
-                for c, d in cols.items()
-                if d == dom
-            )
+            # skip None maxes (empty table / all-NULL FK column) so one
+            # degenerate table can't TypeError the whole offset pass
+            # (ADVICE r8); fail loudly only when NO candidate has a value
+            maxes = [
+                m
+                for m in (
+                    tables[t].agg(F.max(c)).collect()[0][0]
+                    for t, cols in keyed_tables.items()
+                    for c, d in cols.items()
+                    if d == dom
+                )
+                if m is not None
+            ]
+            if not maxes:
+                raise ValueError(
+                    f"domain {dom!r}: every selected FK column is empty/NULL;"
+                    " cannot derive a replica offset"
+                )
+            mx = max(maxes)
         offsets[dom] = mx + 1
     print(f"# domains: {offsets}", file=sys.stderr)
 
