@@ -29,6 +29,7 @@ from etl_tools_rs_spark.functions import (
     token_count,
     tokens,
 )
+from etl_tools_rs_spark import oracle_fixtures_sf0_1 as _fix01
 from etl_tools_rs_spark.operators import dedup as dedup_ops
 from etl_tools_rs_spark.operators import multimodal as mm_ops
 from etl_tools_rs_spark.operators import similarity as sim_ops
@@ -54,14 +55,28 @@ class QueryDef:
     # instead of reporting a spurious hash FAIL. None = valid at any sf
     # (the oracle re-derives everything from the raw tables).
     oracle_sf: str | None = None
+    # r9 (VERDICT r8 #3): additional per-sf oracle variants — the SAME
+    # query with its artifact re-authored at another sf (e.g. the
+    # sf0.1-trained word→pieces map). The local gate picks
+    # oracle_by_sf[sf] when the sf doesn't match oracle_sf, restoring a
+    # full value check instead of rows-only; the driver's oracle_sql()
+    # keeps returning the default (gate-sf) oracle.
+    oracle_by_sf: dict[str, str] | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def qdef(name: str, oracle: str | None, oracle_sf: str | None = None):
+def qdef(
+    name: str,
+    oracle: str | None,
+    oracle_sf: str | None = None,
+    oracle_by_sf: dict[str, str] | None = None,
+):
     def wrap(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, oracle_sf=oracle_sf)
+        REGISTRY[name] = QueryDef(
+            fn=fn, oracle=oracle, oracle_sf=oracle_sf, oracle_by_sf=oracle_by_sf
+        )
         return fn
 
     return wrap
@@ -2406,19 +2421,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_fast_oracle_sql(threshold: float = 0.5) -> str:
+def _minhash_fast_oracle_sql(
+    threshold: float = 0.5, bands: list | None = None
+) -> str:
     """dedup_minhash_lsh_fast oracle (r7): DuckDB has no xxhash64, so the
     band-bucket table — the ONLY engine-specific stage — is an authored
     fixture (oracle_fixtures.MINHASH_FAST_BANDS_SF001, generated by
     tools/author_minhash_fast_fixture.py from the sf0.01 corpus and
     cross-checked against the portable md5 family at authoring); the
     candidate self-join and the exact distinct-shingle Jaccard verify
-    replay in SQL on top of it. sf0.01-scoped like the tokenizer maps."""
-    from etl_tools_rs_spark.oracle_fixtures import MINHASH_FAST_BANDS_SF001
+    replay in SQL on top of it. sf0.01-scoped like the tokenizer maps;
+    r9: ``bands`` selects a re-authored per-sf fixture (oracle_by_sf)."""
+    if bands is None:
+        from etl_tools_rs_spark.oracle_fixtures import MINHASH_FAST_BANDS_SF001
 
+        bands = MINHASH_FAST_BANDS_SF001
     vals = ",\n      ".join(
-        f"({d}, {b0}, {b1}, {b2}, {b3})"
-        for d, b0, b1, b2, b3 in MINHASH_FAST_BANDS_SF001
+        f"({d}, {b0}, {b1}, {b2}, {b3})" for d, b0, b1, b2, b3 in bands
     )
     band_rows = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, CAST(b{b} AS BIGINT) AS bucket FROM bands0"
@@ -2437,7 +2456,16 @@ def _minhash_fast_oracle_sql(threshold: float = 0.5) -> str:
     """
 
 
-@qdef("dedup_minhash_lsh_fast", _minhash_fast_oracle_sql(), oracle_sf="0.01")
+@qdef(
+    "dedup_minhash_lsh_fast",
+    _minhash_fast_oracle_sql(),
+    oracle_sf="0.01",
+    oracle_by_sf={
+        "0.1": _minhash_fast_oracle_sql(
+            bands=_fix01.MINHASH_FAST_BANDS_SF0_1
+        )
+    },
+)
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The xxhash64-family scale path of dedup_minhash_lsh (native long
     hashes, no string signatures through the shuffle). Converted
@@ -7280,19 +7308,31 @@ def _word_pieces_oracle_sql(mapping: dict, arr_col: str, extras: str) -> str:
     """
 
 
+_TOKENIZE_COUNT_EXTRAS = (
+    ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
+    " AS BIGINT) AS n_tokens"
+    ",\n           CAST(len(list_distinct(COALESCE(g.tk,"
+    " CAST([] AS VARCHAR[])))) AS BIGINT) AS n_unique"
+)
+
+
 @qdef(
     "bpe_tokenize_documents",
     oracle_sf="0.01",  # word→pieces map authored from the sf0.01-trained merges
     oracle=_word_pieces_oracle_sql(
-        _BPE_WORD_TOKENS,
-        "bpe_tokens",
-        extras=(
-            ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
-            " AS BIGINT) AS n_tokens"
-            ",\n           CAST(len(list_distinct(COALESCE(g.tk,"
-            " CAST([] AS VARCHAR[])))) AS BIGINT) AS n_unique"
-        ),
+        _BPE_WORD_TOKENS, "bpe_tokens", extras=_TOKENIZE_COUNT_EXTRAS
     ),
+    # r9 (VERDICT r8 #3): sf0.1 map re-authored from the pure-python
+    # reference trainer (tools/author_sf_oracles.py) — the sf0.1-trained
+    # merges genuinely differ (e.g. 'join' → j|o|in</w> vs sf0.01's), so
+    # the old map was not portable; now both gate sfs value-check.
+    oracle_by_sf={
+        "0.1": _word_pieces_oracle_sql(
+            _fix01.BPE_WORD_TOKENS_SF0_1,
+            "bpe_tokens",
+            extras=_TOKENIZE_COUNT_EXTRAS,
+        )
+    },
 )
 def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a trained merge table with the Arrow-batched segmenter
@@ -7366,15 +7406,17 @@ _WP_WORD_PIECES = {
     "wordpiece_tokenize_documents",
     oracle_sf="0.01",  # word→pieces map authored from the sf0.01-trained vocab
     oracle=_word_pieces_oracle_sql(
-        _WP_WORD_PIECES,
-        "wp_tokens",
-        extras=(
-            ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
-            " AS BIGINT) AS n_tokens"
-            ",\n           CAST(len(list_distinct(COALESCE(g.tk,"
-            " CAST([] AS VARCHAR[])))) AS BIGINT) AS n_unique"
-        ),
+        _WP_WORD_PIECES, "wp_tokens", extras=_TOKENIZE_COUNT_EXTRAS
     ),
+    # r9: sf0.1 map from the pure-python reference trainer + BERT greedy
+    # segmenter (tools/author_sf_oracles.py)
+    oracle_by_sf={
+        "0.1": _word_pieces_oracle_sql(
+            _fix01.WP_WORD_PIECES_SF0_1,
+            "wp_tokens",
+            extras=_TOKENIZE_COUNT_EXTRAS,
+        )
+    },
 )
 def wordpiece_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece segmentation with the trained
@@ -10458,6 +10500,23 @@ _UNIGRAM_CFG = dict(
 )
 
 
+def _unigram_vocab_oracle_sql(vocab: list[tuple[str, float, int]]) -> str:
+    """VALUES oracle for an authored unigram vocabulary (r9: the sf0.1
+    variant from the pure-python reference trainer; repr round-trips
+    the logprob doubles bit-for-bit, same policy as the sf0.01
+    hand-embedded literal below)."""
+    vals = ",\n      ".join(
+        f"('{p}', {lp!r}, {c})" for p, lp, c in vocab
+    )
+    return f"""
+    SELECT piece, CAST(logprob AS DOUBLE) AS logprob,
+           CAST(usage AS BIGINT) AS usage FROM (VALUES
+      {vals}
+    ) AS t(piece, logprob, usage)
+    ORDER BY usage DESC, piece
+    """
+
+
 @qdef(
     "unigram_vocab_documents",
     # oracle_sf="0.01" (passed below): authored vocab literals (sf0.01)
@@ -10517,6 +10576,11 @@ _UNIGRAM_CFG = dict(
     ORDER BY usage DESC, piece
     """,
     oracle_sf="0.01",
+    # r9: sf0.1 vocabulary from the pure-python reference trainer
+    # (tools/author_sf_oracles.py)
+    oracle_by_sf={
+        "0.1": _unigram_vocab_oracle_sql(_fix01.UNIGRAM_VOCAB_SF0_1)
+    },
 )
 def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM vocabulary (operators/unigram.py::
@@ -10539,17 +10603,25 @@ def unigram_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNI_PIECES_EXTRAS = (
+    ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
+    " AS BIGINT) AS n_pieces"
+)
+
+
 @qdef(
     "unigram_tokenize_documents",
     oracle_sf="0.01",  # word→pieces map authored from the sf0.01-trained vocab
     oracle=_word_pieces_oracle_sql(
-        _UNI_WORD_PIECES,
-        "pieces",
-        extras=(
-            ",\n           CAST(len(COALESCE(g.tk, CAST([] AS VARCHAR[])))"
-            " AS BIGINT) AS n_pieces"
-        ),
+        _UNI_WORD_PIECES, "pieces", extras=_UNI_PIECES_EXTRAS
     ),
+    # r9: sf0.1 map from the pure-python reference trainer + Viterbi
+    # segmenter (tools/author_sf_oracles.py)
+    oracle_by_sf={
+        "0.1": _word_pieces_oracle_sql(
+            _fix01.UNI_WORD_PIECES_SF0_1, "pieces", extras=_UNI_PIECES_EXTRAS
+        )
+    },
 )
 def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the unigram LM then Viterbi-segment every document
@@ -10843,15 +10915,18 @@ _PCA_COMPS = [
 ]
 
 
-def _pca_project_oracle_sql() -> str:
+def _pca_project_oracle_sql(mean=None, comps=None) -> str:
     """DuckDB replay of the k=4 projection: per component, the same
     left-associative fold Spark's ``aggregate`` runs - 0.0 + SUM_j
     (embedding[j] - mean_j)*comp_j - rounded to 6dp on BOTH engines
-    (raw doubles differ ~1e-17: DuckDB fuses the multiply-adds)."""
+    (raw doubles differ ~1e-17: DuckDB fuses the multiply-adds).
+    r9: ``mean``/``comps`` select a re-authored per-sf model."""
+    mean = _PCA_MEAN if mean is None else mean
+    comps = _PCA_COMPS if comps is None else comps
     arms = []
-    for comp in _PCA_COMPS:
+    for comp in comps:
         terms = " + ".join(
-            f"(CAST(embedding[{j + 1}] AS DOUBLE) - {_PCA_MEAN[j]!r})"
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - {mean[j]!r})"
             f" * {c!r}"
             for j, c in enumerate(comp)
         )
@@ -10862,7 +10937,18 @@ def _pca_project_oracle_sql() -> str:
     )
 
 
-@qdef("pca_project_embeddings", _pca_project_oracle_sql(), oracle_sf="0.01")
+@qdef(
+    "pca_project_embeddings",
+    _pca_project_oracle_sql(),
+    oracle_sf="0.01",
+    # r9: sf0.1 model re-derived by the numpy replay of pca_fit_exact's
+    # integer-moment law (tools/author_sf_oracles.py)
+    oracle_by_sf={
+        "0.1": _pca_project_oracle_sql(
+            _fix01.PCA_MEAN_SF0_1, _fix01.PCA_COMPS_SF0_1
+        )
+    },
+)
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction (operators/similarity.py::
     pca_fit_exact/pca_project): per-Arrow-batch EXACT integer moment

@@ -85,19 +85,29 @@ def main() -> int:
             results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         scope = REGISTRY[name].oracle_sf if name in REGISTRY else None
+        oracle_sql = oracles[name]
+        oracle_variant = None
         if scope is not None and scope != sf_label:
-            print(
-                f"ROWS  {name}: {len(srows)} rows (oracle authored at "
-                f"sf{scope}, out of scope here) [{time.time()-t0:.1f}s]"
-            )
-            results[name] = {
-                "status": "rows_only_out_of_scope",
-                "oracle_sf": scope,
-                "spark_rows": len(srows),
-            }
-            continue
+            # r9 (VERDICT r8 #3): a re-authored artifact for THIS sf
+            # restores the full value check; out-of-scope only when no
+            # per-sf variant exists either
+            by_sf = REGISTRY[name].oracle_by_sf or {}
+            if sf_label in by_sf:
+                oracle_sql = by_sf[sf_label]
+                oracle_variant = sf_label
+            else:
+                print(
+                    f"ROWS  {name}: {len(srows)} rows (oracle authored at "
+                    f"sf{scope}, out of scope here) [{time.time()-t0:.1f}s]"
+                )
+                results[name] = {
+                    "status": "rows_only_out_of_scope",
+                    "oracle_sf": scope,
+                    "spark_rows": len(srows),
+                }
+                continue
         try:
-            res = con.execute(oracles[name])
+            res = con.execute(oracle_sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
@@ -130,12 +140,21 @@ def main() -> int:
                 "err": "; ".join(problems),
             }
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            tag = (
+                f" (sf{oracle_variant}-authored oracle variant)"
+                if oracle_variant
+                else ""
+            )
+            print(
+                f"OK    {name}: {len(srows)} rows{tag} [{time.time()-t0:.1f}s]"
+            )
             results[name] = {
                 "status": "ok",
                 "spark_rows": len(srows),
                 "oracle_rows": len(drows),
             }
+            if oracle_variant:
+                results[name]["oracle_variant_sf"] = oracle_variant
     out_path = os.environ.get("SPARK_GRAFT_GATE_OUT")
     if out_path and not only:
         with open(out_path, "w") as f:
