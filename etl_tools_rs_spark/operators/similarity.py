@@ -114,6 +114,51 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_probe_buckets(
+    vec: Column, planes: list[list[float]], num_probes: int
+) -> Column:
+    """Main bucket plus ``num_probes`` multi-probe buckets (Lv et al.,
+    VLDB'07): flip the sign bit of the j-th smallest |margin| plane for
+    j = 1..num_probes — the planes the vector sits closest to are
+    exactly the bits most likely to differ from a true neighbor's
+    bucket, so probing those neighboring buckets buys back the recall
+    that extra TABLES otherwise pay for with corpus replication. Pure
+    JVM expressions: per-plane dots once, |margin|-sorted plane indices
+    via ``sort_array`` on (|d|, i) structs, bucket XOR (1<<i) per probe.
+    Returns an array of distinct bucket ids (main bucket first)."""
+    dots = [
+        dot(vec, F.array(*[F.lit(float(x)) for x in p])) for p in planes
+    ]
+    bucket = F.lit(0).cast("long")
+    for i, d in enumerate(dots):
+        bucket = bucket + F.when(
+            d > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0))
+    if num_probes <= 0:
+        return F.array(bucket)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("m"), F.lit(i).cast("int").alias("i")
+                )
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    probes = [bucket]
+    for j in range(min(num_probes, len(planes))):
+        flip_bit = F.element_at(ranked, j + 1)["i"]
+        # shiftleft needs a literal shift; pow(2, i) is exact in double
+        # for i < 53 and num_planes is far below that
+        probes.append(
+            bucket.bitwiseXOR(
+                F.pow(F.lit(2.0), flip_bit).cast("long")
+            )
+        )
+    return F.array(*probes)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,6 +171,7 @@ def knn_lsh(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    num_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket(s).
 
@@ -139,8 +185,16 @@ def knn_lsh(
     replicate ×num_tables, the scale knob AQE handles like any explode;
     duplicate candidate pairs collapse in the same aggregate that scores
     them. Exact cosine rescoring inside the union.
-    """
-    c_hashes, q_hashes = [], []
+
+    ``num_probes`` (r9, VERDICT r8 #5): multi-probe on the QUERY side —
+    each query additionally probes the buckets reached by flipping its
+    j-th-weakest sign bits (:func:`lsh_probe_buckets`). Probes multiply
+    only the small broadcast side (queries × tables × (1+probes) rows);
+    the CORPUS side still replicates ×num_tables only — so at 100 TB,
+    trading tables for probes directly shrinks the dominant corpus
+    explode. ``num_probes=0`` reproduces the historical output
+    bit-for-bit."""
+    c_hashes, q_probe_arrays = [], []
     for t in range(num_tables):
         # table 0 uses `seed` exactly → num_tables=1 reproduces the
         # historical single-table output bit-for-bit
@@ -151,21 +205,32 @@ def knn_lsh(
                 lsh_bucket(F.col(corpus_vec), planes).alias("b"),
             )
         )
-        q_hashes.append(
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket(F.col(query_vec), planes).alias("b"),
+        def _tagged(planes_t: list[list[float]], t_idx: int) -> Column:
+            # single-arg lambda: F.transform treats a 2-arg callable as
+            # (element, index), which would shadow the table id
+            return F.transform(
+                lsh_probe_buckets(F.col(query_vec), planes_t, num_probes),
+                lambda b: F.struct(
+                    F.lit(t_idx).alias("t"), b.alias("b")
+                ),
             )
-        )
+
+        q_probe_arrays.append(_tagged(planes, t))
+    q_hashes = [F.explode(F.flatten(F.array(*q_probe_arrays))).alias("_tb")]
     c = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(corpus_vec).alias("_cv"),
         F.explode(F.array(*c_hashes)).alias("_tb"),
     )
+    # within a table the 1+p probe buckets are distinct by construction
+    # (each flips a different bit of the main bucket) and tables are
+    # keyed apart by t, so no (qid, tb) duplicates need removing; a pair
+    # reached via several probes collapses in the same max() aggregate
+    # that dedups multi-table hits
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(query_vec).alias("_qv"),
-        F.explode(F.array(*q_hashes)).alias("_tb"),
+        q_hashes[0],
     )
     scored = (
         c.join(F.broadcast(q), "_tb")

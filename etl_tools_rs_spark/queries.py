@@ -2784,37 +2784,75 @@ def _knn_lsh_oracle_sql(
     k: int = 10,
     dim: int = 64,
     num_planes: int = 4,
-    num_tables: int = 16,
+    num_tables: int = 6,
     seed: int = 42,
+    num_probes: int = 3,
 ) -> str:
-    """knn_cosine_lsh oracle (r5): every table's hyperplanes are seeded
-    driver-side literals, so the oracle embeds all 16×4 of them, computes
-    the 16 bucket columns per vector, takes candidates as any-table
-    bucket equality, and reranks with exact cosine — the full multi-table
-    approximate retrieval path under the value gate."""
+    """knn_cosine_lsh oracle (r5; r9 multi-probe): every table's
+    hyperplanes are seeded driver-side literals, so the oracle embeds
+    all of them, computes per-table dot columns once, derives the bucket
+    columns, and — for the query side — the allowed probe XOR set per
+    table: ``[0] ++ 2^i`` for the ``num_probes`` planes with the
+    smallest (|margin|, i), exactly `similarity.lsh_probe_buckets`'s
+    flip order (DuckDB struct list_sort is the same (m, i)-ascending
+    comparison as Spark's sort_array). A candidate matches when any
+    table's ``xor(q.b, c.b)`` is in that set; exact cosine reranks —
+    the full multi-probe retrieval path under the value gate."""
     from etl_tools_rs_spark.operators.similarity import _hyperplanes
 
-    cols = []
+    dot_cols, bucket_cols, flip_cols, match_arms = [], [], [], []
     for t in range(num_tables):
         planes = _hyperplanes(dim, num_planes, seed + 7919 * t)
-        terms = " + ".join(
-            "(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
-            "THEN {bit} ELSE 0 END)".format(
-                lits=", ".join(repr(float(x)) for x in p), bit=1 << i
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in p)
+            dot_cols.append(f"list_dot_product(v, [{lits}]) AS d{t}_{i}")
+        bucket_cols.append(
+            " + ".join(
+                f"(CASE WHEN d{t}_{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+                "ELSE 0 END)"
+                for i in range(num_planes)
             )
-            for i, p in enumerate(planes)
+            + f" AS b{t}"
         )
-        cols.append(f"{terms} AS b{t}")
-    bucket_cols = ",\n             ".join(cols)
-    any_tb = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+        if num_probes > 0:
+            margins = ", ".join(
+                f"{{'m': abs(d{t}_{i}), 'i': {i}}}"
+                for i in range(num_planes)
+            )
+            flip_cols.append(
+                "[CAST(0 AS BIGINT)] || list_transform("
+                f"list_sort([{margins}])[1:{min(num_probes, num_planes)}], "
+                "s -> CAST(pow(2, s.i) AS BIGINT)) AS f" + str(t)
+            )
+            match_arms.append(
+                f"list_contains(q.f{t}, xor(q.b{t}, c.b{t}))"
+            )
+        else:
+            match_arms.append(f"q.b{t} = c.b{t}")
+    d_cols = ",\n             ".join(dot_cols)
+    b_cols = ",\n             ".join(bucket_cols)
+    q_extra = (
+        ",\n             " + ",\n             ".join(flip_cols)
+        if flip_cols
+        else ""
+    )
+    any_tb = " OR ".join(match_arms)
     return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, v,
+             {d_cols}
+      FROM e
     ), b AS (
       SELECT vec_id, v,
-             {bucket_cols}
-      FROM e
-    ), qb AS (SELECT * FROM b WHERE vec_id < 5),
+             {b_cols}
+      FROM d
+    ), qb AS (
+      SELECT b.vec_id, b.v,
+             {", ".join(f"b.b{t}" for t in range(num_tables))}{q_extra}
+      FROM b JOIN d USING (vec_id) WHERE b.vec_id < 5
+    ),
     s AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
              list_cosine_similarity(q.v, c.v) AS sim
@@ -2833,23 +2871,23 @@ def _knn_lsh_oracle_sql(
 
 @qdef("knn_cosine_lsh", _knn_lsh_oracle_sql())
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH ANN (operators/similarity.py::knn_lsh). 16
-    tables × 4 planes (r4 retune): ONE table at 8 planes measured
-    recall@10 = 0.10 on the gate embeddings — sign LSH needs table union
-    for recall; this config measures 0.82 (pinned ≥ 0.7 in
-    tests/test_ann_recall.py). At corpus scale, raise num_planes with
-    log2(n) to keep buckets ~constant and tables buy recall back — the
-    knobs trade work for recall explicitly. Converted from rows-only to
-    value-checked (r5): seeded hyperplanes are plan literals, so the
-    oracle embeds all 64 of them and replays bucket → multi-table
-    candidate union → exact rerank end to end.
-
-    Gate-cost note (r7): shrinking this entry was MEASURED and refused —
-    12 tables recall 0.70 (the pin floor, no margin), 10 tables 0.62,
-    8 tables 0.42, and slicing the corpus invalidates the recall
-    measurement itself (brute searches the full corpus). The ~8s at
-    sf0.1 pays for the documented recall mechanism; the regression
-    budget came out of dedup_token_jaccard's slice instead."""
+    """Multi-table multi-probe sign-LSH ANN (operators/similarity.py::
+    knn_lsh). r9 retune (VERDICT r8 #5): 6 tables × 4 planes × 3
+    query-side probes, replacing r4's 16 tables × 4 planes. Probing the
+    3 weakest-margin bit-flip buckets per table (Lv et al. VLDB'07)
+    buys recall on the SMALL broadcast side instead of replicating the
+    corpus: measured recall@10 1.00 on the registry query set / 0.95 on
+    a 10-query superset (16-table config: 0.82/0.91), at 9.8s vs 17.4s
+    in the side-by-side sf0.1 experiment (tools/lsh_probe_experiment.py,
+    SCALE_COMPARE_r09.md) — and the corpus explode drops 16× → 6×, the
+    term that dominates at 100 TB. Pinned ≥ 0.7 in
+    tests/test_ann_recall.py; probe flip order property-pinned there
+    against an independent python replay. At corpus scale, raise
+    num_planes with log2(n) to keep buckets ~constant; tables and
+    probes buy recall back — probes are the cheaper knob. The oracle
+    embeds all 24 seeded hyperplanes and replays dots → buckets →
+    probe-XOR sets → candidate union → exact rerank end to end
+    (r5 value-conversion, extended to probes in r9)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     queries = (
         t["embeddings"]
@@ -2858,7 +2896,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim_ops.knn_lsh(
         corpus=t["embeddings"], queries=queries, k=10, dim=64,
-        num_planes=4, num_tables=16, query_id="query_id",
+        num_planes=4, num_tables=6, num_probes=3, query_id="query_id",
     )
 
 
@@ -3991,17 +4029,42 @@ def fuzzy_name_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped path end to end (capped pairs ⊆ exact pairs by construction —
     the bounded-recall degrade only engages on mega-buckets, which is the
     point: the uncapped form is super-linear on 450k near-identical
-    zero-padded IDs at sf3 while this one stays bounded)."""
+    zero-padded IDs at sf3 while this one stays bounded).
+
+    r9 (VERDICT r8 #7): the run OBSERVES its own cap metrics and the
+    gate asserts ``salted_key_rows == 0`` on every run — the exact
+    no-false-negative theorem (capped == uncapped on this corpus) is
+    now a continuously-checked invariant of the very execution the
+    oracle hash-matches, not just a unit-tested property. The nonzero
+    (cap-engaged) arm is pinned on a hot corpus in tests/test_fuzzy.py;
+    the gate corpora are cold by construction, so the assertion here is
+    the zero arm. One eager localCheckpoint materializes the observed
+    run (re-paid per bench run, so timings still measure the full
+    computation); downstream consumers read the checkpointed blocks."""
+    from pyspark.sql import Observation
+
     from etl_tools_rs_spark.operators.fuzzy import fuzzy_self_pairs
 
     t = load_tables(spark, sf_dir, ("customer",))
-    return fuzzy_self_pairs(
+    obs = Observation()
+    out = fuzzy_self_pairs(
         t["customer"].select("c_custkey", "c_name"),
         "c_name",
         "c_custkey",
         1,
         max_key_candidates=250_000,
+        cap_observation=obs,
     ).select("id_a", "id_b", F.col("distance").alias("dist"))
+    out = out.localCheckpoint(eager=True)
+    got = obs.get
+    if got["salted_key_rows"] != 0:
+        raise RuntimeError(
+            "fuzzy_name_pairs_capped: cap engaged on the gate corpus "
+            f"(salted_key_rows={got['salted_key_rows']}) — the exactness "
+            "theorem no longer holds; the oracle comparison would be "
+            "recall-bounded"
+        )
+    return out
 
 
 @qdef(
@@ -4379,13 +4442,32 @@ def dedup_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join — the fuzzy_name_pairs oracle) and the CC fixpoint's
     output is declarative (min member id per component), so the DuckDB
     recursive-CTE closure reproduces survivors AND absorption counts
-    value-for-value."""
+    value-for-value.
+
+    r9 (VERDICT r8 #7): the default 250k cap's inline metrics are
+    observed and asserted zero on every gate run, same contract as
+    fuzzy_name_pairs_capped — the pair stage the CC consumed is PROVEN
+    exact on the run the oracle hash-matched. The observation rides the
+    pair stage inside dedup_fuzzy; the CC loop's own actions fire it
+    before this function returns, so no extra materialization is needed."""
+    from pyspark.sql import Observation
+
     from etl_tools_rs_spark.operators.fuzzy import dedup_fuzzy
 
     t = load_tables(spark, sf_dir, ("customer",))
-    return dedup_fuzzy(
-        t["customer"].select("c_custkey", "c_name"), "c_name", "c_custkey", 1
+    obs = Observation()
+    out = dedup_fuzzy(
+        t["customer"].select("c_custkey", "c_name"), "c_name", "c_custkey", 1,
+        cap_observation=obs,
     )
+    got = obs.get
+    if got["salted_key_rows"] != 0:
+        raise RuntimeError(
+            "dedup_fuzzy_customers: cap engaged on the gate corpus "
+            f"(salted_key_rows={got['salted_key_rows']}) — the pair stage "
+            "fed to connected components was recall-bounded"
+        )
+    return out
 
 
 @qdef(
@@ -8190,6 +8272,38 @@ def streaming_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("id_a", "id_b")
 
 
+_BAND_INDEX_CACHE: dict = {}
+
+
+def _shared_band_index(spark: SparkSession, sf_dir: str, docs: DataFrame):
+    """ONE persisted md5 16-hash/8-band index per (session, sf_dir),
+    shared by the incremental / eviction / expiry gate entries (r9,
+    VERDICT r8 #6): they exercise three different index LIFECYCLE
+    operations against the same corpus index, so rebuilding the
+    corpus-sized minhash per entry triples the gate's index cost for no
+    extra coverage — in production the index is a maintained table,
+    built once. First caller builds, persists, and materializes; later
+    callers (and later actions in the same entry) reuse the cached
+    blocks. If an external ``clearCache()`` dropped the blocks (the
+    bench does this between queries), the fixture re-persists rather
+    than silently recomputing per action. Keyed by the live session
+    object, so a recycled session naturally rebuilds."""
+    key = (spark, sf_dir)
+    idx = _BAND_INDEX_CACHE.get(key)
+    if idx is None:
+        from etl_tools_rs_spark.operators.lsh_index import minhash_band_index
+
+        idx = minhash_band_index(
+            docs, num_hashes=16, bands=8, hash_family="md5"
+        )
+        _BAND_INDEX_CACHE[key] = idx
+    lvl = idx.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        idx.persist()
+        idx.count()
+    return idx
+
+
 @qdef("incremental_near_dup_documents", _incremental_near_dup_oracle_sql())
 def incremental_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH dedup — the daily-crawl O(delta) lifecycle
@@ -8201,10 +8315,7 @@ def incremental_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFram
     semi-join verify — pinned in tests). Incremental == full-rebuild
     equivalence laws in tests/test_lsh_index.py; value-checked here in
     the portable md5 family."""
-    from etl_tools_rs_spark.operators.lsh_index import (
-        incremental_near_dup,
-        minhash_band_index,
-    )
+    from etl_tools_rs_spark.operators.lsh_index import incremental_near_dup
     from etl_tools_rs_spark.operators.sample import hash_sample
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -8212,9 +8323,7 @@ def incremental_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFram
     new = hash_sample(docs, "doc_id", 0.1).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
     )
-    idx = minhash_band_index(
-        docs, num_hashes=16, bands=8, hash_family="md5"
-    )
+    idx = _shared_band_index(spark, sf_dir, docs)
     pairs, _ = incremental_near_dup(
         idx, docs, new, threshold=0.8, num_hashes=16, bands=8,
         hash_family="md5",
@@ -8243,7 +8352,6 @@ def index_eviction_near_dup_documents(
     propagate_deletes RTBF feed, are pinned in tests/test_lsh_index.py)."""
     from etl_tools_rs_spark.operators.lsh_index import (
         incremental_near_dup,
-        minhash_band_index,
         remove_from_index,
     )
     from etl_tools_rs_spark.operators.sample import hash_sample
@@ -8252,7 +8360,7 @@ def index_eviction_near_dup_documents(
     docs = t["documents"]
     removed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     surviving = docs.filter(F.col("doc_id") % 5 != 0)
-    idx = minhash_band_index(docs, num_hashes=16, bands=8, hash_family="md5")
+    idx = _shared_band_index(spark, sf_dir, docs)
     evicted_idx = remove_from_index(idx, removed)
     new = hash_sample(surviving, "doc_id", 0.1).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
@@ -8289,7 +8397,6 @@ def index_expiry_near_dup_documents(
     from etl_tools_rs_spark.operators.lsh_index import (
         expire_index,
         incremental_near_dup,
-        minhash_band_index,
     )
     from etl_tools_rs_spark.operators.sample import hash_sample
 
@@ -8302,7 +8409,9 @@ def index_expiry_near_dup_documents(
         ),
     )
     cutoff = datetime.date(2026, 1, 11)  # days 0-9 expire, 10-29 survive
-    idx = minhash_band_index(docs, num_hashes=16, bands=8, hash_family="md5")
+    # crawl_date never reaches the band rows, so the shared fixture's
+    # plain-documents index is the identical frame
+    idx = _shared_band_index(spark, sf_dir, t["documents"])
     expired_idx, _expired = expire_index(
         idx, docs, cutoff, ts_col="crawl_date"
     )

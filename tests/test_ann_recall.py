@@ -94,6 +94,104 @@ def test_lsh_single_table_backward_compatible(spark):
     assert sorted(map(key, a)) == sorted(map(key, b))
 
 
+class TestMultiProbe:
+    """r9 multi-probe LSH (similarity.py::lsh_probe_buckets, Lv et al.
+    VLDB'07): query-side bit-flip probes as the cheap substitute for
+    extra tables."""
+
+    def _emb(self, spark, n=120, d=8, seed=11):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, d)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_zero_probes_is_bit_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators import similarity as sim_ops
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)  # noqa: E731
+        a = sim_ops.knn_lsh(
+            emb, q, k=5, dim=8, num_planes=4, num_tables=4
+        ).collect()
+        b = sim_ops.knn_lsh(
+            emb, q, k=5, dim=8, num_planes=4, num_tables=4, num_probes=0
+        ).collect()
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+    def test_probe_buckets_flip_weakest_margin_bits(self, spark):
+        """Independent replay: per vector, recompute dots in python and
+        check the probe array is [bucket, bucket^2^argmin1, ...] for the
+        |margin|-ascending plane order (ties broken by sort_array's
+        struct order: (|d|, i) ascending)."""
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators import similarity as sim_ops
+
+        emb = self._emb(spark, n=30)
+        planes = sim_ops._hyperplanes(8, 4, seed=99)
+        got = {
+            r.vec_id: list(r.pb)
+            for r in emb.select(
+                "vec_id",
+                sim_ops.lsh_probe_buckets(
+                    F.col("embedding"), planes, 2
+                ).alias("pb"),
+            ).collect()
+        }
+        for r in emb.collect():
+            dots = [
+                sum(a * b for a, b in zip(r.embedding, p)) for p in planes
+            ]
+            bucket = sum(1 << i for i, d in enumerate(dots) if d > 0)
+            order = sorted(range(4), key=lambda i: (abs(dots[i]), i))
+            want = [
+                bucket,
+                bucket ^ (1 << order[0]),
+                bucket ^ (1 << order[1]),
+            ]
+            assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
+
+    def test_probes_never_lose_pairs_and_scores_match(self, spark):
+        """Candidates with probes are a superset: any (query, neighbor)
+        pair surfaced by BOTH configs carries the identical exact
+        cosine, and probe recall vs brute force is >= the no-probe
+        recall at equal tables/planes."""
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators import similarity as sim_ops
+
+        emb = self._emb(spark, n=150)
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in sim_ops.knn_brute(emb, q, k=5).collect()
+        }
+        p0 = sim_ops.knn_lsh(
+            emb, q, k=5, dim=8, num_planes=4, num_tables=2
+        ).collect()
+        p2 = sim_ops.knn_lsh(
+            emb, q, k=5, dim=8, num_planes=4, num_tables=2, num_probes=2
+        ).collect()
+        s0 = {(r.query_id, r.neighbor_id): r.cosine_sim for r in p0}
+        s2 = {(r.query_id, r.neighbor_id): r.cosine_sim for r in p2}
+        for pair in set(s0) & set(s2):
+            assert abs(s0[pair] - s2[pair]) < 1e-9
+        r0 = len(set(s0) & brute) / len(brute)
+        r2 = len(set(s2) & brute) / len(brute)
+        assert r2 >= r0
+
+
 class TestKmeansExact:
     """r6 exact-quantized k-means (similarity.py::kmeans_centroids_exact):
     the determinism the knn_cosine_ivf / semdedup_embeddings value
