@@ -26,6 +26,18 @@ the instrument's noise band; a real A/B claim is only as strong as its
 excess over the null band (VERDICT r8 task #2: the band artifact is
 committed as ``BENCH_AB_r09_null.json``).
 
+Process hygiene (r9): the null run exposed a second noise mechanism —
+one serve PROCESS goes bad and STAYS bad across session recycles
+(``multimodal_png_pipeline``: 11.8s on one side across recycles while
+the other held 0.7-1.2s, same code). ``spark.stop()`` + ``getOrCreate``
+reuses the same JVM gateway, so JVM/python-worker degradation survives
+a recycle; neither order alternation nor back-to-back pairing cancels a
+one-process funk. ``--restart-processes trial`` (the default) therefore
+kills and respawns BOTH serve OS processes between trials — a funk can
+bias at most one trial, and the per-query MEDIAN over >=3 trials votes
+it out. ``--restart-processes never`` restores the r9-null behavior for
+instrument-to-instrument comparisons.
+
 The requested query list is validated against BOTH trees' registries
 BEFORE any measurement (ADVICE r8: a typo'd name used to surface as an
 IndexError only after all trials finished).
@@ -205,6 +217,13 @@ def main() -> int:
     ap.add_argument("--recycle-every", type=int, default=40,
                     help="per-query mode: recycle BOTH sessions every N "
                          "queries (matched JVM age)")
+    ap.add_argument("--restart-processes", choices=["trial", "never"],
+                    default="trial",
+                    help="per-query mode: kill + respawn both serve OS "
+                         "processes between trials (default), so a "
+                         "degraded JVM/python-worker process can bias at "
+                         "most one trial; 'never' keeps one process pair "
+                         "for the whole campaign (r9-null behavior)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="BENCH_AB.json")
     args = ap.parse_args()
@@ -223,13 +242,29 @@ def main() -> int:
 
     trials: list[dict] = []
     if args.mode == "per-query":
-        serves = {
-            name: Serve(name, tree, args.sf_dir, args.runs, "/tmp")
-            for name, tree in sides
-        }
+        serves: dict[str, Serve] = {}
+
+        def spawn_serves() -> None:
+            for s in serves.values():
+                s.close()
+            serves.clear()
+            for name, tree in sides:
+                serves[name] = Serve(name, tree, args.sf_dir, args.runs, "/tmp")
+
+        spawn_serves()
         try:
             since_recycle = 0
             for t in range(args.trials):
+                if t > 0 and args.restart_processes == "trial":
+                    # fresh OS processes (new JVM gateway + python workers):
+                    # a process that went bad in trial t-1 cannot leak in
+                    print(
+                        f"# trial {t}: restarting serve processes",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    spawn_serves()
+                    since_recycle = 0
                 trial: dict = {
                     "order": "per-query ABBA (first side = "
                     "A if (qi + trial) even)",
@@ -268,11 +303,14 @@ def main() -> int:
                     trial[side]["total"] = round(
                         sum(trial[side]["queries"].values()), 3
                     )
+                for name, s in serves.items():
+                    trial[name]["serve_pid"] = s.proc.pid
                 trials.append(trial)
-                # fresh JVMs between trials, both sides together
-                for s in serves.values():
-                    s.recycle()
-                since_recycle = 0
+                if args.restart_processes == "never":
+                    # fresh JVMs between trials, both sides together
+                    for s in serves.values():
+                        s.recycle()
+                    since_recycle = 0
         finally:
             for s in serves.values():
                 s.close()
@@ -320,6 +358,9 @@ def main() -> int:
             "warm_runs": args.runs,
             "sf_dir": args.sf_dir,
             "recycle_every": args.recycle_every
+            if args.mode == "per-query"
+            else None,
+            "restart_processes": args.restart_processes
             if args.mode == "per-query"
             else None,
             "interleaved": (
