@@ -190,9 +190,17 @@ def knn_lsh(
     each query additionally probes the buckets reached by flipping its
     j-th-weakest sign bits (:func:`lsh_probe_buckets`). Probes multiply
     only the small broadcast side (queries × tables × (1+probes) rows);
-    the CORPUS side still replicates ×num_tables only — so at 100 TB,
-    trading tables for probes directly shrinks the dominant corpus
-    explode. ``num_probes=0`` reproduces the historical output
+    the CORPUS side still replicates ×num_tables only. The full cost
+    model (measured, SCALE_COMPARE_r09 sf1/sf3): banding work is
+    ∝ tables·|C| but expected CANDIDATE volume is
+    ∝ tables·(1+probes)/2^planes·|C|·|Q| — probes shift cost from the
+    corpus explode to the verify join. Under the serving contract
+    (|Q| ≪ |C|: fixed 40-query batch) 6×4 planes×3 probes beats 16×4×0
+    2.0× at sf1 at higher recall; when |Q| GROWS with the corpus (a
+    batch all-pairs-ish workload) the (1+probes)/tables candidate ratio
+    flips the sign — prefer more tables / fewer probes there, or use
+    the dedup_* band-join operators, which are built for corpus-vs-
+    corpus. ``num_probes=0`` reproduces the historical output
     bit-for-bit."""
     c_hashes, q_probe_arrays = [], []
     for t in range(num_tables):
