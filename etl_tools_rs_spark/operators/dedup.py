@@ -505,10 +505,15 @@ def connected_components(
 
             for _ in range(max_iterations):
                 edges_next = _cp(_small_star(_large_star(edges)))
-                changed = (
-                    edges_next.exceptAll(edges).limit(1).count()
-                    + edges.exceptAll(edges_next).limit(1).count()
-                )
+                # exact two-sided multiset equality, short-circuited
+                # (r9): a non-converged round is detected by the first
+                # direction alone, so the second exceptAll job runs
+                # only on the final (converged) round instead of every
+                # round — same break decision, one fewer job per
+                # non-final round
+                changed = edges_next.exceptAll(edges).limit(1).count()
+                if changed == 0:
+                    changed = edges.exceptAll(edges_next).limit(1).count()
                 edges = edges_next
                 if changed == 0:
                     break

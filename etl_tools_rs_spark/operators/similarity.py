@@ -752,9 +752,12 @@ def pq_train_exact(
     each subspace trains exact-quantized Lloyd's on the integer
     micro-unit slice, so the m×ksub×(dim/m) INTEGER codebooks are a pure
     function of the data and a SQL engine can replay the whole training
-    (per-subspace unrolled rounds) from the raw table. Same per-subspace
-    shuffle shape as :func:`pq_train`; same input contract as
-    ``kmeans_centroids_exact`` (≥ ksub rows, micro-units ≤ 1e8)."""
+    (per-subspace unrolled rounds) from the raw table. Same input
+    contract as ``kmeans_centroids_exact`` (≥ ksub rows, micro-units
+    ≤ 1e8). r9: all m subspaces train in ONE fused pass per round
+    (1 + 1 + ``iterations`` corpus scans instead of m·(2 +
+    ``iterations``)) — bit-identical to the per-slice composition, see
+    the inline proof sketch."""
     first = corpus.select(F.size(qvec_col)).first()
     if first is None:
         raise ValueError("pq_train_exact: empty corpus")
@@ -762,18 +765,118 @@ def pq_train_exact(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books: list[list[list[int]]] = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(qvec_col), s * sub + 1, sub).alias("_sq"),
+
+    # r9 fusion: train ALL m subspaces in one distributed pass per round
+    # instead of m independent kmeans_centroids_exact loops — the per-
+    # subspace formulation ran m·(init + contract-check + iterations)
+    # sequential corpus-scanning jobs (21 for m=4, iterations=3); this
+    # runs 1 + 1 + iterations. Bit-identical by the exactness argument:
+    # every quantity the rounds exchange (init ints, integer argmin
+    # assignments, DECIMAL(38,0) dim sums, counts, truncating division)
+    # is exact, so neither the fused scan nor the shared shuffle can
+    # perturb any subspace's round — pinned vs the per-slice composition
+    # in tests/test_ann_recall.py.
+
+    # init: the ksub smallest-id FULL vectors once, sliced driver-side —
+    # the identical ints each per-slice TakeOrdered collected
+    init_rows = [
+        [int(v) for v in r[0]]
+        for r in corpus.orderBy(id_col).limit(ksub).select(qvec_col).collect()
+    ]
+    if len(init_rows) < ksub:
+        raise ValueError(
+            f"kmeans_centroids_exact needs >= k rows to initialize; got "
+            f"{len(init_rows)} rows for k={ksub}"
         )
-        books.append(
-            kmeans_centroids_exact(
-                sliced, ksub, "_sq", id_col=id_col, iterations=iterations
+    books: list[list[list[int]]] = [
+        [row[s * sub : (s + 1) * sub] for row in init_rows] for s in range(m)
+    ]
+
+    # contract check once over the full vector == the max over every
+    # slice, so accept/reject is identical to the per-subspace checks
+    max_q = corpus.agg(
+        F.max(F.aggregate(
+            F.transform(F.col(qvec_col), lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: F.greatest(acc, v),
+        ))
+    ).collect()[0][0]
+    if max_q is not None and int(max_q) > 10**8:
+        raise ValueError(
+            f"quantized magnitudes up to {max_q} exceed the 1e8 exactness "
+            f"contract (float64 argmin would no longer be exact); lower the "
+            f"quantization scale"
+        )
+
+    def _trunc_div(s: int, n: int) -> int:
+        # SQL // truncates toward zero; Python // floors — match SQL
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    for _ in range(iterations):
+        assign = _pq_assign_all_udf(
+            [[[float(c) for c in row] for row in books[s]] for s in range(m)],
+            sub,
+        )
+        # one scan: per-row all-m assignments + posexplode of the full
+        # vector; (cell, dim) is unique because the dim determines the
+        # subspace. Shuffle volume equals the m per-slice jobs' combined.
+        assigned = corpus.select(
+            assign(F.col(qvec_col)).alias("_cs"),
+            F.posexplode(F.col(qvec_col)).alias("_i", "_x"),
+        ).select(
+            F.element_at(
+                F.col("_cs"), (F.col("_i") / sub).cast("int") + 1
+            ).alias("_c"),
+            "_i",
+            "_x",
+        )
+        rows = (
+            assigned.groupBy("_c", "_i")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
             )
+            .collect()
         )
+        sums: list[dict[int, list[int]]] = [{} for _ in range(m)]
+        counts: list[dict[int, int]] = [{} for _ in range(m)]
+        for r in rows:
+            s, li = divmod(r["_i"], sub)
+            sums[s].setdefault(r["_c"], [0] * sub)[li] = int(r["_s"])
+            counts[s][r["_c"]] = r["_n"]
+        books = [
+            [
+                [_trunc_div(v, counts[s][c]) for v in sums[s][c]]
+                if c in sums[s]
+                else books[s][c]
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
     return books
+
+
+def _pq_assign_all_udf(codebooks: list[list[list[float]]], sub: int):
+    """All-subspace analogue of :func:`nearest_cells_udf` for the fused
+    PQ trainer: maps the FULL quantized vector to its ``m`` per-subspace
+    nearest-codeword indices in one Arrow batch (same ||c||² − 2x·c
+    probe, same stable-argsort index tie-break, per subspace)."""
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+    m = len(Cs)
+
+    @F.pandas_udf("array<int>")
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d = c2s[s][None, :] - 2.0 * (Xs @ Cs[s].T)
+            out[:, s] = np.argsort(d, axis=1, kind="stable")[:, 0]
+        return pd.Series(list(out))
+
+    return _assign
 
 
 def pq_encode(

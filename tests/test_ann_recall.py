@@ -341,3 +341,79 @@ class TestPqExact:
         books = pq_train_exact(emb, m=2, ksub=4, qvec_col="_q6", iterations=2)
         assert len(books) == 2 and all(len(b) == 4 for b in books)
         assert all(isinstance(v, int) for b in books for row in b for v in row)
+
+
+class TestPqTrainExactFused:
+    """r9: pq_train_exact fuses all m subspaces into one distributed
+    pass per Lloyd's round (1+1+iterations corpus scans instead of
+    m·(2+iterations) sequential jobs). The optimization is only legal
+    because it is BIT-IDENTICAL — every exchanged quantity (init ints,
+    exact-integer argmins, DECIMAL dim sums, counts, truncating
+    division) is exact, so the fused scan cannot perturb any subspace's
+    round. Pinned here against the r7–r8 formulation: the per-slice
+    kmeans_centroids_exact composition."""
+
+    def _emb(self, spark, n=90, d=24, seed=23):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.similarity import quantize_vec
+
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, d) * 1.5
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).withColumn("_q6", quantize_vec(F.col("embedding")))
+
+    def test_bit_identical_to_per_slice_composition(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_tools_rs_spark.operators.similarity import (
+            kmeans_centroids_exact,
+            pq_train_exact,
+        )
+
+        emb = self._emb(spark)
+        for m, ksub, iters in ((3, 5, 3), (4, 4, 2)):
+            sub = 24 // m
+            fused = pq_train_exact(
+                emb, m=m, ksub=ksub, qvec_col="_q6", iterations=iters
+            )
+            reference = [
+                kmeans_centroids_exact(
+                    emb.select(
+                        F.col("vec_id"),
+                        F.slice(F.col("_q6"), s * sub + 1, sub).alias("_sq"),
+                    ),
+                    ksub,
+                    "_sq",
+                    id_col="vec_id",
+                    iterations=iters,
+                )
+                for s in range(m)
+            ]
+            assert fused == reference
+
+    def test_partition_invariant(self, spark):
+        from etl_tools_rs_spark.operators.similarity import pq_train_exact
+
+        emb = self._emb(spark, n=60)
+        base = pq_train_exact(emb, m=4, ksub=4, qvec_col="_q6", iterations=2)
+        assert base == pq_train_exact(
+            emb.repartition(13), m=4, ksub=4, qvec_col="_q6", iterations=2
+        )
+        assert base == pq_train_exact(
+            emb.coalesce(1), m=4, ksub=4, qvec_col="_q6", iterations=2
+        )
+
+    def test_input_contract_guards(self, spark):
+        import pytest as _pytest
+
+        from etl_tools_rs_spark.operators.similarity import pq_train_exact
+
+        emb = self._emb(spark, n=3)
+        with _pytest.raises(ValueError, match=">= k rows"):
+            pq_train_exact(emb, m=3, ksub=5, qvec_col="_q6", iterations=1)
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_train_exact(emb, m=5, ksub=2, qvec_col="_q6", iterations=1)
