@@ -73,6 +73,24 @@ def shingle_jaccard(a: Column, b: Column) -> Column:
     return (inter / F.greatest(union, F.lit(1))).cast("double")
 
 
+def _xxhash64_injective(gram_rows: DataFrame, g_col: str = "_g") -> bool:
+    """ONE aggregate job: is ``xxhash64`` collision-free on every gram in
+    ``gram_rows[g_col]``? Equal distinct-gram and distinct-hash counts
+    prove gram→hash is a bijection on THIS corpus, so replacing gram
+    strings with their 8-byte hashes cannot change any set-cardinality
+    arithmetic (intersections, unions, document frequencies) — the
+    exactness gate behind ``hash_grams="verified"`` in the set-similarity
+    operators (r9). Collision probability is ≈ G²/2⁶⁵ for G distinct
+    grams (~5·10⁻⁸ at G=10⁶), so the narrow path is taken essentially
+    always; the check turns "probably safe" into "unconditionally safe"
+    (callers fall back to string grams when it fails)."""
+    r = gram_rows.agg(
+        F.countDistinct(F.col(g_col)).alias("_g_cnt"),
+        F.countDistinct(F.xxhash64(F.col(g_col))).alias("_h_cnt"),
+    ).first()
+    return bool(r is not None and r["_g_cnt"] == r["_h_cnt"])
+
+
 def minhash_table(
     df: DataFrame,
     text_col: str = "text",
@@ -358,13 +376,26 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: Column | None = None,
+    hash_grams: bool | str = False,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity above a threshold.
 
     O(n²) within a block — the verification / small-partition path. Callers
     at scale MUST provide ``block_col`` (e.g. a language or length bucket)
     so the self-join stays within blocks; default blocks on first token,
-    which bounds pair counts for natural corpora."""
+    which bounds pair counts for natural corpora.
+
+    ``hash_grams`` (r9) narrows the quadratic self-join's payload: each
+    gram string in the per-doc array is replaced by its ``xxhash64``
+    BEFORE the block shuffle, so the join ships ``array<bigint>`` (8
+    bytes/gram) instead of wide strings and the per-pair
+    intersect/union compares longs. The jaccard value depends only on
+    set CARDINALITIES, which any injective gram→hash map preserves —
+    ``"verified"`` proves injectivity on this corpus first (one
+    aggregate job, :func:`_xxhash64_injective`) and falls back to
+    string grams on a collision, so the output is UNCONDITIONALLY
+    identical (the oracle-checked registry mode); ``True`` skips the
+    check (bounded-error scale mode, error ≈ G²/2⁶⁵)."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(ngrams(text_col, n)).alias("_ng"),
@@ -372,6 +403,11 @@ def ngram_jaccard_pairs(
             "_blk"
         ),
     ).filter(F.size("_ng") > 0)
+    if hash_grams and (
+        hash_grams != "verified"
+        or _xxhash64_injective(toks.select(F.explode("_ng").alias("_g")))
+    ):
+        toks = toks.withColumn("_ng", F.transform("_ng", lambda g: F.xxhash64(g)))
     a = toks.alias("a")
     b = toks.alias("b")
     return (
@@ -801,6 +837,7 @@ def containment_pairs(
     threshold: float = 0.8,
     block_col: Column | None = None,
     scale: int = 4,
+    hash_grams: bool | str = False,
 ) -> DataFrame:
     """Asymmetric n-gram containment: ``|A ∩ B| / |A|`` — how much of
     document A's shingle set appears in B. The quote/subset detector
@@ -810,9 +847,15 @@ def containment_pairs(
     matters (A-inside-B ≠ B-inside-A).
 
     Same block-bounded self-join shape as ngram_jaccard_pairs (callers
-    at scale supply ``block_col``); containment is floor-scaled so the
-    pair table is engine-checkable. Returns
-    ``(id_a, id_b, containment)`` where id_a is the contained side.
+    at scale supply ``block_col``), and the same ``hash_grams`` modes
+    (r9): containment ``|A∩B|/|A|`` is pure set-cardinality arithmetic,
+    so an injective gram→xxhash64 map leaves every emitted value
+    identical while the self-join ships ``array<bigint>`` instead of
+    strings — ``"verified"`` proves injectivity per run (one aggregate
+    job) with a string fallback; ``True`` skips the check.
+    Containment is floor-scaled so the pair table is engine-checkable.
+    Returns ``(id_a, id_b, containment)`` where id_a is the contained
+    side.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -821,6 +864,11 @@ def containment_pairs(
             "_blk"
         ),
     ).filter(F.size("_ng") > 0)
+    if hash_grams and (
+        hash_grams != "verified"
+        or _xxhash64_injective(toks.select(F.explode("_ng").alias("_g")))
+    ):
+        toks = toks.withColumn("_ng", F.transform("_ng", lambda g: F.xxhash64(g)))
     a = toks.alias("a")
     b = toks.alias("b")
     p10 = float(10**scale)
@@ -853,7 +901,7 @@ def prefix_jaccard_pairs(
     shingle_n: int = 3,
     scale: int = 6,
     checkpoint: bool = True,
-    hash_grams: bool = False,
+    hash_grams: bool | str = False,
     max_df: int | None = None,
 ) -> DataFrame:
     """Blockless exact-Jaccard self-join via prefix filtering (the
@@ -883,8 +931,22 @@ def prefix_jaccard_pairs(
     MinHash path 62%. A 64-bit collision merges two shingles
     corpus-wide, so Jaccard error is bounded by the collision rate
     ≈ ``G²/2⁶⁵`` for G distinct shingles — negligible below ~10⁹
-    shingles, but it breaks md5-oracle parity, so the oracle-checked
-    registry query keeps the default off; the scale path turns it on.
+    shingles. ``hash_grams="verified"`` (r9) makes the narrowing
+    UNCONDITIONALLY exact and is what the oracle-checked registry
+    query runs: one aggregate job proves xxhash64 is injective on this
+    corpus's grams (:func:`_xxhash64_injective`; string fallback on a
+    collision), and injectivity suffices because (a) the prefix-filter
+    theorem holds for ANY global total order on grams — the
+    rarest-first order is a candidate-count heuristic, not a
+    correctness requirement — so re-ordering equal-df grams by hash
+    instead of string only changes which CANDIDATES are probed, never
+    which pairs pass, and (b) the verify stage recomputes the exact
+    count-based Jaccard from the full gram sets, whose cardinalities
+    any bijection preserves. The two modes' outputs are pinned equal
+    by a property test on random corpora. ``"verified"`` requires
+    ``max_df=None``: the capped mode's OUTPUT (not just its
+    candidates) depends on the gram tie-break order, so hashing there
+    is the documented bounded-recall ``True`` mode only.
 
     ``max_df`` is the DENSE-CORPUS SAFETY VALVE: grams whose corpus
     document frequency exceeds it never enter candidate generation
@@ -908,12 +970,19 @@ def prefix_jaccard_pairs(
         raise ValueError(f"threshold must be in (0,1], got {threshold!r}")
     if max_df is not None and max_df < 2:
         raise ValueError(f"max_df must be >= 2 (pairs need df 2), got {max_df!r}")
+    if hash_grams == "verified" and max_df is not None:
+        raise ValueError(
+            "hash_grams='verified' requires max_df=None: the capped mode's "
+            "output depends on the gram tie-break order, which hashing "
+            "changes — use hash_grams=True (bounded-recall scale mode) or "
+            "drop the cap"
+        )
     p10 = float(10**scale)
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(ngrams(text_col, shingle_n))).alias("_g"),
     )
-    if hash_grams:
+    if hash_grams and (hash_grams != "verified" or _xxhash64_injective(grams)):
         grams = grams.select("_id", F.xxhash64("_g").alias("_g"))
     if checkpoint:
         grams = grams.localCheckpoint(eager=False)

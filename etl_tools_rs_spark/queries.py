@@ -2632,10 +2632,15 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard pairs (operators/dedup.py::
     ngram_jaccard_pairs): exact pairwise similarity computed only WITHIN
     first-token blocks — the blocking key bounds the quadratic self-join,
-    the scale contract for exact verification passes."""
+    the scale contract for exact verification passes. r9:
+    ``hash_grams="verified"`` ships 8-byte gram hashes through the
+    quadratic join instead of strings — output provably identical (the
+    jaccard is set-cardinality arithmetic; injectivity of the map is
+    PROVEN per run by one aggregate job, with a string fallback), so
+    the md5-free oracle is untouched."""
     t = load_tables(spark, sf_dir, ("documents",))
     pairs = dedup_ops.ngram_jaccard_pairs(
-        t["documents"], n=3, threshold=0.2
+        t["documents"], n=3, threshold=0.2, hash_grams="verified"
     )
     return pairs.select(
         "id_a",
@@ -5036,7 +5041,13 @@ def containment_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment pairs (operators/dedup.py::
     containment_pairs, |A∩B|/|A| ≥ 0.3 within first-token blocks) — the
     quote/subset detector Jaccard misses; direction preserved, verified
-    pair-for-pair."""
+    pair-for-pair. r9: ``hash_grams="verified"`` was MEASURED AND
+    REFUSED here (A/B median 1.72, BENCH_AB_r09_setsim.json): this
+    entry's block pair volume is small enough that the injectivity
+    check's extra corpus scan plus per-side gram hashing costs more
+    than the narrower join saves — unlike ngram_jaccard_blocked, whose
+    pair volume amortizes them. The mode stays available on the
+    operator for denser corpora."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup_ops.containment_pairs(t["documents"], n=3, threshold=0.3)
 
@@ -5814,12 +5825,19 @@ def prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_jaccard_pairs): prefix-filtered exact-Jaccard self-join over
     3-gram shingles at t=0.5 — no caller-supplied blocking key, no
     false negatives, hot shingles never enter the join. Verified
-    pair-for-pair including the exact scores."""
+    pair-for-pair including the exact scores. r9:
+    ``hash_grams="verified"`` — every shuffle (frequency agg, prefix
+    ranking, candidate join, verify join) moves 8-byte gram hashes
+    instead of strings; output provably identical (prefix filtering is
+    correct under ANY global gram order, verification is exact
+    cardinality arithmetic, injectivity proven per run with string
+    fallback — see the operator docstring), so the same oracle
+    matches."""
     from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
 
     t = load_tables(spark, sf_dir, ("documents",))
     return prefix_jaccard_pairs(
-        t["documents"], threshold=0.5, shingle_n=3
+        t["documents"], threshold=0.5, shingle_n=3, hash_grams="verified"
     )
 
 

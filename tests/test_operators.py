@@ -252,6 +252,84 @@ class TestContainmentPairs:
         assert got == {(1, 2), (2, 1)}
 
 
+class TestSetSimHashVerified:
+    """r9 ``hash_grams="verified"`` — the int-narrowed set-similarity
+    joins are OUTPUT-IDENTICAL to the string-gram paths: the emitted
+    values are pure set-cardinality arithmetic, preserved by any
+    injective gram→hash map, and injectivity is proven per run by one
+    aggregate (collision ⇒ string fallback, so identity holds
+    unconditionally). Pinned on the gate corpus (sf0.001 documents —
+    the corpus the oracles run on) for all three operators, plus the
+    fallback arm (injectivity check forced to fail) and the
+    verified+max_df refusal."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+
+    def _outputs(self, df, hash_grams):
+        from etl_tools_rs_spark.operators import dedup as dd
+
+        ng = sorted(
+            map(
+                tuple,
+                dd.ngram_jaccard_pairs(
+                    df, n=3, threshold=0.2, hash_grams=hash_grams
+                ).collect(),
+            )
+        )
+        ct = sorted(
+            map(
+                tuple,
+                dd.containment_pairs(
+                    df, n=3, threshold=0.3, hash_grams=hash_grams
+                ).collect(),
+            )
+        )
+        pj = sorted(
+            map(
+                tuple,
+                dd.prefix_jaccard_pairs(
+                    df, threshold=0.5, shingle_n=3, checkpoint=False,
+                    hash_grams=hash_grams,
+                ).collect(),
+            )
+        )
+        return ng, ct, pj
+
+    def test_verified_identical_to_string_path(self, spark):
+        df = self._docs(spark)
+        plain = self._outputs(df, False)
+        verified = self._outputs(df, "verified")
+        for name, p, v in zip(("ngram", "containment", "prefix"), plain, verified):
+            assert p == v, name
+            assert len(p) > 0, name
+
+    def test_collision_fallback_arm_is_identical(self, spark, monkeypatch):
+        from etl_tools_rs_spark.operators import dedup as dd
+
+        df = self._docs(spark).limit(200)
+        plain = self._outputs(df, False)
+        monkeypatch.setattr(dd, "_xxhash64_injective", lambda *a, **k: False)
+        fallback = self._outputs(df, "verified")
+        for name, p, v in zip(("ngram", "containment", "prefix"), plain, fallback):
+            assert p == v, name
+
+    def test_verified_refuses_max_df(self, spark):
+        import pytest
+
+        from etl_tools_rs_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="verified"):
+            prefix_jaccard_pairs(
+                df, threshold=0.5, max_df=8, hash_grams="verified"
+            )
+
+
 class TestEmbeddingProfile:
     def test_hand_computed_and_partition_invariant(self, spark):
         from etl_tools_rs_spark.operators.similarity import embedding_profile
