@@ -377,6 +377,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: Column | None = None,
     hash_grams: bool | str = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity above a threshold.
 
@@ -395,7 +396,15 @@ def ngram_jaccard_pairs(
     aggregate job, :func:`_xxhash64_injective`) and falls back to
     string grams on a collision, so the output is UNCONDITIONALLY
     identical (the oracle-checked registry mode); ``True`` skips the
-    check (bounded-error scale mode, error ≈ G²/2⁶⁵)."""
+    check (bounded-error scale mode, error ≈ G²/2⁶⁵).
+
+    ``checkpoint`` (r9) lazily ``localCheckpoint``s the tokenized
+    frame so the interpreted ``ngrams()`` transform runs ONCE per
+    corpus instead of once per self-join side (plus once more for the
+    injectivity check in verified mode); when hashing engages, the
+    hashed frame is checkpointed again so the per-gram ``xxhash64``
+    also runs once, not per side. Pure plan-shape change — both join
+    sides read the same materialized rows."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(ngrams(text_col, n)).alias("_ng"),
@@ -403,11 +412,15 @@ def ngram_jaccard_pairs(
             "_blk"
         ),
     ).filter(F.size("_ng") > 0)
+    if checkpoint:
+        toks = toks.localCheckpoint(eager=False)
     if hash_grams and (
         hash_grams != "verified"
         or _xxhash64_injective(toks.select(F.explode("_ng").alias("_g")))
     ):
         toks = toks.withColumn("_ng", F.transform("_ng", lambda g: F.xxhash64(g)))
+        if checkpoint:
+            toks = toks.localCheckpoint(eager=False)
     a = toks.alias("a")
     b = toks.alias("b")
     return (
@@ -573,6 +586,7 @@ def keep_best_per_group(
     groups: DataFrame,
     quality_col: str,
     id_col: str = "doc_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Quality-aware canonical selection: given near-dup ``groups``
     (``(member_id, group_id)`` from :func:`connected_components`), keep
@@ -590,11 +604,22 @@ def keep_best_per_group(
     frame, ONE max-of-struct argmax per group (no window), a broadcast-
     friendly anti-join of losers against the corpus, and the keeper
     join-back. The corpus shuffles once, on its id.
+
+    ``checkpoint`` (r9) lazily ``localCheckpoint``s the answer-sized
+    quality-joined group frame: it is consumed TWICE in the returned
+    plan (the per-group argmax and the loser derivation), and without
+    the checkpoint each consumer re-runs the corpus-side quality scan
+    (+ the ``quality_col`` expression, e.g. a token count) and the
+    group join. Pure plan-shape change — both consumers read the same
+    materialized rows; the frame is group-member-sized, never
+    corpus-sized.
     """
     q = df.select(
         F.col(id_col).alias("member_id"), F.col(quality_col).alias("_q")
     )
     g = groups.join(q, "member_id")
+    if checkpoint:
+        g = g.localCheckpoint(eager=False)
     best = g.groupBy("group_id").agg(
         F.max(
             F.struct(
@@ -838,6 +863,7 @@ def containment_pairs(
     block_col: Column | None = None,
     scale: int = 4,
     hash_grams: bool | str = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Asymmetric n-gram containment: ``|A ∩ B| / |A|`` — how much of
     document A's shingle set appears in B. The quote/subset detector
@@ -853,9 +879,12 @@ def containment_pairs(
     identical while the self-join ships ``array<bigint>`` instead of
     strings — ``"verified"`` proves injectivity per run (one aggregate
     job) with a string fallback; ``True`` skips the check.
-    Containment is floor-scaled so the pair table is engine-checkable.
-    Returns ``(id_a, id_b, containment)`` where id_a is the contained
-    side.
+    ``checkpoint`` (r9) lazily ``localCheckpoint``s the tokenized frame
+    so ``ngrams()`` runs ONCE per corpus instead of once per self-join
+    side — a pure plan-shape change, both sides read the same
+    materialized rows. Containment is floor-scaled so the pair table is
+    engine-checkable. Returns ``(id_a, id_b, containment)`` where id_a
+    is the contained side.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -864,11 +893,15 @@ def containment_pairs(
             "_blk"
         ),
     ).filter(F.size("_ng") > 0)
+    if checkpoint:
+        toks = toks.localCheckpoint(eager=False)
     if hash_grams and (
         hash_grams != "verified"
         or _xxhash64_injective(toks.select(F.explode("_ng").alias("_g")))
     ):
         toks = toks.withColumn("_ng", F.transform("_ng", lambda g: F.xxhash64(g)))
+        if checkpoint:
+            toks = toks.localCheckpoint(eager=False)
     a = toks.alias("a")
     b = toks.alias("b")
     p10 = float(10**scale)

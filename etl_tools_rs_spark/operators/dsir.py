@@ -70,12 +70,13 @@ def hashed_ngram_buckets(
 
 def dsir_bucket_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     num_buckets: int = 1024,
     ngram_n: int = 2,
     smoothing: float = 0.5,
     scale: int = 6,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """The fitted model: one row per feature bucket with target/raw
     counts and the quantized log likelihood ratio.
@@ -86,11 +87,26 @@ def dsir_bucket_weights(
     ``p = (c + λ) / (N + λ·num_buckets)``. Every bucket in
     ``[0, num_buckets)`` is present (zero counts smoothed), so the
     per-document join below never drops a feature.
+
+    ``target_filter`` (r9) is the FUSED fit for the common shape where
+    the target slice is a row filter of ``raw`` (e.g. ``lang = 'en'``):
+    pass the predicate (and ``target=None``) and BOTH bucket count
+    vectors come out of ONE gram-hash pass over ``raw`` — the raw count
+    counts every exploded gram, the target count sums an indicator
+    evaluated on the source row before the explode. Identical integers
+    to the two-frame path (``n_target`` over pred-true rows ==
+    counts(raw.filter(pred)); pinned by a unit test): the per-gram
+    md5-family ``kmv_hash`` is the dominant fit cost, and the two-frame
+    path pays it once for the corpus and again for the target slice.
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing!r}")
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets!r}")
+    if (target is None) == (target_filter is None):
+        raise ValueError(
+            "exactly one of target / target_filter must be provided"
+        )
     lam = float(smoothing)
     p10 = float(10**scale)
 
@@ -107,6 +123,29 @@ def dsir_bucket_weights(
 
     spark = raw.sparkSession
     domain = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    if target_filter is not None:
+        # one explode pass; the indicator is evaluated on the source row
+        # (before the generator), so a NULL predicate counts as not-target
+        # exactly like filter() would drop the row
+        fused = (
+            raw.select(
+                F.explode(
+                    hashed_ngram_buckets(F.col(text_col), num_buckets, ngram_n)
+                ).alias("bucket"),
+                F.when(target_filter, F.lit(1)).otherwise(F.lit(0)).alias("_t"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+                F.sum("_t").cast("bigint").alias("n_target"),
+            )
+        )
+        tab = domain.join(fused, "bucket", "left").select(
+            "bucket",
+            F.coalesce("n_target", F.lit(0)).cast("bigint").alias("n_target"),
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+        )
+        return _bucket_weights_from_counts(tab, lam, num_buckets, p10)
     ct, cr = counts(target, "n_target"), counts(raw, "n_raw")
     tab = (
         domain.join(ct, "bucket", "left")
@@ -117,6 +156,16 @@ def dsir_bucket_weights(
             F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
         )
     )
+    return _bucket_weights_from_counts(tab, lam, num_buckets, p10)
+
+
+def _bucket_weights_from_counts(
+    tab: DataFrame, lam: float, num_buckets: int, p10: float
+) -> DataFrame:
+    """Quantized log-ratio over a complete ``(bucket, n_target, n_raw)``
+    table — shared by the fused and two-frame fit paths, so their
+    outputs differ only in how the counts were scanned (never in what
+    they are)."""
     totals = tab.agg(
         F.sum("n_target").cast("double").alias("_nt"),
         F.sum("n_raw").cast("double").alias("_nr"),
@@ -139,20 +188,22 @@ def dsir_bucket_weights(
 
 def _log_weights_micro(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str,
     id_col: str,
     num_buckets: int,
     ngram_n: int,
     smoothing: float,
     scale: int,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """(id_col, n_feats, _lw_micro) — the exact-integer accumulation
     shared by :func:`dsir_log_weights` (which divides for display) and
     :func:`dsir_sample` (which keys on the micro value directly, no
     float round-trip)."""
     weights = dsir_bucket_weights(
-        raw, target, text_col, num_buckets, ngram_n, smoothing, scale
+        raw, target, text_col, num_buckets, ngram_n, smoothing, scale,
+        target_filter=target_filter,
     ).select("bucket", "lr_micro")
     feats = raw.select(
         F.col(id_col),
@@ -181,22 +232,26 @@ def _log_weights_micro(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 1024,
     ngram_n: int = 2,
     smoothing: float = 0.5,
     scale: int = 6,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Per-document importance weights: ``(id_col, n_feats,
     log_weight)`` where ``log_weight = Σ_buckets c_doc[b] · lr[b]`` —
     accumulated entirely in integer micro-units (exact under any
     partitioning) and divided once for display. Higher = more
-    target-like. Documents with zero features get log_weight 0.0."""
+    target-like. Documents with zero features get log_weight 0.0.
+    ``target_filter`` selects the fused one-pass fit (see
+    :func:`dsir_bucket_weights`)."""
     p10 = float(10**scale)
     return _log_weights_micro(
-        raw, target, text_col, id_col, num_buckets, ngram_n, smoothing, scale
+        raw, target, text_col, id_col, num_buckets, ngram_n, smoothing,
+        scale, target_filter=target_filter,
     ).select(
         id_col,
         "n_feats",
@@ -206,12 +261,13 @@ def dsir_log_weights(
 
 def dsir_model_vector(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     num_buckets: int = 1024,
     ngram_n: int = 2,
     smoothing: float = 0.5,
     scale: int = 6,
+    target_filter: Column | None = None,
 ) -> list[int]:
     """Fit and COLLECT the model as a dense ``num_buckets``-long list of
     integer micro-unit log-ratios (index = bucket). The model is
@@ -221,7 +277,8 @@ def dsir_model_vector(
     BPE/unigram tokenizers."""
     rows = (
         dsir_bucket_weights(
-            raw, target, text_col, num_buckets, ngram_n, smoothing, scale
+            raw, target, text_col, num_buckets, ngram_n, smoothing, scale,
+            target_filter=target_filter,
         )
         .select("bucket", "lr_micro")
         .collect()
@@ -274,7 +331,7 @@ def dsir_score(
 
 def dsir_sample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -282,6 +339,7 @@ def dsir_sample(
     ngram_n: int = 2,
     smoothing: float = 0.5,
     scale: int = 6,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Importance RESAMPLING: draw ``k`` documents without replacement
     with probability ∝ exp(log_weight), via the Gumbel-top-k identity —
@@ -296,7 +354,8 @@ def dsir_sample(
     One corpus-wide top-k (TakeOrdered — no full sort, no single
     partition)."""
     lw = _log_weights_micro(
-        raw, target, text_col, id_col, num_buckets, ngram_n, smoothing, scale
+        raw, target, text_col, id_col, num_buckets, ngram_n, smoothing,
+        scale, target_filter=target_filter,
     )
     p10 = float(10**scale)
     # u in (0,1): (h+1) / (2^60+1) never hits 0 or 1 -> both logs finite

@@ -4924,13 +4924,15 @@ def dsir_logweights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus). Fixed 1024-bucket hashed feature space (the 100 TB trick —
     the model is a broadcast, never a vocabulary); per-doc sums are
     exact integer micro-units, value-checked bucket-for-bucket and
-    doc-for-doc."""
+    doc-for-doc. r9: the fit uses the fused one-pass path — the target
+    slice is a row filter of the corpus, so both count vectors come out
+    of ONE gram-hash scan (identical integers, pinned in tests)."""
     from etl_tools_rs_spark.operators.dsir import dsir_log_weights
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     return dsir_log_weights(
-        docs, docs.filter(F.col("lang") == "en"), num_buckets=1024
+        docs, None, num_buckets=1024, target_filter=F.col("lang") == "en"
     )
 
 
@@ -4962,7 +4964,7 @@ def dsir_stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     lr = dsir_model_vector(
-        docs, docs.filter(F.col("lang") == "en"), num_buckets=1024
+        docs, None, num_buckets=1024, target_filter=F.col("lang") == "en"
     )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -5009,7 +5011,8 @@ def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     return dsir_sample(
-        docs, docs.filter(F.col("lang") == "en"), k=64, num_buckets=1024
+        docs, None, k=64, num_buckets=1024,
+        target_filter=F.col("lang") == "en",
     )
 
 

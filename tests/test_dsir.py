@@ -239,3 +239,98 @@ class TestDsirPlans:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestDsirFusedFit:
+    """r9 fused one-pass fit: ``target_filter`` must produce EXACTLY the
+    two-frame path's integers (the registry entries run the fused path
+    against the unchanged two-frame SQL oracle, so equality here is the
+    optimization's correctness argument)."""
+
+    PRED_CORPUS = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the log", "en"),
+        (3, "el gato se sienta", "es"),
+        (4, "der hund sitzt auf dem baum", "de"),
+        (5, "the cat and the dog sat", "en"),
+        (6, "", "en"),
+        (7, "cat cat cat cat", None),  # NULL lang: never target
+        (8, "completely unrelated words here xyzzy", "es"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def pred_frames(self, spark):
+        raw = spark.createDataFrame(
+            self.PRED_CORPUS, ["doc_id", "text", "lang"]
+        )
+        return raw, raw.filter(F.col("lang") == "en"), F.col("lang") == "en"
+
+    def test_bucket_weights_fused_equals_two_frame(self, pred_frames):
+        raw, tgt, pred = pred_frames
+        two = {
+            r["bucket"]: (r["n_target"], r["n_raw"], r["lr_micro"])
+            for r in dsir_bucket_weights(raw, tgt, num_buckets=B).collect()
+        }
+        one = {
+            r["bucket"]: (r["n_target"], r["n_raw"], r["lr_micro"])
+            for r in dsir_bucket_weights(
+                raw, None, num_buckets=B, target_filter=pred
+            ).collect()
+        }
+        assert one == two  # NULL-lang doc counts raw-only in both paths
+
+    def test_log_weights_fused_equals_two_frame(self, pred_frames):
+        raw, tgt, pred = pred_frames
+        two = sorted(
+            map(tuple, dsir_log_weights(raw, tgt, num_buckets=B).collect())
+        )
+        one = sorted(
+            map(
+                tuple,
+                dsir_log_weights(
+                    raw, None, num_buckets=B, target_filter=pred
+                ).collect(),
+            )
+        )
+        assert one == two
+
+    def test_sample_fused_equals_two_frame(self, pred_frames):
+        raw, tgt, pred = pred_frames
+        two = sorted(
+            map(tuple, dsir_sample(raw, tgt, 3, num_buckets=B).collect())
+        )
+        one = sorted(
+            map(
+                tuple,
+                dsir_sample(
+                    raw, None, 3, num_buckets=B, target_filter=pred
+                ).collect(),
+            )
+        )
+        assert one == two
+
+    def test_fused_fit_halves_the_gram_scans(self, pred_frames):
+        """The point of the fusion: ONE distinct gram-explode subtree
+        instead of two. Each subtree appears twice in the unexecuted
+        plan (the smoothing-totals branch cross-joins back over the
+        counts; at runtime the pair collapses to a ReusedExchange), so
+        the pin is 2 vs the two-frame path's 4."""
+        raw, _, pred = pred_frames
+        plan = (
+            dsir_bucket_weights(raw, None, num_buckets=B, target_filter=pred)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Generate explode") == 2
+        two_plan = (
+            dsir_bucket_weights(
+                raw, raw.filter(pred), num_buckets=B
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert two_plan.count("Generate explode") == 4
+
+    def test_rejects_ambiguous_target(self, pred_frames):
+        raw, tgt, pred = pred_frames
+        with pytest.raises(ValueError):
+            dsir_bucket_weights(raw, tgt, num_buckets=B, target_filter=pred)
+        with pytest.raises(ValueError):
+            dsir_bucket_weights(raw, None, num_buckets=B)

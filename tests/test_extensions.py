@@ -1077,3 +1077,27 @@ class TestKeepBestPerGroup:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Window" not in plan
+
+    def test_checkpoint_modes_agree(self, spark):
+        """r9 tokeep: the lazy localCheckpoint of the quality-joined
+        group frame is a pure plan-shape change — both modes must emit
+        identical rows, and the checkpointed plan must carry the scan
+        (ExistingRDD) where the uncheckpointed one recomputes."""
+        from etl_tools_rs_spark.operators.dedup import keep_best_per_group
+
+        rows = [(i, (i * 7) % 11) for i in range(30)]
+        groups_rows = [(i, (i % 4) * 100) for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "q"])
+        groups = spark.createDataFrame(groups_rows, ["member_id", "group_id"])
+        with_cp = sorted(
+            map(tuple, keep_best_per_group(df, groups, "q").collect())
+        )
+        without = sorted(
+            map(
+                tuple,
+                keep_best_per_group(
+                    df, groups, "q", checkpoint=False
+                ).collect(),
+            )
+        )
+        assert with_cp == without

@@ -316,6 +316,33 @@ class TestSetSimHashVerified:
         for name, p, v in zip(("ngram", "containment", "prefix"), plain, fallback):
             assert p == v, name
 
+    def test_tokenize_once_checkpoint_modes_agree(self, spark):
+        """r9 tokenize-once: the lazy localCheckpoint of the tokenized
+        frame (ngrams runs once per corpus, not once per self-join
+        side) is a pure plan-shape change — identical rows either way,
+        in both string and verified-hash modes."""
+        from etl_tools_rs_spark.operators import dedup as dd
+
+        df = self._docs(spark).limit(300)
+        for hg in (False, "verified"):
+            for op, kw in (
+                (dd.ngram_jaccard_pairs, dict(n=3, threshold=0.2)),
+                (dd.containment_pairs, dict(n=3, threshold=0.3)),
+            ):
+                with_cp = sorted(
+                    map(tuple, op(df, hash_grams=hg, **kw).collect())
+                )
+                without = sorted(
+                    map(
+                        tuple,
+                        op(
+                            df, hash_grams=hg, checkpoint=False, **kw
+                        ).collect(),
+                    )
+                )
+                assert with_cp == without, (op.__name__, hg)
+                assert len(with_cp) > 0, (op.__name__, hg)
+
     def test_verified_refuses_max_df(self, spark):
         import pytest
 
