@@ -5045,12 +5045,14 @@ def containment_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_pairs, |A∩B|/|A| ≥ 0.3 within first-token blocks) — the
     quote/subset detector Jaccard misses; direction preserved, verified
     pair-for-pair. r9: ``hash_grams="verified"`` was MEASURED AND
-    REFUSED here (A/B median 1.72, BENCH_AB_r09_setsim.json): this
-    entry's block pair volume is small enough that the injectivity
-    check's extra corpus scan plus per-side gram hashing costs more
-    than the narrower join saves — unlike ngram_jaccard_blocked, whose
-    pair volume amortizes them. The mode stays available on the
-    operator for denser corpora."""
+    REFUSED here TWICE — first pre-tokenize-once (A/B median 1.72,
+    BENCH_AB_r09_setsim.json), then re-measured after the checkpoint
+    made the hashing once-per-corpus (BENCH_AB_r09_cthash.json: median
+    1.119, hashed slower in all 3 clean trials): even amortized, the
+    per-gram hashing + injectivity scan cost more than the narrower
+    join saves at this entry's pair volume — unlike
+    ngram_jaccard_blocked, whose pair volume amortizes them. The mode
+    stays available on the operator for denser corpora."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup_ops.containment_pairs(t["documents"], n=3, threshold=0.3)
 
