@@ -493,8 +493,11 @@ def connected_components(
     O(log²n) rounds worst-case, typically a handful: round-count depends
     on component STRUCTURE, not diameter. Each round is two shuffles on
     node id; localCheckpoint truncates lineage so round N never re-runs
-    rounds 1..N-1. Fixpoint detection is exact (exceptAll), not a
-    checksum.
+    rounds 1..N-1. Fixpoint detection is exact, never a checksum:
+    count-first (both frames are distinct sets, so unequal counts prove
+    change with two narrow scans, no shuffle), and a single-direction
+    exceptAll decides the equal-count case (|A|=|B| and A\\B=empty imply
+    A=B for sets).
 
     Checkpoints are DISK_ONLY (r6 giant-component hardening): with the
     default MEMORY_AND_DISK level, every round's edge frame lands as
@@ -552,18 +555,28 @@ def connected_components(
                 .distinct()
             )
 
+            # count-first fixpoint test (r9): every edge frame here is a
+            # DISTINCT set — the initial edges and each _small_star
+            # output end in .distinct() — so set algebra makes the exact
+            # check cheap: unequal COUNTS prove change with one narrow
+            # count of the just-materialized DISK_ONLY checkpoint (the
+            # previous round's count is carried driver-side, no second
+            # job), and with |A| == |B|, A\B == ∅ ⟺ A == B, so ONE
+            # exceptAll direction decides the equal-count case. Same
+            # exact break decision as the two-sided multiset test; the
+            # per-round shuffle-heavy exceptAll now runs only on rounds
+            # whose edge count did not move (typically just the final
+            # one).
+            prev_n = edges.count()
             for _ in range(max_iterations):
                 edges_next = _cp(_small_star(_large_star(edges)))
-                # exact two-sided multiset equality, short-circuited
-                # (r9): a non-converged round is detected by the first
-                # direction alone, so the second exceptAll job runs
-                # only on the final (converged) round instead of every
-                # round — same break decision, one fewer job per
-                # non-final round
-                changed = edges_next.exceptAll(edges).limit(1).count()
-                if changed == 0:
-                    changed = edges.exceptAll(edges_next).limit(1).count()
+                n = edges_next.count()
+                if n != prev_n:
+                    changed = 1
+                else:
+                    changed = edges_next.exceptAll(edges).limit(1).count()
                 edges = edges_next
+                prev_n = n
                 if changed == 0:
                     break
         finally:

@@ -188,11 +188,24 @@ def fuzzy_join(
     max_key_candidates: int | None = None,
     oversize_policy: str = "salt",
     cap_observation=None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Inner join of ``left`` × ``right`` on
     ``levenshtein(left_col, right_col) <= max_distance``, plus a
     ``distance`` column. Output columns: all of ``left``'s, all of
     ``right``'s (names must be disjoint), ``distance`` (bigint).
+
+    ``checkpoint`` (r9, keys-once): when ``max_key_candidates`` engages,
+    the per-row variant-key ARRAYS are consumed twice per side — once by
+    the occupancy-count aggregates and once by the candidate join — and
+    without materialization each consumer re-runs the key generation
+    (an interpreted O(L) / O(L²) higher-order transform per row, the
+    dominant candidate-stage cost). The default lazily
+    ``localCheckpoint``s the tagged pre-explode frame per side so keys
+    generate ONCE per row; the frame is input-row-sized (one array
+    column), never exploded. ``False`` restores the recompute shape for
+    corpora whose key arrays outweigh local storage. Uncapped runs have
+    a single consumer per side and never checkpoint.
 
     ``method``: ``"deletion"`` (FastSS variant keys), ``"segment"``
     (PassJoin pigeonhole keys), or ``"auto"`` (default) — deletion for
@@ -300,14 +313,22 @@ def fuzzy_join(
     else:
         lkeys = _probe_keys(lkey, d)
         rkeys = _index_keys(rkey, d)
-    probe = (
-        left.withColumn("_lid", F.monotonically_increasing_id())
-        .withColumn("_fk", F.explode(lkeys))
-    )
-    index = (
-        right.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_fk", F.explode(rkeys))
-    )
+    probe = left.withColumn(
+        "_lid", F.monotonically_increasing_id()
+    ).withColumn("_fkeys", lkeys)
+    index = right.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).withColumn("_fkeys", rkeys)
+    if checkpoint and max_key_candidates is not None:
+        # keys-once (r9): the occupancy aggregates below and the
+        # candidate join both consume the exploded keys; materializing
+        # the PRE-explode frame runs the interpreted key transform once
+        # per row (and pins the row tags, which lazy recompute would
+        # otherwise regenerate per consumer)
+        probe = probe.localCheckpoint(eager=False)
+        index = index.localCheckpoint(eager=False)
+    probe = probe.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
+    index = index.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
     if max_key_candidates is not None:
         lsz = probe.groupBy("_fk").agg(F.count(F.lit(1)).alias("_nl"))
         rsz = index.groupBy("_fk").agg(F.count(F.lit(1)).alias("_nr"))
@@ -430,12 +451,20 @@ def fuzzy_self_pairs(
     oversize_policy: str = "salt",
     connectivity_only: bool = False,
     cap_observation=None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """All (id_a < id_b) pairs within ``max_distance`` edits — the
     near-duplicate-string view of one table. Returns
     ``(id_a, id_b, distance)``. ``max_key_candidates`` /
     ``oversize_policy`` pass through to :func:`fuzzy_join` (the
-    adversarial-corpus candidate cap).
+    adversarial-corpus candidate cap). ``checkpoint`` (r9,
+    distinct-once): the distinct string table has FOUR lazy consumers —
+    both fuzzy_join self-join sides and both branches of its LCP
+    min/max union — each otherwise re-running the corpus scan +
+    distinct shuffle; the default lazily materializes it (one string
+    column over distinct values) and passes through to
+    :func:`fuzzy_join`'s keys-once checkpoint. ``False`` restores the
+    recompute shape.
 
     Exact duplicates are collapsed BEFORE candidate generation (r6):
     blocking, capping, and the levenshtein verify all run on the
@@ -461,6 +490,14 @@ def fuzzy_self_pairs(
     the verified distance for anchor edges)."""
     vals = df.select(F.col(id_col).alias("_id"), F.col(col).alias("_s"))
     distinct = vals.select("_s").distinct()
+    if checkpoint:
+        # distinct-once (r9): the distinct string table feeds BOTH self-
+        # join sides of fuzzy_join, and (under strip_common_prefix) both
+        # branches of its LCP min/max union — four lazy consumers, each
+        # otherwise re-running the corpus scan + distinct shuffle. The
+        # materialized frame is one string column over distinct values,
+        # bounded by the distinct-string count, never the corpus.
+        distinct = distinct.localCheckpoint(eager=False)
     dpairs = fuzzy_join(
         distinct.select(F.col("_s").alias("_sa")),
         distinct.select(F.col("_s").alias("_sb")),
@@ -468,6 +505,7 @@ def fuzzy_self_pairs(
         max_key_candidates=max_key_candidates,
         oversize_policy=oversize_policy,
         cap_observation=cap_observation,
+        checkpoint=checkpoint,
     ).filter(F.col("_sa") < F.col("_sb"))  # one row per unordered string pair
     if connectivity_only:
         anchors = vals.groupBy("_s").agg(F.min("_id").alias("_anchor"))
@@ -601,6 +639,7 @@ def dedup_fuzzy(
     max_iterations: int = 20,
     max_key_candidates: int | None = 250_000,
     cap_observation=None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Edit-distance dedup end to end: segment-blocked pair generation
     (:func:`fuzzy_self_pairs`) → connected components → keep one
@@ -649,6 +688,7 @@ def dedup_fuzzy(
         max_key_candidates=max_key_candidates,
         connectivity_only=True,
         cap_observation=cap_observation,
+        checkpoint=checkpoint,
     )
     comp = connected_components(pairs, "id_a", "id_b", max_iterations)
     # component sizes → n_merged for the representative (min id = group id)

@@ -422,7 +422,10 @@ def kmeans_centroids_exact(
     init needs them), and micro-unit magnitudes ≤ 10^8 — the exactness
     argument runs through the float64 numpy probe (per-pair squared L2
     ≤ dim·(2·max)² must stay under 2^53), so out-of-contract magnitudes
-    would silently break the exact-argmin property the oracles replay."""
+    would silently break the exact-argmin property the oracles replay.
+    r9: the magnitude check rides round 1's own aggregation instead of a
+    standalone corpus-scan job — the refusal is unchanged, it just lands
+    after round 1's job."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k!r}")
     centroids = [
@@ -435,24 +438,7 @@ def kmeans_centroids_exact(
             f"{len(centroids)} rows for k={k}"
         )
     dim = len(centroids[0])
-    # float64-exactness bound: the numpy argmin probe computes integer
-    # squared distances in float64 — exact iff every per-pair distance
-    # < 2^53. |q| ≤ 1e8 gives dim·(2e8)² = dim·4e16 ≤ 2^53 for dim ≤ 225;
-    # the engine's embedding dims (≤ 64) leave 3.5× headroom even there.
-    max_q = df.agg(
-        F.max(F.aggregate(
-            F.transform(F.col(qvec_col), lambda x: F.abs(x)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: F.greatest(acc, v),
-        ))
-    ).collect()[0][0]
-    if max_q is not None and int(max_q) > 10**8:
-        raise ValueError(
-            f"quantized magnitudes up to {max_q} exceed the 1e8 exactness "
-            f"contract (float64 argmin would no longer be exact); lower the "
-            f"quantization scale"
-        )
-    for _ in range(iterations):
+    for it in range(iterations):
         assign = nearest_cells_udf(
             [[float(c) for c in row] for row in centroids], 1
         )
@@ -460,14 +446,36 @@ def kmeans_centroids_exact(
             F.element_at(assign(F.col(qvec_col)), 1).alias("_c"),
             F.posexplode(F.col(qvec_col)).alias("_i", "_x"),
         )
-        rows = (
-            assigned.groupBy("_c", "_i")
-            .agg(
-                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
+        aggs = [
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        if it == 0:
+            # float64-exactness bound, checked on round 1's own
+            # aggregation rather than a separate corpus-scan job (r9):
+            # the numpy argmin probe computes integer squared distances
+            # in float64 — exact iff every per-pair distance < 2^53.
+            # |q| ≤ 1e8 gives dim·(2e8)² = dim·4e16 ≤ 2^53 for dim ≤
+            # 225; the engine's embedding dims (≤ 64) leave 3.5×
+            # headroom even there. The global max|q| is the max of the
+            # per-(cell, dim) maxes this groupBy already computes over
+            # every exploded component, so the check is free; on an
+            # out-of-contract corpus the raise lands after round 1's
+            # job instead of before it — the same refusal either way,
+            # and no result is ever returned.
+            aggs.append(F.max(F.abs(F.col("_x"))).alias("_mx"))
+        rows = assigned.groupBy("_c", "_i").agg(*aggs).collect()
+        if it == 0 and rows:
+            max_q = max(
+                (int(r["_mx"]) for r in rows if r["_mx"] is not None),
+                default=0,
             )
-            .collect()
-        )
+            if max_q > 10**8:
+                raise ValueError(
+                    f"quantized magnitudes up to {max_q} exceed the 1e8 "
+                    f"exactness contract (float64 argmin would no longer "
+                    f"be exact); lower the quantization scale"
+                )
         sums: dict[int, list[int]] = {}
         counts: dict[int, int] = {}
         for r in rows:
@@ -754,23 +762,18 @@ def pq_train_exact(
     function of the data and a SQL engine can replay the whole training
     (per-subspace unrolled rounds) from the raw table. Same input
     contract as ``kmeans_centroids_exact`` (≥ ksub rows, micro-units
-    ≤ 1e8). r9: all m subspaces train in ONE fused pass per round
-    (1 + 1 + ``iterations`` corpus scans instead of m·(2 +
-    ``iterations``)) — bit-identical to the per-slice composition, see
-    the inline proof sketch."""
-    first = corpus.select(F.size(qvec_col)).first()
-    if first is None:
-        raise ValueError("pq_train_exact: empty corpus")
-    dim = first[0]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-
+    ≤ 1e8). r9: all m subspaces train in ONE fused pass per round, the
+    dim probe reads the init collect, and the magnitude check rides
+    round 1's aggregation (1 + ``iterations`` corpus scans instead of
+    m·(2 + ``iterations``)) — bit-identical to the per-slice
+    composition, see the inline proof sketch."""
     # r9 fusion: train ALL m subspaces in one distributed pass per round
     # instead of m independent kmeans_centroids_exact loops — the per-
     # subspace formulation ran m·(init + contract-check + iterations)
     # sequential corpus-scanning jobs (21 for m=4, iterations=3); this
-    # runs 1 + 1 + iterations. Bit-identical by the exactness argument:
+    # runs 1 + iterations (the dim probe reads the init collect and the
+    # magnitude contract check rides round 1's aggregation — r9, no
+    # standalone jobs). Bit-identical by the exactness argument:
     # every quantity the rounds exchange (init ints, integer argmin
     # assignments, DECIMAL(38,0) dim sums, counts, truncating division)
     # is exact, so neither the fused scan nor the shared shuffle can
@@ -783,37 +786,27 @@ def pq_train_exact(
         [int(v) for v in r[0]]
         for r in corpus.orderBy(id_col).limit(ksub).select(qvec_col).collect()
     ]
+    if not init_rows:
+        raise ValueError("pq_train_exact: empty corpus")
     if len(init_rows) < ksub:
         raise ValueError(
             f"kmeans_centroids_exact needs >= k rows to initialize; got "
             f"{len(init_rows)} rows for k={ksub}"
         )
+    dim = len(init_rows[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     books: list[list[list[int]]] = [
         [row[s * sub : (s + 1) * sub] for row in init_rows] for s in range(m)
     ]
-
-    # contract check once over the full vector == the max over every
-    # slice, so accept/reject is identical to the per-subspace checks
-    max_q = corpus.agg(
-        F.max(F.aggregate(
-            F.transform(F.col(qvec_col), lambda x: F.abs(x)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: F.greatest(acc, v),
-        ))
-    ).collect()[0][0]
-    if max_q is not None and int(max_q) > 10**8:
-        raise ValueError(
-            f"quantized magnitudes up to {max_q} exceed the 1e8 exactness "
-            f"contract (float64 argmin would no longer be exact); lower the "
-            f"quantization scale"
-        )
 
     def _trunc_div(s: int, n: int) -> int:
         # SQL // truncates toward zero; Python // floors — match SQL
         q = abs(s) // n
         return q if s >= 0 else -q
 
-    for _ in range(iterations):
+    for it in range(iterations):
         assign = _pq_assign_all_udf(
             [[[float(c) for c in row] for row in books[s]] for s in range(m)],
             sub,
@@ -831,14 +824,28 @@ def pq_train_exact(
             "_i",
             "_x",
         )
-        rows = (
-            assigned.groupBy("_c", "_i")
-            .agg(
-                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
+        aggs = [
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        if it == 0:
+            # magnitude contract check over the full vector == the max
+            # over every slice, so accept/reject is identical to the
+            # per-subspace checks; riding round 1's aggregation makes
+            # it free (r9 — was its own corpus-scan job)
+            aggs.append(F.max(F.abs(F.col("_x"))).alias("_mx"))
+        rows = assigned.groupBy("_c", "_i").agg(*aggs).collect()
+        if it == 0 and rows:
+            max_q = max(
+                (int(r["_mx"]) for r in rows if r["_mx"] is not None),
+                default=0,
             )
-            .collect()
-        )
+            if max_q > 10**8:
+                raise ValueError(
+                    f"quantized magnitudes up to {max_q} exceed the 1e8 "
+                    f"exactness contract (float64 argmin would no longer "
+                    f"be exact); lower the quantization scale"
+                )
         sums: list[dict[int, list[int]]] = [{} for _ in range(m)]
         counts: list[dict[int, int]] = [{} for _ in range(m)]
         for r in rows:

@@ -680,6 +680,54 @@ def test_connected_components_matches_naive_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_count_first_fixpoint_exact(spark):
+    """The r9 count-first fixpoint test (unequal counts => changed, one
+    exceptAll direction on equal counts) must never break a round early:
+    multi-round structures — chains, stars, and seeded random graphs —
+    all match a driver-side union-find closure."""
+    import random
+
+    def reference(edges):
+        nodes = sorted({a for e in edges for a in e})
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min = {}
+        for x in nodes:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        return {x: comp_min[find(x)] for x in nodes}
+
+    cases = [
+        # two parallel chains (counts can repeat across star rounds)
+        [(i, i + 1) for i in range(0, 40)]
+        + [(100 + i, 101 + i) for i in range(0, 40)],
+        # binary-tree-ish star structure
+        [(i, 2 * i + 1) for i in range(31)] + [(i, 2 * i + 2) for i in range(31)],
+    ]
+    rng = random.Random(11)
+    for seed in range(3):
+        n, m = 80, 60
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        cases.append([(a, b) for a, b in es if a != b])
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.member_id: r.group_id
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == reference(edges)
+
+
 def test_wav_pipeline_decodes_all_real(spark):
     """The registry's WAV pipeline uses the REAL stdlib decoder end to
     end: every synthesized blob decodes ok and the RMS envelope is

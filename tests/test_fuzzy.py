@@ -298,6 +298,60 @@ class TestKeyCandidateCap:
             )
 
 
+class TestComputeOnceCheckpoints:
+    """r9 compute-once materializations: the distinct-string and
+    pre-explode key-array checkpoints are pure plan-shape changes —
+    both modes must agree pair-for-pair on every policy arm."""
+
+    def _self_pairs(self, spark, df, **kw):
+        return {
+            (r.id_a, r.id_b, r.distance)
+            for r in fuzzy.fuzzy_self_pairs(df, "w", "wid", **kw).collect()
+        }
+
+    def test_self_pairs_modes_agree_uncapped(self, spark, words_df):
+        on = self._self_pairs(spark, words_df, max_distance=2, checkpoint=True)
+        off = self._self_pairs(
+            spark, words_df, max_distance=2, checkpoint=False
+        )
+        assert on == off and len(on) > 0
+
+    def test_self_pairs_modes_agree_capped_cold_corpus(self, spark, words_df):
+        """Cold corpus + cap: the keys-once checkpoint engages (capped
+        path) and the result must equal both the checkpoint-off capped
+        run and the exact uncapped pairs (no hot keys)."""
+        exact = self._self_pairs(spark, words_df, max_distance=2)
+        for cp in (True, False):
+            got = self._self_pairs(
+                spark, words_df, max_distance=2,
+                max_key_candidates=10**9, checkpoint=cp,
+            )
+            assert got == exact
+
+    def test_join_modes_agree_capped_hot_corpus(self, spark):
+        """Hot corpus where salt engages: both checkpoint modes must
+        produce subsets of the exact pairs with exact distances, and
+        the drop policy (deterministic under capping) must agree
+        row-for-row across modes."""
+        rows = [(i, f"{i:04d}") for i in range(300)]
+        df = spark.createDataFrame(rows, "wid long, w string")
+        exact = self._self_pairs(spark, df, max_distance=1)
+        # both policies are deterministic under capping (hot keys from
+        # occupancy counts; salt shards from content hashes) — so each
+        # policy's output must be identical across checkpoint modes
+        for policy in ("salt", "drop"):
+            by_mode = {}
+            for cp in (True, False):
+                got = self._self_pairs(
+                    spark, df, max_distance=1,
+                    max_key_candidates=16, oversize_policy=policy,
+                    checkpoint=cp,
+                )
+                assert got <= exact
+                by_mode[cp] = got
+            assert by_mode[True] == by_mode[False]
+
+
 class TestSemdedup:
     def _run(self, spark, rows, **kw):
         from etl_tools_rs_spark.operators.similarity import semdedup
