@@ -120,8 +120,28 @@ def minhash_table(
     per row. Docs with zero shingles are dropped (explode of an empty
     array), matching the LSH contract.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(ngrams(text_col, shingle_n)).alias("_s")
+    return _minhash_from_shingles(
+        df.select(F.col(id_col), ngrams(text_col, shingle_n).alias("_sh")),
+        id_col,
+        "_sh",
+        num_hashes,
+        hash_family,
+    )
+
+
+def _minhash_from_shingles(
+    toks: DataFrame,
+    id_col: str,
+    sh_col: str,
+    num_hashes: int,
+    hash_family: str,
+) -> DataFrame:
+    """:func:`minhash_table` over a PRE-TOKENIZED ``(id, shingle-array)``
+    frame — the shared entry point that lets :func:`dedup_minhash_lsh`
+    tokenize the corpus once and feed both the signature stage and the
+    verify stage from the same (checkpointed) rows (r9)."""
+    ex = toks.select(
+        F.col(id_col), F.explode(F.col(sh_col)).alias("_s")
     )
     if hash_family == "xxhash64":
         aggs = [
@@ -149,6 +169,7 @@ def dedup_minhash_lsh(
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = None,
     oversize_policy: str = "salt",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -185,19 +206,35 @@ def dedup_minhash_lsh(
     via exact dedup instead). Costs one extra count-shuffle on the same
     (band, bucket) key. Default None preserves exact uncapped semantics.
 
-    Design note (measured, not guessed): the verify stage recomputes
-    shingles over the whole corpus rather than semi-joining down to
-    candidate docs first — inside ONE lazy plan, a semi-filter would embed
-    the candidate-pair subtree a second time and Spark re-executes it
-    (no exchange reuse across the union/distinct), which costs more than
-    the two shingle passes it saves. Pipelines that materialize ``pairs``
+    Design note (measured, not guessed): the verify stage reads the same
+    shingle frame as the signature stage rather than semi-joining the
+    corpus down to candidate docs first — inside ONE lazy plan, a
+    semi-filter would embed the candidate-pair subtree a second time and
+    Spark re-executes it (no exchange reuse across the union/distinct),
+    which costs more than it saves. Pipelines that materialize ``pairs``
     anyway (cache/localCheckpoint, e.g. before connected_components)
     should semi-filter the corpus on candidate ids instead.
+
+    ``checkpoint`` (r9, shingle-once/bands-once): the interpreted
+    ``ngrams`` transform over every document used to run THREE times per
+    call (once inside the signature subtree per self-join side, once for
+    the verify frame — plus once more per verify side), and the
+    16-hash min-aggregate twice (both band-join sides). The default
+    lazily ``localCheckpoint``s (a) the tokenized ``(id, shingles)``
+    frame, feeding the signature AND both verify joins from one
+    materialization, and (b) the narrow ``(id, band, bucket)`` band
+    table, so both self-join sides read the same blocks. Pure
+    plan-shape change; ``False`` restores the recompute shape for
+    corpora whose tokenized form outweighs local storage (the band
+    table is always narrow — docs × bands rows).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_table(
-        df, text_col, id_col, num_hashes, shingle_n, hash_family
-    ).withColumnRenamed(id_col, "_id")
+    toks = df.select(
+        F.col(id_col).alias("_id"), ngrams(text_col, shingle_n).alias("_sh")
+    )
+    if checkpoint:
+        toks = toks.localCheckpoint(eager=False)
+    sig = _minhash_from_shingles(toks, "_id", "_sh", num_hashes, hash_family)
 
     def band_bucket(b: int) -> Column:
         cols = [F.col(f"_h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -235,6 +272,12 @@ def dedup_minhash_lsh(
                 "bucket", F.xxhash64(F.col("bucket"), salt)
             ).drop("_n")
 
+    if checkpoint:
+        # bands-once (r9): both self-join sides (and, when the cap
+        # engages, the sizes aggregate's join-back) read the same
+        # materialized narrow (id, band, bucket) rows instead of each
+        # re-running the shingle explode + 16-hash min-aggregate
+        banded = banded.localCheckpoint(eager=False)
     # shuffle_hash pin (r7): the build side sits above the band-struct
     # Generate, so Catalyst's size estimate predates the ×bands fan-out —
     # the exact mis-plan class that broadcast fuzzy_join's 8.5M-row
@@ -254,9 +297,10 @@ def dedup_minhash_lsh(
         .distinct()
     )
 
-    # shingle arrays only materialize here, joined to the (small) verified
-    # candidate-pair set — one interpreted ngrams pass over the corpus
-    sh = df.select(F.col(id_col).alias("_id"), ngrams(text_col, shingle_n).alias("_sh"))
+    # verify reads the SAME tokenized frame the signature stage consumed
+    # (one interpreted ngrams pass over the corpus when checkpointing,
+    # r9) — joined only to the (small) verified candidate-pair set
+    sh = toks
     cand = (
         pairs.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_sh_b"}), "id_b")

@@ -74,6 +74,27 @@ def test_dedup_minhash_lsh_finds_near_dups(docs):
     assert not any("d5" in p for p in pairs)
 
 
+def test_dedup_minhash_lsh_checkpoint_modes_agree(docs):
+    """r9 shingle-once/bands-once checkpoints are pure plan-shape
+    changes: both modes must agree pair-for-pair and jaccard-for-
+    jaccard under both hash families and with the bucket cap engaged
+    (salt shards from content hashes — deterministic)."""
+    for family in ("xxhash64", "md5"):
+        for cap in (None, 1):
+            runs = {}
+            for cp in (True, False):
+                runs[cp] = {
+                    (r.id_a, r.id_b): r.jaccard
+                    for r in dedup.dedup_minhash_lsh(
+                        docs, num_hashes=16, bands=8, shingle_n=2,
+                        threshold=0.5, hash_family=family,
+                        max_bucket_size=cap, checkpoint=cp,
+                    ).collect()
+                }
+            assert runs[True] == runs[False], (family, cap)
+    assert len(runs[True]) > 0
+
+
 def test_dedup_simhash_groups(docs):
     out = dedup.dedup_simhash(docs, shingle_n=2)
     groups = out.collect()
