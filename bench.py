@@ -296,6 +296,31 @@ def _regressions_vs_history(
     return out
 
 
+def _tree_stamp() -> dict:
+    """The commit (and dirty flag) of the tree this bench ran, so a
+    history entry is attributable to an exact code state — the r9 mhonce
+    regression shipped because the final commit was never swept and no
+    record could prove it (VERDICT r9 #2). Runs outside the timed
+    region; never fails the bench."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=here, capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
+        )
+        return {"commit": commit or None, "dirty": dirty}
+    except Exception:
+        return {"commit": None, "dirty": None}
+
+
 def _append_history(
     timings: dict[str, float], total: float, sf: float,
     host_load: dict | None = None,
@@ -313,6 +338,10 @@ def _append_history(
             "total": total,
             "queries": timings,
             "host_load": host_load,
+            "tree": _tree_stamp(),
+            # recorded so the snapshot gate (tools/sweep_gate.py) can
+            # demand an empty-or-adjudicated block for the swept tree
+            "regressions": regressions,
         }
     )
     try:

@@ -119,11 +119,26 @@ def minhash_table(
     (`functions.minhash_over`) is interpreted per element and ~10x slower
     per row. Docs with zero shingles are dropped (explode of an empty
     array), matching the LSH contract.
+
+    Plan-shape contract (r10, the mhonce-regression lesson): the explode
+    MUST stay inline — ``explode(ngrams(text))`` in one select. Routing
+    it through a ``select(ngrams(..).alias("_sh"))`` projection first
+    makes the generator a plain attribute, which triggers Spark's
+    ``InferFiltersFromGenerate`` rule: the inferred
+    ``size(_sh) > 0 AND isnotnull(_sh)`` filter is pushed below the
+    Project and re-evaluates the whole interpreted ``ngrams`` expression
+    TWICE more per row (3x the tokenization; measured 2.6-9x slower on
+    every md5-family consumer at sf0.1). Inline generator expressions
+    are exempt from that rule. Pre-tokenized frames are only safe when
+    MATERIALIZED first (localCheckpoint), which is exactly what
+    :func:`_minhash_from_shingles` is for.
     """
-    return _minhash_from_shingles(
-        df.select(F.col(id_col), ngrams(text_col, shingle_n).alias("_sh")),
+    return _minhash_signature_agg(
+        df.select(
+            F.col(id_col),
+            F.explode(ngrams(text_col, shingle_n)).alias("_s"),
+        ),
         id_col,
-        "_sh",
         num_hashes,
         hash_family,
     )
@@ -137,12 +152,28 @@ def _minhash_from_shingles(
     hash_family: str,
 ) -> DataFrame:
     """:func:`minhash_table` over a PRE-TOKENIZED ``(id, shingle-array)``
-    frame — the shared entry point that lets :func:`dedup_minhash_lsh`
-    tokenize the corpus once and feed both the signature stage and the
-    verify stage from the same (checkpointed) rows (r9)."""
-    ex = toks.select(
-        F.col(id_col), F.explode(F.col(sh_col)).alias("_s")
+    frame — lets :func:`dedup_minhash_lsh` tokenize the corpus once and
+    feed both the signature stage and the verify stage from the same
+    rows (r9). ONLY for frames whose shingle column is (about to be)
+    materialized — e.g. localCheckpoint'ed: over a raw projection the
+    inferred size/notnull generate-filter re-runs the interpreted
+    ``ngrams`` twice per row (see :func:`minhash_table`)."""
+    return _minhash_signature_agg(
+        toks.select(F.col(id_col), F.explode(F.col(sh_col)).alias("_s")),
+        id_col,
+        num_hashes,
+        hash_family,
     )
+
+
+def _minhash_signature_agg(
+    ex: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    hash_family: str,
+) -> DataFrame:
+    """groupBy(id) num_hashes-way MIN aggregate over exploded shingle
+    rows ``(id, _s)`` — the shared tail of the two entry points above."""
     if hash_family == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
@@ -233,8 +264,26 @@ def dedup_minhash_lsh(
         F.col(id_col).alias("_id"), ngrams(text_col, shingle_n).alias("_sh")
     )
     if checkpoint:
-        toks = toks.localCheckpoint(eager=False)
-    sig = _minhash_from_shingles(toks, "_id", "_sh", num_hashes, hash_family)
+        # DISK_ONLY (r10, ADVICE r9): this is the largest frame the
+        # codebase checkpoints (corpus-scale shingle arrays) and it
+        # feeds 16-hash aggregations downstream — the default
+        # MEMORY_AND_DISK deserialized on-heap level is the exact block
+        # class the r6 giant-component hardening identified as starving
+        # execution memory into OOM on large frames.
+        toks = toks.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
+        # safe: _sh is a materialized attribute, so the inferred
+        # size/notnull generate-filter costs an array length check,
+        # not two extra interpreted ngrams passes (see minhash_table)
+        sig = _minhash_from_shingles(toks, "_id", "_sh", num_hashes, hash_family)
+    else:
+        # recompute shape: keep the explode INLINE over the raw corpus —
+        # exploding the _sh projection would trigger the
+        # InferFiltersFromGenerate 3x-ngrams pathology (minhash_table)
+        sig = minhash_table(
+            df, text_col, id_col, num_hashes, shingle_n, hash_family
+        ).withColumnRenamed(id_col, "_id")
 
     def band_bucket(b: int) -> Column:
         cols = [F.col(f"_h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]

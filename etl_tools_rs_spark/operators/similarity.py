@@ -391,6 +391,25 @@ def quantize_vec(col: Column, input_scale: int = 6) -> Column:
     )
 
 
+def _check_magnitude_contract(df: DataFrame, qvec_col: str) -> None:
+    """Standalone 1e8 magnitude-contract check (one narrow max-only
+    aggregate job). Only used by the ``iterations=0`` paths of the exact
+    trainers, where no round-1 aggregation exists to carry the check
+    (ADVICE r9); the message matches the in-loop refusal."""
+    r = (
+        df.select(F.posexplode(F.col(qvec_col)).alias("_i", "_x"))
+        .agg(F.max(F.abs(F.col("_x"))).alias("_mx"))
+        .first()
+    )
+    max_q = int(r["_mx"]) if r is not None and r["_mx"] is not None else 0
+    if max_q > 10**8:
+        raise ValueError(
+            f"quantized magnitudes up to {max_q} exceed the 1e8 "
+            f"exactness contract (float64 argmin would no longer "
+            f"be exact); lower the quantization scale"
+        )
+
+
 def kmeans_centroids_exact(
     df: DataFrame,
     k: int,
@@ -438,6 +457,12 @@ def kmeans_centroids_exact(
             f"{len(centroids)} rows for k={k}"
         )
     dim = len(centroids[0])
+    if iterations == 0:
+        # with zero rounds there is no round-1 aggregation to ride, so
+        # the magnitude contract gets its own (narrow max-only) job —
+        # otherwise an out-of-contract corpus would silently return the
+        # init centroids (ADVICE r9). Only paid on iterations=0 calls.
+        _check_magnitude_contract(df, qvec_col)
     for it in range(iterations):
         assign = nearest_cells_udf(
             [[float(c) for c in row] for row in centroids], 1
@@ -800,6 +825,10 @@ def pq_train_exact(
     books: list[list[list[int]]] = [
         [row[s * sub : (s + 1) * sub] for row in init_rows] for s in range(m)
     ]
+    if iterations == 0:
+        # same rationale as kmeans_centroids_exact: no round-1
+        # aggregation exists to carry the check (ADVICE r9)
+        _check_magnitude_contract(corpus, qvec_col)
 
     def _trunc_div(s: int, n: int) -> int:
         # SQL // truncates toward zero; Python // floors — match SQL

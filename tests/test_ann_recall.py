@@ -292,6 +292,15 @@ class TestKmeansExact:
         with pytest.raises(ValueError, match="exactness contract"):
             kmeans_centroids_exact(big, 2, "_q6", "vec_id")
 
+        # r10 (ADVICE r9): with iterations=0 there is no round-1
+        # aggregation to carry the check — the standalone check must
+        # still refuse rather than silently return the init centroids
+        with pytest.raises(ValueError, match="exactness contract"):
+            kmeans_centroids_exact(big, 2, "_q6", "vec_id", iterations=0)
+        # and an in-contract corpus still returns the init centroids
+        got = kmeans_centroids_exact(small, 2, "_q6", "vec_id", iterations=0)
+        assert len(got) == 2
+
 
 class TestPqExact:
     """r7 exact-quantized PQ (similarity.py::pq_train_exact + knn_pq
@@ -417,3 +426,18 @@ class TestPqTrainExactFused:
             pq_train_exact(emb, m=3, ksub=5, qvec_col="_q6", iterations=1)
         with _pytest.raises(ValueError, match="not divisible"):
             pq_train_exact(emb, m=5, ksub=2, qvec_col="_q6", iterations=1)
+
+        # r10 (ADVICE r9): iterations=0 must still enforce the 1e8
+        # magnitude contract via the standalone check
+        from pyspark.sql import functions as F
+
+        big = spark.createDataFrame(
+            [(0, [10.0**9] * 4), (1, [2.0] * 4), (2, [3.0] * 4)],
+            "vec_id long, q array<double>",
+        ).select("vec_id", F.col("q").cast("array<bigint>").alias("_q6"))
+        with _pytest.raises(ValueError, match="exactness contract"):
+            pq_train_exact(big, m=2, ksub=2, qvec_col="_q6", iterations=0)
+        books = pq_train_exact(
+            self._emb(spark, n=6), m=2, ksub=2, qvec_col="_q6", iterations=0
+        )
+        assert len(books) == 2

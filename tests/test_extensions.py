@@ -92,7 +92,10 @@ def test_dedup_minhash_lsh_checkpoint_modes_agree(docs):
                     ).collect()
                 }
             assert runs[True] == runs[False], (family, cap)
-    assert len(runs[True]) > 0
+            # non-empty INSIDE the loop (ADVICE r9): every mode-agreement
+            # comparison must be over a non-trivial pair set, not just
+            # the last (family, cap) config
+            assert len(runs[True]) > 0, (family, cap)
 
 
 def test_dedup_simhash_groups(docs):

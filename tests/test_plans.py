@@ -575,3 +575,28 @@ def test_wordpiece_round_jobs_have_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan  # map-side combine on the aggregates
+
+
+def test_minhash_table_explode_stays_inline_no_inferred_ngrams_filter(spark):
+    """r10 mhonce-regression pin: minhash_table over a raw corpus must
+    keep the shingle explode INLINE (Generate over the ngrams
+    expression). Projecting the shingle array first makes the generator
+    a plain attribute, and InferFiltersFromGenerate then pushes a
+    size/notnull filter BELOW the projection where it re-evaluates the
+    interpreted ngrams expression twice more per row (measured 2.6-9x
+    slower on every md5-family consumer at sf0.1). The optimized plan of
+    the correct shape is Aggregate <- Generate <- Scan with NO Filter
+    node at all."""
+    from etl_tools_rs_spark.operators.dedup import minhash_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for family in ("md5", "xxhash64"):
+        plan = (
+            minhash_table(docs, num_hashes=4, hash_family=family)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Filter" not in plan, plan
+        # the generator is the ngrams expression itself, not an attribute
+        assert "Generate explode(CASE WHEN" in plan, plan

@@ -21,9 +21,46 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO_ROOT)
 
 
+def _containing_tree(path: str) -> str | None:
+    """The git working-tree root containing ``path`` (walk up for a
+    ``.git`` entry), or None if path is outside any checkout."""
+    d = os.path.realpath(path)
+    while True:
+        if os.path.exists(os.path.join(d, ".git")):
+            return d
+        parent = os.path.dirname(d)
+        if parent == d:
+            return None
+        d = parent
+
+
+def assert_out_dir_matches_tree(out_dir: str, repo_root: str = _REPO_ROOT) -> None:
+    """Provenance gate (r10, VERDICT r9 #3/#7): a plan dump's ``# tree:``
+    header records the checkout whose code BUILT the plan (this tool's
+    own location). Writing such a dump into another checkout's ``plans/``
+    dir is how r9 shipped an "after" file captured from the PRE tree —
+    refuse the write unless the trees match (override:
+    ``SPARK_GRAFT_ALLOW_FOREIGN_PLAN_DIR=1``, for deliberate
+    cross-tree archiving)."""
+    if os.environ.get("SPARK_GRAFT_ALLOW_FOREIGN_PLAN_DIR"):
+        return
+    dest_tree = _containing_tree(out_dir)
+    if dest_tree is not None and dest_tree != os.path.realpath(repo_root):
+        raise SystemExit(
+            f"capture_plan: out_dir {out_dir!r} lives in checkout "
+            f"{dest_tree!r} but the plans would be captured from "
+            f"{repo_root!r} — the dump's '# tree:' header would not match "
+            f"the tree it claims to document (the r9 mhonce mislabel). "
+            f"Run the tool from the destination tree, or set "
+            f"SPARK_GRAFT_ALLOW_FOREIGN_PLAN_DIR=1 to archive "
+            f"cross-tree deliberately."
+        )
+
+
 def main() -> int:
     out_dir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
+    assert_out_dir_matches_tree(out_dir)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     import __spark_entry__ as entrymod
