@@ -570,11 +570,38 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_union_find(rows: list) -> list:
+    """Exact driver-side union-find over collected ``(u, v)`` edge rows:
+    returns ``[(member, component_min)]`` for every node that appears in
+    any edge — the same (node, min-label) contract as the distributed
+    star fixpoint. Path-halving + min-root union keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union toward the smaller root: the final root IS the
+            # component min (every node enters as its own root)
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: (member_id, group_id)
     where group_id = min member id of the connected component.
@@ -607,6 +634,26 @@ def connected_components(
     At 100 TB: the edge list (not the corpus) bounds the work; the edge
     count never grows beyond the input edge count (proven in the paper),
     and hub-node skew in the groupBy is AQE-handled.
+
+    Scale-adaptive small-graph path (r10, guide §1.2 "the distributed
+    algorithm" / §3.1 broadcast reasoning): the edge count is already on
+    the driver (it seeds the count-first fixpoint), so when the
+    materialized DISTINCT edge list is small — ``driver_max_edges``,
+    default 1,000,000 edges ≈ 16 MB of key data, the envelope Spark
+    itself collects to the driver for any broadcast join — the exact
+    union-find runs driver-side in one pass and the labels return as a
+    LOCAL relation. That replaces 4+ shuffles per star round (each a
+    fixed-cost 2-job barrier that dominates answer-sized graphs: the CC
+    tail of ``dedup_fuzzy_customers`` measured 4.3 s at sf0.1 on a
+    few-hundred-edge graph) with one collect, and — because Catalyst
+    knows a LocalRelation's size exactly — every downstream
+    member/loser/size join becomes a broadcast join instead of a corpus
+    shuffle. Output is IDENTICAL (exact min-label components, no
+    sampling, no order dependence). Above the threshold the star
+    fixpoint runs unchanged — the 100 TB posture does not regress, it
+    simply never pays fixpoint overhead on graphs that fit a broadcast.
+    ``driver_max_edges``: ``None`` reads ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``
+    (default 1,000,000); 0 disables the driver path.
     """
     _cp = lambda df: df.localCheckpoint(  # noqa: E731 — one knob, used 3×
         eager=True, storageLevel=StorageLevel.DISK_ONLY
@@ -642,6 +689,41 @@ def connected_components(
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
             )
+
+            if driver_max_edges is None:
+                import os
+
+                driver_max_edges = int(
+                    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "1000000")
+                )
+            n0 = edges.count()
+            if driver_max_edges and n0 <= driver_max_edges:
+                # small-graph path (see docstring): exact union-find on
+                # the collected distinct edges; labels come back as a
+                # LocalRelation so downstream joins broadcast. The node
+                # type is the u/v union coercion, exactly what the
+                # distributed members frame would carry.
+                node_t = (
+                    edges.select(F.col("u").alias("node"))
+                    .union(edges.select("v"))
+                    .schema[0]
+                    .dataType
+                )
+                labels = _cc_union_find(
+                    [(r[0], r[1]) for r in edges.collect()]
+                )
+                from pyspark.sql.types import StructField, StructType
+
+                return spark.createDataFrame(
+                    labels,
+                    StructType(
+                        [
+                            StructField("member_id", node_t),
+                            StructField("group_id", node_t),
+                        ]
+                    ),
+                )
+
             members = _cp(  # every node that appears in any pair (for labels)
                 edges.select(F.col("u").alias("node"))
                 .union(edges.select(F.col("v").alias("node")))
@@ -660,7 +742,7 @@ def connected_components(
             # per-round shuffle-heavy exceptAll now runs only on rounds
             # whose edge count did not move (typically just the final
             # one).
-            prev_n = edges.count()
+            prev_n = n0  # the threshold decision's count, reused
             for _ in range(max_iterations):
                 edges_next = _cp(_small_star(_large_star(edges)))
                 n = edges_next.count()

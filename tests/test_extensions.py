@@ -752,6 +752,53 @@ def test_connected_components_count_first_fixpoint_exact(spark):
         assert got == reference(edges)
 
 
+def test_connected_components_driver_path_matches_distributed(spark):
+    """r10 scale-adaptive CC: the driver union-find path (edge count <=
+    driver_max_edges) and the distributed star fixpoint must agree
+    row-for-row — including exactly AT the threshold, just above it,
+    and on non-numeric (string) node ids."""
+    import random
+
+    rng = random.Random(23)
+    n, m = 150, 110
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    n_distinct = pairs.filter("id_a != id_b").distinct().count()
+
+    def run(threshold):
+        return {
+            (r.member_id, r.group_id)
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=threshold
+            ).collect()
+        }
+
+    distributed = run(0)
+    assert run(n_distinct) == distributed  # at the threshold: driver path
+    assert run(n_distinct - 1) == distributed  # just below: distributed
+    assert run(10**6) == distributed  # default-magnitude threshold
+
+    # string ids travel the same contract (min is lexicographic)
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    got_driver = {
+        (r.member_id, r.group_id)
+        for r in dedup.connected_components(
+            spairs, driver_max_edges=100
+        ).collect()
+    }
+    got_dist = {
+        (r.member_id, r.group_id)
+        for r in dedup.connected_components(
+            spairs, driver_max_edges=0
+        ).collect()
+    }
+    assert got_driver == got_dist == want
+
+
 def test_wav_pipeline_decodes_all_real(spark):
     """The registry's WAV pipeline uses the REAL stdlib decoder end to
     end: every synthesized blob decodes ok and the RMS envelope is
