@@ -189,6 +189,7 @@ def fuzzy_join(
     oversize_policy: str = "salt",
     cap_observation=None,
     checkpoint: bool = True,
+    self_inputs: bool = False,
 ) -> DataFrame:
     """Inner join of ``left`` × ``right`` on
     ``levenshtein(left_col, right_col) <= max_distance``, plus a
@@ -270,6 +271,21 @@ def fuzzy_join(
     eliminates the CollectMetrics node itself, so the observation never
     fires and ``observation.get`` raises — guard degenerate empty inputs
     at the caller before reading the metrics.
+
+    ``self_inputs`` (r10): caller's promise that ``left`` and ``right``
+    are the SAME single-column relation up to the key column's name
+    (:func:`fuzzy_self_pairs` passes its distinct-string table twice).
+    With the deletion method (both sides' blocking keys are the same
+    function) + ``checkpoint``, key generation, row tags, the occupancy
+    aggregate and the shard/hot-key derivation then run ONCE on a
+    materialized frame and the index side is a column rename of the
+    probe side — the per-side duplicates and the lsz⋈rsz occupancy join
+    disappear (guide §2.4). Every derived value is identical
+    (``_nl == _nr`` so products, shard widths and content-hash salts
+    match the two-sided computation), so the candidate set and output
+    are unchanged. Inputs that are not single-column raise; the segment
+    method (asymmetric probe/index keys) and ``checkpoint=False`` fall
+    back to the general shape.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance!r}")
@@ -288,11 +304,19 @@ def fuzzy_join(
         method = "deletion" if d <= 2 else "segment"
     if method == "deletion" and d > 2:
         raise ValueError("method='deletion' supports max_distance <= 2")
+    if self_inputs and (
+        len(left.columns) != 1 or len(right.columns) != 1
+    ):
+        raise ValueError(
+            "self_inputs requires single-column (key-only) inputs"
+        )
     lkey, rkey = F.col(left_col), F.col(right_col)
     if strip_common_prefix:
-        vals = left.select(lkey.alias("_v")).unionAll(
-            right.select(rkey.alias("_v"))
-        )
+        # self_inputs: both sides are the same value set, so one side's
+        # min/max bound the union's — half the LCP scan (r10, §2.4)
+        vals = left.select(lkey.alias("_v"))
+        if not self_inputs:
+            vals = vals.unionAll(right.select(rkey.alias("_v")))
         st = vals.agg(
             F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
         ).select(_lcp_len(F.col("_mn"), F.col("_mx")).alias("_lcp"))
@@ -313,23 +337,123 @@ def fuzzy_join(
     else:
         lkeys = _probe_keys(lkey, d)
         rkeys = _index_keys(rkey, d)
-    probe = left.withColumn(
-        "_lid", F.monotonically_increasing_id()
-    ).withColumn("_fkeys", lkeys)
-    index = right.withColumn(
-        "_rid", F.monotonically_increasing_id()
-    ).withColumn("_fkeys", rkeys)
-    if checkpoint and max_key_candidates is not None:
-        # keys-once (r9): the occupancy aggregates below and the
-        # candidate join both consume the exploded keys; materializing
-        # the PRE-explode frame runs the interpreted key transform once
-        # per row (and pins the row tags, which lazy recompute would
-        # otherwise regenerate per consumer)
-        probe = probe.localCheckpoint(eager=False)
-        index = index.localCheckpoint(eager=False)
-    probe = probe.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
-    index = index.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
-    if max_key_candidates is not None:
+    # self fast path (r10, §2.4 compute-once): when both sides are the
+    # SAME single-column relation and both sides' blocking keys are the
+    # same function (deletion method), generate keys/tags ONCE on a
+    # materialized frame and derive the index side by renaming — the
+    # per-side key transform, the per-side occupancy aggregate, and the
+    # lsz⋈rsz occupancy join all collapse to one. Requires checkpoint
+    # (the shared tags must be pinned before the two branches consume
+    # them); every derived value — keys, counts (_nl == _nr), shard
+    # width ceil(sqrt(nl²/cap)), content-hash salt — is identical to
+    # the two-sided computation on identical inputs, so the candidate
+    # set and output are unchanged.
+    is_self = self_inputs and method == "deletion" and checkpoint
+    if is_self:
+        tagged = (
+            left.withColumn("_lid", F.monotonically_increasing_id())
+            .withColumn("_fkeys", lkeys)
+            .localCheckpoint(eager=False)
+        )
+        ex = tagged.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
+        probe = ex
+        index = None  # derived below (cap handling differs per policy)
+    else:
+        probe = left.withColumn(
+            "_lid", F.monotonically_increasing_id()
+        ).withColumn("_fkeys", lkeys)
+        index = right.withColumn(
+            "_rid", F.monotonically_increasing_id()
+        ).withColumn("_fkeys", rkeys)
+        if checkpoint and max_key_candidates is not None:
+            # keys-once (r9): the occupancy aggregates below and the
+            # candidate join both consume the exploded keys; materializing
+            # the PRE-explode frame runs the interpreted key transform once
+            # per row (and pins the row tags, which lazy recompute would
+            # otherwise regenerate per consumer)
+            probe = probe.localCheckpoint(eager=False)
+            index = index.localCheckpoint(eager=False)
+        probe = probe.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
+        index = index.withColumn("_fk", F.explode("_fkeys")).drop("_fkeys")
+
+    def _as_index(df: DataFrame) -> DataFrame:
+        """Self path: the index side is the probe side renamed."""
+        out = df.withColumnRenamed("_lid", "_rid")
+        if right_col != left_col:
+            out = out.withColumnRenamed(left_col, right_col)
+        return out
+
+    if is_self and max_key_candidates is not None:
+        # ONE occupancy aggregate (probe==index ⇒ _nl==_nr, product=nl²),
+        # checkpointed so both branches read it instead of re-aggregating
+        sz = (
+            ex.groupBy("_fk")
+            .agg(F.count(F.lit(1)).alias("_nl"))
+            .localCheckpoint(eager=False)
+        )
+        if oversize_policy == "drop":
+            hot = sz.filter(
+                F.col("_nl") * F.col("_nl") > max_key_candidates
+            ).select("_fk")
+            if cap_observation is None:
+                probe = ex.join(hot, "_fk", "left_anti")
+            else:
+                probe = (
+                    ex.join(
+                        hot.withColumn("_hot", F.lit(True)), "_fk", "left"
+                    )
+                    .observe(
+                        cap_observation,
+                        F.coalesce(
+                            F.sum(F.when(F.col("_hot"), 1).otherwise(0)),
+                            F.lit(0),
+                        ).alias("dropped_key_rows"),
+                        F.count(F.lit(1)).alias("probe_key_rows"),
+                    )
+                    .filter(F.col("_hot").isNull())
+                    .drop("_hot")
+                )
+            index = _as_index(ex.join(hot, "_fk", "left_anti"))
+        else:
+            shards = sz.select(
+                "_fk",
+                F.ceil(
+                    F.sqrt(
+                        F.col("_nl") * F.col("_nl") / F.lit(max_key_candidates)
+                    )
+                )
+                .cast("long")
+                .alias("_sh"),
+            )
+            salted = ex.join(shards, "_fk", "left").withColumn(
+                "_fk",
+                F.struct(
+                    F.col("_fk").alias("k"),
+                    F.pmod(
+                        F.xxhash64(F.col(left_col)),
+                        F.greatest(F.coalesce(F.col("_sh"), F.lit(1)), F.lit(1)),
+                    ).alias("s"),
+                ),
+            )
+            probe = salted
+            if cap_observation is not None:
+                probe = probe.observe(
+                    cap_observation,
+                    F.coalesce(
+                        F.sum(F.when(F.col("_sh") >= 2, 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias("salted_key_rows"),
+                    F.coalesce(
+                        F.max(F.coalesce(F.col("_sh"), F.lit(1))),
+                        F.lit(0),
+                    ).alias("max_shards_per_side"),
+                    F.count(F.lit(1)).alias("probe_key_rows"),
+                )
+            probe = probe.drop("_sh")
+            index = _as_index(salted.drop("_sh"))
+    elif is_self:
+        index = _as_index(ex)
+    elif max_key_candidates is not None:
         lsz = probe.groupBy("_fk").agg(F.count(F.lit(1)).alias("_nl"))
         rsz = index.groupBy("_fk").agg(F.count(F.lit(1)).alias("_nr"))
         # inner: a key on only one side never generates a candidate, so
@@ -506,6 +630,9 @@ def fuzzy_self_pairs(
         oversize_policy=oversize_policy,
         cap_observation=cap_observation,
         checkpoint=checkpoint,
+        # both sides are the same distinct-string table: keys, tags and
+        # occupancy compute once (r10 self fast path, guide §2.4)
+        self_inputs=True,
     ).filter(F.col("_sa") < F.col("_sb"))  # one row per unordered string pair
     if connectivity_only:
         anchors = vals.groupBy("_s").agg(F.min("_id").alias("_anchor"))

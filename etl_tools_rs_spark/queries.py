@@ -5407,14 +5407,20 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tools_rs_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    # distinct on the NUMERIC key pair, concat after (r10, guide §2.3
+    # narrower types): the distinct shuffle moves two bigints instead of
+    # two ~10-char strings, and the concat runs once per distinct edge
+    # instead of once per lineitem row. concat is injective on these
+    # keys ('c'/'s' prefixes disjoint), so the edge SET is identical.
     edges = (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     # ranks are node-count-sized (~customers+suppliers): broadcast them
     # each round so the (much larger) edge list never re-shuffles

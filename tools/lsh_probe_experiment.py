@@ -24,12 +24,19 @@ from etl_tools_rs_spark.session import get_spark, load_tables  # noqa: E402
 K = 10
 CONFIGS = [
     # (num_tables, num_planes, num_probes)
-    (16, 4, 0),  # current registry config
+    (16, 4, 0),  # r4 registry config
     (8, 4, 1),
     (8, 4, 2),
     (8, 4, 3),
-    (6, 4, 3),
+    (6, 4, 3),  # r9-adopted registry config
     (8, 5, 2),
+    # r10 (VERDICT r9 #6): check that neighbors of the adopted point
+    # don't dominate it — fewer tables with more probes, and vice versa
+    (4, 4, 3),
+    (4, 4, 4),
+    (6, 4, 2),
+    (6, 4, 4),
+    (8, 4, 2),
 ]
 
 
@@ -63,8 +70,8 @@ def recall_at_sf001(spark):
     return out
 
 
-def time_at_sf01(spark, runs=3):
-    emb = load_tables(spark, "/root/testdata/sf0.1", ("embeddings",))[
+def time_at_sf01(spark, runs=3, sf_dir="/root/testdata/sf0.1"):
+    emb = load_tables(spark, sf_dir, ("embeddings",))[
         "embeddings"
     ]
     q = queries_frame(emb)
@@ -87,14 +94,24 @@ def time_at_sf01(spark, runs=3):
 
 
 def main() -> int:
+    # optional sf1 column (r10, VERDICT r9 #6): pass a generated sf1
+    # dir (tools/gen_scale_data.py) to check the trade holds at scale
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else None
     spark = get_spark("lsh-probe-exp")
     spark.sparkContext.setLogLevel("ERROR")
     rec = recall_at_sf001(spark)
     tim = time_at_sf01(spark)
-    print(f"{'tables':>7} {'planes':>7} {'probes':>7} {'recall@10':>10} {'sf0.1 s':>8}")
+    tim1 = time_at_sf01(spark, sf_dir=sf1_dir) if sf1_dir else None
+    hdr = f"{'tables':>7} {'planes':>7} {'probes':>7} {'recall@10':>10} {'sf0.1 s':>8}"
+    if tim1:
+        hdr += f" {'sf1 s':>8}"
+    print(hdr)
     for cfg in CONFIGS:
         t, p, pr = cfg
-        print(f"{t:>7} {p:>7} {pr:>7} {rec[cfg]:>10.2f} {tim[cfg]:>8.2f}")
+        line = f"{t:>7} {p:>7} {pr:>7} {rec[cfg]:>10.2f} {tim[cfg]:>8.2f}"
+        if tim1:
+            line += f" {tim1[cfg]:>8.2f}"
+        print(line)
     return 0
 
 
